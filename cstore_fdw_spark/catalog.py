@@ -1,0 +1,425 @@
+"""Managed columnar table layer — lifecycle parity with the reference FDW.
+
+The reference models a table as one data file + one footer file with
+stripe/block layout and four options (``filename``, ``compression``,
+``stripe_row_count``, ``block_row_count``) — reference ``cstore_fdw.h:26-59``,
+validated at ``cstore_fdw.c:1523-1571``.  Here a table is a Parquet directory
+plus a small JSON metadata file we own (the "footer" analog holds options and
+schema-evolution info; Parquet footers hold the per-file stats).
+
+Operator parity (SURVEY §2.A):
+- A10 create  → :meth:`CStoreCatalog.create_table`
+- A11 drop    → :meth:`CStoreCatalog.drop_table` (files removed,
+  reference ``cstore_fdw.c:334-382,776-812``)
+- A12 truncate→ :meth:`CStoreCatalog.truncate` (files removed, table
+  remains valid+empty, reference ``cstore_fdw.c:384-412,841-948``)
+- A13 alter guard → :meth:`CStoreCatalog.alter_column_type` restricted to
+  implicit coercions (reference ``cstore_fdw.c:717-769``)
+- A14 analyze → :meth:`CStoreCatalog.analyze`
+- A19 table_size → :meth:`CStoreCatalog.table_size`
+  (reference ``cstore_fdw.c:1183-1229``)
+- A20 metadata row count → :meth:`CStoreCatalog.row_count` reads Parquet
+  footers only (reference ``cstore_reader.c:400-462``)
+- A21 option validation → :func:`validate_options`
+- A22 schema-evolution read repair (constant DEFAULT backfill) →
+  :meth:`CStoreCatalog.read` (reference ``cstore_reader.c:1224-1292``)
+
+Scale note: all data paths are DataFrame writes/reads — no driver-side row
+materialization anywhere; metadata ops (row_count/table_size) read only
+footers/file listings, never data.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+from dataclasses import dataclass, field
+from typing import Any
+
+import pyarrow.parquet as pq
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+META_FILE = "_cstore_meta.json"
+
+#: valid table options, mirroring the reference's validator
+#: (cstore_fdw.c:1273-1340,1523-1571). Compression names map to Parquet
+#: codecs; 'pglz' is accepted as an alias for the default codec so that
+#: reference DDL ports verbatim.
+VALID_COMPRESSION = {"none": "uncompressed", "pglz": "zstd",
+                     "snappy": "snappy", "zstd": "zstd", "gzip": "gzip"}
+STRIPE_ROW_COUNT_MIN, STRIPE_ROW_COUNT_MAX = 1_000, 10_000_000
+BLOCK_ROW_COUNT_MIN, BLOCK_ROW_COUNT_MAX = 1_000, 100_000
+DEFAULT_STRIPE_ROW_COUNT = 150_000   # cstore_fdw.h:34
+DEFAULT_BLOCK_ROW_COUNT = 10_000     # cstore_fdw.h:35
+
+
+class CStoreError(Exception):
+    """Engine-level error (mirrors the reference's ereport(ERROR) paths)."""
+
+
+def validate_options(options: dict[str, Any]) -> dict[str, Any]:
+    """Validate table options; unknown keys and out-of-range values error
+    (parity with cstore_fdw_validator, reference cstore_fdw.c:1273-1340)."""
+    known = {"compression", "stripe_row_count", "block_row_count", "sort_by",
+             "partition_by"}
+    for key in options:
+        if key not in known:
+            raise CStoreError(
+                f"invalid option \"{key}\"; valid options are: "
+                + ", ".join(sorted(known)))
+    out = dict(options)
+    comp = str(out.get("compression", "pglz")).lower()
+    if comp not in VALID_COMPRESSION:
+        raise CStoreError(f"invalid compression type \"{comp}\"")
+    out["compression"] = comp
+    src = int(out.get("stripe_row_count", DEFAULT_STRIPE_ROW_COUNT))
+    if not (STRIPE_ROW_COUNT_MIN <= src <= STRIPE_ROW_COUNT_MAX):
+        raise CStoreError(
+            f"invalid stripe row count {src}; must be in range "
+            f"{STRIPE_ROW_COUNT_MIN}..{STRIPE_ROW_COUNT_MAX}")
+    out["stripe_row_count"] = src
+    brc = int(out.get("block_row_count", DEFAULT_BLOCK_ROW_COUNT))
+    if not (BLOCK_ROW_COUNT_MIN <= brc <= BLOCK_ROW_COUNT_MAX):
+        raise CStoreError(
+            f"invalid block row count {brc}; must be in range "
+            f"{BLOCK_ROW_COUNT_MIN}..{BLOCK_ROW_COUNT_MAX}")
+    out["block_row_count"] = brc
+    return out
+
+
+#: Implicit-coercion whitelist for ALTER COLUMN TYPE (A13). The reference
+#: allows only implicitly-coercible changes (cstore_fdw.c:717-769); this is
+#: the Spark-type equivalent of PostgreSQL's implicit numeric/text ladder.
+_IMPLICIT_COERCIONS: set[tuple[str, str]] = {
+    ("int", "bigint"), ("int", "double"), ("int", "decimal(38,18)"),
+    ("smallint", "int"), ("smallint", "bigint"),
+    ("bigint", "double"), ("bigint", "decimal(38,18)"),
+    ("float", "double"), ("int", "float"), ("bigint", "float"),
+    ("date", "timestamp"), ("string", "string"),
+}
+
+
+@dataclass
+class TableMeta:
+    """The engine's 'footer' analog: options + schema-evolution metadata."""
+    name: str
+    schema_json: str
+    options: dict[str, Any] = field(default_factory=dict)
+    # column -> constant default (applied to rows written BEFORE the column
+    # existed — reference cstore_reader.c:1224-1292). Stored as SQL literal.
+    column_defaults: dict[str, Any] = field(default_factory=dict)
+    version: str = "1.0"
+    created_at: float = 0.0
+
+    def schema(self) -> T.StructType:
+        return T.StructType.fromJson(json.loads(self.schema_json))
+
+
+class CStoreCatalog:
+    """Filesystem-backed table catalog (one directory per table).
+
+    On a cluster this directory lives on the shared filesystem (HDFS/S3 via
+    Hadoop FS); locally it is a plain directory. Metadata ops use the local
+    filesystem API directly — at 100 TB these are O(#files) listing
+    operations, never data scans.
+    """
+
+    def __init__(self, spark: SparkSession, warehouse: str | None = None):
+        self.spark = spark
+        self.warehouse = warehouse or os.environ.get(
+            "CSTORE_SPARK_WAREHOUSE",
+            os.path.join(os.getcwd(), ".cstore_warehouse"))
+        os.makedirs(self.warehouse, exist_ok=True)
+
+    # ---------------------------------------------------------- paths/meta
+    def table_path(self, name: str) -> str:
+        return os.path.join(self.warehouse, name)
+
+    def _meta_path(self, name: str) -> str:
+        return os.path.join(self.table_path(name), META_FILE)
+
+    def _load_meta(self, name: str) -> TableMeta:
+        try:
+            with open(self._meta_path(name)) as f:
+                d = json.load(f)
+        except FileNotFoundError:
+            raise CStoreError(f'relation "{name}" does not exist') from None
+        return TableMeta(**d)
+
+    def _save_meta(self, meta: TableMeta) -> None:
+        # atomic replace — parity with the reference's footer.tmp + rename
+        # protocol (cstore_writer.c:344-357)
+        path = self._meta_path(meta.name)
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(meta.__dict__, f)
+        os.replace(tmp, path)
+
+    def exists(self, name: str) -> bool:
+        return os.path.exists(self._meta_path(name))
+
+    def list_tables(self) -> list[str]:
+        out = []
+        for entry in sorted(os.listdir(self.warehouse)):
+            if os.path.exists(os.path.join(self.warehouse, entry, META_FILE)):
+                out.append(entry)
+        return out
+
+    # ------------------------------------------------------------ lifecycle
+    def create_table(self, name: str, schema: T.StructType | str,
+                     **options: Any) -> TableMeta:
+        """A10: create an empty-but-valid table (reference creates an empty
+        data file on CREATE FOREIGN TABLE, cstore_fdw.c:218-271)."""
+        if self.exists(name):
+            raise CStoreError(f'relation "{name}" already exists')
+        if isinstance(schema, str):
+            schema = T.StructType.fromDDL(schema)
+        opts = validate_options(options)
+        path = self.table_path(name)
+        os.makedirs(path, exist_ok=True)
+        meta = TableMeta(name=name, schema_json=json.dumps(schema.jsonValue()),
+                         options=opts, created_at=time.time())
+        self._save_meta(meta)
+        return meta
+
+    def drop_table(self, name: str) -> None:
+        """A11: drop table and delete its files
+        (reference cstore_fdw.c:334-382 + drop event trigger)."""
+        if not self.exists(name):
+            raise CStoreError(f'relation "{name}" does not exist')
+        shutil.rmtree(self.table_path(name))
+
+    def truncate(self, *names: str) -> None:
+        """A12: delete data files, keep table valid and empty. Handles
+        repeated names in one statement once (cstore_fdw.c:856-868)."""
+        for name in dict.fromkeys(names):  # dedupe, preserve order
+            meta = self._load_meta(name)
+            path = self.table_path(name)
+            for entry in os.listdir(path):
+                if entry != META_FILE:
+                    full = os.path.join(path, entry)
+                    shutil.rmtree(full) if os.path.isdir(full) else os.remove(full)
+            self._save_meta(meta)
+
+    # ------------------------------------------------------------- write
+    def _writer_options(self, meta: TableMeta) -> dict[str, str]:
+        codec = VALID_COMPRESSION[meta.options.get("compression", "pglz")]
+        return {
+            "compression": codec,
+            # block analog: page-level stats every block_row_count rows
+            "parquet.page.row.count.limit":
+                str(meta.options.get("block_row_count",
+                                     DEFAULT_BLOCK_ROW_COUNT)),
+        }
+
+    def insert(self, name: str, df: DataFrame, overwrite: bool = False) -> None:
+        """A7/A8: append a batch (INSERT INTO ... SELECT parity). Each append
+        adds new Parquet files ~ new stripes; the commit protocol makes the
+        append atomic (reference's footer temp+rename,
+        cstore_writer.c:344-357).
+
+        Unlike the reference, single-row inserts also work — strictly more
+        capable (the reference rejects them, cstore_fdw.c:2299-2303).
+        """
+        meta = self._load_meta(name)
+        target = meta.schema()
+        # align columns by name, applying implicit casts (host-executor
+        # behavior: PG coerces the SELECT's targetlist to the table types)
+        cols = []
+        for f_ in target.fields:
+            if f_.name not in df.columns:
+                raise CStoreError(f'column "{f_.name}" missing from input')
+            cols.append(F.col(f_.name).cast(f_.dataType).alias(f_.name))
+        aligned = df.select(*cols)
+        stripe_rows = meta.options.get("stripe_row_count",
+                                       DEFAULT_STRIPE_ROW_COUNT)
+        writer = (aligned.write.mode("overwrite" if overwrite else "append")
+                  .option("maxRecordsPerFile", str(stripe_rows * 10)))
+        for k, v in self._writer_options(meta).items():
+            writer = writer.option(k, v)
+        sort_by = meta.options.get("sort_by")
+        if sort_by:
+            # reference advises loading sorted for skip efficiency
+            # (README.md:287-294); sortWithinPartitions keeps it shuffle-free
+            aligned = aligned.sortWithinPartitions(*sort_by.split(","))
+            writer = (aligned.write.mode("overwrite" if overwrite else "append")
+                      .option("maxRecordsPerFile", str(stripe_rows * 10)))
+            for k, v in self._writer_options(meta).items():
+                writer = writer.option(k, v)
+        part = meta.options.get("partition_by")
+        if part:
+            writer = writer.partitionBy(*part.split(","))
+        writer.parquet(self.table_path(name) + "/data")
+
+    # -------------------------------------------------------------- read
+    def read(self, name: str) -> DataFrame:
+        """A1+A22: scan with schema-evolution repair.
+
+        Columns added after data was written are synthesized from the
+        stored constant default (or NULL) via read-time projection —
+        the reference does the same at deserialization time
+        (cstore_reader.c:1224-1292). Dropped columns simply leave their
+        data unreferenced (column pruning never reads them).
+        """
+        meta = self._load_meta(name)
+        target = meta.schema()
+        data_path = os.path.join(self.table_path(name), "data")
+        if not _has_parquet(data_path):
+            return self.spark.createDataFrame([], target)
+        df = self.spark.read.schema(_physical_schema(target, data_path,
+                                                     meta)).parquet(data_path)
+        projections = []
+        for f_ in target.fields:
+            if f_.name in df.columns:
+                col = F.col(f_.name).cast(f_.dataType)
+                if f_.name in meta.column_defaults:
+                    # rows from files that pre-date the column read as NULL;
+                    # backfill the constant default
+                    col = F.coalesce(col, F.lit(
+                        meta.column_defaults[f_.name]).cast(f_.dataType))
+                projections.append(col.alias(f_.name))
+            else:
+                default = meta.column_defaults.get(f_.name)
+                projections.append(F.lit(default).cast(f_.dataType)
+                                   .alias(f_.name))
+        return df.select(*projections)
+
+    def sql_view(self, name: str, view_name: str | None = None) -> str:
+        """Register the table as a temp view for spark.sql queries."""
+        view = view_name or name
+        self.read(name).createOrReplaceTempView(view)
+        return view
+
+    # ----------------------------------------------------------- evolution
+    def add_column(self, name: str, column: str, dtype: str,
+                   default: Any = None) -> None:
+        """ALTER TABLE ADD COLUMN [DEFAULT const] — old stripes synthesize
+        the default at read time (reference cstore_reader.c:1224-1248;
+        only constant defaults, cstore_reader.c:1257-1292)."""
+        meta = self._load_meta(name)
+        schema = meta.schema()
+        if column in schema.fieldNames():
+            raise CStoreError(f'column "{column}" already exists')
+        schema = schema.add(column, T.StructType.fromDDL(f"x {dtype}")[0].dataType)
+        meta.schema_json = json.dumps(schema.jsonValue())
+        if default is not None:
+            if isinstance(default, (list, dict)):
+                raise CStoreError(
+                    "unsupported non-constant default value")
+            meta.column_defaults[column] = default
+        self._save_meta(meta)
+
+    def drop_column(self, name: str, column: str) -> None:
+        """ALTER TABLE DROP COLUMN — metadata-only; data stays but is never
+        read again (reference marks attisdropped, cstore_fdw.c:1907-1910)."""
+        meta = self._load_meta(name)
+        schema = meta.schema()
+        if column not in schema.fieldNames():
+            raise CStoreError(f'column "{column}" does not exist')
+        new = T.StructType([f_ for f_ in schema.fields if f_.name != column])
+        meta.schema_json = json.dumps(new.jsonValue())
+        meta.column_defaults.pop(column, None)
+        self._save_meta(meta)
+
+    def alter_column_type(self, name: str, column: str, new_type: str) -> None:
+        """A13: allow implicit coercions only (reference
+        cstore_fdw.c:717-769 errors with 'Converting to ... may corrupt or
+        truncate existing data')."""
+        meta = self._load_meta(name)
+        schema = meta.schema()
+        if column not in schema.fieldNames():
+            raise CStoreError(f'column "{column}" does not exist')
+        old_f = schema[column]
+        old_s = old_f.dataType.simpleString()
+        new_s = T.StructType.fromDDL(f"x {new_type}")[0].dataType.simpleString()
+        if old_s != new_s and (old_s, new_s) not in _IMPLICIT_COERCIONS:
+            raise CStoreError(
+                f'Converting column "{column}" from {old_s} to {new_s} may '
+                "corrupt or truncate existing data")
+        fields = [T.StructField(f_.name,
+                                T.StructType.fromDDL(f"x {new_type}")[0].dataType
+                                if f_.name == column else f_.dataType,
+                                f_.nullable) for f_ in schema.fields]
+        meta.schema_json = json.dumps(T.StructType(fields).jsonValue())
+        self._save_meta(meta)
+
+    # ----------------------------------------------------------- metadata
+    def table_size(self, name: str) -> int:
+        """A19 ``cstore_table_size``: on-disk bytes of all table files
+        (reference cstore_fdw.c:1183-1229)."""
+        if not self.exists(name):
+            raise CStoreError(f'relation "{name}" is not a cstore table')
+        total = 0
+        for root, _dirs, files in os.walk(self.table_path(name)):
+            for fn in files:
+                if fn != META_FILE:
+                    total += os.path.getsize(os.path.join(root, fn))
+        return total
+
+    def row_count(self, name: str) -> int:
+        """A20: exact row count from Parquet footers only — no data read
+        (reference sums skip-list rowCounts, cstore_reader.c:400-462)."""
+        meta = self._load_meta(name)
+        data_path = os.path.join(self.table_path(name), "data")
+        if not _has_parquet(data_path):
+            return 0
+        total = 0
+        for root, _dirs, files in os.walk(data_path):
+            for fn in files:
+                if fn.endswith(".parquet"):
+                    total += pq.ParquetFile(
+                        os.path.join(root, fn)).metadata.num_rows
+        return total
+
+    def analyze(self, name: str) -> dict[str, Any]:
+        """A14 ANALYZE: column statistics for the optimizer. The reference
+        reservoir-samples into pg_statistic (cstore_fdw.c:2061-2260); Spark's
+        CBO consumes catalog stats — for path-based tables we compute the
+        same summary (count, ndv, min, max, nulls) with one distributed
+        aggregate and return it; callers on a metastore deployment would
+        run ``ANALYZE TABLE`` instead."""
+        df = self.read(name)
+        aggs: list = [F.count(F.lit(1)).alias("__rows")]
+        for f_ in df.schema.fields:
+            c = f_.name
+            aggs.append(F.approx_count_distinct(c).alias(f"{c}__ndv"))
+            aggs.append(F.sum(F.col(c).isNull().cast("long"))
+                        .alias(f"{c}__nulls"))
+            if isinstance(f_.dataType, (T.NumericType, T.DateType,
+                                        T.TimestampType, T.StringType)):
+                aggs.append(F.min(c).alias(f"{c}__min"))
+                aggs.append(F.max(c).alias(f"{c}__max"))
+        row = df.agg(*aggs).collect()[0].asDict()
+        stats: dict[str, Any] = {"rows": row.pop("__rows")}
+        for key, val in row.items():
+            col, stat = key.rsplit("__", 1)
+            stats.setdefault(col, {})[stat] = val
+        return stats
+
+
+def _has_parquet(path: str) -> bool:
+    if not os.path.isdir(path):
+        return False
+    for _root, _dirs, files in os.walk(path):
+        if any(f.endswith(".parquet") for f in files):
+            return True
+    return False
+
+
+def _physical_schema(target: T.StructType, data_path: str,
+                     meta: TableMeta) -> T.StructType:
+    """Schema to hand the Parquet reader: target columns that physically
+    exist in the files (added-but-never-written columns must not be
+    requested from the reader)."""
+    phys_names: set[str] = set()
+    for root, _dirs, files in os.walk(data_path):
+        for fn in files:
+            if fn.endswith(".parquet"):
+                phys_names.update(
+                    pq.read_schema(os.path.join(root, fn)).names)
+    fields = [f_ for f_ in target.fields if f_.name in phys_names]
+    return T.StructType(fields)

@@ -1,0 +1,88 @@
+"""SparkSession factory with the engine's scale-minded defaults.
+
+The reference's tuning surface is four table options
+(``filename/compression/stripe_row_count/block_row_count``,
+reference ``cstore_fdw.h:26-41``). Our equivalents are Spark/Parquet
+configs; everything else (pushdown, pruning, codegen, AQE) is Catalyst.
+
+Designed for a 1000-executor cluster; tested on local[N]. Nothing here is
+local-mode specific except the master URL default.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Parquet analogs of the reference's stripe/block layout
+# (reference cstore_fdw.h:34-35: stripe=150k rows, block=10k rows).
+DEFAULT_PAGE_ROW_LIMIT = 10_000        # block analog: page-level stats granularity
+DEFAULT_ROW_GROUP_BYTES = 128 * 1024 * 1024  # stripe analog: row-group size
+
+ENGINE_CONFS: dict[str, str] = {
+    # --- Adaptive execution: runtime re-planning, skew-join handling,
+    # shuffle-partition coalescing. Essential at 100 TB.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # --- Columnar scan: pushdown + pruning (zone-map parity, SURVEY §4).
+    "spark.sql.parquet.filterPushdown": "true",
+    "spark.sql.parquet.aggregatePushdown": "true",
+    "spark.sql.parquet.recordLevelFilter.enabled": "false",
+    # --- Writer: page rows ≈ reference block_row_count so page-level
+    # statistics give the same skipping granularity.
+    "spark.hadoop.parquet.page.row.count.limit": str(DEFAULT_PAGE_ROW_LIMIT),
+    "spark.hadoop.parquet.block.size": str(DEFAULT_ROW_GROUP_BYTES),
+    "spark.sql.parquet.compression.codec": "zstd",
+    # --- Arrow for any pandas-UDF path (the sanctioned Python escape hatch).
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # --- Deterministic semantics for oracle comparison.
+    "spark.sql.session.timeZone": "UTC",
+    # ANSI off: the engine mirrors permissive PostgreSQL-executor behavior
+    # for arithmetic edge cases; DuckDB oracle queries are written to agree.
+    "spark.sql.ansi.enabled": "false",
+    # --- Cost-based optimization (reference delegates costing to PG's
+    # planner; Catalyst CBO + ANALYZE is our equivalent, SURVEY §4).
+    "spark.sql.cbo.enabled": "true",
+    "spark.sql.cbo.joinReorder.enabled": "true",
+    # --- Maintain stripe-like bounded files on write.
+    "spark.sql.files.maxRecordsPerFile": "5000000",
+    "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_CPUS", "32"),
+}
+
+
+def get_spark(app_name: str = "cstore_fdw_spark", master: str | None = None,
+              extra_confs: dict[str, str] | None = None) -> SparkSession:
+    """Build (or fetch) the tuned SparkSession.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` when no cluster
+    manager is configured; on a real cluster, pass ``None`` with
+    ``--master`` supplied externally and this just applies confs.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = SparkSession.builder.appName(app_name)
+    if master is None and "SPARK_MASTER" not in os.environ:
+        master = f"local[{cpus}]"
+    if master:
+        builder = builder.master(master)
+    for k, v in ENGINE_CONFS.items():
+        builder = builder.config(k, v)
+    for k, v in (extra_confs or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
+
+
+def apply_engine_confs(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable engine confs to an externally-created session.
+
+    The driver hands us its own SparkSession; static confs (codegen, arrow)
+    can't change post-start, but the semantic ones (timezone, ANSI,
+    pushdown) can and must.
+    """
+    for k, v in ENGINE_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # static conf on a live session — builder default applies
+    return spark

@@ -1,0 +1,147 @@
+"""Lifecycle + storage-parity tests, modeled on the reference's regression
+suites: create, functions (table_size), truncate, drop, alter, insert
+(SURVEY §5)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from cstore_fdw_spark.catalog import CStoreError, validate_options
+
+
+def test_option_validation():
+    # parity: reference cstore_fdw.c:1523-1571
+    assert validate_options({})["compression"] == "pglz"
+    assert validate_options({"compression": "zstd"})["compression"] == "zstd"
+    with pytest.raises(CStoreError):
+        validate_options({"compression": "lz77"})
+    with pytest.raises(CStoreError):
+        validate_options({"stripe_row_count": 100})
+    with pytest.raises(CStoreError):
+        validate_options({"block_row_count": 100})
+    with pytest.raises(CStoreError):
+        validate_options({"bad_option": 1})
+
+
+def test_create_insert_read_roundtrip(spark, catalog):
+    catalog.create_table("t", "a int, b string")
+    df = spark.createDataFrame([(1, "x"), (2, "y"), (3, None)], "a int, b string")
+    catalog.insert("t", df)
+    out = catalog.read("t").orderBy("a").collect()
+    assert [(r.a, r.b) for r in out] == [(1, "x"), (2, "y"), (3, None)]
+
+
+def test_create_duplicate_and_drop(spark, catalog):
+    catalog.create_table("t", "a int")
+    with pytest.raises(CStoreError):
+        catalog.create_table("t", "a int")
+    assert catalog.exists("t")
+    catalog.drop_table("t")
+    assert not catalog.exists("t")
+    assert not os.path.exists(catalog.table_path("t"))
+    with pytest.raises(CStoreError):
+        catalog.drop_table("t")
+
+
+def test_empty_table_queryable(spark, catalog):
+    # reference: CREATE FOREIGN TABLE leaves an empty-but-valid file
+    catalog.create_table("empty", "a int, b string")
+    assert catalog.read("empty").count() == 0
+    assert catalog.row_count("empty") == 0
+
+
+def test_table_size_grows(spark, catalog):
+    # parity: sql/functions.sql:15 — size(empty) < size(loaded)
+    catalog.create_table("t", "a int, b string")
+    empty_size = catalog.table_size("t")
+    catalog.insert("t", spark.range(10_000).selectExpr(
+        "cast(id as int) a", "concat('row-', id) b"))
+    assert catalog.table_size("t") > empty_size
+    with pytest.raises(CStoreError):
+        catalog.table_size("nonexistent")
+
+
+def test_row_count_metadata_only(spark, catalog):
+    catalog.create_table("t", "a int")
+    catalog.insert("t", spark.range(1234).selectExpr("cast(id as int) a"))
+    catalog.insert("t", spark.range(766).selectExpr("cast(id as int) a"))
+    assert catalog.row_count("t") == 2000
+
+
+def test_truncate(spark, catalog):
+    # parity: sql/truncate.sql — empties but keeps table queryable;
+    # repeated names handled once
+    catalog.create_table("t1", "a int")
+    catalog.create_table("t2", "a int")
+    catalog.insert("t1", spark.range(10).selectExpr("cast(id as int) a"))
+    catalog.insert("t2", spark.range(10).selectExpr("cast(id as int) a"))
+    size_loaded = catalog.table_size("t1")
+    catalog.truncate("t1", "t2", "t1")
+    assert catalog.read("t1").count() == 0
+    assert catalog.read("t2").count() == 0
+    assert catalog.table_size("t1") < size_loaded
+    catalog.insert("t1", spark.range(5).selectExpr("cast(id as int) a"))
+    assert catalog.read("t1").count() == 5
+
+
+def test_append_is_stripe_like(spark, catalog):
+    # each insert adds new files (new stripes), never rewrites old ones
+    catalog.create_table("t", "a int")
+    catalog.insert("t", spark.range(10).selectExpr("cast(id as int) a"))
+    files1 = set(_parquet_files(catalog.table_path("t")))
+    catalog.insert("t", spark.range(10).selectExpr("cast(id as int) a"))
+    files2 = set(_parquet_files(catalog.table_path("t")))
+    assert files1 < files2
+
+
+def test_schema_evolution_add_drop_default(spark, catalog):
+    # parity: sql/alter.sql + cstore_reader.c:1224-1292 (const default fill)
+    catalog.create_table("t", "a int, b int, c int")
+    catalog.insert("t", spark.createDataFrame(
+        [(1, 2, 3), (4, 5, 6), (7, 8, 9)], "a int, b int, c int"))
+    catalog.drop_column("t", "a")
+    assert catalog.read("t").columns == ["b", "c"]
+    catalog.add_column("t", "d", "int")                    # nulls for old rows
+    catalog.add_column("t", "e", "int", default=3)         # const default
+    catalog.add_column("t", "f", "string", default="TEXT ME")
+    rows = catalog.read("t").orderBy("b").collect()
+    assert [r.d for r in rows] == [None, None, None]
+    assert [r.e for r in rows] == [3, 3, 3]
+    assert [r.f for r in rows] == ["TEXT ME"] * 3
+    # new inserts carry the column physically; old rows still defaulted
+    catalog.insert("t", spark.createDataFrame(
+        [(10, 11, 12, 13, "real")], "b int, c int, d int, e int, f string"))
+    rows = catalog.read("t").orderBy("b").collect()
+    assert [r.e for r in rows] == [3, 3, 3, 13]
+    assert [r.f for r in rows] == ["TEXT ME"] * 3 + ["real"]
+
+
+def test_alter_column_type_guard(spark, catalog):
+    # parity: cstore_fdw.c:717-769 — implicit coercions only
+    catalog.create_table("t", "a int, s string")
+    catalog.insert("t", spark.createDataFrame([(1, "x")], "a int, s string"))
+    catalog.alter_column_type("t", "a", "bigint")  # implicit — ok
+    assert dict(catalog.read("t").dtypes)["a"] == "bigint"
+    with pytest.raises(CStoreError):
+        catalog.alter_column_type("t", "s", "int")  # not implicit — reject
+    rows = catalog.read("t").collect()
+    assert rows[0].a == 1
+
+
+def test_analyze_stats(spark, catalog):
+    catalog.create_table("t", "a int, b string")
+    catalog.insert("t", spark.createDataFrame(
+        [(1, "x"), (2, "y"), (None, "y")], "a int, b string"))
+    stats = catalog.analyze("t")
+    assert stats["rows"] == 3
+    assert stats["a"]["nulls"] == 1
+    assert stats["a"]["min"] == 1 and stats["a"]["max"] == 2
+
+
+def _parquet_files(path):
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if f.endswith(".parquet"):
+                yield os.path.join(root, f)
