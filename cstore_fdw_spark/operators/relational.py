@@ -1,0 +1,389 @@
+"""Core relational surface: scans, filters, aggregation, grouping sets,
+sorts/limits, set operations.
+
+These are the operators the reference delegates to the PostgreSQL executor
+(SURVEY §2.B; reference ``cstore_fdw.c:1743-1750``), provided here by
+Spark SQL / Catalyst. Filter + projection queries are written so Catalyst
+pushes them into the Parquet scan (verified in tests/test_pushdown.py),
+which is the Spark analog of the reference's column pruning
+(``cstore_fdw.c:1841-1941``) and zone-map block skipping
+(``cstore_reader.c:744-806``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from cstore_fdw_spark.operators import register, table
+
+
+def dec(col: str | Column, typ: str = "decimal(12,2)") -> Column:
+    """Exact-arithmetic input cast (see operators/__init__ conventions)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast(typ)
+
+
+def dsum(col: str | Column, typ: str = "decimal(12,2)") -> Column:
+    return F.sum(dec(col, typ))
+
+
+def to_dbl(c: Column) -> Column:
+    """Narrow-then-cast: decimal → decimal(18,6) → double.
+
+    Two constraints picked scale 6: (a) wide decimal→double casts are
+    double-rounded in DuckDB (int128 → double → /10^scale), so the unscaled
+    value must stay < 2^53 — precision 18/scale 6 on these data does;
+    (b) the narrowing rescale itself must be exact, or Spark (HALF_UP) and
+    DuckDB (HALF_EVEN) disagree on ties — our decimal inputs are 2-decimal
+    prices × 4-decimal factors, so every exact product has ≤ 6 decimals and
+    scale 6 never rounds."""
+    return c.cast("decimal(18,6)").cast("double")
+
+
+# SQL-side equivalents of the helpers above (kept textually tiny so oracle
+# strings stay readable).
+D = "DECIMAL(12,2)"
+D4 = "DECIMAL(8,4)"
+
+
+def _dbl(expr: str) -> str:
+    return f"CAST(CAST({expr} AS DECIMAL(18,6)) AS DOUBLE)"
+
+
+# --------------------------------------------------------------------- scans
+
+@register(
+    "scan_project_filter",
+    category="scan",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+    FROM lineitem WHERE l_quantity < 5
+    """)
+def scan_project_filter(spark, sf_dir):
+    """A1+A2+A3/A4: projected, filtered scan. Column pruning + predicate
+    pushdown reach the Parquet reader (reference: ColumnList
+    cstore_fdw.c:1841-1941 + SelectedBlockMask cstore_reader.c:744-806)."""
+    return (table(spark, sf_dir, "lineitem")
+            .filter(F.col("l_quantity") < 5)
+            .select("l_orderkey", "l_linenumber", "l_quantity",
+                    "l_extendedprice"))
+
+
+@register(
+    "filter_between_like",
+    category="scan",
+    oracle="""
+    SELECT p_partkey, p_name, p_size
+    FROM part
+    WHERE p_size BETWEEN 10 AND 20 AND p_type LIKE '%BRASS%'
+          AND p_retailprice > 900
+    """)
+def filter_between_like(spark, sf_dir):
+    """Filter surface: BETWEEN / LIKE / comparison conjunction (reference
+    README.md:238-247 demo query shape)."""
+    p = table(spark, sf_dir, "part")
+    return (p.filter(F.col("p_size").between(10, 20)
+                     & F.col("p_type").like("%BRASS%")
+                     & (F.col("p_retailprice") > 900))
+            .select("p_partkey", "p_name", "p_size"))
+
+
+@register(
+    "filter_in_null_tests",
+    category="scan",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority,
+           NULLIF(o_orderstatus, 'O') AS status_or_null
+    FROM orders
+    WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+      AND NULLIF(o_orderstatus, 'O') IS NOT NULL
+    """)
+def filter_in_null_tests(spark, sf_dir):
+    """IN-list + IS [NOT] NULL tests (null tests are part of the
+    reference's pushdown-safe predicate set, cstore_reader.c:880-985)."""
+    o = table(spark, sf_dir, "orders")
+    status_or_null = F.nullif(F.col("o_orderstatus"), F.lit("O"))
+    return (o.filter(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+                     & status_or_null.isNotNull())
+            .select("o_orderkey", "o_orderpriority",
+                    status_or_null.alias("status_or_null")))
+
+
+# --------------------------------------------------------------- aggregation
+
+@register(
+    "q1_pricing_summary",
+    category="agg",
+    bench=True,
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+      {_dbl(f"SUM(CAST(l_quantity AS {D}))")} AS sum_qty,
+      {_dbl(f"SUM(CAST(l_extendedprice AS {D}))")} AS sum_base_price,
+      {_dbl(f"SUM(CAST(l_extendedprice AS {D}) * (1 - CAST(l_discount AS {D4})))")} AS sum_disc_price,
+      {_dbl(f"SUM(CAST(l_extendedprice AS {D}) * (1 - CAST(l_discount AS {D4})) * (1 + CAST(l_tax AS {D4})))")} AS sum_charge,
+      {_dbl(f"SUM(CAST(l_quantity AS {D}))")} / COUNT(*) AS avg_qty,
+      {_dbl(f"SUM(CAST(l_extendedprice AS {D}))")} / COUNT(*) AS avg_price,
+      {_dbl(f"SUM(CAST(l_discount AS {D4}))")} / COUNT(*) AS avg_disc,
+      COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """)
+def q1_pricing_summary(spark, sf_dir):
+    """Flagship aggregation (TPC-H Q1 shape): grouped sums/averages with
+    expression aggregates. Spark runs this as partial+final HashAggregate
+    (map-side combine), the scale-correct plan — one shuffle on the 6-value
+    group key."""
+    li = table(spark, sf_dir, "lineitem")
+    disc_price = dec("l_extendedprice") * (F.lit(1) - dec("l_discount", "decimal(8,4)"))
+    charge = disc_price * (F.lit(1) + dec("l_tax", "decimal(8,4)"))
+    cnt = F.count(F.lit(1))
+    return (li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(to_dbl(dsum("l_quantity")).alias("sum_qty"),
+                 to_dbl(dsum("l_extendedprice")).alias("sum_base_price"),
+                 to_dbl(F.sum(disc_price)).alias("sum_disc_price"),
+                 to_dbl(F.sum(charge)).alias("sum_charge"),
+                 (to_dbl(dsum("l_quantity")) / cnt).alias("avg_qty"),
+                 (to_dbl(dsum("l_extendedprice")) / cnt).alias("avg_price"),
+                 (to_dbl(dsum("l_discount", "decimal(8,4)")) / cnt).alias("avg_disc"),
+                 cnt.alias("count_order"))
+            .orderBy("l_returnflag", "l_linestatus"))
+
+
+@register(
+    "agg_stats_summary",
+    category="agg",
+    oracle=f"""
+    SELECT COUNT(*) AS n_rows, COUNT(c_acctbal) AS n_bal,
+           COUNT(DISTINCT c_nationkey) AS n_nations,
+           {_dbl(f"MIN(CAST(c_acctbal AS {D}))")} AS min_bal,
+           {_dbl(f"MAX(CAST(c_acctbal AS {D}))")} AS max_bal,
+           {_dbl(f"SUM(CAST(c_acctbal AS {D}))")} AS sum_bal,
+           CAST(SQRT((sx2 - sx * sx / n) / (n - 1)) AS DOUBLE) AS stddev_bal
+    FROM customer, (
+      SELECT {_dbl(f"SUM(CAST(c_acctbal AS {D}) * CAST(c_acctbal AS {D}))")} AS sx2,
+             {_dbl(f"SUM(CAST(c_acctbal AS {D}))")} AS sx,
+             COUNT(*) AS n
+      FROM customer) s
+    GROUP BY sx2, sx, n
+    """)
+def agg_stats_summary(spark, sf_dir):
+    """Full scalar-aggregate family: count(*), count(col), count distinct,
+    min/max/sum, sample stddev (reference exercises count/avg/stddev_samp,
+    sql/query.sql:9-12 + ANALYZE stats). stddev computed from exact
+    decimal moments so both engines agree bit-for-bit."""
+    c = table(spark, sf_dir, "customer")
+    sx2 = to_dbl(F.sum(dec("c_acctbal") * dec("c_acctbal")))
+    sx = to_dbl(dsum("c_acctbal"))
+    n = F.count(F.lit(1))
+    return c.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("c_acctbal").alias("n_bal"),
+        F.countDistinct("c_nationkey").alias("n_nations"),
+        to_dbl(F.min(dec("c_acctbal"))).alias("min_bal"),
+        to_dbl(F.max(dec("c_acctbal"))).alias("max_bal"),
+        to_dbl(dsum("c_acctbal")).alias("sum_bal"),
+        F.sqrt((sx2 - sx * sx / n) / (n - F.lit(1)))
+         .cast("double").alias("stddev_bal"))
+
+
+@register(
+    "group_having",
+    category="agg",
+    oracle=f"""
+    SELECT o_orderpriority, COUNT(*) AS order_count,
+           {_dbl(f"SUM(CAST(o_totalprice AS {D}))")} AS total
+    FROM orders
+    GROUP BY o_orderpriority
+    HAVING COUNT(*) > 10
+    ORDER BY o_orderpriority
+    """)
+def group_having(spark, sf_dir):
+    """GROUP BY + HAVING (reference sql/query.sql:11-12 shape)."""
+    o = table(spark, sf_dir, "orders")
+    return (o.groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("order_count"),
+                 to_dbl(dsum("o_totalprice")).alias("total"))
+            .filter(F.col("order_count") > 10)
+            .orderBy("o_orderpriority"))
+
+
+@register(
+    "distinct_count_by_group",
+    category="agg",
+    oracle="""
+    SELECT c_mktsegment, COUNT(DISTINCT c_nationkey) AS nations,
+           COUNT(*) AS customers
+    FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """)
+def distinct_count_by_group(spark, sf_dir):
+    """Exact distinct aggregation per group (two-phase distinct agg plan)."""
+    return (table(spark, sf_dir, "customer")
+            .groupBy("c_mktsegment")
+            .agg(F.countDistinct("c_nationkey").alias("nations"),
+                 F.count(F.lit(1)).alias("customers"))
+            .orderBy("c_mktsegment"))
+
+
+@register(
+    "rollup_returnflag",
+    category="agg",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag) AS BIGINT) AS g_flag,
+           CAST(GROUPING(l_linestatus) AS BIGINT) AS g_status,
+           COUNT(*) AS n, {_dbl(f"SUM(CAST(l_quantity AS {D}))")} AS qty
+    FROM lineitem
+    GROUP BY ROLLUP(l_returnflag, l_linestatus)
+    """)
+def rollup_returnflag(spark, sf_dir):
+    """GROUP BY ROLLUP with GROUPING markers (PG host capability,
+    SURVEY §2.B grouping sets row)."""
+    li = table(spark, sf_dir, "lineitem")
+    return (li.rollup("l_returnflag", "l_linestatus")
+            .agg(F.grouping("l_returnflag").cast("long").alias("g_flag"),
+                 F.grouping("l_linestatus").cast("long").alias("g_status"),
+                 F.count(F.lit(1)).alias("n"),
+                 to_dbl(dsum("l_quantity")).alias("qty"))
+            .select("l_returnflag", "l_linestatus", "g_flag", "g_status",
+                    "n", "qty"))
+
+
+@register(
+    "cube_orders",
+    category="agg",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+    FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+    """)
+def cube_orders(spark, sf_dir):
+    """GROUP BY CUBE."""
+    return (table(spark, sf_dir, "orders")
+            .cube("o_orderstatus", "o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n")))
+
+
+@register(
+    "grouping_sets_explicit",
+    category="agg",
+    oracle=f"""
+    SELECT o_orderstatus, o_orderpriority,
+           {_dbl(f"SUM(CAST(o_totalprice AS {D}))")} AS total
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """)
+def grouping_sets_explicit(spark, sf_dir):
+    """Explicit GROUPING SETS via Spark SQL."""
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(f"""
+        SELECT o_orderstatus, o_orderpriority,
+               {_dbl(f"SUM(CAST(o_totalprice AS {D}))")} AS total
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """)
+
+
+# ------------------------------------------------------------- sort / limit
+
+@register(
+    "orderby_limit_topk",
+    category="sort",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_extendedprice
+    FROM lineitem
+    ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+    LIMIT 15
+    """)
+def orderby_limit_topk(spark, sf_dir):
+    """ORDER BY + LIMIT → Spark plans TakeOrderedAndProject (top-k without
+    a global sort — the scale-correct plan). Tie-broken by unique key."""
+    return (table(spark, sf_dir, "lineitem")
+            .select("l_orderkey", "l_linenumber", "l_extendedprice")
+            .orderBy(F.col("l_extendedprice").desc(), "l_orderkey",
+                     "l_linenumber")
+            .limit(15))
+
+
+@register(
+    "orderby_multi_full",
+    category="sort",
+    oracle="""
+    SELECT n_nationkey, n_name, n_regionkey
+    FROM nation ORDER BY n_regionkey DESC, n_name
+    """)
+def orderby_multi_full(spark, sf_dir):
+    """Full multi-column sort, mixed direction (reference sql/query.sql:13)."""
+    return (table(spark, sf_dir, "nation")
+            .orderBy(F.col("n_regionkey").desc(), "n_name"))
+
+
+# ------------------------------------------------------------------ set ops
+
+@register(
+    "union_all_exprs",
+    category="setop",
+    oracle="""
+    SELECT p_partkey * 1 AS k, CAST(p_size AS BIGINT) AS v
+    FROM part WHERE p_size < 10
+    UNION ALL
+    SELECT s_suppkey AS k, CAST(s_nationkey AS BIGINT) AS v FROM supplier
+    """)
+def union_all_exprs(spark, sf_dir):
+    """UNION ALL of expression selects (reference sql/query.sql:26-33)."""
+    p = (table(spark, sf_dir, "part").filter(F.col("p_size") < 10)
+         .select((F.col("p_partkey") * 1).alias("k"),
+                 F.col("p_size").cast("long").alias("v")))
+    s = (table(spark, sf_dir, "supplier")
+         .select(F.col("s_suppkey").alias("k"),
+                 F.col("s_nationkey").cast("long").alias("v")))
+    return p.unionAll(s)
+
+
+@register(
+    "union_distinct_keys",
+    category="setop",
+    oracle="""
+    SELECT c_nationkey AS nk FROM customer
+    UNION
+    SELECT s_nationkey AS nk FROM supplier
+    """)
+def union_distinct_keys(spark, sf_dir):
+    """UNION (distinct)."""
+    c = table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nk"))
+    s = table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nk"))
+    return c.union(s).distinct()
+
+
+@register(
+    "intersect_keys",
+    category="setop",
+    oracle="""
+    SELECT DISTINCT c_nationkey AS nk FROM customer WHERE c_acctbal > 9000
+    INTERSECT
+    SELECT s_nationkey AS nk FROM supplier
+    """)
+def intersect_keys(spark, sf_dir):
+    """INTERSECT."""
+    c = (table(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 9000)
+         .select(F.col("c_nationkey").alias("nk")).distinct())
+    s = table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nk"))
+    return c.intersect(s)
+
+
+@register(
+    "except_keys",
+    category="setop",
+    oracle="""
+    SELECT DISTINCT c_nationkey AS nk FROM customer
+    EXCEPT
+    SELECT s_nationkey AS nk FROM supplier WHERE s_acctbal > 0
+    """)
+def except_keys(spark, sf_dir):
+    """EXCEPT (set difference)."""
+    c = table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nk")).distinct()
+    s = (table(spark, sf_dir, "supplier").filter(F.col("s_acctbal") > 0)
+         .select(F.col("s_nationkey").alias("nk")))
+    return c.exceptAll(s.distinct())

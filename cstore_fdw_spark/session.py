@@ -39,6 +39,9 @@ ENGINE_CONFS: dict[str, str] = {
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     # --- Deterministic semantics for oracle comparison.
     "spark.sql.session.timeZone": "UTC",
+    # events.parquet carries TIMESTAMP(NANOS); read as long + convert
+    # (operators.table) instead of failing the scan.
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
     # ANSI off: the engine mirrors permissive PostgreSQL-executor behavior
     # for arithmetic edge cases; DuckDB oracle queries are written to agree.
     "spark.sql.ansi.enabled": "false",
