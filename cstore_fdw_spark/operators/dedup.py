@@ -1,1 +1,279 @@
-"""Placeholder — populated in a later milestone."""
+"""Deduplication operators over the ``documents`` table — the
+training-data-pipeline extensions (BASELINE.json north star).
+
+Four families: exact (hash groupBy), token-set Jaccard (exact pairwise),
+MinHash+LSH (banded candidate generation — the 100 TB path), and SimHash
+(bit-signature near-dup). The exact/Jaccard variants carry DuckDB oracles;
+the hash-signature variants are engine-specific (xxhash64) and use the
+rows-only gate.
+
+Scale design: every pipeline is explode→aggregate→join on keys — no
+driver-side materialization, no quadratic all-pairs except *within LSH/
+blocking buckets*. The exact-Jaccard operator exists as the correctness
+oracle for the approximate ones; at 100 TB you run minhash_lsh, whose
+candidate set is then verified with the same join-on-shingle counting but
+restricted to candidates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from cstore_fdw_spark.operators import register, table
+
+#: the duplicated corpus used by exact-dedup demos: documents ∪ documents
+#: with shifted ids, so every text has exactly one duplicate. (The driver's
+#: synthetic documents are all-distinct; real corpora aren't.)
+_DUP_OFFSET = 1_000_000
+
+
+def _dup_corpus(spark, sf_dir) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    return d.unionByName(
+        d.withColumn("doc_id", F.col("doc_id") + _DUP_OFFSET))
+
+
+@register(
+    "dedup_exact",
+    category="dedup",
+    bench=True,
+    oracle=f"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + {_DUP_OFFSET} AS doc_id, text FROM documents)
+    SELECT MIN(doc_id) AS keeper_id, COUNT(*) AS copies
+    FROM corpus GROUP BY text
+    """)
+def dedup_exact(spark, sf_dir):
+    """Exact dedup: group by full text, keep the lowest doc_id. One shuffle
+    on the text hash; at scale, group by a 128-bit digest instead of the
+    raw text to keep shuffle rows narrow (see dedup_exact_hash)."""
+    return (_dup_corpus(spark, sf_dir)
+            .groupBy("text")
+            .agg(F.min("doc_id").alias("keeper_id"),
+                 F.count(F.lit(1)).alias("copies"))
+            .select("keeper_id", "copies"))
+
+
+@register(
+    "dedup_exact_hash",
+    category="dedup",
+    oracle=f"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + {_DUP_OFFSET} AS doc_id, text FROM documents)
+    SELECT MD5(LOWER(TRIM(text))) AS content_hash,
+           MIN(doc_id) AS keeper_id, COUNT(*) AS copies
+    FROM corpus GROUP BY 1
+    """)
+def dedup_exact_hash(spark, sf_dir):
+    """Exact dedup via content digest of normalized text — the shuffle key
+    is 32 bytes regardless of document size, which is what makes exact
+    dedup feasible at 100 TB (shuffling full texts is not)."""
+    return (_dup_corpus(spark, sf_dir)
+            .withColumn("content_hash",
+                        F.md5(F.lower(F.trim(F.col("text"))).cast("binary")))
+            .groupBy("content_hash")
+            .agg(F.min("doc_id").alias("keeper_id"),
+                 F.count(F.lit(1)).alias("copies")))
+
+
+def _doc_tokens(spark, sf_dir) -> DataFrame:
+    """(doc_id, lang, token) distinct token sets."""
+    d = table(spark, sf_dir, "documents")
+    return (d.select("doc_id", "lang",
+                     F.explode(F.split("text", " ")).alias("token"))
+            .filter(F.col("token") != "")
+            .distinct())
+
+
+@register(
+    "dedup_token_jaccard",
+    category="dedup",
+    oracle="""
+    WITH tok AS (
+      SELECT DISTINCT doc_id, lang, UNNEST(STRING_SPLIT(text, ' ')) AS token
+      FROM documents WHERE text <> ''),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_tok FROM tok GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM tok a JOIN tok b
+        ON a.token = b.token AND a.lang = b.lang AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT p.doc_a, p.doc_b, p.n_common,
+           sa.n_tok AS size_a, sb.n_tok AS size_b,
+           CAST(p.n_common AS DOUBLE)
+             / (sa.n_tok + sb.n_tok - p.n_common) AS jaccard
+    FROM pairs p
+    JOIN sizes sa ON sa.doc_id = p.doc_a
+    JOIN sizes sb ON sb.doc_id = p.doc_b
+    WHERE CAST(p.n_common AS DOUBLE)
+             / (sa.n_tok + sb.n_tok - p.n_common) >= 0.8
+    """)
+def dedup_token_jaccard(spark, sf_dir):
+    """Exact token-set (1-gram) Jaccard near-dup pairs within a language.
+
+    Inverted-index self-join on token (the lang key blocks cross-language
+    pairs), count common tokens per pair, Jaccard from exact int counts —
+    deterministic double division. This is the exact oracle for the
+    MinHash estimate; quadratic in bucket size, so at 100 TB it only runs
+    on LSH candidates (dedup_minhash_lsh)."""
+    tok = _doc_tokens(spark, sf_dir)
+    sizes = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tok"))
+    a = tok.alias("a")
+    b = tok.alias("b")
+    pairs = (a.join(b, (F.col("a.token") == F.col("b.token"))
+                    & (F.col("a.lang") == F.col("b.lang"))
+                    & (F.col("a.doc_id") < F.col("b.doc_id")))
+             .groupBy(F.col("a.doc_id").alias("doc_a"),
+                      F.col("b.doc_id").alias("doc_b"))
+             .agg(F.count(F.lit(1)).alias("n_common")))
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = (F.col("n_common").cast("double")
+           / (F.col("sa.n_tok") + F.col("sb.n_tok") - F.col("n_common")))
+    return (pairs
+            .join(sa, F.col("sa.doc_id") == F.col("doc_a"))
+            .join(sb, F.col("sb.doc_id") == F.col("doc_b"))
+            .select("doc_a", "doc_b", "n_common",
+                    F.col("sa.n_tok").alias("size_a"),
+                    F.col("sb.n_tok").alias("size_b"),
+                    jac.alias("jaccard"))
+            .filter(F.col("jaccard") >= 0.8))
+
+
+# ---------------------------------------------------------------- MinHash
+
+N_HASHES = 32
+N_BANDS = 8          # 8 bands × 4 rows ≈ detects jaccard ≳ 0.6
+ROWS_PER_BAND = N_HASHES // N_BANDS
+SHINGLE_K = 3
+
+
+def _doc_shingles(spark, sf_dir) -> DataFrame:
+    """(doc_id, shingle) distinct k-word shingles, built JVM-side with a
+    higher-order transform (no Python UDF in the hot path)."""
+    d = table(spark, sf_dir, "documents")
+    return (d.select(
+            "doc_id",
+            F.explode(F.expr(
+                f"transform(sequence(1, greatest(size(split(text, ' ')) - {SHINGLE_K - 1}, 1)),"
+                f" i -> concat_ws(' ', slice(split(text, ' '), i, {SHINGLE_K})))"))
+            .alias("shingle"))
+            .filter(F.col("shingle") != "")
+            .distinct())
+
+
+def minhash_signatures(shingles: DataFrame) -> DataFrame:
+    """(doc_id, sig_0..sig_{N-1}): one groupBy computing all N min-hashes —
+    a single shuffle regardless of N (reference-free design; MinHash per
+    Broder '97, banding per MMDS ch.3)."""
+    aggs = [F.min(F.xxhash64("shingle", F.lit(i))).alias(f"sig_{i}")
+            for i in range(N_HASHES)]
+    return shingles.groupBy("doc_id").agg(*aggs)
+
+
+@register("dedup_minhash_lsh", category="dedup", bench=True)
+def dedup_minhash_lsh(spark, sf_dir):
+    """MinHash + banded LSH near-dup candidates, verified with the exact
+    shingle-set Jaccard on candidates only — the 100 TB dedup path.
+
+    Pipeline: shingle → 32 min-hashes (one shuffle) → 8 band keys per doc
+    → bucket join on (band, band_hash) → candidate pairs → exact Jaccard
+    via shingle join restricted to candidates. No oracle: signatures are
+    xxhash64-specific (engine hash functions differ); the exact-Jaccard
+    twin (dedup_token_jaccard) is the correctness anchor.
+    Output: (doc_a, doc_b, n_common_bands, jaccard)."""
+    shingles = _doc_shingles(spark, sf_dir)
+    sig = minhash_signatures(shingles)
+    band_cols = [
+        F.struct(F.lit(b).alias("band"),
+                 F.xxhash64(*[f"sig_{b * ROWS_PER_BAND + r}"
+                              for r in range(ROWS_PER_BAND)]).alias("bh"))
+        for b in range(N_BANDS)]
+    bands = (sig.select("doc_id", F.explode(F.array(*band_cols)).alias("k"))
+             .select("doc_id", F.col("k.band").alias("band"),
+                     F.col("k.bh").alias("bh")))
+    a = bands.alias("a")
+    b = bands.alias("b")
+    candidates = (a.join(b, (F.col("a.band") == F.col("b.band"))
+                         & (F.col("a.bh") == F.col("b.bh"))
+                         & (F.col("a.doc_id") < F.col("b.doc_id")))
+                  .groupBy(F.col("a.doc_id").alias("doc_a"),
+                           F.col("b.doc_id").alias("doc_b"))
+                  .agg(F.count(F.lit(1)).alias("n_common_bands")))
+    # exact verification restricted to candidates
+    sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    sa = shingles.alias("sa")
+    sb = shingles.alias("sb")
+    common = (sa.join(sb, (F.col("sa.shingle") == F.col("sb.shingle"))
+                      & (F.col("sa.doc_id") < F.col("sb.doc_id")))
+              .groupBy(F.col("sa.doc_id").alias("doc_a"),
+                       F.col("sb.doc_id").alias("doc_b"))
+              .agg(F.count(F.lit(1)).alias("n_common")))
+    za = sizes.alias("za")
+    zb = sizes.alias("zb")
+    jac = (F.col("n_common").cast("double")
+           / (F.col("za.n_sh") + F.col("zb.n_sh") - F.col("n_common")))
+    return (candidates
+            .join(common, ["doc_a", "doc_b"], "left")
+            .join(za, F.col("za.doc_id") == F.col("doc_a"))
+            .join(zb, F.col("zb.doc_id") == F.col("doc_b"))
+            .select("doc_a", "doc_b", "n_common_bands",
+                    F.coalesce(jac, F.lit(0.0)).alias("jaccard")))
+
+
+# ---------------------------------------------------------------- SimHash
+
+SIMHASH_BITS = 64
+SIMHASH_CHUNKS = 4   # blocking: candidates share one 16-bit chunk
+SIMHASH_MAX_HAMMING = 16
+
+
+def simhash_signatures(tokens: DataFrame) -> DataFrame:
+    """(doc_id, simhash): 64-bit SimHash (Charikar '02) from token hashes.
+    Bit j of the signature is the sign of sum over tokens of ±1 by the
+    token-hash's bit j — all 64 bit-sums run in ONE aggregate pass."""
+    h = F.xxhash64("token")
+    bit_sums = [
+        F.sum(F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1)
+              .otherwise(-1)).alias(f"s_{j}")
+        for j in range(SIMHASH_BITS)]
+    sums = tokens.groupBy("doc_id").agg(*bit_sums)
+    sig = None
+    for j in range(SIMHASH_BITS):
+        term = F.when(F.col(f"s_{j}") > 0,
+                      F.shiftleft(F.lit(1).cast("long"), j)).otherwise(F.lit(0).cast("long"))
+        sig = term if sig is None else sig + term
+    return sums.select("doc_id", sig.alias("simhash"))
+
+
+@register("dedup_simhash", category="dedup")
+def dedup_simhash(spark, sf_dir):
+    """SimHash near-dup pairs: 64-bit signatures, 16-bit-chunk blocking,
+    Hamming-distance verification via bit_count(xor). Engine-hash-specific
+    → rows-only gate. Output: (doc_a, doc_b, hamming)."""
+    tokens = _doc_tokens(spark, sf_dir).select("doc_id", "token")
+    sig = simhash_signatures(tokens)
+    chunk_cols = [
+        F.struct(F.lit(c).alias("chunk"),
+                 F.shiftright("simhash", c * 16).bitwiseAND(F.lit(0xFFFF))
+                 .alias("ck"))
+        for c in range(SIMHASH_CHUNKS)]
+    chunks = (sig.select("doc_id", "simhash",
+                         F.explode(F.array(*chunk_cols)).alias("k"))
+              .select("doc_id", "simhash", F.col("k.chunk").alias("chunk"),
+                      F.col("k.ck").alias("ck")))
+    a = chunks.alias("a")
+    b = chunks.alias("b")
+    hamming = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (a.join(b, (F.col("a.chunk") == F.col("b.chunk"))
+                   & (F.col("a.ck") == F.col("b.ck"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .select(F.col("a.doc_id").alias("doc_a"),
+                    F.col("b.doc_id").alias("doc_b"),
+                    hamming.alias("hamming"))
+            .distinct()
+            .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING))

@@ -1,1 +1,154 @@
-"""Placeholder — populated in a later milestone."""
+"""Event-stream analytics over the ``events`` table — batch twins of the
+Structured Streaming operators in :mod:`cstore_fdw_spark.streaming`.
+
+The reference is batch-append only (no streaming); these operators are the
+extension surface (SURVEY §2.B streaming row): tumbling/sliding windows,
+sessionization, and a funnel — each expressible in ANSI SQL, so every one
+carries a DuckDB oracle. The streaming module runs the same logic over
+``readStream`` with watermarks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from cstore_fdw_spark.operators import register, table
+from cstore_fdw_spark.operators.relational import _dbl, dec, dsum, to_dbl
+
+SESSION_GAP_MIN = 30
+
+
+@register(
+    "events_tumbling_hourly",
+    category="events",
+    bench=True,
+    oracle=f"""
+    SELECT CAST(DATE_TRUNC('hour', ts) AS TIMESTAMP) AS hour_start,
+           event_type, COUNT(*) AS n,
+           {_dbl("SUM(CAST(value AS DECIMAL(12,2)))")} AS total_value
+    FROM events GROUP BY 1, 2
+    """)
+def events_tumbling_hourly(spark, sf_dir):
+    """Tumbling 1-hour windows per event type (batch twin of the streaming
+    windowed aggregation; F.window.start == date_trunc('hour') for
+    hour-aligned tumbling windows)."""
+    e = table(spark, sf_dir, "events")
+    return (e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 to_dbl(dsum("value")).alias("total_value"))
+            .select(F.col("w.start").alias("hour_start"), "event_type",
+                    "n", "total_value"))
+
+
+@register(
+    "events_sliding_window",
+    category="events",
+    oracle="""
+    WITH starts AS (
+      SELECT event_id, value,
+             UNNEST([CAST(DATE_TRUNC('hour', ts) AS TIMESTAMP),
+                     CAST(DATE_TRUNC('hour', ts) AS TIMESTAMP)
+                       - INTERVAL 1 HOUR]) AS window_start
+      FROM events)
+    SELECT window_start, COUNT(*) AS n
+    FROM starts GROUP BY window_start
+    """)
+def events_sliding_window(spark, sf_dir):
+    """Sliding windows (2h length, 1h slide): every event lands in two
+    windows. Spark's F.window handles the window assignment natively; the
+    oracle materializes the same two starts per event."""
+    e = table(spark, sf_dir, "events")
+    return (e.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.col("w.start").alias("window_start"), "n"))
+
+
+@register(
+    "events_sessionize",
+    category="events",
+    oracle=f"""
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       > INTERVAL {SESSION_GAP_MIN} MINUTE
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events),
+    sessions AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+      FROM flagged)
+    SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS last_event,
+           COUNT(*) AS n_events
+    FROM sessions GROUP BY user_id, session_no
+    """)
+def events_sessionize(spark, sf_dir):
+    """Sessionization with a 30-minute inactivity gap — gaps-and-islands
+    via one window pass (the batch twin of streaming session_window; same
+    output as F.session_window's start/count, verified in tests)."""
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    prev_ts = F.lag("ts").over(w)
+    new_session = (prev_ts.isNull()
+                   | (F.col("ts").cast("long") - prev_ts.cast("long")
+                      > SESSION_GAP_MIN * 60)).cast("int")
+    return (e.select("user_id", "ts", new_session.alias("ns"))
+            .withColumn("session_no", F.sum("ns").over(wrun))
+            .groupBy("user_id", "session_no")
+            .agg(F.min("ts").alias("session_start"),
+                 F.max("ts").alias("last_event"),
+                 F.count(F.lit(1)).alias("n_events"))
+            .drop("session_no"))
+
+
+@register(
+    "events_funnel_signup_purchase",
+    category="events",
+    oracle="""
+    WITH s AS (SELECT user_id, MIN(ts) AS signup_ts
+               FROM events WHERE event_type = 'signup' GROUP BY user_id),
+         p AS (SELECT e.user_id, COUNT(*) AS purchases_after
+               FROM events e JOIN s ON e.user_id = s.user_id
+               WHERE e.event_type = 'purchase' AND e.ts > s.signup_ts
+               GROUP BY e.user_id)
+    SELECT s.user_id, s.signup_ts, COALESCE(p.purchases_after, 0)
+             AS purchases_after
+    FROM s LEFT JOIN p ON p.user_id = s.user_id
+    """)
+def events_funnel_signup_purchase(spark, sf_dir):
+    """Conversion funnel: first signup per user, purchases after it
+    (aggregate-then-join; both sides pre-shrunk before the join)."""
+    e = table(spark, sf_dir, "events")
+    s = (e.filter(F.col("event_type") == "signup")
+         .groupBy("user_id").agg(F.min("ts").alias("signup_ts")))
+    p = (e.filter(F.col("event_type") == "purchase")
+         .join(s, "user_id")
+         .filter(F.col("ts") > F.col("signup_ts"))
+         .groupBy("user_id")
+         .agg(F.count(F.lit(1)).alias("purchases_after")))
+    return (s.join(p, "user_id", "left")
+            .select("user_id", "signup_ts",
+                    F.coalesce("purchases_after", F.lit(0))
+                    .alias("purchases_after")))
+
+
+@register(
+    "events_dedup_exact",
+    category="events",
+    oracle="""
+    WITH dup AS (SELECT * FROM events UNION ALL
+                 SELECT * FROM events WHERE event_id % 3 = 0)
+    SELECT event_id, COUNT(*) AS copies FROM dup
+    GROUP BY event_id HAVING COUNT(*) > 1
+    """)
+def events_dedup_exact(spark, sf_dir):
+    """Exactly-once repair: find replayed event_ids in an at-least-once
+    delivery simulation (batch twin of streaming dropDuplicates state)."""
+    e = table(spark, sf_dir, "events")
+    dup = e.unionByName(e.filter(F.col("event_id") % 3 == 0))
+    return (dup.groupBy("event_id")
+            .agg(F.count(F.lit(1)).alias("copies"))
+            .filter(F.col("copies") > 1))

@@ -1,1 +1,153 @@
-"""Placeholder — populated in a later milestone."""
+"""Multimodal-column operators: opaque binary payloads + typed metadata,
+processed with Arrow-batched ``mapInPandas`` — the Spark-side plumbing for
+image/audio/video pipelines.
+
+The container has no image/audio codecs, so the *decode* step is a
+deterministic fake over the payload bytes (clearly marked); everything
+around it — binary schema, metadata struct, batch iteration, UDF
+signatures, partition-parallel execution — is real and tested. Swapping
+the fake for PIL/ffmpeg is a one-function change.
+
+Scale notes: mapInPandas streams Arrow batches (no per-row Python), binary
+payloads never shuffle (all derivations are per-partition projections),
+and aggregations happen after feature extraction reduces width.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import TYPE_CHECKING
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import types as T
+
+from cstore_fdw_spark.operators import register, table
+
+if TYPE_CHECKING:
+    import pandas as pd
+
+FRAME_STRIDE = 16  # fake "video": one frame every 16 payload bytes
+
+
+def media_table(spark, sf_dir) -> DataFrame:
+    """documents re-typed as a media table: payload binary + metadata
+    struct (media_type, byte_len, source). In a real deployment the binary
+    column holds encoded image/audio/video; here it's the utf-8 text bytes."""
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.encode("text", "utf-8").alias("payload"),
+        F.struct(
+            F.lit("application/octet-stream").alias("media_type"),
+            F.octet_length(F.encode("text", "utf-8")).cast("long").alias("byte_len"),
+            F.col("source").alias("source")).alias("meta"))
+
+
+def decode_stub(payload: bytes) -> dict:
+    """STUB decode — deterministic fake standing in for a real media
+    decoder (PIL.Image.open / av.open). Returns payload-derived pseudo
+    metadata so the pipeline is testable without codecs."""
+    return {
+        "byte_len": len(payload),
+        "first_byte": payload[0] if payload else None,
+        "checksum": sum(payload) % 997,
+    }
+
+
+def _decode_batches(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+    """mapInPandas worker: Arrow batch in → decoded-feature batch out."""
+    import pandas as pd
+    for pdf in batches:
+        decoded = [decode_stub(p) for p in pdf["payload"]]
+        yield pd.DataFrame({
+            "doc_id": pdf["doc_id"],
+            "byte_len": [d["byte_len"] for d in decoded],
+            "first_byte": [d["first_byte"] for d in decoded],
+            "checksum": [d["checksum"] for d in decoded],
+            "source": [m["source"] for m in pdf["meta"]],
+        })
+
+
+_DECODE_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("byte_len", T.LongType()),
+    T.StructField("first_byte", T.LongType()),
+    T.StructField("checksum", T.LongType()),
+    T.StructField("source", T.StringType()),
+])
+
+
+@register(
+    "multimodal_decode_meta",
+    category="multimodal",
+    oracle="""
+    SELECT doc_id,
+           CAST(OCTET_LENGTH(ENCODE(text)) AS BIGINT) AS byte_len,
+           CAST(UNICODE(SUBSTRING(text, 1, 1)) AS BIGINT) AS first_byte,
+           CAST(LIST_SUM(LIST_TRANSFORM(RANGE(1, OCTET_LENGTH(ENCODE(text)) + 1),
+                i -> UNICODE(SUBSTRING(text, i, 1)))) % 997 AS BIGINT)
+             AS checksum,
+           source
+    FROM documents
+    """)
+def multimodal_decode_meta(spark, sf_dir):
+    """Binary decode via mapInPandas (Arrow batches). The decode itself is
+    the stub; the oracle recomputes its byte-level semantics in SQL
+    (payload is ASCII here so codepoint == byte), proving the Spark-side
+    plumbing end-to-end."""
+    return media_table(spark, sf_dir).mapInPandas(
+        _decode_batches, schema=_DECODE_SCHEMA)
+
+
+@register(
+    "multimodal_frame_sample",
+    category="multimodal",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(FLOOR((OCTET_LENGTH(ENCODE(text)) - 1) / {FRAME_STRIDE}) + 1
+                AS BIGINT) AS n_frames,
+           CAST(UNICODE(SUBSTRING(text, 1, 1)) AS BIGINT) AS first_frame_byte
+    FROM documents WHERE OCTET_LENGTH(ENCODE(text)) > 0
+    """)
+def multimodal_frame_sample(spark, sf_dir):
+    """Frame sampling over fake video payloads: every {stride}-th byte is a
+    'frame'; counts + first frame byte per document via mapInPandas."""
+    def frames(batches):
+        import pandas as pd
+        for pdf in batches:
+            payloads = pdf["payload"]
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "n_frames": [(len(p) - 1) // FRAME_STRIDE + 1 for p in payloads],
+                "first_frame_byte": [p[0] for p in payloads],
+            })
+    schema = "doc_id long, n_frames long, first_frame_byte long"
+    return (media_table(spark, sf_dir)
+            .filter(F.col("meta.byte_len") > 0)
+            .mapInPandas(frames, schema=schema))
+
+
+@register("multimodal_feature_extract", category="multimodal")
+def multimodal_feature_extract(spark, sf_dir):
+    """Fake feature extractor: 4-dim float feature vector per payload
+    (byte-histogram moments via numpy, vectorized per Arrow batch) +
+    per-source mean pooling. The shape of a real embed-images-then-pool
+    pipeline; rows-only gate (float feature math is engine-specific).
+    Output: (source, n_docs, mean_len)."""
+    def feats(batches):
+        import numpy as np
+        import pandas as pd
+        for pdf in batches:
+            arrs = [np.frombuffer(p, dtype=np.uint8) for p in pdf["payload"]]
+            yield pd.DataFrame({
+                "source": [m["source"] for m in pdf["meta"]],
+                "f_mean": [float(a.mean()) if a.size else 0.0 for a in arrs],
+                "f_std": [float(a.std()) if a.size else 0.0 for a in arrs],
+                "f_len": [float(a.size) for a in arrs],
+            })
+    schema = "source string, f_mean double, f_std double, f_len double"
+    feat = media_table(spark, sf_dir).mapInPandas(feats, schema=schema)
+    return (feat.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.avg("f_len").alias("mean_len"))
+            .orderBy("source"))

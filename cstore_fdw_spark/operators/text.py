@@ -1,1 +1,215 @@
-"""Placeholder — populated in a later milestone."""
+"""Text-analysis operators over ``documents``: token statistics, quality
+scoring, language ID, fingerprinting — the text side of the training-data
+pipeline extensions.
+
+All hot paths are JVM built-ins (split/regexp/aggregate); ratios are exact
+integer divisions in double (deterministic). The rolling-hash winnowing
+fingerprint is xxhash64-based → rows-only gate; the md5 content
+fingerprint carries an oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cstore_fdw_spark.operators import register, table
+
+#: minimal per-language lexicons for the stopword-overlap language-ID
+#: heuristic (the engine ships these as a broadcast dimension; real
+#: deployments would swap in full stopword lists).
+LANG_LEXICONS: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "data"],
+    "de": ["der", "die", "das", "und"],
+    "es": ["el", "la", "de", "y"],
+    "fr": ["le", "la", "de", "et"],
+    "zh": ["de", "shi", "he"],
+}
+
+
+@register(
+    "text_token_stats",
+    category="text",
+    bench=True,
+    oracle="""
+    SELECT doc_id,
+           CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_tokens,
+           CAST(LEN(LIST_DISTINCT(STRING_SPLIT(text, ' '))) AS BIGINT)
+             AS n_distinct,
+           CAST(LENGTH(REPLACE(text, ' ', '')) AS DOUBLE)
+             / LEN(STRING_SPLIT(text, ' ')) AS avg_token_len,
+           CAST(LENGTH(text) AS BIGINT) AS n_chars_actual,
+           LENGTH(text) = n_chars AS chars_match
+    FROM documents
+    """)
+def text_token_stats(spark, sf_dir):
+    """Token counting (whitespace tokenizer): totals, distincts, average
+    token length, and a metadata-consistency check against n_chars."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    return d.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct"),
+        (F.length(F.regexp_replace("text", " ", "")).cast("double")
+         / F.size(toks)).alias("avg_token_len"),
+        F.length("text").cast("long").alias("n_chars_actual"),
+        (F.length("text") == F.col("n_chars")).alias("chars_match"))
+
+
+@register(
+    "text_token_count_bpe_ish",
+    category="text",
+    oracle=r"""
+    SELECT doc_id,
+           CAST(LEN(REGEXP_SPLIT_TO_ARRAY(text, '\s+')) AS BIGINT) AS words,
+           CAST(LENGTH(REGEXP_REPLACE(text, '[^aeiou]', '', 'g')) AS BIGINT)
+             AS vowels,
+           CAST(CEIL(LENGTH(text) / 4.0) AS BIGINT) AS approx_bpe_tokens
+    FROM documents
+    """)
+def text_token_count_bpe_ish(spark, sf_dir):
+    r"""Regex tokenization + the chars/4 BPE-token heuristic used for
+    budget estimates in LLM data pipelines."""
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.split("text", r"\s+")).cast("long").alias("words"),
+        F.length(F.regexp_replace("text", "[^aeiou]", "")).cast("long")
+        .alias("vowels"),
+        F.ceil(F.length("text") / 4.0).cast("long")
+        .alias("approx_bpe_tokens"))
+
+
+@register(
+    "text_quality_score",
+    category="text",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_tokens,
+             CAST(LEN(LIST_FILTER(STRING_SPLIT(text, ' '),
+                  w -> w IN ('the', 'a', 'of', 'and'))) AS BIGINT) AS n_stop,
+             CAST(LENGTH(text) AS BIGINT) AS n_chars_a
+      FROM documents)
+    SELECT doc_id, n_tokens,
+           CAST(n_stop AS DOUBLE) / n_tokens AS stopword_ratio,
+           CAST(n_chars_a AS DOUBLE) / n_tokens AS chars_per_token,
+           n_tokens >= 20 AND n_tokens <= 1000
+             AND CAST(n_stop AS DOUBLE) / n_tokens >= 0.01 AS passes_quality
+    FROM t
+    """)
+def text_quality_score(spark, sf_dir):
+    """Quality scoring: length bounds + stopword-ratio gate (the classic
+    C4/Gopher-style filters, expressed as one projection)."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n_tokens = F.size(toks).cast("long")
+    n_stop = F.size(F.filter(
+        toks, lambda w: w.isin("the", "a", "of", "and"))).cast("long")
+    stop_ratio = n_stop.cast("double") / n_tokens
+    return d.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        stop_ratio.alias("stopword_ratio"),
+        (F.length("text").cast("double") / n_tokens).alias("chars_per_token"),
+        ((n_tokens >= 20) & (n_tokens <= 1000) & (stop_ratio >= 0.01))
+        .alias("passes_quality"))
+
+
+def _lexicon_sql_values() -> str:
+    rows = [f"('{lang}', '{w}')"
+            for lang, words in sorted(LANG_LEXICONS.items())
+            for w in words]
+    return ", ".join(rows)
+
+
+@register(
+    "text_langid_stopword",
+    category="text",
+    oracle=f"""
+    WITH lex(lex_lang, word) AS (VALUES {_lexicon_sql_values()}),
+    tok AS (
+      SELECT DISTINCT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS token
+      FROM documents),
+    scores AS (
+      SELECT t.doc_id, l.lex_lang, COUNT(*) AS hits
+      FROM tok t JOIN lex l ON t.token = l.word
+      GROUP BY 1, 2),
+    best AS (
+      SELECT doc_id, lex_lang AS pred_lang, hits,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY hits DESC, lex_lang) AS rn
+      FROM scores)
+    SELECT d.doc_id, d.lang AS labeled_lang,
+           COALESCE(b.pred_lang, 'und') AS pred_lang,
+           COALESCE(b.hits, 0) AS hits
+    FROM documents d LEFT JOIN best b ON b.doc_id = d.doc_id AND b.rn = 1
+    """)
+def text_langid_stopword(spark, sf_dir):
+    """Language ID via stopword-lexicon overlap: distinct tokens joined to
+    a broadcast lexicon, argmax language with deterministic tie-break,
+    'und' for zero-evidence docs."""
+    from pyspark.sql.window import Window
+    d = table(spark, sf_dir, "documents")
+    lex = spark.createDataFrame(
+        [(lang, w) for lang, words in sorted(LANG_LEXICONS.items())
+         for w in words], "lex_lang string, word string")
+    tok = (d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+           .distinct())
+    scores = (tok.join(F.broadcast(lex), tok.token == lex.word)
+              .groupBy("doc_id", "lex_lang")
+              .agg(F.count(F.lit(1)).alias("hits")))
+    w = Window.partitionBy("doc_id").orderBy(F.col("hits").desc(), "lex_lang")
+    best = (scores.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("doc_id", F.col("lex_lang").alias("pred_lang"), "hits"))
+    return (d.join(best, "doc_id", "left")
+            .select("doc_id", F.col("lang").alias("labeled_lang"),
+                    F.coalesce("pred_lang", F.lit("und")).alias("pred_lang"),
+                    F.coalesce("hits", F.lit(0)).alias("hits")))
+
+
+@register(
+    "text_fingerprint_md5",
+    category="text",
+    oracle="""
+    SELECT doc_id,
+           MD5(LOWER(TRIM(REGEXP_REPLACE(text, '\\s+', ' ', 'g'))))
+             AS content_fp,
+           SUBSTRING(MD5(LOWER(TRIM(REGEXP_REPLACE(text, '\\s+', ' ', 'g')))),
+                     1, 8) AS fp_prefix
+    FROM documents
+    """)
+def text_fingerprint_md5(spark, sf_dir):
+    """Content fingerprint: md5 of whitespace-normalized lowercase text
+    (the portable digest; the winnowing variant below is the robust one)."""
+    d = table(spark, sf_dir, "documents")
+    norm = F.lower(F.trim(F.regexp_replace("text", r"\s+", " ")))
+    fp = F.md5(norm.cast("binary"))
+    return d.select("doc_id", fp.alias("content_fp"),
+                    F.substring(fp, 1, 8).alias("fp_prefix"))
+
+
+WINNOW_K = 8     # char k-grams
+WINNOW_W = 4     # winnowing window
+
+
+@register("text_winnow_fingerprint", category="text")
+def text_winnow_fingerprint(spark, sf_dir):
+    """Winnowing document fingerprint (Schleimer et al. '03): rolling char
+    k-gram hashes, per-window minimum selection, distinct fingerprint set.
+    All JVM-side: sequence→transform(substring)→window-min via another
+    transform. xxhash64-based → rows-only gate.
+    Output: (doc_id, n_fingerprints, min_fp, max_fp)."""
+    d = table(spark, sf_dir, "documents")
+    # winnow: min over each sliding window of W consecutive gram hashes
+    fps = F.expr(
+        f"array_distinct(transform(sequence(1, greatest(size({{g}}) - {WINNOW_W - 1}, 1)),"
+        f" j -> array_min(slice({{g}}, j, {WINNOW_W}))))".replace(
+            "{g}", f"transform(sequence(1, greatest(length(text) - {WINNOW_K - 1}, 1)),"
+                   f" i -> xxhash64(substring(text, i, {WINNOW_K})))"))
+    return d.select(
+        "doc_id",
+        F.size(fps).cast("long").alias("n_fingerprints"),
+        F.array_min(fps).alias("min_fp"),
+        F.array_max(fps).alias("max_fp"))

@@ -12,6 +12,8 @@ local-mode specific except the master URL default.
 from __future__ import annotations
 
 import os
+import shutil
+import tempfile
 
 from pyspark.sql import SparkSession
 
@@ -73,7 +75,31 @@ def get_spark(app_name: str = "cstore_fdw_spark", master: str | None = None,
         builder = builder.config(k, v)
     for k, v in (extra_confs or {}).items():
         builder = builder.config(k, v)
-    return builder.getOrCreate()
+    spark = builder.getOrCreate()
+    ship_package(spark)
+    return spark
+
+
+def ship_package(spark: SparkSession) -> None:
+    """Make ``cstore_fdw_spark`` importable on executors' Python workers.
+
+    The driver process may run from any cwd; Pandas-UDF closures reference
+    this package by module name, so workers need it on their path. A zip of
+    the package is shipped once per session via ``addPyFile`` (works on
+    local and cluster mode alike).
+    """
+    if getattr(spark, "_cstore_pkg_shipped", False):
+        return
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    zip_base = os.path.join(tempfile.gettempdir(),
+                            f"cstore_fdw_spark_pkg_{os.getpid()}")
+    zip_path = zip_base + ".zip"
+    if not os.path.exists(zip_path):
+        shutil.make_archive(zip_base, "zip",
+                            root_dir=os.path.dirname(pkg_dir),
+                            base_dir=os.path.basename(pkg_dir))
+    spark.sparkContext.addPyFile(zip_path)
+    spark._cstore_pkg_shipped = True  # type: ignore[attr-defined]
 
 
 def apply_engine_confs(spark: SparkSession) -> SparkSession:
@@ -88,4 +114,5 @@ def apply_engine_confs(spark: SparkSession) -> SparkSession:
             spark.conf.set(k, v)
         except Exception:
             pass  # static conf on a live session — builder default applies
+    ship_package(spark)
     return spark

@@ -1,0 +1,104 @@
+"""Optimization-observability tests — port of the reference's
+block_filtering suite (SURVEY §5): prove pushdown, pruning, and
+row-group/page skipping behave like the reference's zone maps.
+
+The reference's regression numbers (output/block_filtering.source:40-59):
+on 10,000 ordered ints with 1,000-row blocks, `a < 200` must surface ~1,000
+rows (one block), not 10,000.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from cstore_fdw_spark.plans import (assert_pushdown, filtered_row_count,
+                                    pushed_filters, scan_metrics,
+                                    scan_schema_columns)
+
+
+@pytest.fixture(scope="module")
+def block_table(spark, tmp_path_factory):
+    """Integers 1..10,000 in order, one row group per ~2,000 rows and
+    page-level stats every 1,000 (reference block_row_count=1000,
+    stripe_row_count=2000 — input/block_filtering.source:30-35)."""
+    path = str(tmp_path_factory.mktemp("blocks") / "t")
+    (spark.range(1, 10_001).select(F.col("id").cast("int").alias("a"))
+     .coalesce(1)
+     .sortWithinPartitions("a")
+     .write
+     .option("parquet.block.size", str(8 * 1024))         # tiny row groups
+     .option("parquet.page.row.count.limit", "1000")
+     .option("parquet.page.size", "2048")
+     .parquet(path))
+    return path
+
+
+def test_filter_pushdown_visible(spark, sf_dir):
+    df = (spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+          .filter(F.col("l_quantity") < 5)
+          .select("l_orderkey", "l_quantity"))
+    assert_pushdown(df, expect_filter_fragment="LessThan(l_quantity,5",
+                    expect_columns={"l_orderkey", "l_quantity"})
+
+
+def test_column_pruning_projection_only(spark, sf_dir):
+    df = (spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+          .select("l_returnflag").distinct())
+    assert scan_schema_columns(df) == ["l_returnflag"]
+
+
+def test_pruning_includes_filter_columns(spark, sf_dir):
+    # reference ColumnList collects Vars from quals too (cstore_fdw.c:1860)
+    df = (spark.read.parquet(f"{sf_dir}/orders.parquet")
+          .filter(F.col("o_totalprice") > 100000)
+          .select("o_orderkey"))
+    assert set(scan_schema_columns(df)) == {"o_orderkey", "o_totalprice"}
+
+
+def test_block_skipping_low_range(spark, block_table):
+    """`a < 200`: reference surfaces 1,000 rows (one 1,000-row block) of
+    which 801 are filter-removed. Our row-group skipping must likewise
+    surface far fewer than 10,000."""
+    df = spark.read.parquet(block_table).filter(F.col("a") < 200)
+    m = scan_metrics(df)
+    assert m["result_rows"] == 199
+    assert m["scan_rows"] < 10_000, "no row groups were skipped"
+    removed = filtered_row_count(df)
+    assert removed < 9_999, "every row reached the filter — skipping is off"
+
+
+def test_block_skipping_high_range(spark, block_table):
+    df = spark.read.parquet(block_table).filter(F.col("a") > 9_900)
+    m = scan_metrics(df)
+    assert m["result_rows"] == 100
+    assert m["scan_rows"] < 10_000
+
+
+def test_block_skipping_between(spark, block_table):
+    # reference: BETWEEN spanning 2 blocks examines ≤ 2,000 rows
+    df = spark.read.parquet(block_table).filter(F.col("a").between(990, 2010))
+    m = scan_metrics(df)
+    assert m["result_rows"] == 1021
+    assert m["scan_rows"] < 10_000
+
+
+def test_block_skipping_empty_result(spark, block_table):
+    df = spark.read.parquet(block_table).filter(F.col("a") < 0)
+    m = scan_metrics(df)
+    assert m["result_rows"] == 0
+    assert m["scan_rows"] == 0, "min/max refutation should skip everything"
+
+
+def test_pushed_filters_present_for_between(spark, block_table):
+    df = spark.read.parquet(block_table).filter(F.col("a").between(990, 2010))
+    pf = " ".join(pushed_filters(df))
+    assert "GreaterThanOrEqual(a,990)" in pf
+    assert "LessThanOrEqual(a,2010)" in pf
+
+
+def test_aggregate_pushdown_count(spark, block_table):
+    """Metadata-only count — parity with the reference's exact row count
+    from footers (cstore_reader.c:400-462)."""
+    df = spark.read.parquet(block_table).groupBy().count()
+    assert df.collect()[0][0] == 10_000
