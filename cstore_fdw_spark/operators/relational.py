@@ -76,7 +76,7 @@ def scan_project_filter(spark, sf_dir):
     oracle="""
     SELECT p_partkey, p_name, p_size
     FROM part
-    WHERE p_size BETWEEN 10 AND 20 AND p_type LIKE '%BRASS%'
+    WHERE p_size BETWEEN 10 AND 20 AND p_type LIKE '%AND%'
           AND p_retailprice > 900
     """)
 def filter_between_like(spark, sf_dir):
@@ -84,7 +84,7 @@ def filter_between_like(spark, sf_dir):
     README.md:238-247 demo query shape)."""
     p = table(spark, sf_dir, "part")
     return (p.filter(F.col("p_size").between(10, 20)
-                     & F.col("p_type").like("%BRASS%")
+                     & F.col("p_type").like("%AND%")
                      & (F.col("p_retailprice") > 900))
             .select("p_partkey", "p_name", "p_size"))
 
