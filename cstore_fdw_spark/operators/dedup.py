@@ -204,14 +204,18 @@ def dedup_minhash_lsh(spark, sf_dir):
                   .groupBy(F.col("a.doc_id").alias("doc_a"),
                            F.col("b.doc_id").alias("doc_b"))
                   .agg(F.count(F.lit(1)).alias("n_common_bands")))
-    # exact verification restricted to candidates
+    # exact verification restricted to candidates: expand each candidate
+    # pair by doc_a's shingles, then probe doc_b's shingle set — cost is
+    # O(candidates × shingles-per-doc), never the all-pairs shingle join
     sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    sa = shingles.alias("sa")
-    sb = shingles.alias("sb")
-    common = (sa.join(sb, (F.col("sa.shingle") == F.col("sb.shingle"))
-                      & (F.col("sa.doc_id") < F.col("sb.doc_id")))
-              .groupBy(F.col("sa.doc_id").alias("doc_a"),
-                       F.col("sb.doc_id").alias("doc_b"))
+    sh_a = (shingles.withColumnRenamed("doc_id", "doc_a")
+            .withColumnRenamed("shingle", "sh"))
+    sh_b = (shingles.withColumnRenamed("doc_id", "doc_b")
+            .withColumnRenamed("shingle", "sh"))
+    common = (candidates.select("doc_a", "doc_b")
+              .join(sh_a, "doc_a")
+              .join(sh_b, ["doc_b", "sh"])
+              .groupBy("doc_a", "doc_b")
               .agg(F.count(F.lit(1)).alias("n_common")))
     za = sizes.alias("za")
     zb = sizes.alias("zb")

@@ -198,10 +198,10 @@ def q3_shipping_priority(spark, sf_dir):
     li = table(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") > F.lit("1995-03-15 00:00:00").cast("timestamp"))
     rev = dec("l_extendedprice") * (F.lit(1) - dec("l_discount", "decimal(8,4)"))
-    return (li.join(F.broadcast(o.join(F.broadcast(c),
-                                       o.o_custkey == c.c_custkey)
-                                .select("o_orderkey", "o_orderdate",
-                                        "o_orderpriority")),
+    # no explicit broadcast: orders/customer are fact-scale at 100 TB;
+    # AQE's stats-based planning auto-broadcasts them at small SF
+    return (li.join(o.join(c, o.o_custkey == c.c_custkey)
+                    .select("o_orderkey", "o_orderdate", "o_orderpriority"),
                     F.col("l_orderkey") == F.col("o_orderkey"))
             .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
             .agg(to_dbl(F.sum(rev)).alias("revenue"))
@@ -240,9 +240,11 @@ def q5_local_supplier_volume(spark, sf_dir):
     n = table(spark, sf_dir, "nation")
     r = table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     rev = dec("l_extendedprice") * (F.lit(1) - dec("l_discount", "decimal(8,4)"))
+    # broadcast only the bounded dims (supplier/nation/region); orders and
+    # customer are fact-scale at 100 TB — shuffle joins + AQE handle them
     return (li
-            .join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
-            .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+            .join(o, li.l_orderkey == o.o_orderkey)
+            .join(c, o.o_custkey == c.c_custkey)
             .join(F.broadcast(s), (li.l_suppkey == s.s_suppkey)
                   & (c.c_nationkey == s.s_nationkey))
             .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
@@ -275,8 +277,8 @@ def q10_returned_items(spark, sf_dir):
     li = table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
     n = table(spark, sf_dir, "nation")
     rev = dec("l_extendedprice") * (F.lit(1) - dec("l_discount", "decimal(8,4)"))
-    return (li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
-            .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+    return (li.join(o, li.l_orderkey == o.o_orderkey)
+            .join(c, o.o_custkey == c.c_custkey)
             .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
             .groupBy("c_custkey", "c_name", "n_name")
             .agg(to_dbl(F.sum(rev)).alias("revenue"))

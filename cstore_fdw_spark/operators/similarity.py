@@ -59,15 +59,19 @@ def ann_cosine_topk(spark, sf_dir):
     candidate scan is embarrassingly parallel and nothing shuffles except
     the k·|queries| result rows."""
     e = table(spark, sf_dir, "embeddings")
+    # hoist norms: ||q|| and ||c|| computed once per vector, not per pair
     q = e.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec"))
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec"),
+        F.sqrt(dot(F.col("embedding"), F.col("embedding"))).alias("qnorm"))
     c = e.select(F.col("vec_id").alias("neighbor_id"),
-                 F.col("embedding").alias("cvec"))
+                 F.col("embedding").alias("cvec"),
+                 F.sqrt(dot(F.col("embedding"), F.col("embedding")))
+                 .alias("cnorm"))
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(),
                                                "neighbor_id")
+    cos = dot(F.col("qvec"), F.col("cvec")) / (F.col("qnorm") * F.col("cnorm"))
     return (c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
-            .select("query_id", "neighbor_id",
-                    cosine(F.col("qvec"), F.col("cvec")).alias("cos"))
+            .select("query_id", "neighbor_id", cos.alias("cos"))
             .withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= TOP_K)
             .select("query_id", "neighbor_id", "rank", "cos"))
@@ -139,18 +143,22 @@ def ann_lsh_bucketed(spark, sf_dir):
     Output: (query_id, neighbor_id, rank, cos)."""
     e = table(spark, sf_dir, "embeddings")
     sig = e.select("vec_id", "embedding",
-                   lsh_signature(F.col("embedding")).alias("bucket"))
+                   lsh_signature(F.col("embedding")).alias("bucket"),
+                   F.sqrt(dot(F.col("embedding"), F.col("embedding")))
+                   .alias("norm"))
     q = (sig.filter(F.col("vec_id") < N_QUERIES)
          .select(F.col("vec_id").alias("query_id"),
-                 F.col("embedding").alias("qvec"), "bucket"))
+                 F.col("embedding").alias("qvec"),
+                 F.col("norm").alias("qnorm"), "bucket"))
     c = sig.select(F.col("vec_id").alias("neighbor_id"),
-                   F.col("embedding").alias("cvec"), "bucket")
+                   F.col("embedding").alias("cvec"),
+                   F.col("norm").alias("cnorm"), "bucket")
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(),
                                                "neighbor_id")
+    cos = dot(F.col("qvec"), F.col("cvec")) / (F.col("qnorm") * F.col("cnorm"))
     return (c.join(F.broadcast(q), ["bucket"])
             .filter(F.col("neighbor_id") != F.col("query_id"))
-            .select("query_id", "neighbor_id",
-                    cosine(F.col("qvec"), F.col("cvec")).alias("cos"))
+            .select("query_id", "neighbor_id", cos.alias("cos"))
             .withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= TOP_K)
             .select("query_id", "neighbor_id", "rank", "cos"))

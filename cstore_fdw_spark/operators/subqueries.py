@@ -205,7 +205,7 @@ def q12_shipmode_priority(spark, sf_dir):
         (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp")))
     high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
-    return (li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+    return (li.join(o, li.l_orderkey == o.o_orderkey)
             .groupBy("l_linestatus")
             .agg(F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
                  F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"))
@@ -240,10 +240,12 @@ def q18_large_volume_customer(spark, sf_dir):
            .agg(dsum("l_quantity").alias("q"))
            .filter(F.col("q") > 150)
            .select("l_orderkey"))
-    return (li.join(F.broadcast(big.withColumnRenamed("l_orderkey", "bk")),
+    # the HAVING-filtered key set is small → semi join is broadcastable by
+    # AQE; orders/customer stay shuffle joins (fact-scale at 100 TB)
+    return (li.join(big.withColumnRenamed("l_orderkey", "bk"),
                     F.col("l_orderkey") == F.col("bk"), "left_semi")
-            .join(F.broadcast(o), F.col("l_orderkey") == o.o_orderkey)
-            .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+            .join(o, F.col("l_orderkey") == o.o_orderkey)
+            .join(c, o.o_custkey == c.c_custkey)
             .groupBy("c_custkey", "o_orderkey")
             .agg(to_dbl(dsum("l_quantity")).alias("total_qty"))
             .orderBy(F.col("total_qty").desc(), "o_orderkey")
@@ -273,6 +275,6 @@ def q14_promo_effect(spark, sf_dir):
     rev = dec("l_extendedprice") * (F.lit(1) - dec("l_discount", "decimal(8,4)"))
     promo = F.when(F.col("p_type").like("PROMO%"), rev).otherwise(
         F.lit(0).cast("decimal(22,6)"))
-    return (li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    return (li.join(p, li.l_partkey == p.p_partkey)
             .agg(to_dbl(F.sum(promo)).alias("promo_revenue"),
                  to_dbl(F.sum(rev)).alias("total_revenue")))
