@@ -51,8 +51,8 @@ def register(name: str, oracle: str | None = None, category: str = "general",
 def load_all() -> dict[str, QuerySpec]:
     """Import every operator module (each registers its queries)."""
     from cstore_fdw_spark.operators import (  # noqa: F401
-        relational, joins, windows, scalars, nested, subqueries, udfs,
-        dedup, similarity, text, multimodal, events,
+        relational, joins, windows, scalars, nested, subqueries, tpch_extra,
+        udfs, dedup, similarity, text, multimodal, events,
     )
     return REGISTRY
 

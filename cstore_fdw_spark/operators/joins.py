@@ -124,12 +124,16 @@ def join_semi_exists(spark, sf_dir):
     oracle="""
     SELECT c_custkey, c_name FROM customer c
     WHERE NOT EXISTS (SELECT 1 FROM orders o
-                      WHERE o.o_custkey = c.c_custkey)
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
     """)
 def join_anti_not_exists(spark, sf_dir):
-    """Anti join (NOT EXISTS): customers with no orders at all."""
+    """Anti join (NOT EXISTS): customers with no urgent orders. (Every
+    customer in the synthetic data has ≥1 order, so the subquery filters
+    to urgent ones to keep the anti join non-vacuous.)"""
     c = table(spark, sf_dir, "customer")
-    o = table(spark, sf_dir, "orders")
+    o = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT")
     return (c.join(o, c.c_custkey == o.o_custkey, "left_anti")
             .select("c_custkey", "c_name"))
 

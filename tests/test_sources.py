@@ -1,0 +1,59 @@
+"""Source/sink format round-trips (COPY FROM/TO generalized — SURVEY §2.A
+A5/A6 plus json/orc the reference never had)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from cstore_fdw_spark.sources import read_source, write_sink
+
+
+@pytest.fixture(scope="module")
+def sample(spark):
+    return spark.createDataFrame(
+        [(1, "x", 1.5, None), (2, "with,comma", -2.0, "q\"uote"),
+         (3, None, None, "z")],
+        "id int, name string, val double, note string")
+
+
+@pytest.mark.parametrize("fmt", ["parquet", "csv", "json", "orc"])
+def test_roundtrip(spark, sample, tmp_path, fmt):
+    path = str(tmp_path / fmt)
+    write_sink(sample, path, fmt)
+    schema = "id int, name string, val double, note string"
+    back = read_source(spark, path, fmt, schema=schema)
+    want = {tuple(r) for r in sample.collect()}
+    got = {tuple(r) for r in back.select("id", "name", "val", "note").collect()}
+    assert got == want, f"{fmt}: {got} != {want}"
+
+
+def test_partitioned_write(spark, sample, tmp_path):
+    path = str(tmp_path / "bypart")
+    write_sink(sample, path, "parquet", partition_by=["id"])
+    import os
+    assert any(d.startswith("id=") for d in os.listdir(path))
+    back = read_source(spark, path, "parquet")
+    assert back.count() == 3
+    # partition pruning: only one directory is scanned for id=2
+    pruned = back.filter(F.col("id") == 2)
+    assert pruned.count() == 1
+
+
+def test_unsupported_format(spark, sample, tmp_path):
+    with pytest.raises(ValueError, match="unsupported format"):
+        write_sink(sample, str(tmp_path / "x"), "avro")
+    with pytest.raises(ValueError, match="unsupported format"):
+        read_source(spark, str(tmp_path / "x"), "xml")
+
+
+def test_csv_pg_dialect_nulls(spark, tmp_path):
+    # PG COPY CSV parity: empty unquoted = NULL; quoted "" = empty string
+    p = str(tmp_path / "nulls.csv")
+    with open(p, "w") as f:
+        f.write('1,\n2,""\n3,x\n')
+    df = read_source(spark, p, "csv", schema="id int, s string")
+    rows = {r.id: r.s for r in df.collect()}
+    assert rows[1] is None
+    assert rows[2] == ""
+    assert rows[3] == "x"
