@@ -235,21 +235,17 @@ class CStoreCatalog:
                 raise CStoreError(f'column "{f_.name}" missing from input')
             cols.append(F.col(f_.name).cast(f_.dataType).alias(f_.name))
         aligned = df.select(*cols)
+        sort_by = meta.options.get("sort_by")
+        if sort_by:
+            # reference advises loading sorted for skip efficiency
+            # (README.md:287-294); sortWithinPartitions keeps it shuffle-free
+            aligned = aligned.sortWithinPartitions(*sort_by.split(","))
         stripe_rows = meta.options.get("stripe_row_count",
                                        DEFAULT_STRIPE_ROW_COUNT)
         writer = (aligned.write.mode("overwrite" if overwrite else "append")
                   .option("maxRecordsPerFile", str(stripe_rows * 10)))
         for k, v in self._writer_options(meta).items():
             writer = writer.option(k, v)
-        sort_by = meta.options.get("sort_by")
-        if sort_by:
-            # reference advises loading sorted for skip efficiency
-            # (README.md:287-294); sortWithinPartitions keeps it shuffle-free
-            aligned = aligned.sortWithinPartitions(*sort_by.split(","))
-            writer = (aligned.write.mode("overwrite" if overwrite else "append")
-                      .option("maxRecordsPerFile", str(stripe_rows * 10)))
-            for k, v in self._writer_options(meta).items():
-                writer = writer.option(k, v)
         part = meta.options.get("partition_by")
         if part:
             writer = writer.partitionBy(*part.split(","))
@@ -416,7 +412,11 @@ def _physical_schema(target: T.StructType, data_path: str,
     exist in the files (added-but-never-written columns must not be
     requested from the reader)."""
     phys_names: set[str] = set()
-    for root, _dirs, files in os.walk(data_path):
+    for root, dirs, files in os.walk(data_path):
+        for d in dirs:
+            # hive-style partition directories carry partition columns
+            if "=" in d:
+                phys_names.add(d.split("=", 1)[0])
         for fn in files:
             if fn.endswith(".parquet"):
                 phys_names.update(

@@ -7,6 +7,7 @@ from __future__ import annotations
 import os
 
 import pytest
+from pyspark.sql import functions as F
 
 from cstore_fdw_spark.catalog import CStoreError, validate_options
 
@@ -145,3 +146,28 @@ def _parquet_files(path):
         for f in files:
             if f.endswith(".parquet"):
                 yield os.path.join(root, f)
+
+
+def test_partitioned_table(spark, catalog):
+    # partition_by option → hive-layout directories, partition pruning on
+    # read, partition column values restored
+    catalog.create_table("pt", "a int, grp string", partition_by="grp")
+    catalog.insert("pt", spark.createDataFrame(
+        [(1, "x"), (2, "x"), (3, "y")], "a int, grp string"))
+    rows = sorted((r.a, r.grp) for r in catalog.read("pt").collect())
+    assert rows == [(1, "x"), (2, "x"), (3, "y")]
+    import os
+    data = os.path.join(catalog.table_path("pt"), "data")
+    assert any(d.startswith("grp=") for d in os.listdir(data))
+    assert catalog.read("pt").filter("grp = 'y'").count() == 1
+
+
+def test_sorted_table_option(spark, catalog):
+    # sort_by clusters rows for zone-map efficiency (reference
+    # README.md:287-294 recommends sorted loads)
+    catalog.create_table("st", "a int", sort_by="a")
+    catalog.insert("st", spark.range(1000).selectExpr("cast(id as int) a")
+                   .orderBy(F.rand(seed=1)))
+    from cstore_fdw_spark.plans import scan_metrics
+    df = catalog.read("st").filter("a < 10")
+    assert df.count() == 10

@@ -1,0 +1,86 @@
+"""Property-based tests (hypothesis) — beyond the reference's golden-output
+strategy (SURVEY §5 notes it has none): algebraic invariants of the dedup/
+similarity operators and catalog round-trips over generated inputs.
+
+Spark-session work is expensive per example, so examples are capped and
+the properties run the cheap pure-Python/driver-side parts where possible.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+SLOW = settings(max_examples=8, deadline=None,
+                suppress_health_check=[HealthCheck.function_scoped_fixture])
+
+
+token = st.text(alphabet="abcdefg", min_size=1, max_size=4)
+doc = st.lists(token, min_size=1, max_size=30).map(" ".join)
+
+
+@SLOW
+@given(st.lists(doc, min_size=2, max_size=6, unique=True))
+def test_token_jaccard_properties(spark, docs):
+    """Jaccard pairs: symmetric encoding (a<b), sim ∈ (0,1], and
+    self-similarity of a duplicated doc is exactly 1."""
+    rows = [(i, d, "xx") for i, d in enumerate(docs)]
+    rows.append((len(docs), docs[0], "xx"))  # exact duplicate of doc 0
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    tok = (df.select("doc_id", "lang",
+                     F.explode(F.split("text", " ")).alias("token"))
+           .distinct())
+    sizes = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = tok.alias("a"), tok.alias("b")
+    pairs = (a.join(b, (F.col("a.token") == F.col("b.token"))
+                    & (F.col("a.doc_id") < F.col("b.doc_id")))
+             .groupBy(F.col("a.doc_id").alias("da"),
+                      F.col("b.doc_id").alias("db"))
+             .agg(F.count(F.lit(1)).alias("common")))
+    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    out = (pairs.join(sa, F.col("sa.doc_id") == F.col("da"))
+           .join(sb, F.col("sb.doc_id") == F.col("db"))
+           .select("da", "db",
+                   (F.col("common")
+                    / (F.col("sa.n") + F.col("sb.n") - F.col("common")))
+                   .alias("j")).collect())
+    assert all(r.da < r.db for r in out)
+    assert all(0 < r.j <= 1 for r in out)
+    dup = [r for r in out if r.da == 0 and r.db == len(docs)]
+    assert dup and abs(dup[0].j - 1.0) < 1e-12
+
+
+@SLOW
+@given(st.lists(st.integers(min_value=-2**31, max_value=2**31 - 1),
+                min_size=0, max_size=50))
+def test_catalog_roundtrip_ints(spark, tmp_path_factory, xs):
+    """Any list of int32s survives a managed-table write/read unchanged."""
+    from cstore_fdw_spark.catalog import CStoreCatalog
+    cat = CStoreCatalog(spark, warehouse=str(
+        tmp_path_factory.mktemp("prop_wh")))
+    cat.create_table("t", "a int")
+    if xs:
+        cat.insert("t", spark.createDataFrame([(x,) for x in xs], "a int"))
+    got = sorted(r.a for r in cat.read("t").collect())
+    assert got == sorted(xs)
+    cat.drop_table("t")
+
+
+@SLOW
+@given(st.lists(st.floats(min_value=-1, max_value=1, allow_nan=False,
+                          width=32), min_size=4, max_size=16),
+       st.lists(st.floats(min_value=-1, max_value=1, allow_nan=False,
+                          width=32), min_size=4, max_size=16))
+def test_cosine_bounds_and_symmetry(spark, va, vb):
+    """Engine cosine: |cos| ≤ 1 (+ε) and symmetric under argument swap."""
+    from cstore_fdw_spark.operators.similarity import cosine
+    n = min(len(va), len(vb))
+    va, vb = va[:n], vb[:n]
+    if all(abs(x) < 1e-6 for x in va) or all(abs(x) < 1e-6 for x in vb):
+        return  # zero vectors: cosine undefined
+    df = spark.createDataFrame([(va, vb)], "x array<float>, y array<float>")
+    r = df.select(cosine(F.col("x"), F.col("y")).alias("c1"),
+                  cosine(F.col("y"), F.col("x")).alias("c2")).collect()[0]
+    assert abs(r.c1) <= 1.0 + 1e-9
+    assert r.c1 == r.c2

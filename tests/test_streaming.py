@@ -43,3 +43,28 @@ def test_streaming_is_actually_streaming(spark, sf_dir):
     stream = se.read_events_stream(spark, sf_dir)
     assert stream.isStreaming
     assert se.tumbling_counts(stream).isStreaming
+
+
+def test_stream_into_managed_table(spark, sf_dir, tmp_path, catalog):
+    """Streaming ingestion: events stream → managed columnar table; rows
+    land as appended stripes and are queryable mid-pipeline."""
+    from cstore_fdw_spark.streaming.ingest import stream_into_table
+
+    catalog.create_table(
+        "events_ingested",
+        "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+        "value double, props string")
+    stream = se.read_events_stream(spark, sf_dir)
+    q = stream_into_table(catalog, "events_ingested", stream,
+                          checkpoint=str(tmp_path / "ckpt"),
+                          trigger_available_now=True)
+    q.awaitTermination(120)
+    n_src = table(spark, sf_dir, "events").count()
+    assert catalog.row_count("events_ingested") == n_src
+    # restart with same checkpoint: no duplicate appends (exactly-once)
+    stream2 = se.read_events_stream(spark, sf_dir)
+    q2 = stream_into_table(catalog, "events_ingested", stream2,
+                           checkpoint=str(tmp_path / "ckpt"),
+                           trigger_available_now=True)
+    q2.awaitTermination(120)
+    assert catalog.row_count("events_ingested") == n_src
