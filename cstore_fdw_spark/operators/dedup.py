@@ -152,27 +152,50 @@ ROWS_PER_BAND = N_HASHES // N_BANDS
 SHINGLE_K = 3
 
 
-def _doc_shingles(spark, sf_dir) -> DataFrame:
-    """(doc_id, shingle) distinct k-word shingles, built JVM-side with a
-    higher-order transform (no Python UDF in the hot path)."""
+#: `transform(array(expr), x -> body)[0]` binds expr to a lambda variable,
+#: forcing ONE evaluation per row — without it, ProjectCollapse re-inlines
+#: the split() into every shingle position (O(doc_len²) work per doc).
+_SHINGLE_ARR = (
+    "transform(array(split(text, ' ')), toks ->"
+    " array_distinct(filter(transform("
+    "   sequence(1, greatest(size(toks) - {k1}, 1)),"
+    "   i -> concat_ws(' ', slice(toks, i, {k}))), s -> s <> '')))[0]"
+).format(k1=SHINGLE_K - 1, k=SHINGLE_K)
+
+
+def _doc_shingle_arrays(spark, sf_dir) -> DataFrame:
+    """(doc_id, shingles: array<string>) — distinct k-word shingles per
+    doc as a pure JVM-side projection (no Python UDF, no shuffle)."""
     d = table(spark, sf_dir, "documents")
-    return (d.select(
-            "doc_id",
-            F.explode(F.expr(
-                f"transform(sequence(1, greatest(size(split(text, ' ')) - {SHINGLE_K - 1}, 1)),"
-                f" i -> concat_ws(' ', slice(split(text, ' '), i, {SHINGLE_K})))"))
-            .alias("shingle"))
-            .filter(F.col("shingle") != "")
-            .distinct())
+    return d.select("doc_id", F.expr(_SHINGLE_ARR).alias("shingles"))
 
 
-def minhash_signatures(shingles: DataFrame) -> DataFrame:
-    """(doc_id, sig_0..sig_{N-1}): one groupBy computing all N min-hashes —
-    a single shuffle regardless of N (reference-free design; MinHash per
-    Broder '97, banding per MMDS ch.3)."""
-    aggs = [F.min(F.xxhash64("shingle", F.lit(i))).alias(f"sig_{i}")
-            for i in range(N_HASHES)]
-    return shingles.groupBy("doc_id").agg(*aggs)
+def _doc_shingles(spark, sf_dir) -> DataFrame:
+    """(doc_id, shingle) exploded distinct shingles."""
+    return (_doc_shingle_arrays(spark, sf_dir)
+            .select("doc_id", F.explode("shingles").alias("shingle")))
+
+
+#: signature fold: per shingle compute all N hashes, then element-wise min
+#: across shingles — ONE traversal of the shingle array per row, no shuffle
+#: (the naive explode→groupBy formulation shuffles the entire shingle set;
+#: at 100 TB that's the difference between a map-only stage and a terabyte
+#: exchange). MinHash per Broder '97, banding per MMDS ch.3.
+_SIG_ARR = (
+    "aggregate("
+    "  transform(shingles, s -> transform(sequence(0, {n1}), i -> xxhash64(s, i))),"
+    "  array_repeat(9223372036854775807L, {n}),"
+    "  (acc, h) -> zip_with(acc, h, (a, b) -> least(a, b)))"
+).format(n1=N_HASHES - 1, n=N_HASHES)
+
+
+def minhash_signatures(docs_with_shingles: DataFrame) -> DataFrame:
+    """(doc_id, n_sh, sigs: array<bigint>[N]) — pure projection, the whole
+    signature is one fused expression so the shingle array is built and
+    traversed exactly once per row."""
+    return docs_with_shingles.select(
+        "doc_id", F.size("shingles").alias("n_sh"),
+        F.expr(_SIG_ARR).alias("sigs"))
 
 
 @register("dedup_minhash_lsh", category="dedup", bench=True)
@@ -186,16 +209,18 @@ def dedup_minhash_lsh(spark, sf_dir):
     xxhash64-specific (engine hash functions differ); the exact-Jaccard
     twin (dedup_token_jaccard) is the correctness anchor.
     Output: (doc_a, doc_b, n_common_bands, jaccard)."""
-    shingles = _doc_shingles(spark, sf_dir)
-    sig = minhash_signatures(shingles)
-    band_cols = [
-        F.struct(F.lit(b).alias("band"),
-                 F.xxhash64(*[f"sig_{b * ROWS_PER_BAND + r}"
-                              for r in range(ROWS_PER_BAND)]).alias("bh"))
-        for b in range(N_BANDS)]
-    bands = (sig.select("doc_id", F.explode(F.array(*band_cols)).alias("k"))
-             .select("doc_id", F.col("k.band").alias("band"),
-                     F.col("k.bh").alias("bh")))
+    sig = minhash_signatures(_doc_shingle_arrays(spark, sf_dir))
+    # band keys: hash each ROWS_PER_BAND-slice of the signature array; the
+    # generator's child is evaluated once per row, so `sigs` is not
+    # recomputed per band
+    bands = (sig.select(
+        "doc_id",
+        F.posexplode(F.expr(
+            f"transform(sequence(0, {N_BANDS - 1}),"
+            f" b -> xxhash64(slice(sigs, b * {ROWS_PER_BAND} + 1,"
+            f" {ROWS_PER_BAND})))")))
+        .select("doc_id", F.col("pos").alias("band"),
+                F.col("col").alias("bh")))
     a = bands.alias("a")
     b = bands.alias("b")
     candidates = (a.join(b, (F.col("a.band") == F.col("b.band"))
@@ -207,7 +232,8 @@ def dedup_minhash_lsh(spark, sf_dir):
     # exact verification restricted to candidates: expand each candidate
     # pair by doc_a's shingles, then probe doc_b's shingle set — cost is
     # O(candidates × shingles-per-doc), never the all-pairs shingle join
-    sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    sizes = sig.select("doc_id", "n_sh")
+    shingles = _doc_shingles(spark, sf_dir)
     sh_a = (shingles.withColumnRenamed("doc_id", "doc_a")
             .withColumnRenamed("shingle", "sh"))
     sh_b = (shingles.withColumnRenamed("doc_id", "doc_b")

@@ -202,14 +202,24 @@ def text_winnow_fingerprint(spark, sf_dir):
     transform. xxhash64-based → rows-only gate.
     Output: (doc_id, n_fingerprints, min_fp, max_fp)."""
     d = table(spark, sf_dir, "documents")
-    # winnow: min over each sliding window of W consecutive gram hashes
-    fps = F.expr(
-        f"array_distinct(transform(sequence(1, greatest(size({{g}}) - {WINNOW_W - 1}, 1)),"
-        f" j -> array_min(slice({{g}}, j, {WINNOW_W}))))".replace(
-            "{g}", f"transform(sequence(1, greatest(length(text) - {WINNOW_K - 1}, 1)),"
-                   f" i -> xxhash64(substring(text, i, {WINNOW_K})))"))
-    return d.select(
-        "doc_id",
-        F.size(fps).cast("long").alias("n_fingerprints"),
-        F.array_min(fps).alias("min_fp"),
-        F.array_max(fps).alias("max_fp"))
+    # the whole fingerprint is ONE fused expression: gram hashes bound to a
+    # lambda variable (evaluated once per row — without the binding,
+    # ProjectCollapse would re-inline the gram transform into every window
+    # position, O(len²)), then window-mins, then a stats struct so the
+    # three output columns share one evaluation.
+    grams = (f"transform(sequence(1, greatest(length(text) - {WINNOW_K - 1}, 1)),"
+             f" i -> xxhash64(substring(text, i, {WINNOW_K})))")
+    stats = F.expr(
+        f"transform(array({grams}), g ->"
+        f" transform(array(array_distinct("
+        f"   transform(sequence(1, greatest(size(g) - {WINNOW_W - 1}, 1)),"
+        f"     j -> array_min(slice(g, j, {WINNOW_W}))))),"
+        f"  fps -> struct(size(fps) AS n, array_min(fps) AS mn,"
+        f"                array_max(fps) AS mx))[0])[0]")
+    # inline() is a generator → its child evaluates once per row, so the
+    # three outputs don't re-trigger the fingerprint computation
+    return (d.select("doc_id", F.inline(F.array(stats)))
+            .select("doc_id",
+                    F.col("n").cast("long").alias("n_fingerprints"),
+                    F.col("mn").alias("min_fp"),
+                    F.col("mx").alias("max_fp")))
