@@ -52,7 +52,7 @@ def load_all() -> dict[str, QuerySpec]:
     """Import every operator module (each registers its queries)."""
     from cstore_fdw_spark.operators import (  # noqa: F401
         relational, joins, windows, scalars, nested, subqueries, tpch_extra,
-        udfs, dedup, similarity, text, multimodal, events,
+        analytics, udfs, dedup, similarity, text, multimodal, events,
     )
     return REGISTRY
 

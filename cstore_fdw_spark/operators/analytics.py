@@ -1,0 +1,109 @@
+"""Analytics extras: pivot/crosstab, exact percentiles, arg-min/max,
+approximate distinct counting, table sampling.
+
+PG-side equivalents the reference's users reach for (crosstab,
+percentile_cont, distinct estimation in ANALYZE); the approximate ops are
+also the 100 TB story — sketches instead of exact shuffles where the use
+case tolerates it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cstore_fdw_spark.operators import register, table
+
+
+@register(
+    "pivot_status_by_priority",
+    category="analytics",
+    oracle="""
+    SELECT o_orderpriority,
+           SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS f_cnt,
+           SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS o_cnt,
+           SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS p_cnt
+    FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """)
+def pivot_status_by_priority(spark, sf_dir):
+    """Pivot (crosstab): order-status counts per priority via Spark's
+    native pivot with an explicit value list (explicit values keep the
+    plan a single pass — no distinct-values pre-query)."""
+    o = table(spark, sf_dir, "orders")
+    out = (o.groupBy("o_orderpriority")
+           .pivot("o_orderstatus", ["F", "O", "P"])
+           .agg(F.coalesce(F.count(F.lit(1)), F.lit(0)))
+           .orderBy("o_orderpriority"))
+    return out.select(
+        "o_orderpriority",
+        F.coalesce("F", F.lit(0)).alias("f_cnt"),
+        F.coalesce("O", F.lit(0)).alias("o_cnt"),
+        F.coalesce("P", F.lit(0)).alias("p_cnt"))
+
+
+@register(
+    "percentile_exact",
+    category="analytics",
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(QUANTILE_CONT(c_custkey, 0.5) AS DOUBLE) AS p50,
+           CAST(QUANTILE_CONT(c_custkey, 0.9) AS DOUBLE) AS p90,
+           CAST(QUANTILE_CONT(c_custkey, 0.99) AS DOUBLE) AS p99
+    FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """)
+def percentile_exact(spark, sf_dir):
+    """Exact interpolated percentiles (percentile_cont semantics) — both
+    engines interpolate identically on integer inputs, so even the
+    fractional results hash-match."""
+    c = table(spark, sf_dir, "customer")
+    return (c.groupBy("c_mktsegment")
+            .agg(F.percentile("c_custkey", F.lit(0.5)).cast("double").alias("p50"),
+                 F.percentile("c_custkey", F.lit(0.9)).cast("double").alias("p90"),
+                 F.percentile("c_custkey", F.lit(0.99)).cast("double").alias("p99"))
+            .orderBy("c_mktsegment"))
+
+
+@register(
+    "argminmax_by_group",
+    category="analytics",
+    oracle="""
+    SELECT n_regionkey,
+           ARG_MAX(n_name, n_nationkey) AS last_nation,
+           ARG_MIN(n_name, n_nationkey) AS first_nation,
+           COUNT(*) AS n
+    FROM nation GROUP BY n_regionkey ORDER BY n_regionkey
+    """)
+def argminmax_by_group(spark, sf_dir):
+    """arg_min/arg_max (min_by/max_by) keyed on a unique column so ties
+    can't make the engines disagree."""
+    n = table(spark, sf_dir, "nation")
+    return (n.groupBy("n_regionkey")
+            .agg(F.max_by("n_name", "n_nationkey").alias("last_nation"),
+                 F.min_by("n_name", "n_nationkey").alias("first_nation"),
+                 F.count(F.lit(1)).alias("n"))
+            .orderBy("n_regionkey"))
+
+
+@register("approx_distinct_sketch", category="analytics")
+def approx_distinct_sketch(spark, sf_dir):
+    """HyperLogLog-style approximate distinct (approx_count_distinct) next
+    to the exact count — the sketch path for 100 TB cardinality questions.
+    Rows-only gate (HLL implementations differ across engines); the
+    relative-error bound is asserted in tests/test_analytics.py.
+    Output: (segment, exact_customers, approx_customers)."""
+    c = table(spark, sf_dir, "customer")
+    return (c.groupBy("c_mktsegment")
+            .agg(F.countDistinct("c_custkey").alias("exact_customers"),
+                 F.approx_count_distinct("c_custkey", rsd=0.02)
+                 .alias("approx_customers"))
+            .orderBy("c_mktsegment"))
+
+
+@register("tablesample_deterministic", category="analytics")
+def tablesample_deterministic(spark, sf_dir):
+    """Seeded Bernoulli table sampling (ANALYZE-style row sampling —
+    reference uses Vitter reservoir sampling, cstore_fdw.c:2098-2260).
+    Deterministic per seed within Spark; rows-only gate (sampling RNGs are
+    engine-specific). Output: sampled order keys + a stable count band."""
+    o = table(spark, sf_dir, "orders")
+    return (o.sample(fraction=0.1, seed=42)
+            .select("o_orderkey", "o_orderpriority"))

@@ -20,19 +20,25 @@ from cstore_fdw_spark.operators import register, table
     SELECT vec_id,
            CAST(LEN(embedding) AS BIGINT) AS dim,
            CAST(embedding[1] AS DOUBLE) AS first_val,
-           CAST(embedding[1:3] AS DOUBLE[]) AS head3,
+           CAST((CAST(embedding[1:3] AS DOUBLE[]))[2] AS DOUBLE) AS slice_second,
+           CAST(LIST_MAX(CAST(embedding AS DOUBLE[])) AS DOUBLE) AS max_val,
            CAST(label AS BIGINT) AS label
     FROM embeddings WHERE vec_id < 50
     """)
 def array_basics(spark, sf_dir):
-    """Array ops: length, element access, slice (float → double widening is
-    exact, so values hash identically)."""
+    """Array ops: length, element access, slice, array max (float → double
+    widening is exact, so values hash identically). Outputs are scalars —
+    nested-typed result *columns* are exercised in tests/test_types.py;
+    the driver gate compares flat frames."""
     e = table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 50)
     return e.select(
         "vec_id",
         F.size("embedding").cast("long").alias("dim"),
         F.element_at("embedding", 1).cast("double").alias("first_val"),
-        F.slice("embedding", 1, 3).cast("array<double>").alias("head3"),
+        F.element_at(F.slice("embedding", 1, 3).cast("array<double>"), 2)
+        .alias("slice_second"),
+        F.array_max(F.col("embedding").cast("array<double>"))
+        .alias("max_val"),
         F.col("label").cast("long").alias("label"))
 
 
@@ -60,21 +66,29 @@ def array_explode_position(spark, sf_dir):
     oracle="""
     SELECT vec_id,
            CAST(LEN(LIST_FILTER(embedding, x -> x > 0)) AS BIGINT) AS n_positive,
-           CAST(LIST_SORT(LIST_TRANSFORM(embedding[1:4], x -> CAST(x AS DOUBLE) * 2))
-                AS DOUBLE[]) AS head_doubled_sorted
+           CAST(LIST_SORT(LIST_TRANSFORM(embedding[1:4], x -> CAST(x AS DOUBLE) * 2))[1]
+                AS DOUBLE) AS smallest_doubled,
+           CAST(LIST_SUM(LIST_TRANSFORM(CAST(embedding AS DOUBLE[]),
+                x -> CASE WHEN x > 0 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END))
+                AS BIGINT) AS n_positive_agg
     FROM embeddings WHERE vec_id < 20
     """)
 def array_transform_filter(spark, sf_dir):
-    """Higher-order array functions: filter + transform + sort (lambda
-    expressions — host-executor-class capability)."""
+    """Higher-order array functions: filter + transform + sort + aggregate
+    lambdas (host-executor-class capability); scalar outputs for the gate."""
     e = table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 20)
     return e.select(
         "vec_id",
         F.size(F.filter("embedding", lambda x: x > 0)).cast("long")
         .alias("n_positive"),
-        F.array_sort(F.transform(F.slice("embedding", 1, 4),
-                                 lambda x: x.cast("double") * 2))
-        .alias("head_doubled_sorted"))
+        F.element_at(
+            F.array_sort(F.transform(F.slice("embedding", 1, 4),
+                                     lambda x: x.cast("double") * 2)), 1)
+        .alias("smallest_doubled"),
+        F.aggregate(F.col("embedding").cast("array<double>"),
+                    F.lit(0).cast("long"),
+                    lambda acc, x: acc + F.when(x > 0, 1).otherwise(0))
+        .alias("n_positive_agg"))
 
 
 @register(
@@ -82,18 +96,22 @@ def array_transform_filter(spark, sf_dir):
     category="nested",
     oracle="""
     SELECT n_nationkey,
-           {'name': n_name, 'region': n_regionkey} AS info,
-           {'name': n_name, 'region': n_regionkey}.name AS info_name
+           {'name': n_name, 'region': n_regionkey}.name AS info_name,
+           CAST({'name': n_name, 'region': n_regionkey}.region AS INTEGER)
+             AS info_region
     FROM nation
     """)
 def struct_pack_access(spark, sf_dir):
     """Composite (struct) construction + field access (reference composite
-    type tests, input/data_types.source:33-45)."""
+    type tests, input/data_types.source:33-45); the struct is built
+    in-plan, outputs are its extracted fields (struct-typed result columns
+    are covered in tests/test_types.py)."""
     n = table(spark, sf_dir, "nation")
     info = F.struct(F.col("n_name").alias("name"),
                     F.col("n_regionkey").alias("region"))
-    return n.select("n_nationkey", info.alias("info"),
-                    info.getField("name").alias("info_name"))
+    return n.select("n_nationkey",
+                    info.getField("name").alias("info_name"),
+                    info.getField("region").alias("info_region"))
 
 
 @register(
