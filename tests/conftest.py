@@ -14,8 +14,11 @@ SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 
 @pytest.fixture(scope="session")
 def spark():
+    import tempfile
     spark = get_spark(app_name="cstore_fdw_spark-tests",
-                      master=f"local[{os.environ.get('SPARK_GRAFT_CPUS', '8')}]")
+                      master=f"local[{os.environ.get('SPARK_GRAFT_CPUS', '8')}]",
+                      extra_confs={"spark.sql.warehouse.dir":
+                                   tempfile.mkdtemp(prefix="spark_wh_")})
     yield spark
 
 

@@ -6,6 +6,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from cstore_fdw_spark.operators import load_all, table
+from pyspark.sql import functions as F
 from cstore_fdw_spark.streaming import events as se
 
 REGISTRY = load_all()
@@ -68,3 +69,27 @@ def test_stream_into_managed_table(spark, sf_dir, tmp_path, catalog):
                            trigger_available_now=True)
     q2.awaitTermination(120)
     assert catalog.row_count("events_ingested") == n_src
+
+
+def test_stateful_running_spend(spark, sf_dir, tmp_path):
+    """applyInPandasWithState custom operator: final per-user totals must
+    equal the batch aggregate over the same events."""
+    from cstore_fdw_spark.streaming.stateful import running_spend
+
+    stream = se.read_events_stream(spark, sf_dir)
+    out = running_spend(stream)
+    assert out.isStreaming
+    q = (out.writeStream.format("memory").queryName("t_spend")
+         .outputMode("update")
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    # last update per user == batch totals
+    got = {r.user_id: (r.event_count, round(r.total_value, 6))
+           for r in spark.table("t_spend").collect()}
+    want = {r.user_id: (r.n, round(r.total, 6))
+            for r in table(spark, sf_dir, "events")
+            .groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total"))
+            .collect()}
+    assert got == want
