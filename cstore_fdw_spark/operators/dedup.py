@@ -209,7 +209,12 @@ def dedup_minhash_lsh(spark, sf_dir):
     xxhash64-specific (engine hash functions differ); the exact-Jaccard
     twin (dedup_token_jaccard) is the correctness anchor.
     Output: (doc_a, doc_b, n_common_bands, jaccard)."""
-    sig = minhash_signatures(_doc_shingle_arrays(spark, sf_dir))
+    # signatures and shingles each feed multiple joins: localCheckpoint
+    # materializes them once (5000 narrow rows here; at cluster scale this
+    # is the standard persist-the-signature-table step) instead of
+    # re-deriving the expensive projections on every join branch
+    sig = (minhash_signatures(_doc_shingle_arrays(spark, sf_dir))
+           .localCheckpoint(eager=False))
     # band keys: hash each ROWS_PER_BAND-slice of the signature array; the
     # generator's child is evaluated once per row, so `sigs` is not
     # recomputed per band
@@ -233,7 +238,7 @@ def dedup_minhash_lsh(spark, sf_dir):
     # pair by doc_a's shingles, then probe doc_b's shingle set — cost is
     # O(candidates × shingles-per-doc), never the all-pairs shingle join
     sizes = sig.select("doc_id", "n_sh")
-    shingles = _doc_shingles(spark, sf_dir)
+    shingles = _doc_shingles(spark, sf_dir).localCheckpoint(eager=False)
     sh_a = (shingles.withColumnRenamed("doc_id", "doc_a")
             .withColumnRenamed("shingle", "sh"))
     sh_b = (shingles.withColumnRenamed("doc_id", "doc_b")
