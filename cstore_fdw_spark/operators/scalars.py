@@ -81,7 +81,7 @@ def string_agg_sorted(spark, sf_dir):
            CAST(FLOOR(p_retailprice) AS BIGINT) AS price_floor,
            SQRT(CAST(p_size AS DOUBLE)) AS size_sqrt,
            p_size % 7 AS size_mod,
-           SIGN(p_size - 25) AS size_sign,
+           CAST(SIGN(p_size - 25) AS BIGINT) AS size_sign,
            CAST(p_retailprice * p_size AS DOUBLE) AS extended
     FROM part WHERE p_partkey < 500
     """)
@@ -97,7 +97,7 @@ def math_functions(spark, sf_dir):
         F.floor("p_retailprice").alias("price_floor"),
         F.sqrt(F.col("p_size").cast("double")).alias("size_sqrt"),
         (F.col("p_size") % 7).alias("size_mod"),
-        F.signum(F.col("p_size") - 25).alias("size_sign"),
+        F.signum(F.col("p_size") - 25).cast("long").alias("size_sign"),
         (F.col("p_retailprice") * F.col("p_size")).cast("double")
         .alias("extended"))
 

@@ -46,8 +46,8 @@ _ORACLE_COS = """
     SELECT query_id, neighbor_id, rank, cos FROM (
       SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
              {_ORACLE_COS} AS cos,
-             ROW_NUMBER() OVER (PARTITION BY a.vec_id
-                                ORDER BY {_ORACLE_COS} DESC, b.vec_id) AS rank
+             CAST(ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                                ORDER BY {_ORACLE_COS} DESC, b.vec_id) AS BIGINT) AS rank
       FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
       WHERE a.vec_id < {N_QUERIES}) t
     WHERE rank <= {TOP_K}
@@ -71,7 +71,7 @@ def ann_cosine_topk(spark, sf_dir):
     cos = dot(F.col("qvec"), F.col("cvec")) / (F.col("qnorm") * F.col("cnorm"))
     return (c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
             .select("query_id", "neighbor_id", cos.alias("cos"))
-            .withColumn("rank", F.row_number().over(w))
+            .withColumn("rank", F.row_number().over(w).cast("long"))
             .filter(F.col("rank") <= TOP_K)
             .select("query_id", "neighbor_id", "rank", "cos"))
 
@@ -192,6 +192,6 @@ def ann_lsh_bucketed(spark, sf_dir):
                                                "neighbor_id")
     cos = dot(F.col("qvec"), F.col("cvec")) / (F.col("qnorm") * F.col("cnorm"))
     return (cand.select("query_id", "neighbor_id", cos.alias("cos"))
-            .withColumn("rank", F.row_number().over(w))
+            .withColumn("rank", F.row_number().over(w).cast("long"))
             .filter(F.col("rank") <= TOP_K)
             .select("query_id", "neighbor_id", "rank", "cos"))

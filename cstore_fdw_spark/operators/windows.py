@@ -21,8 +21,8 @@ from cstore_fdw_spark.operators.relational import dec, to_dbl
     oracle="""
     SELECT o_orderpriority, o_orderkey, o_totalprice, rn FROM (
       SELECT o_orderpriority, o_orderkey, o_totalprice,
-             ROW_NUMBER() OVER (PARTITION BY o_orderpriority
-                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+             CAST(ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn
       FROM orders) t
     WHERE rn <= 3
     """)
@@ -32,7 +32,7 @@ def window_topk_per_group(spark, sf_dir):
          .orderBy(F.col("o_totalprice").desc(), "o_orderkey"))
     return (table(spark, sf_dir, "orders")
             .select("o_orderpriority", "o_orderkey", "o_totalprice",
-                    F.row_number().over(w).alias("rn"))
+                    F.row_number().over(w).cast("long").alias("rn"))
             .filter(F.col("rn") <= 3))
 
 
@@ -41,8 +41,8 @@ def window_topk_per_group(spark, sf_dir):
     category="window",
     oracle="""
     SELECT c_nationkey, c_custkey, c_acctbal,
-           RANK()       OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC) AS rnk,
-           DENSE_RANK() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC) AS drnk
+           CAST(RANK() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC) AS BIGINT) AS rnk,
+           CAST(DENSE_RANK() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC) AS BIGINT) AS drnk
     FROM customer
     """)
 def window_rank_dense(spark, sf_dir):
@@ -51,8 +51,8 @@ def window_rank_dense(spark, sf_dir):
     w = Window.partitionBy("c_nationkey").orderBy(F.col("c_acctbal").desc())
     return (table(spark, sf_dir, "customer")
             .select("c_nationkey", "c_custkey", "c_acctbal",
-                    F.rank().over(w).alias("rnk"),
-                    F.dense_rank().over(w).alias("drnk")))
+                    F.rank().over(w).cast("long").alias("rnk"),
+                    F.dense_rank().over(w).cast("long").alias("drnk")))
 
 
 @register(
@@ -122,8 +122,8 @@ def window_range_frame(spark, sf_dir):
     category="window",
     oracle="""
     SELECT c_custkey, c_mktsegment,
-           NTILE(4)       OVER (PARTITION BY c_mktsegment
-                                ORDER BY c_acctbal, c_custkey) AS quartile,
+           CAST(NTILE(4) OVER (PARTITION BY c_mktsegment
+                                ORDER BY c_acctbal, c_custkey) AS BIGINT) AS quartile,
            CAST(PERCENT_RANK() OVER (PARTITION BY c_mktsegment
                                 ORDER BY c_acctbal, c_custkey) AS DOUBLE) AS pct_rank,
            CAST(CUME_DIST() OVER (PARTITION BY c_mktsegment
@@ -136,7 +136,7 @@ def window_distribution(spark, sf_dir):
     w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
     return (table(spark, sf_dir, "customer")
             .select("c_custkey", "c_mktsegment",
-                    F.ntile(4).over(w).alias("quartile"),
+                    F.ntile(4).over(w).cast("long").alias("quartile"),
                     F.percent_rank().over(w).cast("double").alias("pct_rank"),
                     F.cume_dist().over(w).cast("double").alias("cume")))
 

@@ -55,6 +55,22 @@ def rows_multiset(cols, rows):
         key=lambda r: tuple(str(x) for x in r))
 
 
+#: duckdb type name → normalized; spark simpleString → normalized
+_DUCK_TYPES = {"BIGINT": "bigint", "INTEGER": "int", "DOUBLE": "double",
+               "FLOAT": "float", "VARCHAR": "string", "BOOLEAN": "boolean",
+               "TIMESTAMP": "timestamp", "DATE": "date", "SMALLINT": "smallint",
+               "HUGEINT": "bigint", "UBIGINT": "bigint"}
+_SPARK_TYPES = {"timestamp_ntz": "timestamp"}
+
+
+def _norm_duck(t: str) -> str:
+    return _DUCK_TYPES.get(str(t), str(t).lower())
+
+
+def _norm_spark(t: str) -> str:
+    return _SPARK_TYPES.get(t, t)
+
+
 @pytest.mark.parametrize("name", ORACLE_CASES)
 def test_matches_oracle(spark, duck, name):
     spec = REGISTRY[name]
@@ -68,6 +84,10 @@ def test_matches_oracle(spark, duck, name):
 
     assert [c.lower() for c in scols] == [c.lower() for c in dcols], \
         f"{name}: column mismatch spark={scols} duck={dcols}"
+    stypes = [_norm_spark(t) for _c, t in sdf.dtypes]
+    dtypes = [_norm_duck(t) for t in dres.types]
+    assert stypes == dtypes, \
+        f"{name}: dtype mismatch spark={stypes} duck={dtypes}"
     assert len(srows) == len(drows), \
         f"{name}: row count spark={len(srows)} duck={len(drows)}"
     sm, dm = rows_multiset(scols, srows), rows_multiset(dcols, drows)
