@@ -20,7 +20,7 @@ Determinism conventions (required for oracle hash-parity):
 from __future__ import annotations
 
 from collections.abc import Callable
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 

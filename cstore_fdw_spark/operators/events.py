@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from cstore_fdw_spark.operators import register, table
-from cstore_fdw_spark.operators.relational import _dbl, dec, dsum, to_dbl
+from cstore_fdw_spark.operators.relational import _dbl, dsum, to_dbl
 
 SESSION_GAP_MIN = 30
 

@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from cstore_fdw_spark.operators import register, table
-from cstore_fdw_spark.operators.relational import dec, to_dbl
+from cstore_fdw_spark.operators.relational import dec
 
 
 @register(

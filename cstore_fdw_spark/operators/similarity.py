@@ -9,8 +9,9 @@ so even raw cosine values hash-match the oracle.
 
 from __future__ import annotations
 
+import hashlib
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, functions as F
 from pyspark.sql.window import Window
 
 from cstore_fdw_spark.operators import register, table
@@ -111,9 +112,6 @@ def cosine_pairs_threshold(spark, sf_dir):
 LSH_BITS = 6
 LSH_TABLES = 6
 DIM = 64
-
-
-import hashlib
 
 
 def _plane_matrix():

@@ -14,7 +14,6 @@ multi-supplier wait analysis (Q21), and prefix cohorts with anti join
 from __future__ import annotations
 
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 from cstore_fdw_spark.operators import register, table
 from cstore_fdw_spark.operators.relational import D, _dbl, dec, dsum, to_dbl
