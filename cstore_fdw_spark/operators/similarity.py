@@ -193,3 +193,66 @@ def ann_lsh_bucketed(spark, sf_dir):
             .withColumn("rank", F.row_number().over(w).cast("long"))
             .filter(F.col("rank") <= TOP_K)
             .select("query_id", "neighbor_id", "rank", "cos"))
+
+
+# ------------------------------------------------------ IVF ANN (scale alt)
+
+IVF_NLIST = 16    # coarse centroids
+IVF_NPROBE = 3    # probed cells per query
+
+
+@register("ann_ivf_coarse", category="similarity")
+def ann_ivf_coarse(spark, sf_dir):
+    """IVF-style approximate NN: k-means coarse quantizer (pyspark.ml,
+    fixed seed) partitions vectors into nlist cells; each query probes its
+    nprobe nearest centroids and re-ranks exactly within those cells only.
+
+    The other classic ANN scale path next to LSH: candidate count ≈
+    N·nprobe/nlist instead of N. Centroids train on a sample and are tiny
+    (nlist×dim) → broadcast; assignment is one map-side pass. Rows-only
+    gate (centroids are model-specific; ann_cosine_topk is the exact
+    anchor). Output: (query_id, neighbor_id, rank, cos)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    e = table(spark, sf_dir, "embeddings")
+    vecs = e.select("vec_id", "embedding",
+                    array_to_vector(F.col("embedding").cast("array<double>"))
+                    .alias("features"))
+    model = KMeans(k=IVF_NLIST, seed=42, maxIter=5).fit(vecs)
+    assigned = (model.transform(vecs)
+                .select("vec_id", "embedding",
+                        F.col("prediction").alias("cell"),
+                        F.sqrt(dot(F.col("embedding"), F.col("embedding")))
+                        .alias("norm")))
+
+    # query → nprobe nearest centroids (centroid list is tiny: broadcast
+    # as a literal-free cross join + rank)
+    centroids = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        "cell int, centroid array<double>")
+    q = (assigned.filter(F.col("vec_id") < N_QUERIES)
+         .select(F.col("vec_id").alias("query_id"),
+                 F.col("embedding").alias("qvec"),
+                 F.col("norm").alias("qnorm")))
+    wprobe = Window.partitionBy("query_id").orderBy(F.col("cdist").asc(),
+                                                    "cell")
+    probes = (q.crossJoin(F.broadcast(centroids))
+              .select("query_id", "qvec", "qnorm", "cell",
+                      (-dot(F.col("qvec"), F.col("centroid"))).alias("cdist"))
+              .withColumn("pr", F.row_number().over(wprobe))
+              .filter(F.col("pr") <= IVF_NPROBE)
+              .select("query_id", "qvec", "qnorm", "cell"))
+
+    c = assigned.select(F.col("vec_id").alias("neighbor_id"),
+                        F.col("embedding").alias("cvec"),
+                        F.col("norm").alias("cnorm"), "cell")
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(),
+                                               "neighbor_id")
+    cos = dot(F.col("qvec"), F.col("cvec")) / (F.col("qnorm") * F.col("cnorm"))
+    return (c.join(F.broadcast(probes), ["cell"])
+            .filter(F.col("neighbor_id") != F.col("query_id"))
+            .select("query_id", "neighbor_id", cos.alias("cos"))
+            .withColumn("rank", F.row_number().over(w).cast("long"))
+            .filter(F.col("rank") <= TOP_K)
+            .select("query_id", "neighbor_id", "rank", "cos"))
