@@ -65,7 +65,7 @@ def validate_options(options: dict[str, Any]) -> dict[str, Any]:
     """Validate table options; unknown keys and out-of-range values error
     (parity with cstore_fdw_validator, reference cstore_fdw.c:1273-1340)."""
     known = {"compression", "stripe_row_count", "block_row_count", "sort_by",
-             "partition_by"}
+             "partition_by", "storage_format"}
     for key in options:
         if key not in known:
             raise CStoreError(
@@ -88,6 +88,11 @@ def validate_options(options: dict[str, Any]) -> dict[str, Any]:
             f"invalid block row count {brc}; must be in range "
             f"{BLOCK_ROW_COUNT_MIN}..{BLOCK_ROW_COUNT_MAX}")
     out["block_row_count"] = brc
+    fmt = str(out.get("storage_format", "parquet")).lower()
+    if fmt not in ("parquet", "orc"):
+        raise CStoreError(f'invalid storage format "{fmt}"; '
+                          "supported: parquet, orc")
+    out["storage_format"] = fmt
     return out
 
 
@@ -206,8 +211,20 @@ class CStoreCatalog:
             self._save_meta(meta)
 
     # ------------------------------------------------------------- write
+    def _format(self, meta: TableMeta) -> str:
+        return meta.options.get("storage_format", "parquet")
+
     def _writer_options(self, meta: TableMeta) -> dict[str, str]:
         codec = VALID_COMPRESSION[meta.options.get("compression", "pglz")]
+        if self._format(meta) == "orc":
+            # ORC's row-index stride is the block analog (stats every
+            # block_row_count rows, like Parquet page stats)
+            return {
+                "compression": codec if codec != "uncompressed" else "none",
+                "orc.row.index.stride":
+                    str(meta.options.get("block_row_count",
+                                         DEFAULT_BLOCK_ROW_COUNT)),
+            }
         return {
             "compression": codec,
             # block analog: page-level stats every block_row_count rows
@@ -249,7 +266,7 @@ class CStoreCatalog:
         part = meta.options.get("partition_by")
         if part:
             writer = writer.partitionBy(*part.split(","))
-        writer.parquet(self.table_path(name) + "/data")
+        getattr(writer, self._format(meta))(self.table_path(name) + "/data")
 
     # -------------------------------------------------------------- read
     def read(self, name: str) -> DataFrame:
@@ -262,12 +279,14 @@ class CStoreCatalog:
         data unreferenced (column pruning never reads them).
         """
         meta = self._load_meta(name)
+        fmt = self._format(meta)
         target = meta.schema()
         data_path = os.path.join(self.table_path(name), "data")
-        if not _has_parquet(data_path):
+        if not _has_data_files(data_path, fmt):
             return self.spark.createDataFrame([], target)
-        df = self.spark.read.schema(_physical_schema(target, data_path,
-                                                     meta)).parquet(data_path)
+        reader = self.spark.read.schema(
+            _physical_schema(target, data_path, fmt))
+        df = getattr(reader, fmt)(data_path)
         projections = []
         for f_ in target.fields:
             if f_.name in df.columns:
@@ -360,15 +379,17 @@ class CStoreCatalog:
         """A20: exact row count from Parquet footers only — no data read
         (reference sums skip-list rowCounts, cstore_reader.c:400-462)."""
         meta = self._load_meta(name)
+        fmt = self._format(meta)
         data_path = os.path.join(self.table_path(name), "data")
-        if not _has_parquet(data_path):
+        if not _has_data_files(data_path, fmt):
             return 0
         total = 0
-        for root, _dirs, files in os.walk(data_path):
-            for fn in files:
-                if fn.endswith(".parquet"):
-                    total += pq.ParquetFile(
-                        os.path.join(root, fn)).metadata.num_rows
+        for path in _data_files(data_path, fmt):
+            if fmt == "orc":
+                from pyarrow import orc as pa_orc
+                total += pa_orc.ORCFile(path).nrows
+            else:
+                total += pq.ParquetFile(path).metadata.num_rows
         return total
 
     def analyze(self, name: str) -> dict[str, Any]:
@@ -397,29 +418,39 @@ class CStoreCatalog:
         return stats
 
 
-def _has_parquet(path: str) -> bool:
+def _data_files(path: str, fmt: str):
+    suffix = f".{fmt}"
+    for root, _dirs, files in os.walk(path):
+        for fn in files:
+            if fn.endswith(suffix) or (fmt == "orc" and fn.endswith(".orc")):
+                yield os.path.join(root, fn)
+
+
+def _has_data_files(path: str, fmt: str) -> bool:
     if not os.path.isdir(path):
         return False
-    for _root, _dirs, files in os.walk(path):
-        if any(f.endswith(".parquet") for f in files):
-            return True
-    return False
+    return next(iter(_data_files(path, fmt)), None) is not None
+
+
+def _file_schema_names(path: str, fmt: str) -> list[str]:
+    if fmt == "orc":
+        from pyarrow import orc as pa_orc
+        return pa_orc.ORCFile(path).schema.names
+    return pq.read_schema(path).names
 
 
 def _physical_schema(target: T.StructType, data_path: str,
-                     meta: TableMeta) -> T.StructType:
-    """Schema to hand the Parquet reader: target columns that physically
+                     fmt: str) -> T.StructType:
+    """Schema to hand the file reader: target columns that physically
     exist in the files (added-but-never-written columns must not be
     requested from the reader)."""
     phys_names: set[str] = set()
-    for root, dirs, files in os.walk(data_path):
+    for root, dirs, _files in os.walk(data_path):
         for d in dirs:
             # hive-style partition directories carry partition columns
             if "=" in d:
                 phys_names.add(d.split("=", 1)[0])
-        for fn in files:
-            if fn.endswith(".parquet"):
-                phys_names.update(
-                    pq.read_schema(os.path.join(root, fn)).names)
+    for path in _data_files(data_path, fmt):
+        phys_names.update(_file_schema_names(path, fmt))
     fields = [f_ for f_ in target.fields if f_.name in phys_names]
     return T.StructType(fields)

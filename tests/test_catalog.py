@@ -171,3 +171,25 @@ def test_sorted_table_option(spark, catalog):
     from cstore_fdw_spark.plans import scan_metrics
     df = catalog.read("st").filter("a < 10")
     assert df.count() == 10
+
+
+def test_orc_storage_format(spark, catalog):
+    # 'Spark SQL over columnar Parquet/ORC' — ORC-backed managed table
+    # with full lifecycle + evolution parity
+    catalog.create_table("orct", "a int, b string",
+                         storage_format="orc", compression="zstd")
+    catalog.insert("orct", spark.createDataFrame(
+        [(1, "x"), (2, "y")], "a int, b string"))
+    assert sorted((r.a, r.b) for r in catalog.read("orct").collect()) == \
+        [(1, "x"), (2, "y")]
+    assert catalog.row_count("orct") == 2
+    assert catalog.table_size("orct") > 0
+    catalog.add_column("orct", "c", "int", default=7)
+    rows = catalog.read("orct").orderBy("a").collect()
+    assert [r.c for r in rows] == [7, 7]
+    catalog.truncate("orct")
+    assert catalog.read("orct").count() == 0
+    import pytest as _pytest
+    from cstore_fdw_spark.catalog import CStoreError as _E
+    with _pytest.raises(_E):
+        catalog.create_table("badfmt", "a int", storage_format="avro")
