@@ -17,7 +17,7 @@ from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
 
-from cstore_fdw_spark.catalog import CStoreCatalog
+from cstore_fdw_spark.catalog import CStoreCatalog, CStoreError
 
 _PG_CSV_OPTS = {
     "header": "false",
@@ -80,3 +80,35 @@ def insert_into_select(catalog: CStoreCatalog, table: str, query: str,
     temp views are registered on the session."""
     spark = spark or catalog.spark
     catalog.insert(table, spark.sql(query))
+
+
+def copy_from_program(catalog: CStoreCatalog, table: str, command: str,
+                      columns: list[str] | None = None,
+                      **csv_options: Any) -> None:
+    """A5 (program form): ``COPY table FROM PROGRAM 'cmd'`` — run a
+    producer command, ingest its stdout as CSV (reference
+    ``input/load.source`` exercises program/STDIN pipes; the reference
+    gates this behind superuser, ``cstore_fdw.c:481-505`` — here it is a
+    plain utility).
+
+    The program output is staged to a temp file and bulk-loaded with the
+    same distributed CSV path as file loads.
+    """
+    import subprocess
+    import tempfile
+
+    with tempfile.NamedTemporaryFile(mode="wb", suffix=".csv",
+                                     delete=False) as tmp:
+        proc = subprocess.run(command, shell=True, stdout=subprocess.PIPE,
+                              stderr=subprocess.PIPE, check=False)
+        if proc.returncode != 0:
+            raise CStoreError(
+                f"program failed (exit {proc.returncode}): "
+                f"{proc.stderr.decode(errors='replace')[:500]}")
+        tmp.write(proc.stdout)
+        staged = tmp.name
+    try:
+        copy_from_csv(catalog, table, staged, columns=columns, **csv_options)
+    finally:
+        import os as _os
+        _os.unlink(staged)

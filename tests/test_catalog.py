@@ -193,3 +193,17 @@ def test_orc_storage_format(spark, catalog):
     from cstore_fdw_spark.catalog import CStoreError as _E
     with _pytest.raises(_E):
         catalog.create_table("badfmt", "a int", storage_format="avro")
+
+
+def test_copy_from_program(spark, catalog):
+    # COPY FROM PROGRAM parity (reference gates it behind superuser;
+    # here a plain utility)
+    from cstore_fdw_spark.io import copy_from_program
+    from cstore_fdw_spark.catalog import CStoreError
+    catalog.create_table("prog", "i int, s string")
+    copy_from_program(catalog, "prog",
+                      "python3 -c \"[print(f'{n},row{n}') for n in range(5)]\"")
+    rows = sorted((r.i, r.s) for r in catalog.read("prog").collect())
+    assert rows == [(n, f"row{n}") for n in range(5)]
+    with pytest.raises(CStoreError, match="program failed"):
+        copy_from_program(catalog, "prog", "false")
