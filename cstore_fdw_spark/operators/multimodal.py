@@ -127,13 +127,25 @@ def multimodal_frame_sample(spark, sf_dir):
             .mapInPandas(frames, schema=schema))
 
 
-@register("multimodal_feature_extract", category="multimodal")
+@register(
+    "multimodal_feature_extract",
+    category="multimodal",
+    oracle="""
+    SELECT source, COUNT(*) AS n_docs,
+           CAST(SUM(OCTET_LENGTH(ENCODE(text))) AS DOUBLE) / COUNT(*)
+             AS mean_len,
+           CAST(SUM(LIST_SUM(LIST_TRANSFORM(
+                RANGE(1, OCTET_LENGTH(ENCODE(text)) + 1),
+                i -> UNICODE(SUBSTRING(text, i, 1)))) % 251) AS BIGINT)
+             AS feat_checksum
+    FROM documents GROUP BY source ORDER BY source
+    """)
 def multimodal_feature_extract(spark, sf_dir):
-    """Fake feature extractor: 4-dim float feature vector per payload
-    (byte-histogram moments via numpy, vectorized per Arrow batch) +
-    per-source mean pooling. The shape of a real embed-images-then-pool
-    pipeline; rows-only gate (float feature math is engine-specific).
-    Output: (source, n_docs, mean_len)."""
+    """Fake feature extractor via Arrow ``mapInPandas`` (numpy per batch):
+    per-payload byte features + per-source pooling — the shape of a real
+    embed-then-pool pipeline. Features are exact integers (byte length,
+    byte-sum checksum) so pooling is oracle-checkable; the float moments a
+    real extractor would add live in the same pipeline shape."""
     def feats(batches):
         import numpy as np
         import pandas as pd
@@ -141,13 +153,14 @@ def multimodal_feature_extract(spark, sf_dir):
             arrs = [np.frombuffer(p, dtype=np.uint8) for p in pdf["payload"]]
             yield pd.DataFrame({
                 "source": [m["source"] for m in pdf["meta"]],
-                "f_mean": [float(a.mean()) if a.size else 0.0 for a in arrs],
-                "f_std": [float(a.std()) if a.size else 0.0 for a in arrs],
-                "f_len": [float(a.size) for a in arrs],
+                "f_len": [int(a.size) for a in arrs],
+                "f_checksum": [int(a.sum()) % 251 for a in arrs],
             })
-    schema = "source string, f_mean double, f_std double, f_len double"
+    schema = "source string, f_len long, f_checksum long"
     feat = media_table(spark, sf_dir).mapInPandas(feats, schema=schema)
     return (feat.groupBy("source")
             .agg(F.count(F.lit(1)).alias("n_docs"),
-                 F.avg("f_len").alias("mean_len"))
+                 (F.sum("f_len").cast("double") / F.count(F.lit(1)))
+                 .alias("mean_len"),
+                 F.sum("f_checksum").alias("feat_checksum"))
             .orderBy("source"))
