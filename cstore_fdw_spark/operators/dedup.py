@@ -163,11 +163,14 @@ _SHINGLE_ARR = (
 ).format(k1=SHINGLE_K - 1, k=SHINGLE_K)
 
 
-def _doc_shingle_arrays(spark, sf_dir) -> DataFrame:
+def shingle_arrays(docs: DataFrame) -> DataFrame:
     """(doc_id, shingles: array<string>) — distinct k-word shingles per
     doc as a pure JVM-side projection (no Python UDF, no shuffle)."""
-    d = table(spark, sf_dir, "documents")
-    return d.select("doc_id", F.expr(_SHINGLE_ARR).alias("shingles"))
+    return docs.select("doc_id", F.expr(_SHINGLE_ARR).alias("shingles"))
+
+
+def _doc_shingle_arrays(spark, sf_dir) -> DataFrame:
+    return shingle_arrays(table(spark, sf_dir, "documents"))
 
 
 def _doc_shingles(spark, sf_dir) -> DataFrame:
@@ -198,23 +201,21 @@ def minhash_signatures(docs_with_shingles: DataFrame) -> DataFrame:
         F.expr(_SIG_ARR).alias("sigs"))
 
 
-@register("dedup_minhash_lsh", category="dedup", bench=True)
-def dedup_minhash_lsh(spark, sf_dir):
-    """MinHash + banded LSH near-dup candidates, verified with the exact
-    shingle-set Jaccard on candidates only — the 100 TB dedup path.
+def minhash_lsh_pairs(docs: DataFrame) -> DataFrame:
+    """MinHash + banded LSH near-dup candidate pairs over any
+    (doc_id, text) DataFrame, verified with the exact shingle-set Jaccard
+    on candidates only — the 100 TB dedup path.
 
-    Pipeline: shingle → 32 min-hashes (one shuffle) → 8 band keys per doc
-    → bucket join on (band, band_hash) → candidate pairs → exact Jaccard
-    via shingle join restricted to candidates. No oracle: signatures are
-    xxhash64-specific (engine hash functions differ); the exact-Jaccard
-    twin (dedup_token_jaccard) is the correctness anchor.
+    Pipeline: shingle (projection) → 32 min-hashes (projection) → 8 band
+    keys per doc → bucket join on (band, band_hash) → candidate pairs →
+    exact Jaccard via shingle join restricted to candidates.
     Output: (doc_a, doc_b, n_common_bands, jaccard)."""
     # signatures and shingles each feed multiple joins: localCheckpoint
-    # materializes them once (5000 narrow rows here; at cluster scale this
-    # is the standard persist-the-signature-table step) instead of
-    # re-deriving the expensive projections on every join branch
-    sig = (minhash_signatures(_doc_shingle_arrays(spark, sf_dir))
-           .localCheckpoint(eager=False))
+    # materializes them once (narrow rows; at cluster scale this is the
+    # standard persist-the-signature-table step) instead of re-deriving
+    # the expensive projections on every join branch
+    shingled = shingle_arrays(docs)
+    sig = minhash_signatures(shingled).localCheckpoint(eager=False)
     # band keys: hash each ROWS_PER_BAND-slice of the signature array; the
     # generator's child is evaluated once per row, so `sigs` is not
     # recomputed per band
@@ -238,7 +239,8 @@ def dedup_minhash_lsh(spark, sf_dir):
     # pair by doc_a's shingles, then probe doc_b's shingle set — cost is
     # O(candidates × shingles-per-doc), never the all-pairs shingle join
     sizes = sig.select("doc_id", "n_sh")
-    shingles = _doc_shingles(spark, sf_dir).localCheckpoint(eager=False)
+    shingles = (shingled.select("doc_id", F.explode("shingles").alias("shingle"))
+                .localCheckpoint(eager=False))
     sh_a = (shingles.withColumnRenamed("doc_id", "doc_a")
             .withColumnRenamed("shingle", "sh"))
     sh_b = (shingles.withColumnRenamed("doc_id", "doc_b")
@@ -258,6 +260,16 @@ def dedup_minhash_lsh(spark, sf_dir):
             .join(zb, F.col("zb.doc_id") == F.col("doc_b"))
             .select("doc_a", "doc_b", "n_common_bands",
                     F.coalesce(jac, F.lit(0.0)).alias("jaccard")))
+
+
+@register("dedup_minhash_lsh", category="dedup", bench=True)
+def dedup_minhash_lsh(spark, sf_dir):
+    """MinHash+LSH near-dup pairs on the documents table (see
+    :func:`minhash_lsh_pairs`). No oracle: signatures are
+    xxhash64-specific; the exact-Jaccard twin (dedup_token_jaccard) is the
+    correctness anchor, and tests/test_properties.py proves exact
+    duplicates are always recalled."""
+    return minhash_lsh_pairs(table(spark, sf_dir, "documents"))
 
 
 # ---------------------------------------------------------------- SimHash

@@ -219,7 +219,11 @@ def ann_ivf_coarse(spark, sf_dir):
     vecs = e.select("vec_id", "embedding",
                     array_to_vector(F.col("embedding").cast("array<double>"))
                     .alias("features"))
-    model = KMeans(k=IVF_NLIST, seed=42, maxIter=5).fit(vecs)
+    # random init + few iterations: the quantizer only needs rough cells
+    # (k-means|| init runs extra distributed passes that dominate at
+    # training time without improving the probe structure meaningfully)
+    model = KMeans(k=IVF_NLIST, seed=42, maxIter=3,
+                   initMode="random").fit(vecs)
     assigned = (model.transform(vecs)
                 .select("vec_id", "embedding",
                         F.col("prediction").alias("cell"),

@@ -84,3 +84,22 @@ def test_cosine_bounds_and_symmetry(spark, va, vb):
                   cosine(F.col("y"), F.col("x")).alias("c2")).collect()[0]
     assert abs(r.c1) <= 1.0 + 1e-9
     assert r.c1 == r.c2
+
+
+def test_minhash_recalls_exact_duplicates(spark, sf_dir):
+    """Identical documents (jaccard = 1.0) must ALWAYS be LSH candidates:
+    every band key of equal shingle sets is equal, so detection
+    probability is exactly 1 — a hard guarantee, not statistical."""
+    from cstore_fdw_spark.operators import table
+    from cstore_fdw_spark.operators.dedup import minhash_lsh_pairs
+
+    offset = 10_000
+    docs = (table(spark, sf_dir, "documents").select("doc_id", "text")
+            .filter(F.col("doc_id") < 50))
+    dup = docs.unionByName(
+        docs.withColumn("doc_id", F.col("doc_id") + offset))
+    pairs = {(r.doc_a, r.doc_b): r.jaccard
+             for r in minhash_lsh_pairs(dup).collect()}
+    for i in range(50):
+        assert (i, i + offset) in pairs, f"duplicate pair {i} missed"
+        assert pairs[(i, i + offset)] == 1.0
