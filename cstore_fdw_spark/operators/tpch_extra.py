@@ -1,14 +1,19 @@
-"""Extended TPC-H-shape coverage (Q4/Q7/Q8/Q13/Q15/Q17/Q19/Q20/Q21/Q22
-adapted to the driver's schema — no partsupp table, l_shipdate in place of
-commit/receipt dates).
+"""Extended TPC-H-shape coverage (Q2/Q4/Q7/Q8/Q9/Q11/Q13/Q15/Q16/Q17/Q19/
+Q20/Q21/Q22 adapted to the driver's schema — no partsupp table, so the
+observed (l_partkey, l_suppkey) pairs in lineitem stand in for the
+part-supplier relationship, unit price for ps_supplycost, p_retailprice
+for the cost side of Q9's profit, and l_shipdate for commit/receipt
+dates).
 
 Together with relational/joins/subqueries these cover every TPC-H query
-archetype expressible over the test schema: EXISTS-per-order (Q4), nation
-bi-directional volume (Q7), market share (Q8), distribution histogram
-(Q13), CTE + global max (Q15), per-key-average correlated filter (Q17),
-disjunctive bracketed predicates (Q19), nested IN chains (Q20),
-multi-supplier wait analysis (Q21), and prefix cohorts with anti join
-(Q22).
+archetype expressible over the test schema: min-cost supplier with a
+correlated min (Q2), EXISTS-per-order (Q4), nation bi-directional volume
+(Q7), market share (Q8), profit decomposition (Q9), value concentration
+with a scalar-threshold HAVING (Q11), distribution histogram (Q13), CTE +
+global max (Q15), distinct-supplier counting with NOT IN (Q16),
+per-key-average correlated filter (Q17), disjunctive bracketed predicates
+(Q19), nested IN chains (Q20), multi-supplier wait analysis (Q21), and
+prefix cohorts with anti join (Q22).
 """
 
 from __future__ import annotations
@@ -16,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from cstore_fdw_spark.operators import register, table
-from cstore_fdw_spark.operators.relational import D, _dbl, dec, dsum, to_dbl
+from cstore_fdw_spark.operators.relational import D, D4, _dbl, dec, dsum, to_dbl
 
 
 @register(
@@ -379,3 +384,226 @@ def q22_global_sales_opportunity(spark, sf_dir):
             .agg(F.count(F.lit(1)).alias("numcust"),
                  to_dbl(dsum("c_acctbal")).alias("totacctbal"))
             .orderBy("cntry"))
+
+
+@register(
+    "q2_min_cost_supplier",
+    category="tpch",
+    oracle="""
+    WITH costs AS (
+      SELECT l.l_partkey, l.l_suppkey,
+             MIN(l.l_extendedprice / l.l_quantity) AS unit_cost
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n   ON n.n_nationkey = s.s_nationkey
+      JOIN region r   ON r.r_regionkey = n.n_regionkey
+      WHERE r.r_name = 'ASIA'
+      GROUP BY l.l_partkey, l.l_suppkey)
+    SELECT s.s_acctbal, s.s_name, n.n_name AS nation,
+           p.p_partkey, p.p_name, c.unit_cost AS supplycost
+    FROM part p
+    JOIN costs c    ON c.l_partkey = p.p_partkey
+    JOIN supplier s ON s.s_suppkey = c.l_suppkey
+    JOIN nation n   ON n.n_nationkey = s.s_nationkey
+    WHERE p.p_size BETWEEN 10 AND 20 AND p.p_type = 'PROMO'
+      AND c.unit_cost = (SELECT MIN(c2.unit_cost) FROM costs c2
+                         WHERE c2.l_partkey = p.p_partkey)
+    ORDER BY s.s_acctbal DESC, nation, s.s_name, p.p_partkey
+    """)
+def q2_min_cost_supplier(spark, sf_dir):
+    """Q2 shape: cheapest regional supplier per part — correlated MIN
+    subquery decorrelated into a per-part min join. ps_supplycost is
+    adapted to the observed unit price MIN(l_extendedprice/l_quantity)
+    per (part, supplier) pair; doubles divide/bit-compare identically in
+    Spark and DuckDB, so the min-equality join is engine-exact.
+
+    Scale: the costs table is built once (localCheckpoint) and feeds both
+    the candidate join and the per-part-min side — at cluster scale this
+    is the persisted signature-table step, not a recomputation. Dims
+    (nation/region/part-filter) broadcast."""
+    li = table(spark, sf_dir, "lineitem")
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    costs = (li.join(F.broadcast(s.select("s_suppkey", "s_nationkey")),
+                     li.l_suppkey == F.col("s_suppkey"))
+             .join(F.broadcast(n.select("n_nationkey", "n_regionkey")),
+                   F.col("s_nationkey") == F.col("n_nationkey"))
+             .join(F.broadcast(r), F.col("n_regionkey") == r.r_regionkey,
+                   "left_semi")
+             .groupBy("l_partkey", "l_suppkey")
+             .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity"))
+                  .alias("unit_cost"))
+             .localCheckpoint(eager=False))
+    min_cost = (costs.groupBy(F.col("l_partkey").alias("mk"))
+                .agg(F.min("unit_cost").alias("mc")))
+    p = (table(spark, sf_dir, "part")
+         .filter(F.col("p_size").between(10, 20) & (F.col("p_type") == "PROMO"))
+         .select("p_partkey", "p_name"))
+    s2 = table(spark, sf_dir, "supplier").select("s_suppkey", "s_name",
+                                                 "s_acctbal", "s_nationkey")
+    n2 = table(spark, sf_dir, "nation").select("n_nationkey",
+                                               F.col("n_name").alias("nation"))
+    return (costs.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+            .join(min_cost, (F.col("l_partkey") == F.col("mk"))
+                  & (F.col("unit_cost") == F.col("mc")), "left_semi")
+            .join(F.broadcast(s2), F.col("l_suppkey") == F.col("s_suppkey"))
+            .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n_nationkey"))
+            .select("s_acctbal", "s_name", "nation", "p_partkey", "p_name",
+                    F.col("unit_cost").alias("supplycost"))
+            .orderBy(F.col("s_acctbal").desc(), "nation", "s_name",
+                     "p_partkey"))
+
+
+@register(
+    "q9_product_type_profit",
+    category="tpch",
+    oracle=f"""
+    SELECT nation, o_year,
+           {_dbl("SUM(CAST(amount AS DECIMAL(22,6)))")} AS sum_profit
+    FROM (
+      SELECT n.n_name AS nation,
+             CAST(EXTRACT(YEAR FROM o.o_orderdate) AS BIGINT) AS o_year,
+             CAST(l.l_extendedprice AS {D})
+               * (1 - CAST(l.l_discount AS {D4}))
+               - CAST(p.p_retailprice AS {D}) * CAST(l.l_quantity AS {D})
+               AS amount
+      FROM lineitem l
+      JOIN part p     ON p.p_partkey = l.l_partkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN orders o   ON o.o_orderkey = l.l_orderkey
+      JOIN nation n   ON n.n_nationkey = s.s_nationkey
+      WHERE p.p_name LIKE '%widget%') profit
+    GROUP BY nation, o_year
+    ORDER BY nation, o_year DESC
+    """)
+def q9_product_type_profit(spark, sf_dir):
+    """Q9 shape: profit (revenue minus cost) by supplier nation and order
+    year for one product family. ps_supplycost is adapted to
+    p_retailprice × quantity. All arithmetic stays in exact decimals
+    (scale ≤ 6) until the final to_dbl, per the engine's determinism
+    conventions.
+
+    Scale: part filter and supplier/nation dims broadcast; the only big
+    shuffle is lineitem ⋈ orders on orderkey, then one partial-agg
+    shuffle on (nation, year) — 175 groups, so the combine is map-side."""
+    li = table(spark, sf_dir, "lineitem")
+    p = (table(spark, sf_dir, "part")
+         .filter(F.col("p_name").like("%widget%"))
+         .select("p_partkey", "p_retailprice"))
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    n = table(spark, sf_dir, "nation")
+    amount = (dec("l_extendedprice")
+              * (F.lit(1) - dec("l_discount", "decimal(8,4)"))
+              - dec("p_retailprice") * dec("l_quantity"))
+    return (li.join(F.broadcast(p), li.l_partkey == F.col("p_partkey"))
+            .join(F.broadcast(s), li.l_suppkey == F.col("s_suppkey"))
+            .join(o, li.l_orderkey == F.col("o_orderkey"))
+            .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+            .select(F.col("n_name").alias("nation"),
+                    F.year("o_orderdate").cast("long").alias("o_year"),
+                    amount.alias("amount"))
+            .groupBy("nation", "o_year")
+            .agg(to_dbl(F.sum(F.col("amount").cast("decimal(22,6)")))
+                 .alias("sum_profit"))
+            .orderBy("nation", F.col("o_year").desc()))
+
+
+@register(
+    "q11_important_stock",
+    category="tpch",
+    oracle=f"""
+    WITH value_by_part AS (
+      SELECT l.l_partkey,
+             CAST(SUM(CAST(l.l_extendedprice AS {D})
+                      * CAST(l.l_quantity AS {D})) AS DECIMAL(18,4)) AS v
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n   ON n.n_nationkey = s.s_nationkey
+      JOIN region r   ON r.r_regionkey = n.n_regionkey
+      WHERE r.r_name = 'ASIA'
+      GROUP BY l.l_partkey),
+    tot AS (SELECT SUM(v) AS total, CAST(COUNT(*) AS DECIMAL(10,0)) AS cnt
+            FROM value_by_part)
+    SELECT p.l_partkey, {_dbl("p.v")} AS part_value
+    FROM value_by_part p, tot t
+    WHERE p.v * t.cnt > t.total + t.total
+    ORDER BY part_value DESC, p.l_partkey
+    """)
+def q11_important_stock(spark, sf_dir):
+    """Q11 shape: parts whose one-region value exceeds a threshold tied
+    to the whole distribution — grouped agg + uncorrelated scalar in
+    HAVING. TPC-H scales its fraction by 1/SF; the scale-invariant analog
+    here is "v above 2× the mean part value", and the comparison is
+    cross-multiplied (v × cnt > 2 × total) so it stays in EXACT decimals —
+    a double-typed total would sum in engine-dependent order and flip
+    boundary rows.
+
+    Scale: value_by_part is one shuffle on l_partkey after a broadcast
+    supplier-semi-join, localCheckpointed so the scalar total does not
+    re-scan lineitem; the (total, cnt) scalar broadcasts."""
+    li = table(spark, sf_dir, "lineitem")
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = table(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    r = (table(spark, sf_dir, "region")
+         .filter(F.col("r_name") == "ASIA").select("r_regionkey"))
+    reg_sup = (s.join(F.broadcast(n), s.s_nationkey == F.col("n_nationkey"))
+               .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"),
+                     "left_semi")
+               .select("s_suppkey"))
+    value = (li.join(F.broadcast(reg_sup), li.l_suppkey == F.col("s_suppkey"),
+                     "left_semi")
+             .groupBy("l_partkey")
+             .agg(F.sum(dec("l_extendedprice") * dec("l_quantity"))
+                  .cast("decimal(18,4)").alias("v"))
+             .localCheckpoint(eager=False))
+    tot = value.agg(F.sum("v").alias("total"),
+                    F.count(F.lit(1)).cast("decimal(10,0)").alias("cnt"))
+    return (value.join(F.broadcast(tot))
+            .filter(F.col("v") * F.col("cnt")
+                    > F.col("total") + F.col("total"))
+            .select("l_partkey", to_dbl(F.col("v")).alias("part_value"))
+            .orderBy(F.col("part_value").desc(), "l_partkey"))
+
+
+@register(
+    "q16_supplier_part_count",
+    category="tpch",
+    oracle="""
+    SELECT p.p_brand, p.p_type, p.p_size,
+           COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand <> 'Brand#1'
+      AND p.p_type NOT LIKE 'MEDIUM%'
+      AND p.p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+      AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                              WHERE s_acctbal < 0)
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p.p_size
+    """)
+def q16_supplier_part_count(spark, sf_dir):
+    """Q16 shape: distinct-supplier counts per part attribute bucket with
+    negated predicates and a NOT IN exclusion (reference's "customer
+    complaints" filter adapted to negative-balance suppliers). The
+    lineitem (part, supplier) pairs stand in for partsupp.
+
+    Scale: part filter and the excluded-supplier set broadcast (anti
+    join); COUNT(DISTINCT) shuffles on the 3-column group key — Spark
+    expands it to a two-phase distinct-then-count, which is the right
+    plan at 100 TB too."""
+    li = table(spark, sf_dir, "lineitem")
+    p = (table(spark, sf_dir, "part")
+         .filter((F.col("p_brand") != "Brand#1")
+                 & ~F.col("p_type").like("MEDIUM%")
+                 & F.col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45))
+         .select("p_partkey", "p_brand", "p_type", "p_size"))
+    bad = (table(spark, sf_dir, "supplier")
+           .filter(F.col("s_acctbal") < 0).select("s_suppkey"))
+    return (li.join(F.broadcast(p), li.l_partkey == F.col("p_partkey"))
+            .join(F.broadcast(bad), li.l_suppkey == F.col("s_suppkey"),
+                  "left_anti")
+            .groupBy("p_brand", "p_type", "p_size")
+            .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+            .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type",
+                     "p_size"))
