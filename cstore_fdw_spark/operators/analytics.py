@@ -107,3 +107,65 @@ def tablesample_deterministic(spark, sf_dir):
     o = table(spark, sf_dir, "orders")
     return (o.sample(fraction=0.1, seed=42)
             .select("o_orderkey", "o_orderpriority"))
+
+
+@register(
+    "stats_corr_slope",
+    category="analytics",
+    oracle="""
+    WITH m AS (
+      SELECT l_returnflag,
+             COUNT(*) AS n,
+             SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS sx,
+             SUM(CAST(ROUND(l_discount * 100) AS BIGINT)) AS sy,
+             SUM(CAST(ROUND(l_quantity) AS BIGINT)
+                 * CAST(ROUND(l_quantity) AS BIGINT)) AS sxx,
+             SUM(CAST(ROUND(l_discount * 100) AS BIGINT)
+                 * CAST(ROUND(l_discount * 100) AS BIGINT)) AS syy,
+             SUM(CAST(ROUND(l_quantity) AS BIGINT)
+                 * CAST(ROUND(l_discount * 100) AS BIGINT)) AS sxy
+      FROM lineitem GROUP BY l_returnflag)
+    SELECT l_returnflag, n,
+           CAST(n * sxy - sx * sy AS DOUBLE)
+             / (SQRT(CAST(n * sxx - sx * sx AS DOUBLE))
+                * SQRT(CAST(n * syy - sy * sy AS DOUBLE))) AS corr_qty_disc,
+           CAST(n * sxy - sx * sy AS DOUBLE)
+             / CAST(n * sxx - sx * sx AS DOUBLE) AS slope,
+           (CAST(sy AS DOUBLE) - CAST(n * sxy - sx * sy AS DOUBLE)
+              / CAST(n * sxx - sx * sx AS DOUBLE) * CAST(sx AS DOUBLE))
+             / CAST(n AS DOUBLE) AS intercept
+    FROM m ORDER BY l_returnflag
+    """)
+def stats_corr_slope(spark, sf_dir):
+    """Pearson correlation + least-squares slope/intercept
+    (corr/regr_slope/regr_intercept semantics) of discount-% on quantity,
+    per return flag — computed from EXACT integer moments (both columns
+    are integer-valued in the data; ROUND before the cast so the two
+    engines' double→int conversions can't disagree on 4.999… artifacts).
+
+    The built-in F.corr aggregates doubles, whose partition-order-dependent
+    summation can't hash-match an oracle; the moments form is one exact
+    integer aggregation (map-side combinable, one shuffle) followed by a
+    deterministic per-group scalar formula in IEEE doubles — the identical
+    expression shape on both sides. The two-pass-free moments form is also
+    the 100 TB shape: no second scan, no per-group data movement beyond
+    the six partial sums."""
+    li = table(spark, sf_dir, "lineitem")
+    x = F.round("l_quantity").cast("bigint")
+    y = F.round(F.col("l_discount") * 100).cast("bigint")
+    m = (li.groupBy("l_returnflag")
+         .agg(F.count(F.lit(1)).alias("n"),
+              F.sum(x).alias("sx"), F.sum(y).alias("sy"),
+              F.sum(x * x).alias("sxx"), F.sum(y * y).alias("syy"),
+              F.sum(x * y).alias("sxy")))
+    cov_n = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    var_x = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    var_y = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    slope = cov_n / var_x
+    return (m.select(
+        "l_returnflag", "n",
+        (cov_n / (F.sqrt(var_x) * F.sqrt(var_y))).alias("corr_qty_disc"),
+        slope.alias("slope"),
+        ((F.col("sy").cast("double") - slope * F.col("sx").cast("double"))
+         / F.col("n").cast("double")).alias("intercept"))
+        .orderBy("l_returnflag"))

@@ -144,6 +144,137 @@ def dedup_token_jaccard(spark, sf_dir):
             .filter(F.col("jaccard") >= 0.8))
 
 
+#: character 3-grams as one JVM projection; `text` is a plain attribute so
+#: per-position substring() has no re-evaluation blowup (unlike split()).
+_CHAR_GRAM_ARR = ("array_distinct(transform("
+                  "sequence(1, greatest(length(text) - 2, 1)),"
+                  " i -> substring(text, i, 3)))")
+
+NGRAM_JACCARD_TAU = 0.5
+
+
+@register(
+    "dedup_ngram_jaccard",
+    category="dedup",
+    oracle=f"""
+    WITH g AS (
+      SELECT doc_id, lang,
+             UNNEST(list_distinct(list_transform(
+               generate_series(1, GREATEST(LENGTH(text) - 2, 1)),
+               i -> substr(text, i, 3)))) AS gram
+      FROM documents WHERE text <> ''),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_g FROM g GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM g a JOIN g b
+        ON a.gram = b.gram AND a.lang = b.lang AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT p.doc_a, p.doc_b, p.n_common,
+           sa.n_g AS size_a, sb.n_g AS size_b,
+           CAST(p.n_common AS DOUBLE)
+             / (sa.n_g + sb.n_g - p.n_common) AS jaccard
+    FROM pairs p
+    JOIN sizes sa ON sa.doc_id = p.doc_a
+    JOIN sizes sb ON sb.doc_id = p.doc_b
+    WHERE CAST(p.n_common AS DOUBLE)
+             / (sa.n_g + sb.n_g - p.n_common) >= {NGRAM_JACCARD_TAU}
+    """)
+def dedup_ngram_jaccard(spark, sf_dir):
+    """Character n-gram (k=3) Jaccard near-dup pairs within a language —
+    the n-gram flavor of the Jaccard family (word-token flavor:
+    dedup_token_jaccard). Inverted-index self-join on the gram; Jaccard
+    from exact int counts so the double division is deterministic.
+
+    Scale: char-gram posting lists are denser than word-token lists, so at
+    100 TB this exact form only runs on LSH candidates
+    (dedup_minhash_lsh); the standard refinement is PPJoin-style prefix
+    filtering — join only on each doc's ⌈(1-τ)·|grams|⌉+1 rarest grams,
+    which preserves all pairs with jaccard ≥ τ while shrinking the
+    inverted index by ~τ."""
+    d = table(spark, sf_dir, "documents").filter(F.col("text") != "")
+    g = d.select("doc_id", "lang",
+                 F.explode(F.expr(_CHAR_GRAM_ARR)).alias("gram"))
+    sizes = g.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_g"))
+    a, b = g.alias("a"), g.alias("b")
+    pairs = (a.join(b, (F.col("a.gram") == F.col("b.gram"))
+                    & (F.col("a.lang") == F.col("b.lang"))
+                    & (F.col("a.doc_id") < F.col("b.doc_id")))
+             .groupBy(F.col("a.doc_id").alias("doc_a"),
+                      F.col("b.doc_id").alias("doc_b"))
+             .agg(F.count(F.lit(1)).alias("n_common")))
+    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    jac = (F.col("n_common").cast("double")
+           / (F.col("sa.n_g") + F.col("sb.n_g") - F.col("n_common")))
+    return (pairs
+            .join(sa, F.col("sa.doc_id") == F.col("doc_a"))
+            .join(sb, F.col("sb.doc_id") == F.col("doc_b"))
+            .select("doc_a", "doc_b", "n_common",
+                    F.col("sa.n_g").alias("size_a"),
+                    F.col("sb.n_g").alias("size_b"),
+                    jac.alias("jaccard"))
+            .filter(F.col("jaccard") >= NGRAM_JACCARD_TAU))
+
+
+# --------------------------------------------- embedding-cosine near-dup
+
+EMB_DEDUP_TAU = 0.35
+
+
+@register(
+    "dedup_embedding_cosine",
+    category="dedup",
+    oracle=f"""
+    WITH pairs AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+      FROM embeddings a JOIN embeddings b
+        ON a.label = b.label AND a.vec_id < b.vec_id
+      WHERE list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+        (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+         sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))
+        >= {EMB_DEDUP_TAU}),
+    edges AS (
+      SELECT vec_a AS vec_id, vec_b AS nb FROM pairs
+      UNION ALL SELECT vec_b AS vec_id, vec_a AS nb FROM pairs
+      UNION ALL SELECT vec_id, vec_id AS nb FROM embeddings)
+    SELECT vec_id, MIN(nb) AS keeper_id,
+           (MIN(nb) <> vec_id) AS is_dup
+    FROM edges GROUP BY vec_id
+    """)
+def dedup_embedding_cosine(spark, sf_dir):
+    """Embedding-cosine near-dup with dedup semantics: every vector is
+    assigned keeper = min(vec_id) over itself and its cosine-≥-τ
+    neighbors within the same label (label = blocking key, so the pair
+    space is per-group, never |table|²). One-hop min assignment — the
+    full transitive closure is iterative connected components (alternate
+    the min over both edge directions to a fixed point); one hop is the
+    standard canopy pass that already collapses direct duplicates.
+
+    Cosine via ordered zip_with/aggregate fold — bit-exact vs DuckDB's
+    list_dot_product (both fold in index order)."""
+    from cstore_fdw_spark.operators.similarity import cosine
+
+    e = table(spark, sf_dir, "embeddings")
+    a, b = e.alias("a"), e.alias("b")
+    cos = cosine(F.col("a.embedding"), F.col("b.embedding"))
+    pairs = (a.join(b, (F.col("a.label") == F.col("b.label"))
+                    & (F.col("a.vec_id") < F.col("b.vec_id")))
+             .select(F.col("a.vec_id").alias("vec_a"),
+                     F.col("b.vec_id").alias("vec_b"),
+                     cos.alias("cos"))
+             .filter(F.col("cos") >= EMB_DEDUP_TAU)
+             .select("vec_a", "vec_b"))
+    edges = (pairs.select(F.col("vec_a").alias("vec_id"),
+                          F.col("vec_b").alias("nb"))
+             .unionByName(pairs.select(F.col("vec_b").alias("vec_id"),
+                                       F.col("vec_a").alias("nb")))
+             .unionByName(e.select("vec_id",
+                                   F.col("vec_id").alias("nb"))))
+    return (edges.groupBy("vec_id")
+            .agg(F.min("nb").alias("keeper_id"))
+            .select("vec_id", "keeper_id",
+                    (F.col("keeper_id") != F.col("vec_id")).alias("is_dup")))
+
+
 # ---------------------------------------------------------------- MinHash
 
 N_HASHES = 32

@@ -326,3 +326,50 @@ def asof_join_last_click(spark, sf_dir):
            .filter(F.col("is_purchase") == 1)
            .select("event_id", "user_id", "ts", "last_click_ts"))
     return out
+
+
+@register(
+    "join_range_bucketed",
+    category="join",
+    oracle="""
+    SELECT a.event_id AS anchor_id, b.event_id AS follow_id,
+           date_diff('second', a.ts, b.ts) AS secs_after
+    FROM events a JOIN events b
+      ON a.event_type = 'signup' AND b.event_type = 'purchase'
+     AND b.ts >= a.ts AND b.ts < a.ts + INTERVAL 1 HOUR
+    """)
+def join_range_bucketed(spark, sf_dir):
+    """Range (band) join with NO equi-key: every purchase within 1 hour
+    after any signup. A naive theta join is a broadcast-nested-loop —
+    O(|A|·|B|) compares at 100 TB. The scale path implemented here is the
+    canonical bucketized band join: quantize time into band-width (1h)
+    buckets, each anchor emits its bucket h and h+1 (a [ts, ts+1h) window
+    spans at most two), probes emit their single bucket, and the join
+    becomes an EQUI-join on the bucket key (shuffle-hash/sort-merge,
+    linear + per-bucket work) with the exact band predicate as a residual
+    filter. Each pair meets in exactly one bucket, so no dedup is needed.
+
+    secs_after is computed as the difference of epoch-second floors —
+    DuckDB date_diff('second') counts second-boundary crossings, not
+    elapsed microseconds."""
+    e = table(spark, sf_dir, "events")
+    us = 3_600_000_000  # 1h of microseconds: the band width = bucket width
+    a = (e.filter(F.col("event_type") == "signup")
+         .select(F.col("event_id").alias("anchor_id"),
+                 F.col("ts").alias("a_ts"),
+                 F.expr(f"unix_micros(ts) div {us}").alias("h"))
+         .select("anchor_id", "a_ts",
+                 F.explode(F.array(F.col("h"), F.col("h") + 1))
+                 .alias("bucket")))
+    b = (e.filter(F.col("event_type") == "purchase")
+         .select(F.col("event_id").alias("follow_id"),
+                 F.col("ts").alias("b_ts"),
+                 F.expr(f"unix_micros(ts) div {us}").alias("bucket")))
+    return (a.join(b, "bucket")
+            .filter((F.col("b_ts") >= F.col("a_ts"))
+                    & (F.col("b_ts") < F.col("a_ts")
+                       + F.expr("INTERVAL 1 HOUR")))
+            .select("anchor_id", "follow_id",
+                    (F.expr("unix_micros(b_ts) div 1000000")
+                     - F.expr("unix_micros(a_ts) div 1000000"))
+                    .alias("secs_after")))
