@@ -455,3 +455,70 @@ def dedup_simhash(spark, sf_dir):
                     hamming.alias("hamming"))
             .distinct()
             .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING))
+
+
+@register(
+    "dedup_connected_components",
+    category="dedup",
+    oracle=f"""
+    WITH RECURSIVE pairs AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+      FROM embeddings a JOIN embeddings b
+        ON a.label = b.label AND a.vec_id < b.vec_id
+      WHERE list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+        (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+         sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))
+        >= {EMB_DEDUP_TAU}),
+    edges AS (
+      SELECT vec_a AS src, vec_b AS dst FROM pairs
+      UNION ALL SELECT vec_b AS src, vec_a AS dst FROM pairs),
+    reach(vec_id, comp) AS (
+      SELECT vec_id, vec_id AS comp FROM embeddings
+      UNION
+      SELECT e.dst AS vec_id, r.comp
+      FROM reach r JOIN edges e ON e.src = r.vec_id)
+    SELECT vec_id, MIN(comp) AS component FROM reach GROUP BY vec_id
+    """)
+def dedup_connected_components(spark, sf_dir):
+    """Full transitive-closure dedup: connected components of the
+    cosine-≥-τ near-dup graph (the fixed point that the one-hop
+    dedup_embedding_cosine pass approximates). Component id = min vec_id
+    reachable through any chain of near-duplicates.
+
+    Iterative min-label propagation: each round every vertex takes the
+    min of its own component id and its neighbors'; converges in
+    O(component diameter) rounds (checked distributedly — the driver only
+    sees a changed-row count per round). Per-round lineage is cut with
+    localCheckpoint so the plan doesn't grow with iterations — the
+    standard large-graph CC shape (GraphX/GraphFrames use the same
+    algorithm); edges shuffle-partition by src once and stay put."""
+    from cstore_fdw_spark.operators.similarity import cosine
+
+    e = table(spark, sf_dir, "embeddings")
+    a, b = e.alias("a"), e.alias("b")
+    cos = cosine(F.col("a.embedding"), F.col("b.embedding"))
+    pairs = (a.join(b, (F.col("a.label") == F.col("b.label"))
+                    & (F.col("a.vec_id") < F.col("b.vec_id")))
+             .filter(cos >= EMB_DEDUP_TAU)
+             .select(F.col("a.vec_id").alias("src"),
+                     F.col("b.vec_id").alias("dst")))
+    edges = (pairs.unionByName(pairs.select(F.col("dst").alias("src"),
+                                            F.col("src").alias("dst")))
+             .localCheckpoint(eager=True))
+    labels = e.select("vec_id", F.col("vec_id").alias("comp"))
+    while True:
+        nbr_min = (edges.join(labels, edges.src == labels.vec_id)
+                   .groupBy(F.col("dst").alias("vec_id"))
+                   .agg(F.min("comp").alias("nbr_comp")))
+        new = (labels.join(nbr_min, "vec_id", "left")
+               .select("vec_id",
+                       F.least("comp", F.coalesce("nbr_comp", "comp"))
+                       .alias("comp"),
+                       (F.coalesce("nbr_comp", "comp") < F.col("comp"))
+                       .cast("long").alias("changed"))
+               .localCheckpoint(eager=True))
+        changed = new.agg(F.sum("changed")).collect()[0][0]
+        labels = new.select("vec_id", "comp")
+        if not changed:
+            break
+    return labels.select("vec_id", F.col("comp").alias("component"))

