@@ -268,6 +268,56 @@ class CStoreCatalog:
             writer = writer.partitionBy(*part.split(","))
         getattr(writer, self._format(meta))(self.table_path(name) + "/data")
 
+    def compact(self, name: str) -> int:
+        """Rewrite the table's data files into stripe-sized files and
+        return the new file count.
+
+        Append-only tables accumulate one file per insert batch (the
+        reference accumulates a stripe per COPY/INSERT the same way); at
+        100 TB the resulting small-file population dominates scan task
+        scheduling and file-listing cost, so compaction is a first-class
+        lifecycle op. Rows are materialized through the normal read path
+        (so constant-default backfill is baked into the rewritten files —
+        re-reads are bit-identical before and after), re-partitioned to
+        ~stripe-file size, and committed by writing to a temp directory
+        then swapping it in — the reference's temp-file + rename protocol
+        for the footer (cstore_writer.c:344-357) applied to the data dir.
+        Partitioned tables compact within each partition."""
+        meta = self._load_meta(name)
+        fmt = self._format(meta)
+        df = self.read(name)
+        total = df.count()
+        if total == 0:
+            return 0
+        stripe_rows = meta.options.get("stripe_row_count",
+                                       DEFAULT_STRIPE_ROW_COUNT)
+        rows_per_file = stripe_rows * 10
+        part = meta.options.get("partition_by")
+        if part:
+            # co-locate each partition's rows so the writer emits few
+            # files per partition directory
+            df = df.repartition(*part.split(","))
+        else:
+            df = df.repartition(max(1, -(-total // rows_per_file)))
+        sort_by = meta.options.get("sort_by")
+        if sort_by:
+            df = df.sortWithinPartitions(*sort_by.split(","))
+        data_path = os.path.join(self.table_path(name), "data")
+        tmp_path = data_path + ".compact.tmp"
+        old_path = data_path + ".compact.old"
+        shutil.rmtree(tmp_path, ignore_errors=True)
+        writer = (df.write.mode("overwrite")
+                  .option("maxRecordsPerFile", str(rows_per_file)))
+        for k, v in self._writer_options(meta).items():
+            writer = writer.option(k, v)
+        if part:
+            writer = writer.partitionBy(*part.split(","))
+        getattr(writer, fmt)(tmp_path)
+        os.rename(data_path, old_path)
+        os.rename(tmp_path, data_path)
+        shutil.rmtree(old_path)
+        return sum(1 for _ in _data_files(data_path, fmt))
+
     # -------------------------------------------------------------- read
     def read(self, name: str) -> DataFrame:
         """A1+A22: scan with schema-evolution repair.

@@ -207,3 +207,36 @@ def test_copy_from_program(spark, catalog):
     assert rows == [(n, f"row{n}") for n in range(5)]
     with pytest.raises(CStoreError, match="program failed"):
         copy_from_program(catalog, "prog", "false")
+
+
+def test_compact_merges_small_files(spark, catalog):
+    from cstore_fdw_spark.catalog import _data_files
+    catalog.create_table("tc", "a int, b string", sort_by="a")
+    for i in range(6):
+        catalog.insert("tc", spark.createDataFrame(
+            [(i * 10 + j, f"v{i}-{j}") for j in range(5)], "a int, b string"))
+    data = os.path.join(catalog.table_path("tc"), "data")
+    before_files = sum(1 for _ in _data_files(data, "parquet"))
+    before_rows = sorted((r.a, r.b) for r in catalog.read("tc").collect())
+    assert before_files >= 6  # one file (stripe) per insert batch
+    nfiles = catalog.compact("tc")
+    assert nfiles == 1
+    assert sum(1 for _ in _data_files(data, "parquet")) == 1
+    after_rows = sorted((r.a, r.b) for r in catalog.read("tc").collect())
+    assert after_rows == before_rows
+    assert catalog.row_count("tc") == 30
+    # compacting an empty table is a no-op
+    catalog.truncate("tc")
+    assert catalog.compact("tc") == 0
+
+
+def test_compact_preserves_default_backfill(spark, catalog):
+    catalog.create_table("td", "a int")
+    catalog.insert("td", spark.createDataFrame([(1,), (2,)], "a int"))
+    catalog.add_column("td", "flag", "string", default="new")
+    catalog.insert("td", spark.createDataFrame(
+        [(3, "x")], "a int, flag string"))
+    before = sorted((r.a, r.flag) for r in catalog.read("td").collect())
+    catalog.compact("td")
+    after = sorted((r.a, r.flag) for r in catalog.read("td").collect())
+    assert after == before == [(1, "new"), (2, "new"), (3, "x")]
