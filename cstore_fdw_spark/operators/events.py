@@ -152,3 +152,28 @@ def events_dedup_exact(spark, sf_dir):
     return (dup.groupBy("event_id")
             .agg(F.count(F.lit(1)).alias("copies"))
             .filter(F.col("copies") > 1))
+
+
+@register(
+    "events_enrich_segment",
+    category="events",
+    oracle=f"""
+    SELECT c.c_mktsegment AS segment, e.event_type,
+           COUNT(*) AS n,
+           {_dbl("SUM(CAST(e.value AS DECIMAL(12,2)))")} AS total_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1, 2
+    """)
+def events_enrich_segment(spark, sf_dir):
+    """Event enrichment against a dimension (batch twin of the streaming
+    stream-static join): attach the customer's market segment to each
+    event, then aggregate. The dimension side is explicitly broadcast —
+    at 100 TB the event stream never shuffles for this join; only the
+    (segment × event_type) aggregate rows move."""
+    e = table(spark, sf_dir, "events")
+    c = (table(spark, sf_dir, "customer")
+         .select(F.col("c_custkey").alias("user_id"), "c_mktsegment"))
+    return (e.join(F.broadcast(c), "user_id")
+            .groupBy(F.col("c_mktsegment").alias("segment"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 to_dbl(dsum("value")).alias("total_value")))

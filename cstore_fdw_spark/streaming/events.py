@@ -84,3 +84,19 @@ def run_available_now(spark: SparkSession, sf_dir: str, builder,
              .trigger(availableNow=True).start())
         q.awaitTermination(120)
     return spark.table(query_name)
+
+
+def enrich_with_customer(events: DataFrame, customer: DataFrame) -> DataFrame:
+    """Stream-static join: every micro-batch hash-joins against the static
+    customer dimension (broadcast — no state, the dimension is re-resolved
+    per batch so slowly-changing dims pick up updates), then a watermarked
+    windowed aggregation per segment. The streaming twin of
+    ``events_enrich_segment``."""
+    dim = customer.select(F.col("c_custkey").alias("user_id"),
+                          "c_mktsegment")
+    return (events.withWatermark("ts", WATERMARK)
+            .join(F.broadcast(dim), "user_id")
+            .groupBy(F.window("ts", "1 hour").alias("w"),
+                     F.col("c_mktsegment").alias("segment"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.col("w.start").alias("hour_start"), "segment", "n"))

@@ -93,3 +93,20 @@ def test_stateful_running_spend(spark, sf_dir, tmp_path):
             .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total"))
             .collect()}
     assert got == want
+
+
+def test_stream_static_join_matches_batch(spark, sf_dir):
+    customer = table(spark, sf_dir, "customer")
+    out = se.run_available_now(
+        spark, sf_dir, lambda s: se.enrich_with_customer(s, customer),
+        "t_enrich", "complete")
+    e = table(spark, sf_dir, "events")
+    dim = customer.select(F.col("c_custkey").alias("user_id"),
+                          "c_mktsegment")
+    batch = (e.join(dim, "user_id")
+             .groupBy(F.window("ts", "1 hour").alias("w"),
+                      F.col("c_mktsegment").alias("segment"))
+             .agg(F.count(F.lit(1)).alias("n"))
+             .select(F.col("w.start").alias("hour_start"), "segment", "n"))
+    assert {tuple(r) for r in out.collect()} \
+        == {tuple(r) for r in batch.collect()}
