@@ -387,3 +387,38 @@ def except_keys(spark, sf_dir):
     s = (table(spark, sf_dir, "supplier").filter(F.col("s_acctbal") > 0)
          .select(F.col("s_nationkey").alias("nk")))
     return c.exceptAll(s.distinct())
+
+
+@register(
+    "intersect_all_keys",
+    category="setop",
+    oracle="""
+    SELECT c_nationkey AS nk FROM customer WHERE c_acctbal > 8000
+    INTERSECT ALL
+    SELECT s_nationkey AS nk FROM supplier
+    """)
+def intersect_all_keys(spark, sf_dir):
+    """INTERSECT ALL (multiset: keeps min(count_left, count_right) copies
+    per key — the bag semantics PG users get; one hash aggregation per
+    side under the hood, no row explosion)."""
+    c = (table(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 8000)
+         .select(F.col("c_nationkey").alias("nk")))
+    s = table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nk"))
+    return c.intersectAll(s)
+
+
+@register(
+    "except_all_keys",
+    category="setop",
+    oracle="""
+    SELECT c_nationkey AS nk FROM customer WHERE c_acctbal > 8000
+    EXCEPT ALL
+    SELECT s_nationkey AS nk FROM supplier
+    """)
+def except_all_keys(spark, sf_dir):
+    """EXCEPT ALL (multiset difference: count_left − count_right copies
+    survive per key)."""
+    c = (table(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 8000)
+         .select(F.col("c_nationkey").alias("nk")))
+    s = table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nk"))
+    return c.exceptAll(s)
