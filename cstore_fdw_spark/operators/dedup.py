@@ -1,11 +1,13 @@
 """Deduplication operators over the ``documents`` table — the
 training-data-pipeline extensions (BASELINE.json north star).
 
-Four families: exact (hash groupBy), token-set Jaccard (exact pairwise),
-MinHash+LSH (banded candidate generation — the 100 TB path), and SimHash
-(bit-signature near-dup). The exact/Jaccard variants carry DuckDB oracles;
-the hash-signature variants are engine-specific (xxhash64) and use the
-rows-only gate.
+Families: exact (hash groupBy), token-set and char-n-gram Jaccard (exact
+pairwise), MinHash+LSH (banded candidate generation — the 100 TB path),
+SimHash (bit-signature near-dup), and embedding-cosine near-dup (one-hop
+keeper assignment plus full iterative connected components). The
+exact/Jaccard/cosine variants carry DuckDB oracles (components against a
+recursive CTE); the hash-signature variants are engine-specific
+(xxhash64) and use the rows-only gate.
 
 Scale design: every pipeline is explode→aggregate→join on keys — no
 driver-side materialization, no quadratic all-pairs except *within LSH/
