@@ -20,6 +20,7 @@ restricted to candidates.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
 
 from cstore_fdw_spark.operators import register, table
 
@@ -184,25 +185,50 @@ NGRAM_JACCARD_TAU = 0.5
 def dedup_ngram_jaccard(spark, sf_dir):
     """Character n-gram (k=3) Jaccard near-dup pairs within a language —
     the n-gram flavor of the Jaccard family (word-token flavor:
-    dedup_token_jaccard). Inverted-index self-join on the gram; Jaccard
-    from exact int counts so the double division is deterministic.
+    dedup_token_jaccard). Jaccard from exact int counts so the double
+    division is deterministic.
 
-    Scale: char-gram posting lists are denser than word-token lists, so at
-    100 TB this exact form only runs on LSH candidates
-    (dedup_minhash_lsh); the standard refinement is PPJoin-style prefix
-    filtering — join only on each doc's ⌈(1-τ)·|grams|⌉+1 rarest grams,
-    which preserves all pairs with jaccard ≥ τ while shrinking the
-    inverted index by ~τ."""
+    Scale design — PPJoin-style prefix filtering (Xiao et al., WWW'08):
+    char-gram posting lists are dense (every doc shares common trigrams),
+    so the naive inverted-index self-join is quadratic in the corpus.
+    Candidates are instead generated only from each doc's
+    |g| − ⌈τ·|g|⌉ + 1 RAREST grams (global rarity order): a pair with
+    jaccard ≥ τ has overlap ≥ τ·max(|A|,|B|), and by pigeonhole over the
+    shared total order such a pair must collide inside both prefixes —
+    the pruning is lossless (the oracle runs the unfiltered form), while
+    the inverted index drops the frequent grams that dominate the c²
+    blowup. The exact overlap is then counted over candidates only, like
+    the MinHash verification step."""
     d = table(spark, sf_dir, "documents").filter(F.col("text") != "")
-    g = d.select("doc_id", "lang",
-                 F.explode(F.expr(_CHAR_GRAM_ARR)).alias("gram"))
+    g = (d.select("doc_id", "lang",
+                  F.explode(F.expr(_CHAR_GRAM_ARR)).alias("gram"))
+         .localCheckpoint(eager=False))
     sizes = g.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_g"))
-    a, b = g.alias("a"), g.alias("b")
-    pairs = (a.join(b, (F.col("a.gram") == F.col("b.gram"))
-                    & (F.col("a.lang") == F.col("b.lang"))
-                    & (F.col("a.doc_id") < F.col("b.doc_id")))
-             .groupBy(F.col("a.doc_id").alias("doc_a"),
-                      F.col("b.doc_id").alias("doc_b"))
+    # global (per-language) gram frequency → total rarity order (freq,
+    # then gram lexicographically as the deterministic tie-break)
+    freq = g.groupBy("lang", "gram").agg(F.count(F.lit(1)).alias("gf"))
+    wdoc = Window.partitionBy("doc_id").orderBy("gf", "gram")
+    prefix = (g.join(freq, ["lang", "gram"])
+              .withColumn("rn", F.row_number().over(wdoc))
+              .join(sizes, "doc_id")
+              .filter(F.col("rn") <= F.col("n_g")
+                      - F.ceil(F.lit(NGRAM_JACCARD_TAU) * F.col("n_g")) + 1)
+              .select("doc_id", "lang", "gram"))
+    pa, pb = prefix.alias("pa"), prefix.alias("pb")
+    cand = (pa.join(pb, (F.col("pa.gram") == F.col("pb.gram"))
+                    & (F.col("pa.lang") == F.col("pb.lang"))
+                    & (F.col("pa.doc_id") < F.col("pb.doc_id")))
+            .select(F.col("pa.doc_id").alias("doc_a"),
+                    F.col("pb.doc_id").alias("doc_b"))
+            .distinct())
+    # exact overlap restricted to candidates
+    ga = (g.withColumnRenamed("doc_id", "doc_a")
+          .select("doc_a", "gram"))
+    gb = (g.withColumnRenamed("doc_id", "doc_b")
+          .select("doc_b", "gram"))
+    pairs = (cand.join(ga, "doc_a")
+             .join(gb, ["doc_b", "gram"])
+             .groupBy("doc_a", "doc_b")
              .agg(F.count(F.lit(1)).alias("n_common")))
     sa, sb = sizes.alias("sa"), sizes.alias("sb")
     jac = (F.col("n_common").cast("double")
