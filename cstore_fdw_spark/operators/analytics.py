@@ -19,9 +19,12 @@ from cstore_fdw_spark.operators import register, table
     category="analytics",
     oracle="""
     SELECT o_orderpriority,
-           SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS f_cnt,
-           SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS o_cnt,
-           SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS p_cnt
+           CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+                AS BIGINT) AS f_cnt,
+           CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END)
+                AS BIGINT) AS o_cnt,
+           CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END)
+                AS BIGINT) AS p_cnt
     FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
     """)
 def pivot_status_by_priority(spark, sf_dir):
@@ -83,30 +86,67 @@ def argminmax_by_group(spark, sf_dir):
             .orderBy("n_regionkey"))
 
 
-@register("approx_distinct_sketch", category="analytics")
+#: HLL relative-error acceptance band: rsd=0.02 is one standard error;
+#: 5·rsd is far outside any realistic drift while still catching a broken
+#: sketch. The exact count is oracle-hashed; the sketch is asserted
+#: in-bounds (the bound itself is the cross-engine-checkable claim — HLL
+#: register layouts differ across engines, so the raw estimate can't be).
+_HLL_RSD = 0.02
+_HLL_BOUND = 5 * _HLL_RSD
+
+
+@register(
+    "approx_distinct_sketch",
+    category="analytics",
+    oracle="""
+    SELECT c_mktsegment,
+           COUNT(DISTINCT c_custkey) AS exact_customers,
+           TRUE AS approx_in_bounds
+    FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """)
 def approx_distinct_sketch(spark, sf_dir):
     """HyperLogLog-style approximate distinct (approx_count_distinct) next
     to the exact count — the sketch path for 100 TB cardinality questions.
-    Rows-only gate (HLL implementations differ across engines); the
-    relative-error bound is asserted in tests/test_analytics.py.
-    Output: (segment, exact_customers, approx_customers)."""
+    The oracle hashes the exact count plus the in-bounds flag (|approx −
+    exact| ≤ 5·rsd·exact); the tighter relative-error bound is asserted in
+    tests/test_analytics.py. Output: (segment, exact, in-bounds flag)."""
     c = table(spark, sf_dir, "customer")
     return (c.groupBy("c_mktsegment")
             .agg(F.countDistinct("c_custkey").alias("exact_customers"),
-                 F.approx_count_distinct("c_custkey", rsd=0.02)
-                 .alias("approx_customers"))
+                 F.approx_count_distinct("c_custkey", rsd=_HLL_RSD)
+                 .alias("approx"))
+            .select("c_mktsegment", "exact_customers",
+                    (F.abs(F.col("approx") - F.col("exact_customers"))
+                     <= F.col("exact_customers") * _HLL_BOUND)
+                    .alias("approx_in_bounds"))
             .orderBy("c_mktsegment"))
 
 
-@register("tablesample_deterministic", category="analytics")
+def _tablesample_oracle() -> str:
+    from cstore_fdw_spark.functions.portable_hash import duck_h60
+    return f"""
+    SELECT o_orderkey, o_orderpriority FROM orders
+    WHERE {duck_h60('CAST(o_orderkey AS VARCHAR)')} % 10 = 0
+    """
+
+
+@register(
+    "tablesample_deterministic",
+    category="analytics",
+    oracle=_tablesample_oracle())
 def tablesample_deterministic(spark, sf_dir):
-    """Seeded Bernoulli table sampling (ANALYZE-style row sampling —
-    reference uses Vitter reservoir sampling, cstore_fdw.c:2098-2260).
-    Deterministic per seed within Spark; rows-only gate (sampling RNGs are
-    engine-specific). Output: sampled order keys + a stable count band."""
+    """Hash-based deterministic table sampling (ANALYZE-style row sampling
+    — reference uses Vitter reservoir sampling, cstore_fdw.c:2098-2260).
+    Sampling by `portable_hash(key) % 10 = 0` instead of an RNG: the same
+    10% sample on every engine and every run (repeatable samples are what
+    you want for training-data ablations anyway), so the row SET — not
+    just its size — is oracle-verified. Output: sampled order keys."""
+    from cstore_fdw_spark.functions.portable_hash import spark_h60
+
     o = table(spark, sf_dir, "orders")
-    return (o.sample(fraction=0.1, seed=42)
-            .select("o_orderkey", "o_orderpriority"))
+    return (o.filter(F.expr(
+        f"{spark_h60('cast(o_orderkey as string)')} % 10 = 0"))
+        .select("o_orderkey", "o_orderpriority"))
 
 
 @register(

@@ -4,10 +4,11 @@ training-data-pipeline extensions (BASELINE.json north star).
 Families: exact (hash groupBy), token-set and char-n-gram Jaccard (exact
 pairwise), MinHash+LSH (banded candidate generation — the 100 TB path),
 SimHash (bit-signature near-dup), and embedding-cosine near-dup (one-hop
-keeper assignment plus full iterative connected components). The
-exact/Jaccard/cosine variants carry DuckDB oracles (components against a
-recursive CTE); the hash-signature variants are engine-specific
-(xxhash64) and use the rows-only gate.
+keeper assignment plus full iterative connected components). EVERY
+family carries a DuckDB oracle: the hash-signature variants use the
+portable md5-derived hash scheme (functions.portable_hash), so even
+MinHash signatures, band buckets, and SimHash bit planes are recomputed
+bit-for-bit by the oracle (components check against a recursive CTE).
 
 Scale design: every pipeline is explode→aggregate→join on keys — no
 driver-side materialization, no quadratic all-pairs except *within LSH/
@@ -305,10 +306,18 @@ def dedup_embedding_cosine(spark, sf_dir):
 
 # ---------------------------------------------------------------- MinHash
 
+from cstore_fdw_spark.functions.portable_hash import (  # noqa: E402
+    P31, duck_h60, duck_w32, minhash_coeffs, spark_h60, spark_w32,
+)
+
 N_HASHES = 32
 N_BANDS = 8          # 8 bands × 4 rows ≈ detects jaccard ≳ 0.6
 ROWS_PER_BAND = N_HASHES // N_BANDS
 SHINGLE_K = 3
+
+#: fixed universal-hash coefficients, baked identically into the Spark
+#: projection and the DuckDB oracle (see functions.portable_hash)
+_MH_COEFFS = minhash_coeffs(N_HASHES)
 
 
 #: `transform(array(expr), x -> body)[0]` binds expr to a lambda variable,
@@ -343,12 +352,23 @@ def _doc_shingles(spark, sf_dir) -> DataFrame:
 #: (the naive explode→groupBy formulation shuffles the entire shingle set;
 #: at 100 TB that's the difference between a map-only stage and a terabyte
 #: exchange). MinHash per Broder '97, banding per MMDS ch.3.
+#:
+#: Hashing is the portable scheme: x = md5-word(shingle) mod p, then the
+#: classic universal family h_i(x) = (a_i·x + b_i) mod p — ONE md5 per
+#: shingle (cheaper than round 1's 32 xxhash64 calls) and bit-identical in
+#: DuckDB, which is what makes the whole LSH pipeline oracle-checkable.
+#: The inner transform(array(x_expr), x -> ...) binds the md5 to a lambda
+#: variable so ProjectCollapse can't re-inline it into all 32 terms.
+_X_EXPR = f"({spark_w32('s', 0)} % {P31})"
+_HS_ARR = (
+    "transform(array(" + _X_EXPR + "), x -> array("
+    + ", ".join(f"(({a}L * x + {b}L) % {P31})" for a, b in _MH_COEFFS)
+    + "))[0]")
 _SIG_ARR = (
     "aggregate("
-    "  transform(shingles, s -> transform(sequence(0, {n1}), i -> xxhash64(s, i))),"
-    "  array_repeat(9223372036854775807L, {n}),"
-    "  (acc, h) -> zip_with(acc, h, (a, b) -> least(a, b)))"
-).format(n1=N_HASHES - 1, n=N_HASHES)
+    f"  transform(shingles, s -> {_HS_ARR}),"
+    f"  array_repeat({P31}L, {N_HASHES}),"
+    "  (acc, h) -> zip_with(acc, h, (a, b) -> least(a, b)))")
 
 
 def minhash_signatures(docs_with_shingles: DataFrame) -> DataFrame:
@@ -372,18 +392,23 @@ def minhash_lsh_pairs(docs: DataFrame) -> DataFrame:
     # signatures and shingles each feed multiple joins: localCheckpoint
     # materializes them once (narrow rows; at cluster scale this is the
     # standard persist-the-signature-table step) instead of re-deriving
-    # the expensive projections on every join branch
-    shingled = shingle_arrays(docs)
+    # the expensive projections on every join branch. Docs with zero
+    # shingles (empty text) are excluded — their all-sentinel signatures
+    # would otherwise collide in every band (and Jaccard over empty sets
+    # is undefined); the oracle's explode drops them naturally.
+    shingled = shingle_arrays(docs).filter(F.size("shingles") > 0)
     sig = minhash_signatures(shingled).localCheckpoint(eager=False)
-    # band keys: hash each ROWS_PER_BAND-slice of the signature array; the
-    # generator's child is evaluated once per row, so `sigs` is not
-    # recomputed per band
+    # band keys: portable hash of each ROWS_PER_BAND-slice of the
+    # signature array (comma-joined decimal rendering — identical in the
+    # oracle); the generator's child is evaluated once per row, so `sigs`
+    # is not recomputed per band
+    band_str = (f"array_join(transform(slice(sigs, b * {ROWS_PER_BAND} + 1,"
+                f" {ROWS_PER_BAND}), v -> cast(v as string)), ',')")
     bands = (sig.select(
         "doc_id",
         F.posexplode(F.expr(
             f"transform(sequence(0, {N_BANDS - 1}),"
-            f" b -> xxhash64(slice(sigs, b * {ROWS_PER_BAND} + 1,"
-            f" {ROWS_PER_BAND})))")))
+            f" b -> {spark_h60(band_str)})")))
         .select("doc_id", F.col("pos").alias("band"),
                 F.col("col").alias("bh")))
     a = bands.alias("a")
@@ -421,13 +446,72 @@ def minhash_lsh_pairs(docs: DataFrame) -> DataFrame:
                     F.coalesce(jac, F.lit(0.0)).alias("jaccard")))
 
 
-@register("dedup_minhash_lsh", category="dedup", bench=True)
+def _minhash_oracle() -> str:
+    """DuckDB replica of the full MinHash+LSH pipeline (generated SQL:
+    32 universal-hash MIN aggregates, 8 band hashes, candidate join,
+    exact-Jaccard verification on candidates only — the same constants
+    that are baked into the Spark projection)."""
+    mins = ",\n        ".join(
+        f"MIN(({a} * x + {b}) % {P31}) AS s{i}"
+        for i, (a, b) in enumerate(_MH_COEFFS))
+    band_rows = " UNION ALL ".join(
+        "SELECT doc_id, {t} AS t, {bs} AS bs FROM sigs".format(
+            t=t, bs=" || ',' || ".join(
+                f"CAST(s{t * ROWS_PER_BAND + r} AS VARCHAR)"
+                for r in range(ROWS_PER_BAND)))
+        for t in range(N_BANDS))
+    return f"""
+    WITH base AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    sh AS (
+      SELECT doc_id, list_distinct(list_filter(list_transform(
+          generate_series(1, GREATEST(len(toks) - {SHINGLE_K - 1}, 1)),
+          i -> array_to_string(list_slice(toks, i, i + {SHINGLE_K - 1}), ' ')),
+        s -> s <> '')) AS shingles
+      FROM base),
+    szs AS (SELECT doc_id, len(shingles) AS n_sh, shingles
+            FROM sh WHERE len(shingles) > 0),
+    ex AS (SELECT doc_id, UNNEST(shingles) AS shingle FROM szs),
+    hx AS (SELECT doc_id, {duck_w32('shingle', 0)} % {P31} AS x FROM ex),
+    sigs AS (
+      SELECT doc_id,
+        {mins}
+      FROM hx GROUP BY doc_id),
+    bands AS (
+      SELECT doc_id, t, {duck_h60('bs')} AS bh
+      FROM ({band_rows}) u),
+    cand AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             COUNT(*) AS n_common_bands
+      FROM bands a JOIN bands b
+        ON a.t = b.t AND a.bh = b.bh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    common AS (
+      SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+      FROM cand c
+      JOIN ex ea ON ea.doc_id = c.doc_a
+      JOIN ex eb ON eb.doc_id = c.doc_b AND eb.shingle = ea.shingle
+      GROUP BY 1, 2)
+    SELECT c.doc_a, c.doc_b, c.n_common_bands,
+           COALESCE(CAST(m.n_common AS DOUBLE)
+             / (za.n_sh + zb.n_sh - m.n_common), 0.0) AS jaccard
+    FROM cand c
+    LEFT JOIN common m ON m.doc_a = c.doc_a AND m.doc_b = c.doc_b
+    JOIN szs za ON za.doc_id = c.doc_a
+    JOIN szs zb ON zb.doc_id = c.doc_b
+    """
+
+
+@register("dedup_minhash_lsh", category="dedup", bench=True,
+          oracle=_minhash_oracle())
 def dedup_minhash_lsh(spark, sf_dir):
     """MinHash+LSH near-dup pairs on the documents table (see
-    :func:`minhash_lsh_pairs`). No oracle: signatures are
-    xxhash64-specific; the exact-Jaccard twin (dedup_token_jaccard) is the
-    correctness anchor, and tests/test_properties.py proves exact
-    duplicates are always recalled."""
+    :func:`minhash_lsh_pairs`). Signatures use the portable md5-derived
+    universal-hash family (functions.portable_hash), so the DuckDB oracle
+    recomputes the identical signatures, bands, candidates, and verified
+    Jaccard — the full LSH pipeline is hash-compared, not rows-only.
+    tests/test_properties.py additionally proves exact duplicates are
+    always recalled."""
     return minhash_lsh_pairs(table(spark, sf_dir, "documents"))
 
 
@@ -439,42 +523,96 @@ SIMHASH_MAX_HAMMING = 16
 
 
 def simhash_signatures(tokens: DataFrame) -> DataFrame:
-    """(doc_id, simhash): 64-bit SimHash (Charikar '02) from token hashes.
-    Bit j of the signature is the sign of sum over tokens of ±1 by the
-    token-hash's bit j — all 64 bit-sums run in ONE aggregate pass."""
-    h = F.xxhash64("token")
+    """(doc_id, c0..c3): 64-bit SimHash (Charikar '02) from token hashes,
+    materialized as four 16-bit chunks (the chunk form avoids any
+    shift-on-negative semantics and IS the blocking key — Manku et al.
+    WWW'07). Bit j of the signature is the sign of sum over tokens of ±1
+    by bit j of the token's portable hash (two md5 words = 64 independent
+    bits, identical in DuckDB) — all 64 bit-sums run in ONE aggregate
+    pass."""
+    w0 = F.expr(spark_w32("token", 0))
+    w1 = F.expr(spark_w32("token", 1))
     bit_sums = [
-        F.sum(F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1)
-              .otherwise(-1)).alias(f"s_{j}")
+        F.sum(F.when(
+            F.shiftright(w0 if j < 32 else w1, j % 32)
+            .bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)).alias(f"s_{j}")
         for j in range(SIMHASH_BITS)]
     sums = tokens.groupBy("doc_id").agg(*bit_sums)
-    sig = None
-    for j in range(SIMHASH_BITS):
-        term = F.when(F.col(f"s_{j}") > 0,
-                      F.shiftleft(F.lit(1).cast("long"), j)).otherwise(F.lit(0).cast("long"))
-        sig = term if sig is None else sig + term
-    return sums.select("doc_id", sig.alias("simhash"))
+    chunk_cols = []
+    for c in range(SIMHASH_CHUNKS):
+        ck = None
+        for r in range(16):
+            term = F.when(F.col(f"s_{c * 16 + r}") > 0,
+                          F.lit(1 << r)).otherwise(F.lit(0))
+            ck = term if ck is None else ck + term
+        chunk_cols.append(ck.cast("int").alias(f"c{c}"))
+    return sums.select("doc_id", *chunk_cols)
 
 
-@register("dedup_simhash", category="dedup")
+def _simhash_oracle() -> str:
+    """DuckDB replica of the SimHash pipeline: same 64 portable bit
+    planes, same chunk blocking, same Hamming verification."""
+    w = f"{duck_w32('token', 0)} AS w0, {duck_w32('token', 1)} AS w1"
+    bit_sums = ",\n        ".join(
+        f"SUM(CASE WHEN (({'w0' if j < 32 else 'w1'} >> {j % 32}) & 1) = 1"
+        f" THEN 1 ELSE -1 END) AS s_{j}"
+        for j in range(SIMHASH_BITS))
+    chunks = ",\n        ".join(
+        "CAST(" + " + ".join(
+            f"CASE WHEN s_{c * 16 + r} > 0 THEN {1 << r} ELSE 0 END"
+            for r in range(16)) + f" AS INTEGER) AS c{c}"
+        for c in range(SIMHASH_CHUNKS))
+    ck_case = ("CASE v.chunk WHEN 0 THEN c0 WHEN 1 THEN c1"
+               " WHEN 2 THEN c2 ELSE c3 END")
+    ham = " + ".join(f"bit_count(xor(a.c{c}, b.c{c}))"
+                     for c in range(SIMHASH_CHUNKS))
+    return f"""
+    WITH tok AS (
+      SELECT DISTINCT doc_id, UNNEST(string_split(text, ' ')) AS token
+      FROM documents),
+    tok2 AS (SELECT doc_id, token FROM tok WHERE token <> ''),
+    hx AS (SELECT doc_id, {w} FROM tok2),
+    sums AS (
+      SELECT doc_id,
+        {bit_sums}
+      FROM hx GROUP BY doc_id),
+    sig AS (
+      SELECT doc_id,
+        {chunks}
+      FROM sums),
+    ck AS (
+      SELECT doc_id, c0, c1, c2, c3, v.chunk, {ck_case} AS ckv
+      FROM sig, (VALUES (0), (1), (2), (3)) v(chunk))
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST({ham} AS INTEGER) AS hamming
+    FROM ck a JOIN ck b
+      ON a.chunk = b.chunk AND a.ckv = b.ckv AND a.doc_id < b.doc_id
+    WHERE CAST({ham} AS INTEGER) <= {SIMHASH_MAX_HAMMING}
+    """
+
+
+@register("dedup_simhash", category="dedup", oracle=_simhash_oracle())
 def dedup_simhash(spark, sf_dir):
-    """SimHash near-dup pairs: 64-bit signatures, 16-bit-chunk blocking,
-    Hamming-distance verification via bit_count(xor). Engine-hash-specific
-    → rows-only gate. Output: (doc_a, doc_b, hamming)."""
+    """SimHash near-dup pairs: 64-bit signatures as four 16-bit chunks,
+    chunk blocking (candidates share ≥1 chunk ⟹ lossless for Hamming ≤ 16
+    by pigeonhole), Hamming verification via bit_count(xor) per chunk.
+    Portable md5-derived bit planes → the DuckDB oracle recomputes the
+    identical signatures and pairs. Output: (doc_a, doc_b, hamming)."""
     tokens = _doc_tokens(spark, sf_dir).select("doc_id", "token")
     sig = simhash_signatures(tokens)
     chunk_cols = [
-        F.struct(F.lit(c).alias("chunk"),
-                 F.shiftright("simhash", c * 16).bitwiseAND(F.lit(0xFFFF))
-                 .alias("ck"))
+        F.struct(F.lit(c).alias("chunk"), F.col(f"c{c}").alias("ck"))
         for c in range(SIMHASH_CHUNKS)]
-    chunks = (sig.select("doc_id", "simhash",
+    chunks = (sig.select("doc_id", "c0", "c1", "c2", "c3",
                          F.explode(F.array(*chunk_cols)).alias("k"))
-              .select("doc_id", "simhash", F.col("k.chunk").alias("chunk"),
+              .select("doc_id", "c0", "c1", "c2", "c3",
+                      F.col("k.chunk").alias("chunk"),
                       F.col("k.ck").alias("ck")))
     a = chunks.alias("a")
     b = chunks.alias("b")
-    hamming = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    hamming = sum(
+        F.bit_count(F.col(f"a.c{c}").bitwiseXOR(F.col(f"b.c{c}")))
+        for c in range(SIMHASH_CHUNKS)).cast("int")
     return (a.join(b, (F.col("a.chunk") == F.col("b.chunk"))
                    & (F.col("a.ck") == F.col("b.ck"))
                    & (F.col("a.doc_id") < F.col("b.doc_id")))

@@ -119,7 +119,7 @@ def struct_pack_access(spark, sf_dir):
     category="nested",
     oracle="""
     SELECT event_type,
-           SUM(CAST(props->>'$.k' AS BIGINT)) AS sum_k,
+           CAST(SUM(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
            COUNT(*) AS n
     FROM events GROUP BY event_type ORDER BY event_type
     """)

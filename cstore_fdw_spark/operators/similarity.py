@@ -131,11 +131,18 @@ def lsh_buckets(vec_col_name: str) -> Column:
     """array of per-table bucket ids (index = table): bit j of table t's
     bucket = sign(vec · plane_{t,j}).
 
-    Arrow-vectorized pandas UDF: all L·b projections are ONE BLAS matmul
-    per batch. The JVM higher-order-function formulation was measured at
-    ~2.3 ms/row (interpreted fold overhead) vs microseconds here — this is
-    the documented case where built-ins genuinely can't express the
-    semantics efficiently (batch linear algebra)."""
+    Arrow-vectorized pandas UDF: the projections run as DIM vectorized
+    accumulation steps (one fused multiply-add over all rows × planes per
+    dimension). The accumulation is deliberately a LEFT FOLD in dimension
+    order — acc += v[k]·p[k] for k = 0..DIM−1 — so every partial sum
+    rounds exactly like DuckDB's sequential list_dot_product fold; with
+    ±1 planes the products are exact sign flips, making the bucket bits
+    bit-identical across engines (that's what lets the LSH op carry a
+    full oracle). A BLAS matmul would be ~the same speed here but sums in
+    unspecified order. The JVM higher-order-function formulation was
+    measured at ~2.3 ms/row (interpreted fold overhead) vs microseconds
+    here — the documented case where built-ins genuinely can't express
+    the semantics efficiently (batch linear algebra)."""
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("array<long>")
@@ -144,7 +151,10 @@ def lsh_buckets(vec_col_name: str) -> Column:
         import pandas as pd
         planes = _plane_matrix()                       # (L*B, DIM)
         V = np.stack(vecs.to_numpy()).astype(np.float64)   # (n, DIM)
-        bits = (V @ planes.T) > 0                       # (n, L*B)
+        acc = np.zeros((len(V), planes.shape[0]))      # (n, L*B)
+        for k in range(planes.shape[1]):               # ordered fold
+            acc += V[:, k:k + 1] * planes[None, :, k]
+        bits = acc > 0
         bits = bits.reshape(len(V), LSH_TABLES, LSH_BITS)
         weights = (1 << np.arange(LSH_BITS)).astype(np.int64)
         out = bits @ weights                            # (n, L)
@@ -153,7 +163,51 @@ def lsh_buckets(vec_col_name: str) -> Column:
     return buckets_of(vec_col_name)
 
 
-@register("ann_lsh_bucketed", category="similarity", bench=True)
+def _lsh_oracle() -> str:
+    """DuckDB replica of the LSH pipeline: the ±1 hyperplanes are inlined
+    as literal DOUBLE[] rows (same SHA-256-derived matrix the pandas UDF
+    uses), bucket bits from list_dot_product signs (bit-exact vs the
+    UDF's ordered fold), then the identical candidate-union + exact
+    cosine re-rank."""
+    planes = _plane_matrix()
+    rows = []
+    for t in range(LSH_TABLES):
+        for j in range(LSH_BITS):
+            arr = ", ".join("1.0" if v > 0 else "-1.0"
+                            for v in planes[t * LSH_BITS + j])
+            rows.append(f"({t}, {1 << j}, [{arr}]::DOUBLE[])")
+    vals = ",\n      ".join(rows)
+    return f"""
+    WITH planes(t, w, plane) AS (VALUES
+      {vals}),
+    buck AS (
+      SELECT e.vec_id, p.t,
+             CAST(SUM(CASE WHEN list_dot_product(e.embedding::DOUBLE[],
+                                                 p.plane) > 0
+                      THEN p.w ELSE 0 END) AS BIGINT) AS b
+      FROM embeddings e, planes p
+      GROUP BY 1, 2),
+    cand AS (
+      SELECT DISTINCT qa.vec_id AS query_id, ca.vec_id AS neighbor_id
+      FROM buck qa JOIN buck ca
+        ON qa.t = ca.t AND qa.b = ca.b AND ca.vec_id <> qa.vec_id
+      WHERE qa.vec_id < {N_QUERIES}),
+    scored AS (
+      SELECT c.query_id, c.neighbor_id, {_ORACLE_COS} AS cos
+      FROM cand c
+      JOIN embeddings a ON a.vec_id = c.query_id
+      JOIN embeddings b ON b.vec_id = c.neighbor_id)
+    SELECT query_id, neighbor_id, rank, cos FROM (
+      SELECT query_id, neighbor_id, cos,
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
+      FROM scored) t
+    WHERE rank <= {TOP_K}
+    """
+
+
+@register("ann_lsh_bucketed", category="similarity", bench=True,
+          oracle=_lsh_oracle())
 def ann_lsh_bucketed(spark, sf_dir):
     """Approximate NN via multi-table sign-random-projection LSH
     (LSH_TABLES tables × LSH_BITS bits): candidates share a bucket in any
@@ -161,9 +215,10 @@ def ann_lsh_bucketed(spark, sf_dir):
     path: the join is on bucket keys (occupancy ≈ N/2^bits per table)
     instead of a cross product; recall is bounded by L·p^b collision
     probability — low on these *uniform random* test vectors by
-    construction, high on clustered real embeddings. Rows-only gate
-    (bucketing is hyperplane-specific; ann_cosine_topk is the exact
-    anchor). Output: (query_id, neighbor_id, rank, cos)."""
+    construction, high on clustered real embeddings. The hyperplane
+    projections fold in dimension order (see lsh_buckets), so the DuckDB
+    oracle recomputes the identical buckets, candidates, and ranking.
+    Output: (query_id, neighbor_id, rank, cos)."""
     e = table(spark, sf_dir, "embeddings")
     sig = (e.select("vec_id", "embedding",
                     F.posexplode(lsh_buckets("embedding")),
@@ -201,52 +256,104 @@ IVF_NLIST = 16    # coarse centroids
 IVF_NPROBE = 3    # probed cells per query
 
 
-@register("ann_ivf_coarse", category="similarity")
+def _ivf_oracle() -> str:
+    """DuckDB replica of the IVF pipeline: same hash-seeded centroid
+    selection, same argmax-cosine assignment, same probe + re-rank."""
+    from cstore_fdw_spark.functions.portable_hash import duck_h60
+
+    ccos = """
+     list_dot_product(e.embedding::DOUBLE[], c.centroid::DOUBLE[]) /
+     (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) *
+      sqrt(list_dot_product(c.centroid::DOUBLE[], c.centroid::DOUBLE[])))"""
+    return f"""
+    WITH cents AS (
+      SELECT rn - 1 AS cell, embedding AS centroid FROM (
+        SELECT vec_id, embedding,
+               ROW_NUMBER() OVER (
+                 ORDER BY {duck_h60("CAST(vec_id AS VARCHAR)")}, vec_id)
+                 AS rn
+        FROM embeddings) t
+      WHERE rn <= {IVF_NLIST}),
+    ccos AS (
+      SELECT e.vec_id, c.cell, {ccos} AS ccos
+      FROM embeddings e, cents c),
+    assign AS (
+      SELECT vec_id, cell FROM (
+        SELECT vec_id, cell,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY ccos DESC, cell) AS rn
+        FROM ccos) t WHERE rn = 1),
+    probes AS (
+      SELECT vec_id AS query_id, cell FROM (
+        SELECT vec_id, cell,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY ccos DESC, cell) AS rn
+        FROM ccos WHERE vec_id < {N_QUERIES}) t
+      WHERE rn <= {IVF_NPROBE}),
+    scored AS (
+      SELECT p.query_id, s.vec_id AS neighbor_id, {_ORACLE_COS} AS cos
+      FROM probes p
+      JOIN assign s ON s.cell = p.cell AND s.vec_id <> p.query_id
+      JOIN embeddings a ON a.vec_id = p.query_id
+      JOIN embeddings b ON b.vec_id = s.vec_id)
+    SELECT query_id, neighbor_id, rank, cos FROM (
+      SELECT query_id, neighbor_id, cos,
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
+      FROM scored) t
+    WHERE rank <= {TOP_K}
+    """
+
+
+@register("ann_ivf_coarse", category="similarity", oracle=_ivf_oracle())
 def ann_ivf_coarse(spark, sf_dir):
-    """IVF-style approximate NN: k-means coarse quantizer (pyspark.ml,
-    fixed seed) partitions vectors into nlist cells; each query probes its
-    nprobe nearest centroids and re-ranks exactly within those cells only.
+    """IVF-style approximate NN: a coarse quantizer partitions vectors
+    into nlist cells; each query probes its nprobe nearest centroids and
+    re-ranks exactly within those cells only.
 
     The other classic ANN scale path next to LSH: candidate count ≈
-    N·nprobe/nlist instead of N. Centroids train on a sample and are tiny
-    (nlist×dim) → broadcast; assignment is one map-side pass. Rows-only
-    gate (centroids are model-specific; ann_cosine_topk is the exact
-    anchor). Output: (query_id, neighbor_id, rank, cos)."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector, vector_to_array
+    N·nprobe/nlist instead of N. Coarse centers are a deterministic
+    hash-seeded sample of the corpus (the vectors with the NLIST smallest
+    portable hashes — the random-center quantizer FAISS offers as k-means
+    init; iterating k-means on the sample is an orthogonal refinement
+    that would make centers engine-private again). Centers are tiny
+    (nlist×dim) → broadcast; assignment is one map-side argmax-cosine
+    pass; every cosine is an ordered fold, so the DuckDB oracle
+    reproduces cells, probes, and ranking bit-for-bit.
+    Output: (query_id, neighbor_id, rank, cos)."""
+    from cstore_fdw_spark.functions.portable_hash import spark_h60
 
     e = table(spark, sf_dir, "embeddings")
-    vecs = e.select("vec_id", "embedding",
-                    array_to_vector(F.col("embedding").cast("array<double>"))
-                    .alias("features"))
-    # random init + few iterations: the quantizer only needs rough cells
-    # (k-means|| init runs extra distributed passes that dominate at
-    # training time without improving the probe structure meaningfully)
-    model = KMeans(k=IVF_NLIST, seed=42, maxIter=3,
-                   initMode="random").fit(vecs)
-    assigned = (model.transform(vecs)
-                .select("vec_id", "embedding",
-                        F.col("prediction").alias("cell"),
-                        F.sqrt(dot(F.col("embedding"), F.col("embedding")))
-                        .alias("norm")))
-
-    # query → nprobe nearest centroids (centroid list is tiny: broadcast
-    # as a literal-free cross join + rank)
-    centroids = spark.createDataFrame(
-        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
-        "cell int, centroid array<double>")
-    q = (assigned.filter(F.col("vec_id") < N_QUERIES)
-         .select(F.col("vec_id").alias("query_id"),
-                 F.col("embedding").alias("qvec"),
-                 F.col("norm").alias("qnorm")))
-    wprobe = Window.partitionBy("query_id").orderBy(F.col("cdist").asc(),
-                                                    "cell")
-    probes = (q.crossJoin(F.broadcast(centroids))
-              .select("query_id", "qvec", "qnorm", "cell",
-                      (-dot(F.col("qvec"), F.col("centroid"))).alias("cdist"))
-              .withColumn("pr", F.row_number().over(wprobe))
-              .filter(F.col("pr") <= IVF_NPROBE)
-              .select("query_id", "qvec", "qnorm", "cell"))
+    wc = Window.orderBy("h", "vec_id")
+    # top-NLIST by portable hash = deterministic uniform sample; the
+    # global sort is over a metadata-size projection (id, hash) and NLIST
+    # rows survive — at 100 TB this is a cheap top-k, not a full sort
+    cents = (e.select("vec_id", "embedding",
+                      F.expr(spark_h60("cast(vec_id as string)")).alias("h"))
+             .withColumn("rn", F.row_number().over(wc))
+             .filter(F.col("rn") <= IVF_NLIST)
+             .select((F.col("rn") - 1).alias("cell"),
+                     F.col("embedding").alias("centroid"),
+                     F.sqrt(dot(F.col("embedding"), F.col("embedding")))
+                     .alias("centnorm")))
+    v = e.select("vec_id", "embedding",
+                 F.sqrt(dot(F.col("embedding"), F.col("embedding")))
+                 .alias("norm"))
+    ccos = (dot(F.col("embedding"), F.col("centroid"))
+            / (F.col("norm") * F.col("centnorm")))
+    wassign = Window.partitionBy("vec_id").orderBy(F.col("ccos").desc(),
+                                                   "cell")
+    scored_cells = (v.crossJoin(F.broadcast(cents))
+                    .select("vec_id", "embedding", "norm", "cell",
+                            ccos.alias("ccos"))
+                    .withColumn("rn", F.row_number().over(wassign)))
+    assigned = (scored_cells.filter(F.col("rn") == 1)
+                .select("vec_id", "embedding", "norm", "cell"))
+    probes = (scored_cells.filter((F.col("vec_id") < N_QUERIES)
+                                  & (F.col("rn") <= IVF_NPROBE))
+              .select(F.col("vec_id").alias("query_id"),
+                      F.col("embedding").alias("qvec"),
+                      F.col("norm").alias("qnorm"), "cell"))
 
     c = assigned.select(F.col("vec_id").alias("neighbor_id"),
                         F.col("embedding").alias("cvec"),

@@ -4,8 +4,8 @@ pipeline extensions.
 
 All hot paths are JVM built-ins (split/regexp/aggregate); ratios are exact
 integer divisions in double (deterministic). The rolling-hash winnowing
-fingerprint is xxhash64-based → rows-only gate; the md5 content
-fingerprint carries an oracle.
+fingerprint uses the portable md5 gram hash (functions.portable_hash), so
+it carries a full oracle like the md5 content fingerprint.
 """
 
 from __future__ import annotations
@@ -194,13 +194,37 @@ WINNOW_K = 8     # char k-grams
 WINNOW_W = 4     # winnowing window
 
 
-@register("text_winnow_fingerprint", category="text")
+def _winnow_oracle() -> str:
+    from cstore_fdw_spark.functions.portable_hash import duck_h60
+    gram_h = duck_h60(f"substr(text, i, {WINNOW_K})")
+    return f"""
+    WITH g AS (
+      SELECT doc_id, list_transform(
+        generate_series(1, GREATEST(length(text) - {WINNOW_K - 1}, 1)),
+        i -> {gram_h}) AS gh
+      FROM documents),
+    wmin AS (
+      SELECT doc_id, list_distinct(list_transform(
+        generate_series(1, GREATEST(len(gh) - {WINNOW_W - 1}, 1)),
+        j -> list_min(list_slice(gh, j, j + {WINNOW_W - 1})))) AS fps
+      FROM g)
+    SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fingerprints,
+           list_min(fps) AS min_fp, list_max(fps) AS max_fp
+    FROM wmin
+    """
+
+
+@register("text_winnow_fingerprint", category="text",
+          oracle=_winnow_oracle())
 def text_winnow_fingerprint(spark, sf_dir):
     """Winnowing document fingerprint (Schleimer et al. '03): rolling char
     k-gram hashes, per-window minimum selection, distinct fingerprint set.
     All JVM-side: sequence→transform(substring)→window-min via another
-    transform. xxhash64-based → rows-only gate.
-    Output: (doc_id, n_fingerprints, min_fp, max_fp)."""
+    transform. Gram hashes use the portable md5 scheme
+    (functions.portable_hash), so the DuckDB oracle recomputes the exact
+    fingerprint sets. Output: (doc_id, n_fingerprints, min_fp, max_fp)."""
+    from cstore_fdw_spark.functions.portable_hash import spark_h60
+
     d = table(spark, sf_dir, "documents")
     # the whole fingerprint is ONE fused expression: gram hashes bound to a
     # lambda variable (evaluated once per row — without the binding,
@@ -208,7 +232,7 @@ def text_winnow_fingerprint(spark, sf_dir):
     # position, O(len²)), then window-mins, then a stats struct so the
     # three output columns share one evaluation.
     grams = (f"transform(sequence(1, greatest(length(text) - {WINNOW_K - 1}, 1)),"
-             f" i -> xxhash64(substring(text, i, {WINNOW_K})))")
+             f" i -> {spark_h60(f'substring(text, i, {WINNOW_K})')})")
     stats = F.expr(
         f"transform(array({grams}), g ->"
         f" transform(array(array_distinct("

@@ -11,9 +11,7 @@ def test_approx_distinct_within_bound(spark, sf_dir):
     rows = REGISTRY["approx_distinct_sketch"].builder(spark, sf_dir).collect()
     assert rows
     for r in rows:
-        rel_err = abs(r.approx_customers - r.exact_customers) / max(
-            r.exact_customers, 1)
-        assert rel_err < 0.10, (r.c_mktsegment, rel_err)
+        assert r.approx_in_bounds, r.c_mktsegment
 
 
 def test_tablesample_deterministic_and_sized(spark, sf_dir):
