@@ -117,6 +117,13 @@ class TableMeta:
     # column -> constant default (applied to rows written BEFORE the column
     # existed — reference cstore_reader.c:1224-1292). Stored as SQL literal.
     column_defaults: dict[str, Any] = field(default_factory=dict)
+    # column -> basenames of the data files that existed when the column
+    # was added: ONLY rows from these files read the default; an explicit
+    # NULL written after the column existed stays NULL (PG semantics).
+    # Recorded once at ALTER time (a DDL-frequency O(#files) listing; a
+    # production variant would stamp a write-epoch watermark into file
+    # names instead of materializing the list).
+    backfill_files: dict[str, list[str]] = field(default_factory=dict)
     version: str = "1.0"
     created_at: float = 0.0
 
@@ -282,9 +289,15 @@ class CStoreCatalog:
         ~stripe-file size, and committed by writing to a temp directory
         then swapping it in — the reference's temp-file + rename protocol
         for the footer (cstore_writer.c:344-357) applied to the data dir.
+        The swap is two renames (data→old, tmp→data), so it is not a
+        single atomic step: a crash in the one-rename window leaves the
+        rows parked in ``data.compact.old``, which :meth:`_recover_compact`
+        (run by both read() and compact()) rolls back or cleans up —
+        readers never silently see an empty table.
         Partitioned tables compact within each partition."""
         meta = self._load_meta(name)
         fmt = self._format(meta)
+        self._recover_compact(name, fmt)
         df = self.read(name)
         total = df.count()
         if total == 0:
@@ -316,7 +329,29 @@ class CStoreCatalog:
         os.rename(data_path, old_path)
         os.rename(tmp_path, data_path)
         shutil.rmtree(old_path)
+        if meta.backfill_files:
+            # defaults are baked into the rewritten files; nothing
+            # pre-dates any column anymore
+            meta.backfill_files = {c: [] for c in meta.backfill_files}
+            self._save_meta(meta)
         return sum(1 for _ in _data_files(data_path, fmt))
+
+    def _recover_compact(self, name: str, fmt: str) -> None:
+        """Repair the table after a compact() crash.
+
+        Crash between the two swap renames → no ``data`` dir but a
+        ``data.compact.old`` holding every row: roll the rename back.
+        Crash after the swap but before cleanup → both dirs exist and
+        ``data`` is the compacted truth: drop the leftovers. A stale
+        ``.compact.tmp`` is always disposable (it's re-created)."""
+        data_path = os.path.join(self.table_path(name), "data")
+        old_path = data_path + ".compact.old"
+        if os.path.isdir(old_path):
+            if _has_data_files(data_path, fmt):
+                shutil.rmtree(old_path)
+            else:
+                shutil.rmtree(data_path, ignore_errors=True)
+                os.rename(old_path, data_path)
 
     # -------------------------------------------------------------- read
     def read(self, name: str) -> DataFrame:
@@ -331,6 +366,7 @@ class CStoreCatalog:
         meta = self._load_meta(name)
         fmt = self._format(meta)
         target = meta.schema()
+        self._recover_compact(name, fmt)
         data_path = os.path.join(self.table_path(name), "data")
         if not _has_data_files(data_path, fmt):
             return self.spark.createDataFrame([], target)
@@ -342,10 +378,26 @@ class CStoreCatalog:
             if f_.name in df.columns:
                 col = F.col(f_.name).cast(f_.dataType)
                 if f_.name in meta.column_defaults:
-                    # rows from files that pre-date the column read as NULL;
-                    # backfill the constant default
-                    col = F.coalesce(col, F.lit(
-                        meta.column_defaults[f_.name]).cast(f_.dataType))
+                    # rows from files that pre-date the column read as
+                    # NULL; backfill the constant default for THOSE files
+                    # only — an explicit NULL inserted after the column
+                    # existed must stay NULL (PG semantics; the reference
+                    # backfills only stripes older than the column,
+                    # cstore_reader.c:1224-1292)
+                    old_files = meta.backfill_files.get(f_.name)
+                    default_lit = F.lit(
+                        meta.column_defaults[f_.name]).cast(f_.dataType)
+                    if old_files is None:
+                        # legacy meta without file tracking: the old
+                        # (over-broad) coalesce is the only safe reading
+                        col = F.coalesce(col, default_lit)
+                    elif old_files:
+                        from_old = F.element_at(
+                            F.split(F.input_file_name(), "/"), -1
+                        ).isin(old_files)
+                        col = F.when(from_old,
+                                     F.coalesce(col, default_lit)
+                                     ).otherwise(col)
                 projections.append(col.alias(f_.name))
             else:
                 default = meta.column_defaults.get(f_.name)
@@ -376,6 +428,13 @@ class CStoreCatalog:
                 raise CStoreError(
                     "unsupported non-constant default value")
             meta.column_defaults[column] = default
+            # snapshot the files that pre-date the column: only their rows
+            # get the default at read time (cstore_reader.c:1224-1292
+            # backfills exactly the stripes older than the column)
+            data_path = os.path.join(self.table_path(name), "data")
+            meta.backfill_files[column] = sorted(
+                os.path.basename(p)
+                for p in _data_files(data_path, self._format(meta)))
         self._save_meta(meta)
 
     def drop_column(self, name: str, column: str) -> None:

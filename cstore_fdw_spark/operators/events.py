@@ -92,9 +92,12 @@ def events_sessionize(spark, sf_dir):
     w = Window.partitionBy("user_id").orderBy("ts")
     wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     prev_ts = F.lag("ts").over(w)
+    # compare exact microseconds: long-casting a timestamp floors to whole
+    # seconds, so a 1800.4s gap would floor to 1800 and (unlike the
+    # oracle's exact INTERVAL comparison) fail to split the session
     new_session = (prev_ts.isNull()
-                   | (F.col("ts").cast("long") - prev_ts.cast("long")
-                      > SESSION_GAP_MIN * 60)).cast("int")
+                   | (F.unix_micros(F.col("ts")) - F.unix_micros(prev_ts)
+                      > SESSION_GAP_MIN * 60 * 1_000_000)).cast("int")
     return (e.select("user_id", "ts", new_session.alias("ns"))
             .withColumn("session_no", F.sum("ns").over(wrun))
             .groupBy("user_id", "session_no")

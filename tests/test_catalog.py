@@ -240,3 +240,64 @@ def test_compact_preserves_default_backfill(spark, catalog):
     catalog.compact("td")
     after = sorted((r.a, r.flag) for r in catalog.read("td").collect())
     assert after == before == [(1, "new"), (2, "new"), (3, "x")]
+
+
+def test_explicit_null_after_add_column_stays_null(spark, catalog):
+    # PG semantics: the constant default backfills only rows that PRE-DATE
+    # the column (reference cstore_reader.c:1224-1292); an explicit NULL
+    # inserted afterwards must read back as NULL — and compact() must not
+    # bake the default over it.
+    catalog.create_table("tn", "a int")
+    catalog.insert("tn", spark.createDataFrame([(1,), (2,)], "a int"))
+    catalog.add_column("tn", "e", "int", default=7)
+    catalog.insert("tn", spark.createDataFrame(
+        [(3, None), (4, 9)], "a int, e int"))
+    rows = {r.a: r.e for r in catalog.read("tn").collect()}
+    assert rows == {1: 7, 2: 7, 3: None, 4: 9}
+    catalog.compact("tn")
+    rows = {r.a: r.e for r in catalog.read("tn").collect()}
+    assert rows == {1: 7, 2: 7, 3: None, 4: 9}
+    # post-compact inserts with NULL also stay NULL (backfill list cleared)
+    catalog.insert("tn", spark.createDataFrame([(5, None)], "a int, e int"))
+    rows = {r.a: r.e for r in catalog.read("tn").collect()}
+    assert rows[5] is None
+
+
+def test_compact_crash_recovery(spark, catalog):
+    # simulate the two crash windows of compact()'s two-rename swap
+    catalog.create_table("tr", "a int")
+    catalog.insert("tr", spark.createDataFrame([(i,) for i in range(5)],
+                                               "a int"))
+    data = os.path.join(catalog.table_path("tr"), "data")
+    old = data + ".compact.old"
+    # window 1: crashed between rename(data→old) and rename(tmp→data):
+    # rows are parked in .old and data is gone — read() must recover them,
+    # not silently return an empty table
+    os.rename(data, old)
+    assert sorted(r.a for r in catalog.read("tr").collect()) == [0, 1, 2, 3, 4]
+    assert os.path.isdir(data) and not os.path.exists(old)
+    # window 2: crashed after the swap, before cleanup: both dirs exist
+    # and data is the truth — the stale .old must not break the next
+    # compact() (round 1 died with ENOTEMPTY here)
+    import shutil
+    shutil.copytree(data, old)
+    assert catalog.compact("tr") >= 1
+    assert not os.path.exists(old)
+    assert sorted(r.a for r in catalog.read("tr").collect()) == [0, 1, 2, 3, 4]
+
+
+def test_stream_ingest_replay_is_idempotent(spark, catalog, tmp_path):
+    # foreachBatch replays a batch_id after restart; the table-side ledger
+    # must suppress the duplicate append (at-least-once → effectively-once)
+    from cstore_fdw_spark.streaming.ingest import batch_writer
+    catalog.create_table("ti", "a int")
+    write = batch_writer(catalog, "ti", str(tmp_path / "ckpt"))
+    df = spark.createDataFrame([(1,), (2,)], "a int")
+    write(df, 0)
+    write(df, 0)          # replay of the same batch: must be a no-op
+    write(df, 1)          # a genuinely new batch appends
+    assert catalog.row_count("ti") == 4
+    # an independent stream (different checkpoint) is not suppressed
+    write2 = batch_writer(catalog, "ti", str(tmp_path / "ckpt2"))
+    write2(df, 0)
+    assert catalog.row_count("ti") == 6
