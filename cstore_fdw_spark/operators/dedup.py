@@ -93,10 +93,67 @@ def _doc_tokens(spark, sf_dir) -> DataFrame:
             .distinct())
 
 
+TOKEN_JACCARD_TAU = 0.8
+
+
+def ppjoin_jaccard_pairs(items: DataFrame, tau: float) -> DataFrame:
+    """Exact Jaccard-≥-τ pairs over an (doc_id, lang, item) set table via
+    PPJoin-style prefix filtering (Xiao et al., WWW'08) — the shared
+    engine for both the word-token and char-n-gram Jaccard families.
+
+    Naive inverted-index self-joins are quadratic in posting-list size
+    (Zipfian items like "the" put O(n²) pairs in one bucket). Candidates
+    are instead generated only from each doc's |S| − ⌈τ·|S|⌉ + 1 RAREST
+    items under a global (per-language) rarity order: a pair with
+    jaccard ≥ τ has overlap ≥ τ·max(|A|,|B|), and by pigeonhole over the
+    shared total order such a pair must collide inside both prefixes —
+    lossless pruning (oracles run the unfiltered form), while the
+    inverted index drops the frequent items that dominate the blowup.
+    The exact overlap is then counted over candidates only.
+    Output: (doc_a, doc_b, n_common, size_a, size_b, jaccard)."""
+    items = items.localCheckpoint(eager=False)
+    sizes = items.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_s"))
+    # global (per-language) item frequency → total rarity order (freq,
+    # then item lexicographically as the deterministic tie-break)
+    freq = items.groupBy("lang", "item").agg(F.count(F.lit(1)).alias("gf"))
+    wdoc = Window.partitionBy("doc_id").orderBy("gf", "item")
+    prefix = (items.join(freq, ["lang", "item"])
+              .withColumn("rn", F.row_number().over(wdoc))
+              .join(sizes, "doc_id")
+              .filter(F.col("rn") <= F.col("n_s")
+                      - F.ceil(F.lit(tau) * F.col("n_s")) + 1)
+              .select("doc_id", "lang", "item"))
+    pa, pb = prefix.alias("pa"), prefix.alias("pb")
+    cand = (pa.join(pb, (F.col("pa.item") == F.col("pb.item"))
+                    & (F.col("pa.lang") == F.col("pb.lang"))
+                    & (F.col("pa.doc_id") < F.col("pb.doc_id")))
+            .select(F.col("pa.doc_id").alias("doc_a"),
+                    F.col("pb.doc_id").alias("doc_b"))
+            .distinct())
+    # exact overlap restricted to candidates
+    ia = items.withColumnRenamed("doc_id", "doc_a").select("doc_a", "item")
+    ib = items.withColumnRenamed("doc_id", "doc_b").select("doc_b", "item")
+    pairs = (cand.join(ia, "doc_a")
+             .join(ib, ["doc_b", "item"])
+             .groupBy("doc_a", "doc_b")
+             .agg(F.count(F.lit(1)).alias("n_common")))
+    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    jac = (F.col("n_common").cast("double")
+           / (F.col("sa.n_s") + F.col("sb.n_s") - F.col("n_common")))
+    return (pairs
+            .join(sa, F.col("sa.doc_id") == F.col("doc_a"))
+            .join(sb, F.col("sb.doc_id") == F.col("doc_b"))
+            .select("doc_a", "doc_b", "n_common",
+                    F.col("sa.n_s").alias("size_a"),
+                    F.col("sb.n_s").alias("size_b"),
+                    jac.alias("jaccard"))
+            .filter(F.col("jaccard") >= tau))
+
+
 @register(
     "dedup_token_jaccard",
     category="dedup",
-    oracle="""
+    oracle=f"""
     WITH tok AS (
       SELECT DISTINCT doc_id, lang, UNNEST(STRING_SPLIT(text, ' ')) AS token
       FROM documents WHERE text <> ''),
@@ -114,38 +171,15 @@ def _doc_tokens(spark, sf_dir) -> DataFrame:
     JOIN sizes sa ON sa.doc_id = p.doc_a
     JOIN sizes sb ON sb.doc_id = p.doc_b
     WHERE CAST(p.n_common AS DOUBLE)
-             / (sa.n_tok + sb.n_tok - p.n_common) >= 0.8
+             / (sa.n_tok + sb.n_tok - p.n_common) >= {TOKEN_JACCARD_TAU}
     """)
 def dedup_token_jaccard(spark, sf_dir):
-    """Exact token-set (1-gram) Jaccard near-dup pairs within a language.
-
-    Inverted-index self-join on token (the lang key blocks cross-language
-    pairs), count common tokens per pair, Jaccard from exact int counts —
-    deterministic double division. This is the exact oracle for the
-    MinHash estimate; quadratic in bucket size, so at 100 TB it only runs
-    on LSH candidates (dedup_minhash_lsh)."""
-    tok = _doc_tokens(spark, sf_dir)
-    sizes = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tok"))
-    a = tok.alias("a")
-    b = tok.alias("b")
-    pairs = (a.join(b, (F.col("a.token") == F.col("b.token"))
-                    & (F.col("a.lang") == F.col("b.lang"))
-                    & (F.col("a.doc_id") < F.col("b.doc_id")))
-             .groupBy(F.col("a.doc_id").alias("doc_a"),
-                      F.col("b.doc_id").alias("doc_b"))
-             .agg(F.count(F.lit(1)).alias("n_common")))
-    sa = sizes.alias("sa")
-    sb = sizes.alias("sb")
-    jac = (F.col("n_common").cast("double")
-           / (F.col("sa.n_tok") + F.col("sb.n_tok") - F.col("n_common")))
-    return (pairs
-            .join(sa, F.col("sa.doc_id") == F.col("doc_a"))
-            .join(sb, F.col("sb.doc_id") == F.col("doc_b"))
-            .select("doc_a", "doc_b", "n_common",
-                    F.col("sa.n_tok").alias("size_a"),
-                    F.col("sb.n_tok").alias("size_b"),
-                    jac.alias("jaccard"))
-            .filter(F.col("jaccard") >= 0.8))
+    """Exact token-set (1-gram) Jaccard near-dup pairs within a language,
+    via the shared PPJoin prefix-filtered pipeline (lossless — the oracle
+    runs the unfiltered inverted-index form). This is also the exact
+    correctness anchor for the MinHash estimate (dedup_minhash_lsh)."""
+    tok = _doc_tokens(spark, sf_dir).withColumnRenamed("token", "item")
+    return ppjoin_jaccard_pairs(tok, TOKEN_JACCARD_TAU)
 
 
 #: character 3-grams as one JVM projection; `text` is a plain attribute so
@@ -186,62 +220,14 @@ NGRAM_JACCARD_TAU = 0.5
 def dedup_ngram_jaccard(spark, sf_dir):
     """Character n-gram (k=3) Jaccard near-dup pairs within a language —
     the n-gram flavor of the Jaccard family (word-token flavor:
-    dedup_token_jaccard). Jaccard from exact int counts so the double
-    division is deterministic.
-
-    Scale design — PPJoin-style prefix filtering (Xiao et al., WWW'08):
-    char-gram posting lists are dense (every doc shares common trigrams),
-    so the naive inverted-index self-join is quadratic in the corpus.
-    Candidates are instead generated only from each doc's
-    |g| − ⌈τ·|g|⌉ + 1 RAREST grams (global rarity order): a pair with
-    jaccard ≥ τ has overlap ≥ τ·max(|A|,|B|), and by pigeonhole over the
-    shared total order such a pair must collide inside both prefixes —
-    the pruning is lossless (the oracle runs the unfiltered form), while
-    the inverted index drops the frequent grams that dominate the c²
-    blowup. The exact overlap is then counted over candidates only, like
-    the MinHash verification step."""
+    dedup_token_jaccard), via the shared PPJoin prefix-filtered pipeline
+    (see :func:`ppjoin_jaccard_pairs`; char-gram posting lists are dense,
+    so the prefix filter matters even more here). Jaccard from exact int
+    counts so the double division is deterministic."""
     d = table(spark, sf_dir, "documents").filter(F.col("text") != "")
-    g = (d.select("doc_id", "lang",
-                  F.explode(F.expr(_CHAR_GRAM_ARR)).alias("gram"))
-         .localCheckpoint(eager=False))
-    sizes = g.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_g"))
-    # global (per-language) gram frequency → total rarity order (freq,
-    # then gram lexicographically as the deterministic tie-break)
-    freq = g.groupBy("lang", "gram").agg(F.count(F.lit(1)).alias("gf"))
-    wdoc = Window.partitionBy("doc_id").orderBy("gf", "gram")
-    prefix = (g.join(freq, ["lang", "gram"])
-              .withColumn("rn", F.row_number().over(wdoc))
-              .join(sizes, "doc_id")
-              .filter(F.col("rn") <= F.col("n_g")
-                      - F.ceil(F.lit(NGRAM_JACCARD_TAU) * F.col("n_g")) + 1)
-              .select("doc_id", "lang", "gram"))
-    pa, pb = prefix.alias("pa"), prefix.alias("pb")
-    cand = (pa.join(pb, (F.col("pa.gram") == F.col("pb.gram"))
-                    & (F.col("pa.lang") == F.col("pb.lang"))
-                    & (F.col("pa.doc_id") < F.col("pb.doc_id")))
-            .select(F.col("pa.doc_id").alias("doc_a"),
-                    F.col("pb.doc_id").alias("doc_b"))
-            .distinct())
-    # exact overlap restricted to candidates
-    ga = (g.withColumnRenamed("doc_id", "doc_a")
-          .select("doc_a", "gram"))
-    gb = (g.withColumnRenamed("doc_id", "doc_b")
-          .select("doc_b", "gram"))
-    pairs = (cand.join(ga, "doc_a")
-             .join(gb, ["doc_b", "gram"])
-             .groupBy("doc_a", "doc_b")
-             .agg(F.count(F.lit(1)).alias("n_common")))
-    sa, sb = sizes.alias("sa"), sizes.alias("sb")
-    jac = (F.col("n_common").cast("double")
-           / (F.col("sa.n_g") + F.col("sb.n_g") - F.col("n_common")))
-    return (pairs
-            .join(sa, F.col("sa.doc_id") == F.col("doc_a"))
-            .join(sb, F.col("sb.doc_id") == F.col("doc_b"))
-            .select("doc_a", "doc_b", "n_common",
-                    F.col("sa.n_g").alias("size_a"),
-                    F.col("sb.n_g").alias("size_b"),
-                    jac.alias("jaccard"))
-            .filter(F.col("jaccard") >= NGRAM_JACCARD_TAU))
+    g = d.select("doc_id", "lang",
+                 F.explode(F.expr(_CHAR_GRAM_ARR)).alias("item"))
+    return ppjoin_jaccard_pairs(g, NGRAM_JACCARD_TAU)
 
 
 # --------------------------------------------- embedding-cosine near-dup
