@@ -64,14 +64,23 @@ class CStoreError(Exception):
 def validate_options(options: dict[str, Any]) -> dict[str, Any]:
     """Validate table options; unknown keys and out-of-range values error
     (parity with cstore_fdw_validator, reference cstore_fdw.c:1273-1340)."""
-    known = {"compression", "stripe_row_count", "block_row_count", "sort_by",
-             "partition_by", "storage_format"}
+    known = {"filename", "compression", "stripe_row_count", "block_row_count",
+             "sort_by", "partition_by", "storage_format"}
     for key in options:
         if key not in known:
             raise CStoreError(
                 f"invalid option \"{key}\"; valid options are: "
                 + ", ".join(sorted(known)))
     out = dict(options)
+    if "filename" in out:
+        # reference: absolute path to the data location (README `filename`;
+        # validated cstore_fdw.c:1523-1571); relative paths would resolve
+        # against an undefined executor cwd
+        fn = str(out["filename"])
+        if not os.path.isabs(fn):
+            raise CStoreError(
+                f'invalid filename "{fn}": must be an absolute path')
+        out["filename"] = fn
     comp = str(out.get("compression", "pglz")).lower()
     if comp not in VALID_COMPRESSION:
         raise CStoreError(f"invalid compression type \"{comp}\"")
@@ -199,10 +208,15 @@ class CStoreCatalog:
         return meta
 
     def drop_table(self, name: str) -> None:
-        """A11: drop table and delete its files
-        (reference cstore_fdw.c:334-382 + drop event trigger)."""
-        if not self.exists(name):
-            raise CStoreError(f'relation "{name}" does not exist')
+        """A11: drop table and delete its files — including a custom
+        ``filename`` location (reference DeleteCStoreTableFiles,
+        cstore_fdw.c:334-382,897-926 + drop event trigger)."""
+        meta = self._load_meta(name)  # raises if the table doesn't exist
+        if "filename" in meta.options:
+            data = self._data_path(meta)
+            shutil.rmtree(data, ignore_errors=True)
+            shutil.rmtree(data + ".compact.tmp", ignore_errors=True)
+            shutil.rmtree(data + ".compact.old", ignore_errors=True)
         shutil.rmtree(self.table_path(name))
 
     def truncate(self, *names: str) -> None:
@@ -215,7 +229,18 @@ class CStoreCatalog:
                 if entry != META_FILE:
                     full = os.path.join(path, entry)
                     shutil.rmtree(full) if os.path.isdir(full) else os.remove(full)
+            if "filename" in meta.options:
+                shutil.rmtree(self._data_path(meta), ignore_errors=True)
             self._save_meta(meta)
+
+    def _data_path(self, meta: TableMeta) -> str:
+        """Where the table's data files live: the ``filename`` option's
+        custom location when set (reference README `filename`, validated
+        cstore_fdw.c:1523-1571), else ``<warehouse>/<table>/data`` — the
+        analog of the reference's default path under
+        ``$PGDATA/cstore_fdw/`` (cstore_fdw.c:1466-1470)."""
+        return meta.options.get("filename") or os.path.join(
+            self.table_path(meta.name), "data")
 
     # ------------------------------------------------------------- write
     def _format(self, meta: TableMeta) -> str:
@@ -273,7 +298,7 @@ class CStoreCatalog:
         part = meta.options.get("partition_by")
         if part:
             writer = writer.partitionBy(*part.split(","))
-        getattr(writer, self._format(meta))(self.table_path(name) + "/data")
+        getattr(writer, self._format(meta))(self._data_path(meta))
 
     def compact(self, name: str) -> int:
         """Rewrite the table's data files into stripe-sized files and
@@ -297,7 +322,7 @@ class CStoreCatalog:
         Partitioned tables compact within each partition."""
         meta = self._load_meta(name)
         fmt = self._format(meta)
-        self._recover_compact(name, fmt)
+        self._recover_compact(meta, fmt)
         df = self.read(name)
         total = df.count()
         if total == 0:
@@ -315,7 +340,7 @@ class CStoreCatalog:
         sort_by = meta.options.get("sort_by")
         if sort_by:
             df = df.sortWithinPartitions(*sort_by.split(","))
-        data_path = os.path.join(self.table_path(name), "data")
+        data_path = self._data_path(meta)
         tmp_path = data_path + ".compact.tmp"
         old_path = data_path + ".compact.old"
         shutil.rmtree(tmp_path, ignore_errors=True)
@@ -336,7 +361,7 @@ class CStoreCatalog:
             self._save_meta(meta)
         return sum(1 for _ in _data_files(data_path, fmt))
 
-    def _recover_compact(self, name: str, fmt: str) -> None:
+    def _recover_compact(self, meta: TableMeta, fmt: str) -> None:
         """Repair the table after a compact() crash.
 
         Crash between the two swap renames → no ``data`` dir but a
@@ -344,7 +369,7 @@ class CStoreCatalog:
         Crash after the swap but before cleanup → both dirs exist and
         ``data`` is the compacted truth: drop the leftovers. A stale
         ``.compact.tmp`` is always disposable (it's re-created)."""
-        data_path = os.path.join(self.table_path(name), "data")
+        data_path = self._data_path(meta)
         old_path = data_path + ".compact.old"
         if os.path.isdir(old_path):
             if _has_data_files(data_path, fmt):
@@ -366,8 +391,8 @@ class CStoreCatalog:
         meta = self._load_meta(name)
         fmt = self._format(meta)
         target = meta.schema()
-        self._recover_compact(name, fmt)
-        data_path = os.path.join(self.table_path(name), "data")
+        self._recover_compact(meta, fmt)
+        data_path = self._data_path(meta)
         if not _has_data_files(data_path, fmt):
             return self.spark.createDataFrame([], target)
         reader = self.spark.read.schema(
@@ -431,10 +456,10 @@ class CStoreCatalog:
             # snapshot the files that pre-date the column: only their rows
             # get the default at read time (cstore_reader.c:1224-1292
             # backfills exactly the stripes older than the column)
-            data_path = os.path.join(self.table_path(name), "data")
             meta.backfill_files[column] = sorted(
                 os.path.basename(p)
-                for p in _data_files(data_path, self._format(meta)))
+                for p in _data_files(self._data_path(meta),
+                                     self._format(meta)))
         self._save_meta(meta)
 
     def drop_column(self, name: str, column: str) -> None:
@@ -477,11 +502,16 @@ class CStoreCatalog:
         (reference cstore_fdw.c:1183-1229)."""
         if not self.exists(name):
             raise CStoreError(f'relation "{name}" is not a cstore table')
+        meta = self._load_meta(name)
+        roots = [self.table_path(name)]
+        if "filename" in meta.options:
+            roots.append(self._data_path(meta))
         total = 0
-        for root, _dirs, files in os.walk(self.table_path(name)):
-            for fn in files:
-                if fn != META_FILE:
-                    total += os.path.getsize(os.path.join(root, fn))
+        for top in roots:
+            for root, _dirs, files in os.walk(top):
+                for fn in files:
+                    if fn != META_FILE:
+                        total += os.path.getsize(os.path.join(root, fn))
         return total
 
     def row_count(self, name: str) -> int:
@@ -489,7 +519,7 @@ class CStoreCatalog:
         (reference sums skip-list rowCounts, cstore_reader.c:400-462)."""
         meta = self._load_meta(name)
         fmt = self._format(meta)
-        data_path = os.path.join(self.table_path(name), "data")
+        data_path = self._data_path(meta)
         if not _has_data_files(data_path, fmt):
             return 0
         total = 0

@@ -29,6 +29,81 @@ _PG_CSV_OPTS = {
     "dateFormat": "yyyy-MM-dd",
 }
 
+# ---------------------------------------------------------------- infinity
+# PostgreSQL's ±infinity date/timestamp values (exercised by the reference
+# corpus: data/datetime_types.csv:2 via input/data_types.source:22-30) have
+# no Parquet/Spark representation, so the engine adopts the documented
+# SENTINEL policy (SURVEY §M2): ±infinity maps to the extreme storable
+# instants below. Comparisons, MIN/MAX, and ORDER BY therefore behave like
+# PG's (infinity sorts after every finite value, -infinity before) as long
+# as real data stays inside year 2..9998 — the reference's own docs make
+# the same "don't use year 9999" assumption for its skip-list min/max.
+# COPY round-trips: 'infinity'/'-infinity' text parses to the sentinel on
+# load and prints back as 'infinity'/'-infinity' on export.
+TIMESTAMP_PINF = "9999-12-31 23:59:59.999999"
+# one day above datetime.min: CPython's fromtimestamp() underflows to
+# "year 0" at exactly 0001-01-01T00:00Z (and in any westward local zone),
+# which would make driver-side collect() of a -infinity row crash
+TIMESTAMP_NINF = "0001-01-02 00:00:00"
+DATE_PINF = "9999-12-31"
+DATE_NINF = "0001-01-01"
+
+
+def _infinity_read_csv(spark: SparkSession, schema, path: str,
+                       opts: dict[str, str]) -> DataFrame:
+    """Read CSV against ``schema``, accepting PG's 'infinity'/'-infinity'
+    in timestamp/date columns (mapped to the sentinel instants)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    dt_types = (T.TimestampType, T.TimestampNTZType, T.DateType)
+    if not any(isinstance(f.dataType, dt_types) for f in schema.fields):
+        return spark.read.options(**opts).schema(schema).csv(path)
+    raw = T.StructType([
+        T.StructField(f.name,
+                      T.StringType() if isinstance(f.dataType, dt_types)
+                      else f.dataType, True)
+        for f in schema.fields])
+    df = spark.read.options(**opts).schema(raw).csv(path)
+    cols = []
+    for f in schema.fields:
+        if isinstance(f.dataType, dt_types):
+            pinf, ninf = ((DATE_PINF, DATE_NINF)
+                          if isinstance(f.dataType, T.DateType)
+                          else (TIMESTAMP_PINF, TIMESTAMP_NINF))
+            c = F.trim(F.col(f.name))
+            cols.append(F.when(c == "infinity", F.lit(pinf))
+                        .when(c == "-infinity", F.lit(ninf))
+                        .otherwise(c).cast(f.dataType).alias(f.name))
+        else:
+            cols.append(F.col(f.name))
+    return df.select(*cols)
+
+
+def _infinity_write_projection(df: DataFrame) -> DataFrame:
+    """Render timestamp/date columns as text with the sentinels printed
+    back as 'infinity'/'-infinity' (PG's COPY TO output)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    dt_types = (T.TimestampType, T.TimestampNTZType, T.DateType)
+    if not any(isinstance(f.dataType, dt_types) for f in df.schema.fields):
+        return df
+    cols = []
+    for f in df.schema.fields:
+        if isinstance(f.dataType, dt_types):
+            pinf, ninf = ((DATE_PINF, DATE_NINF)
+                          if isinstance(f.dataType, T.DateType)
+                          else (TIMESTAMP_PINF, TIMESTAMP_NINF))
+            c = F.col(f.name)
+            cols.append(
+                F.when(c == F.lit(pinf).cast(f.dataType), "infinity")
+                .when(c == F.lit(ninf).cast(f.dataType), "-infinity")
+                .otherwise(c.cast("string")).alias(f.name))
+        else:
+            cols.append(F.col(f.name))
+    return df.select(*cols)
+
 
 def copy_from_csv(catalog: CStoreCatalog, table: str, path: str,
                   columns: list[str] | None = None,
@@ -44,11 +119,11 @@ def copy_from_csv(catalog: CStoreCatalog, table: str, path: str,
     opts = dict(_PG_CSV_OPTS)
     opts.update({k: str(v) for k, v in csv_options.items()})
     if columns is None:
-        df = catalog.spark.read.options(**opts).schema(schema).csv(path)
+        df = _infinity_read_csv(catalog.spark, schema, path, opts)
     else:
         from pyspark.sql import types as T
         sub = T.StructType([schema[c] for c in columns])
-        df = catalog.spark.read.options(**opts).schema(sub).csv(path)
+        df = _infinity_read_csv(catalog.spark, sub, path, opts)
         from pyspark.sql import functions as F
         for f_ in schema.fields:
             if f_.name not in columns:
@@ -70,7 +145,8 @@ def copy_to_csv(catalog: CStoreCatalog, table_or_df: str | DataFrame,
     opts = dict(_PG_CSV_OPTS)
     opts["header"] = str(header).lower()
     opts.update({k: str(v) for k, v in csv_options.items()})
-    df.write.mode("overwrite").options(**opts).csv(path)
+    _infinity_write_projection(df).write.mode("overwrite") \
+        .options(**opts).csv(path)
 
 
 def insert_into_select(catalog: CStoreCatalog, table: str, query: str,
@@ -80,6 +156,41 @@ def insert_into_select(catalog: CStoreCatalog, table: str, query: str,
     temp views are registered on the session."""
     spark = spark or catalog.spark
     catalog.insert(table, spark.sql(query))
+
+
+def copy_to_program(catalog: CStoreCatalog, table_or_df: str | DataFrame,
+                    command: str, **csv_options: Any) -> int:
+    """A6 (program form): ``COPY table TO PROGRAM 'cmd'`` — export the
+    table (or query DataFrame) as CSV into a consumer command's stdin,
+    the symmetric twin of :func:`copy_from_program` (the reference
+    delegates the full COPY grammar including TO PROGRAM,
+    ``cstore_fdw.c:651-707``). Returns the program's exit code (0; a
+    failing program raises).
+
+    The export is staged through the distributed CSV writer, then the
+    part files stream into the program in deterministic (sorted) name
+    order."""
+    import glob
+    import subprocess
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as staged:
+        out_dir = f"{staged}/out"
+        copy_to_csv(catalog, table_or_df, out_dir, **csv_options)
+        proc = subprocess.Popen(command, shell=True,
+                                stdin=subprocess.PIPE,
+                                stderr=subprocess.PIPE)
+        assert proc.stdin is not None
+        for part in sorted(glob.glob(f"{out_dir}/part-*")):
+            with open(part, "rb") as f:
+                proc.stdin.write(f.read())
+        proc.stdin.close()
+        stderr = proc.stderr.read() if proc.stderr else b""
+        if proc.wait() != 0:
+            raise CStoreError(
+                f"program failed (exit {proc.returncode}): "
+                f"{stderr.decode(errors='replace')[:500]}")
+    return 0
 
 
 def copy_from_program(catalog: CStoreCatalog, table: str, command: str,

@@ -301,3 +301,48 @@ def test_stream_ingest_replay_is_idempotent(spark, catalog, tmp_path):
     write2 = batch_writer(catalog, "ti", str(tmp_path / "ckpt2"))
     write2(df, 0)
     assert catalog.row_count("ti") == 6
+
+
+def test_filename_option_custom_location(spark, catalog, tmp_path):
+    # reference `filename` option: custom absolute path for table data
+    # (README `filename`; validated cstore_fdw.c:1523-1571); DROP deletes
+    # the custom-location files too (cstore_fdw.c:897-926)
+    loc = str(tmp_path / "custom" / "events_store")
+    with pytest.raises(CStoreError, match="absolute"):
+        validate_options({"filename": "relative/path"})
+    catalog.create_table("tf", "a int, b string", filename=loc)
+    catalog.insert("tf", spark.createDataFrame(
+        [(1, "x"), (2, "y")], "a int, b string"))
+    assert os.path.isdir(loc)  # data landed at the custom location
+    assert not os.path.exists(
+        os.path.join(catalog.table_path("tf"), "data"))
+    assert sorted(r.a for r in catalog.read("tf").collect()) == [1, 2]
+    assert catalog.row_count("tf") == 2
+    assert catalog.table_size("tf") > 0
+    assert catalog.compact("tf") == 1
+    assert sorted(r.a for r in catalog.read("tf").collect()) == [1, 2]
+    catalog.truncate("tf")
+    assert catalog.row_count("tf") == 0
+    catalog.insert("tf", spark.createDataFrame([(3, "z")], "a int, b string"))
+    catalog.drop_table("tf")
+    assert not os.path.exists(loc)  # custom-location files removed on drop
+
+
+def test_copy_to_program_roundtrip(spark, catalog, tmp_path):
+    # COPY TO PROGRAM symmetry with copy_from_program
+    # (reference delegates the full COPY grammar, cstore_fdw.c:651-707)
+    from cstore_fdw_spark.io import copy_from_program, copy_to_program
+    catalog.create_table("tp", "a int, b string")
+    catalog.insert("tp", spark.createDataFrame(
+        [(1, "x"), (2, "y")], "a int, b string"))
+    sink = tmp_path / "sink.csv"
+    copy_to_program(catalog, "tp", f"cat > {sink}")
+    assert sorted(sink.read_text().strip().splitlines()) == ["1,x", "2,y"]
+    # failing consumer surfaces as an engine error
+    with pytest.raises(CStoreError, match="program failed"):
+        copy_to_program(catalog, "tp", "exit 3")
+    # and the exported stream loads back via the program form
+    catalog.create_table("tp2", "a int, b string")
+    copy_from_program(catalog, "tp2", f"cat {sink}")
+    assert sorted((r.a, r.b) for r in catalog.read("tp2").collect()) \
+        == [(1, "x"), (2, "y")]

@@ -196,3 +196,35 @@ def test_decimal_precision_roundtrip(spark, catalog):
     assert rows[1].small == Decimal("999.99")
     assert rows[1].wide == Decimal("12345678901234567890.123456789000000000")
     assert rows[2].wide == Decimal("-1E-18")
+
+
+def test_infinity_timestamp_sentinels(spark, catalog, tmp_path):
+    # M2 policy: PG's ±infinity (reference data/datetime_types.csv:2 via
+    # input/data_types.source:22-30) maps to documented extreme-instant
+    # sentinels; ordering/filters behave like PG and COPY round-trips the
+    # 'infinity'/'-infinity' text forms.
+    import datetime as dt
+    from cstore_fdw_spark import io as cio
+    csv = tmp_path / "dt.csv"
+    csv.write_text("1,2000-01-02 04:05:06,2000-01-02\n"
+                   "2,infinity,infinity\n"
+                   "3,-infinity,-infinity\n")
+    catalog.create_table("dtt", "id int, ts timestamp, d date")
+    cio.copy_from_csv(catalog, "dtt", str(csv))
+    rows = {r.id: r for r in catalog.read("dtt").collect()}
+    assert rows[2].ts == dt.datetime(9999, 12, 31, 23, 59, 59, 999999)
+    assert rows[3].ts == dt.datetime(1, 1, 2)
+    assert rows[2].d == dt.date(9999, 12, 31)
+    assert rows[3].d == dt.date(1, 1, 1)
+    # PG comparison semantics: -infinity < every finite value < infinity
+    assert [r.id for r in catalog.read("dtt").orderBy("ts").collect()] \
+        == [3, 1, 2]
+    assert catalog.read("dtt").filter(F.col("ts") > "2400-01-01").count() == 1
+    assert catalog.read("dtt").filter(F.col("d") < "1900-01-01").count() == 1
+    # export prints the sentinels back as PG's infinity text
+    out = tmp_path / "outdir"
+    cio.copy_to_csv(catalog, "dtt", str(out))
+    text = "".join(p.read_text() for p in sorted(out.glob("part-*")))
+    assert "2,infinity,infinity" in text
+    assert "3,-infinity,-infinity" in text
+    assert "2000-01-02 04:05:06" in text
