@@ -436,6 +436,37 @@ class CStoreCatalog:
         self.read(name).createOrReplaceTempView(view)
         return view
 
+    def register_table(self, name: str, spark_name: str | None = None) -> str:
+        """A15: register the managed table in Spark's session catalog as an
+        external table over its data location, so ``ANALYZE TABLE`` and the
+        cost-based optimizer (``spark.sql.cbo.*``) bind to it — the analog
+        of the reference exposing pg_statistic rows to PostgreSQL's planner
+        (cstore_fdw.c:1628-1720). Temp views and bare-path reads only ever
+        see AQE's runtime stats; catalog tables get planner stats too.
+
+        Tables with pending constant-default backfill need a read-time
+        projection that a catalog table can't express — compact() first
+        (it bakes the defaults into the files)."""
+        meta = self._load_meta(name)
+        if any(meta.backfill_files.get(c) or c not in
+               _physical_columns(self._data_path(meta), self._format(meta))
+               for c in meta.column_defaults):
+            raise CStoreError(
+                f'table "{name}" has pending default backfill; run '
+                "compact() before register_table()")
+        spark_name = spark_name or name
+        cols = ", ".join(f"`{f_.name}` {f_.dataType.simpleString()}"
+                         for f_ in meta.schema().fields)
+        part = meta.options.get("partition_by")
+        part_clause = (f" PARTITIONED BY ({part})" if part else "")
+        self.spark.sql(
+            f"CREATE TABLE IF NOT EXISTS `{spark_name}` ({cols}) "
+            f"USING {self._format(meta)}{part_clause} "
+            f"LOCATION '{self._data_path(meta)}'")
+        if part:
+            self.spark.catalog.recoverPartitions(spark_name)
+        return spark_name
+
     # ----------------------------------------------------------- evolution
     def add_column(self, name: str, column: str, dtype: str,
                    default: Any = None) -> None:
@@ -533,11 +564,22 @@ class CStoreCatalog:
 
     def analyze(self, name: str) -> dict[str, Any]:
         """A14 ANALYZE: column statistics for the optimizer. The reference
-        reservoir-samples into pg_statistic (cstore_fdw.c:2061-2260); Spark's
-        CBO consumes catalog stats — for path-based tables we compute the
-        same summary (count, ndv, min, max, nulls) with one distributed
-        aggregate and return it; callers on a metastore deployment would
-        run ``ANALYZE TABLE`` instead."""
+        reservoir-samples into pg_statistic for PostgreSQL's planner
+        (cstore_fdw.c:2061-2260). Two consumers here:
+
+        - If the table is registered in Spark's session catalog
+          (:meth:`register_table`), a real ``ANALYZE TABLE … COMPUTE
+          STATISTICS FOR ALL COLUMNS`` runs first, so Catalyst's CBO
+          (``spark.sql.cbo.*``) sees row counts and column stats — the
+          actual pg_statistic analog (verified by a plan test asserting a
+          stats-driven broadcast decision).
+        - The same summary (count, ndv, min, max, nulls) is also computed
+          with one distributed aggregate and returned for engine callers;
+          un-registered path reads rely on AQE's runtime stats instead.
+        """
+        if self.spark.catalog.tableExists(name):
+            self.spark.sql(
+                f"ANALYZE TABLE `{name}` COMPUTE STATISTICS FOR ALL COLUMNS")
         df = self.read(name)
         aggs: list = [F.count(F.lit(1)).alias("__rows")]
         for f_ in df.schema.fields:
@@ -578,11 +620,9 @@ def _file_schema_names(path: str, fmt: str) -> list[str]:
     return pq.read_schema(path).names
 
 
-def _physical_schema(target: T.StructType, data_path: str,
-                     fmt: str) -> T.StructType:
-    """Schema to hand the file reader: target columns that physically
-    exist in the files (added-but-never-written columns must not be
-    requested from the reader)."""
+def _physical_columns(data_path: str, fmt: str) -> set[str]:
+    """Union of column names physically present across the data files
+    (plus hive-style partition directory columns)."""
     phys_names: set[str] = set()
     for root, dirs, _files in os.walk(data_path):
         for d in dirs:
@@ -591,5 +631,14 @@ def _physical_schema(target: T.StructType, data_path: str,
                 phys_names.add(d.split("=", 1)[0])
     for path in _data_files(data_path, fmt):
         phys_names.update(_file_schema_names(path, fmt))
+    return phys_names
+
+
+def _physical_schema(target: T.StructType, data_path: str,
+                     fmt: str) -> T.StructType:
+    """Schema to hand the file reader: target columns that physically
+    exist in the files (added-but-never-written columns must not be
+    requested from the reader)."""
+    phys_names = _physical_columns(data_path, fmt)
     fields = [f_ for f_ in target.fields if f_.name in phys_names]
     return T.StructType(fields)

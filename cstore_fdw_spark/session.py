@@ -49,6 +49,11 @@ ENGINE_CONFS: dict[str, str] = {
     "spark.sql.ansi.enabled": "false",
     # --- Cost-based optimization (reference delegates costing to PG's
     # planner; Catalyst CBO + ANALYZE is our equivalent, SURVEY §4).
+    # These confs bind to SESSION-CATALOG tables with collected stats:
+    # CStoreCatalog.register_table() + analyze() runs the real `ANALYZE
+    # TABLE … FOR ALL COLUMNS` (plan test: test_catalog.py asserts a
+    # stats-driven broadcast decision). Bare-path reads (the benchmark
+    # queries) are costed by file size + AQE runtime stats instead.
     "spark.sql.cbo.enabled": "true",
     "spark.sql.cbo.joinReorder.enabled": "true",
     # --- Maintain stripe-like bounded files on write.

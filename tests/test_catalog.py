@@ -346,3 +346,63 @@ def test_copy_to_program_roundtrip(spark, catalog, tmp_path):
     copy_from_program(catalog, "tp2", f"cat {sink}")
     assert sorted((r.a, r.b) for r in catalog.read("tp2").collect()) \
         == [(1, "x"), (2, "y")]
+
+
+def test_cbo_stats_drive_broadcast_decision(spark, catalog):
+    # A15: register_table + analyze feed Catalyst's CBO real catalog stats
+    # (the pg_statistic analog, reference cstore_fdw.c:1628-1720). The
+    # observable: a selective filter's size estimate. Without column
+    # stats the filtered side is costed at full file size (no broadcast
+    # under a small threshold); with ANALYZE'd min/max stats Catalyst
+    # knows the predicate is selective and the join side drops under the
+    # broadcast threshold.
+    import uuid
+    fact = "f_" + uuid.uuid4().hex[:8]
+    dim = "d_" + uuid.uuid4().hex[:8]
+    catalog.create_table(fact, "k int, pad string")
+    catalog.insert(fact, spark.range(20000).selectExpr(
+        "cast(id % 1000 as int) k", "repeat('x', 64) pad"))
+    catalog.create_table(dim, "k int, v string")
+    catalog.insert(dim, spark.range(8000).selectExpr(
+        "cast(id as int) k", "repeat('y', 64) v"))
+    catalog.register_table(fact)
+    catalog.register_table(dim)
+    catalog.analyze(fact)
+    catalog.analyze(dim)
+    # CBO row counts are now visible to the optimizer
+    jstats = (spark.table(fact)._jdf.queryExecution()
+              .optimizedPlan().stats())
+    assert jstats.rowCount().isDefined()
+    assert jstats.rowCount().get() == 20000
+    threshold_before = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    aqe_before = spark.conf.get("spark.sql.adaptive.enabled")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024))
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        q = (f"SELECT * FROM `{fact}` f JOIN `{dim}` d ON f.k = d.k "
+             f"WHERE d.k < 10")
+        plan = spark.sql(q)._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan, plan
+        # sanity: without the selective filter the dim side exceeds the
+        # threshold and the planner falls back to a shuffle join
+        q2 = f"SELECT * FROM `{fact}` f JOIN `{dim}` d ON f.k = d.k"
+        plan2 = spark.sql(q2)._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" not in plan2, plan2
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
+                       threshold_before)
+        spark.conf.set("spark.sql.adaptive.enabled", aqe_before)
+        spark.sql(f"DROP TABLE IF EXISTS `{fact}`")
+        spark.sql(f"DROP TABLE IF EXISTS `{dim}`")
+
+
+def test_register_table_requires_baked_defaults(spark, catalog):
+    catalog.create_table("trb", "a int")
+    catalog.insert("trb", spark.createDataFrame([(1,)], "a int"))
+    catalog.add_column("trb", "e", "int", default=9)
+    with pytest.raises(CStoreError, match="pending default backfill"):
+        catalog.register_table("trb")
+    catalog.compact("trb")  # bakes the default into the files
+    assert catalog.register_table("trb") == "trb"
+    assert spark.table("trb").collect()[0].e == 9
+    spark.sql("DROP TABLE IF EXISTS trb")
