@@ -290,6 +290,107 @@ def dedup_embedding_cosine(spark, sf_dir):
                     (F.col("keeper_id") != F.col("vec_id")).alias("is_dup")))
 
 
+def embedding_lsh_dedup(e: DataFrame, tau: float) -> DataFrame:
+    """LSH pre-blocked embedding dedup over any (vec_id, label, embedding)
+    DataFrame: sign-random-projection buckets (the deterministic
+    multi-table planes from operators.similarity) REPLACE the all-pairs
+    join inside each label group — candidates must share (label, table,
+    bucket), so occupancy per block is ~|group|/2^bits instead of |group|,
+    which is what keeps a skewed or huge label group from going quadratic
+    at 100 TB. Candidates are then verified with the exact ordered-fold
+    cosine, and every vector takes keeper = min(vec_id) over itself and
+    its verified neighbors — the same dedup semantics as the exact
+    dedup_embedding_cosine (whose output is the recall anchor: verified
+    blocked pairs ⊆ exact pairs by construction).
+    Output: (vec_id, keeper_id, is_dup)."""
+    from cstore_fdw_spark.operators.similarity import cosine, lsh_buckets
+
+    sig = (e.select("vec_id", "label",
+                    F.posexplode(lsh_buckets("embedding")))
+           .select("vec_id", "label",
+                   F.struct(F.col("pos").alias("t"),
+                            F.col("col").alias("b")).alias("tb")))
+    a, b = sig.alias("a"), sig.alias("b")
+    cand = (a.join(b, (F.col("a.label") == F.col("b.label"))
+                   & (F.col("a.tb") == F.col("b.tb"))
+                   & (F.col("a.vec_id") < F.col("b.vec_id")))
+            .select(F.col("a.vec_id").alias("vec_a"),
+                    F.col("b.vec_id").alias("vec_b"))
+            .distinct())
+    va = e.select(F.col("vec_id").alias("vec_a"),
+                  F.col("embedding").alias("avec"))
+    vb = e.select(F.col("vec_id").alias("vec_b"),
+                  F.col("embedding").alias("bvec"))
+    pairs = (cand.join(va, "vec_a").join(vb, "vec_b")
+             .filter(cosine(F.col("avec"), F.col("bvec")) >= tau)
+             .select("vec_a", "vec_b"))
+    edges = (pairs.select(F.col("vec_a").alias("vec_id"),
+                          F.col("vec_b").alias("nb"))
+             .unionByName(pairs.select(F.col("vec_b").alias("vec_id"),
+                                       F.col("vec_a").alias("nb")))
+             .unionByName(e.select("vec_id", F.col("vec_id").alias("nb"))))
+    return (edges.groupBy("vec_id")
+            .agg(F.min("nb").alias("keeper_id"))
+            .select("vec_id", "keeper_id",
+                    (F.col("keeper_id") != F.col("vec_id")).alias("is_dup")))
+
+
+def _emb_lsh_oracle() -> str:
+    """DuckDB replica: same inline ±1 planes → buckets → (label, table,
+    bucket) candidates → exact-cosine verification → min-keeper."""
+    from cstore_fdw_spark.operators.similarity import (
+        LSH_BITS, LSH_TABLES, _ORACLE_COS, _plane_matrix)
+
+    planes = _plane_matrix()
+    rows = []
+    for t in range(LSH_TABLES):
+        for j in range(LSH_BITS):
+            arr = ", ".join("1.0" if v > 0 else "-1.0"
+                            for v in planes[t * LSH_BITS + j])
+            rows.append(f"({t}, {1 << j}, [{arr}]::DOUBLE[])")
+    return f"""
+    WITH planes(t, w, plane) AS (VALUES
+      {",".join(rows)}),
+    buck AS (
+      SELECT e.vec_id, e.label, p.t,
+             CAST(SUM(CASE WHEN list_dot_product(e.embedding::DOUBLE[],
+                                                 p.plane) > 0
+                      THEN p.w ELSE 0 END) AS BIGINT) AS b
+      FROM embeddings e, planes p
+      GROUP BY 1, 2, 3),
+    cand AS (
+      SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+      FROM buck x JOIN buck y
+        ON x.label = y.label AND x.t = y.t AND x.b = y.b
+       AND x.vec_id < y.vec_id),
+    pairs AS (
+      SELECT c.vec_a, c.vec_b
+      FROM cand c
+      JOIN embeddings a ON a.vec_id = c.vec_a
+      JOIN embeddings b ON b.vec_id = c.vec_b
+      WHERE {_ORACLE_COS} >= {EMB_DEDUP_TAU}),
+    edges AS (
+      SELECT vec_a AS vec_id, vec_b AS nb FROM pairs
+      UNION ALL SELECT vec_b AS vec_id, vec_a AS nb FROM pairs
+      UNION ALL SELECT vec_id, vec_id AS nb FROM embeddings)
+    SELECT vec_id, MIN(nb) AS keeper_id,
+           (MIN(nb) <> vec_id) AS is_dup
+    FROM edges GROUP BY vec_id
+    """
+
+
+@register("dedup_embedding_lsh_blocked", category="dedup",
+          oracle=_emb_lsh_oracle())
+def dedup_embedding_lsh_blocked(spark, sf_dir):
+    """The 100 TB path of the embedding-dedup family: LSH bucket blocking
+    composed inside each label group (see :func:`embedding_lsh_dedup`),
+    with the exact all-pairs dedup_embedding_cosine as the recall anchor
+    (tests/test_properties.py asserts blocked ⊆ exact and full recall on
+    clustered vectors)."""
+    return embedding_lsh_dedup(table(spark, sf_dir, "embeddings"),
+                               EMB_DEDUP_TAU)
+
+
 # ---------------------------------------------------------------- MinHash
 
 from cstore_fdw_spark.functions.portable_hash import (  # noqa: E402
