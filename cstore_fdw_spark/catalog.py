@@ -200,6 +200,17 @@ class CStoreCatalog:
         if isinstance(schema, str):
             schema = T.StructType.fromDDL(schema)
         opts = validate_options(options)
+        if "filename" in opts:
+            # DROP deletes the whole data location; refuse to adopt a
+            # directory with pre-existing content so unrelated user files
+            # can never be destroyed (the reference only ever deletes
+            # files it created, cstore_fdw.c:897-926).
+            fn = opts["filename"]
+            if os.path.exists(fn) and (
+                    not os.path.isdir(fn) or os.listdir(fn)):
+                raise CStoreError(
+                    f'invalid filename "{fn}": location must be an empty '
+                    "or nonexistent directory (it is deleted on DROP)")
         path = self.table_path(name)
         os.makedirs(path, exist_ok=True)
         meta = TableMeta(name=name, schema_json=json.dumps(schema.jsonValue()),
@@ -230,7 +241,15 @@ class CStoreCatalog:
                     full = os.path.join(path, entry)
                     shutil.rmtree(full) if os.path.isdir(full) else os.remove(full)
             if "filename" in meta.options:
-                shutil.rmtree(self._data_path(meta), ignore_errors=True)
+                data = self._data_path(meta)
+                # Also clear compaction leftovers: after a compact crash
+                # in the rename window, a surviving data.compact.old would
+                # be restored by the next read()'s _recover_compact and
+                # resurrect truncated rows (default-path tables are safe
+                # because those dirs live inside table_path).
+                shutil.rmtree(data, ignore_errors=True)
+                shutil.rmtree(data + ".compact.tmp", ignore_errors=True)
+                shutil.rmtree(data + ".compact.old", ignore_errors=True)
             self._save_meta(meta)
 
     def _data_path(self, meta: TableMeta) -> str:

@@ -173,6 +173,7 @@ def copy_to_program(catalog: CStoreCatalog, table_or_df: str | DataFrame,
     import glob
     import subprocess
     import tempfile
+    import threading
 
     with tempfile.TemporaryDirectory() as staged:
         out_dir = f"{staged}/out"
@@ -180,12 +181,29 @@ def copy_to_program(catalog: CStoreCatalog, table_or_df: str | DataFrame,
         proc = subprocess.Popen(command, shell=True,
                                 stdin=subprocess.PIPE,
                                 stderr=subprocess.PIPE)
-        assert proc.stdin is not None
-        for part in sorted(glob.glob(f"{out_dir}/part-*")):
-            with open(part, "rb") as f:
-                proc.stdin.write(f.read())
-        proc.stdin.close()
-        stderr = proc.stderr.read() if proc.stderr else b""
+        assert proc.stdin is not None and proc.stderr is not None
+        # Drain stderr concurrently: a consumer that emits >64KB of
+        # stderr mid-stream would otherwise fill the pipe and deadlock
+        # against our blocked stdin.write.
+        stderr_chunks: list[bytes] = []
+        drain = threading.Thread(
+            target=lambda: stderr_chunks.append(proc.stderr.read()))
+        drain.start()
+        try:
+            for part in sorted(glob.glob(f"{out_dir}/part-*")):
+                with open(part, "rb") as f:
+                    while chunk := f.read(1 << 20):
+                        proc.stdin.write(chunk)
+            proc.stdin.close()
+        except BrokenPipeError:
+            # Early-exiting consumer (e.g. `head`) — not an error unless
+            # the program itself reports failure below.
+            try:
+                proc.stdin.close()
+            except BrokenPipeError:
+                pass
+        drain.join()
+        stderr = b"".join(stderr_chunks)
         if proc.wait() != 0:
             raise CStoreError(
                 f"program failed (exit {proc.returncode}): "

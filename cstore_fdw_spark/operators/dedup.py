@@ -606,7 +606,12 @@ def dedup_minhash_lsh(spark, sf_dir):
 
 SIMHASH_BITS = 64
 SIMHASH_CHUNKS = 4   # blocking: candidates share one 16-bit chunk
-SIMHASH_MAX_HAMMING = 16
+# Pigeonhole: a pair with Hamming distance d spreads its differing bits
+# over at most d chunks, so with 4 chunks a shared-identical chunk is
+# guaranteed only for d <= SIMHASH_CHUNKS - 1.  Keeping the radius at
+# chunks-1 makes single-table chunk blocking genuinely lossless (Manku
+# WWW'07 permuted tables would be needed for a wider radius).
+SIMHASH_MAX_HAMMING = SIMHASH_CHUNKS - 1
 
 
 def simhash_signatures(tokens: DataFrame) -> DataFrame:
@@ -681,8 +686,9 @@ def _simhash_oracle() -> str:
 @register("dedup_simhash", category="dedup", oracle=_simhash_oracle())
 def dedup_simhash(spark, sf_dir):
     """SimHash near-dup pairs: 64-bit signatures as four 16-bit chunks,
-    chunk blocking (candidates share ≥1 chunk ⟹ lossless for Hamming ≤ 16
-    by pigeonhole), Hamming verification via bit_count(xor) per chunk.
+    chunk blocking (pigeonhole: pairs within Hamming ≤ SIMHASH_CHUNKS-1 = 3
+    always share an identical chunk, so blocking is lossless at this
+    radius), Hamming verification via bit_count(xor) per chunk.
     Portable md5-derived bit planes → the DuckDB oracle recomputes the
     identical signatures and pairs. Output: (doc_a, doc_b, hamming)."""
     tokens = _doc_tokens(spark, sf_dir).select("doc_id", "token")

@@ -18,6 +18,7 @@ each other's batch 0, 1, ….
 
 from __future__ import annotations
 
+import fcntl
 import json
 import os
 
@@ -49,15 +50,25 @@ def batch_writer(catalog: CStoreCatalog, table: str, checkpoint: str):
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         path = _ledger_path(catalog, table)
-        ledger = _load_ledger(path)
-        if ledger.get(ledger_key, -1) >= batch_id:
-            return  # replay of an already-appended batch
-        catalog.insert(table, batch_df)
-        ledger[ledger_key] = batch_id
-        tmp = path + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(ledger, f)
-        os.replace(tmp, path)
+        # Serialize the read-modify-write under an exclusive file lock:
+        # two concurrent streams into the same table each hold their own
+        # ledger key, and an unlocked load→insert→replace could drop the
+        # other stream's entry, re-enabling duplicate appends on replay.
+        lock_path = path + ".lock"
+        with open(lock_path, "w") as lock_f:
+            fcntl.flock(lock_f, fcntl.LOCK_EX)
+            try:
+                ledger = _load_ledger(path)
+                if ledger.get(ledger_key, -1) >= batch_id:
+                    return  # replay of an already-appended batch
+                catalog.insert(table, batch_df)
+                ledger[ledger_key] = batch_id
+                tmp = path + ".tmp"
+                with open(tmp, "w") as f:
+                    json.dump(ledger, f)
+                os.replace(tmp, path)
+            finally:
+                fcntl.flock(lock_f, fcntl.LOCK_UN)
 
     return write_batch
 

@@ -406,3 +406,60 @@ def test_register_table_requires_baked_defaults(spark, catalog):
     assert catalog.register_table("trb") == "trb"
     assert spark.table("trb").collect()[0].e == 9
     spark.sql("DROP TABLE IF EXISTS trb")
+
+
+def test_filename_refuses_nonempty_location(catalog, tmp_path):
+    # DROP deletes the whole data location, so CREATE must refuse to
+    # adopt a directory holding unrelated pre-existing files (the
+    # reference deletes only files it created, cstore_fdw.c:897-926)
+    loc = tmp_path / "precious"
+    loc.mkdir()
+    (loc / "keep.txt").write_text("do not delete")
+    with pytest.raises(CStoreError, match="empty"):
+        catalog.create_table("tnf", "a int", filename=str(loc))
+    assert (loc / "keep.txt").exists()
+    # an empty existing directory is fine
+    empty = tmp_path / "empty"
+    empty.mkdir()
+    catalog.create_table("tnf", "a int", filename=str(empty))
+    catalog.drop_table("tnf")
+
+
+def test_truncate_clears_compact_leftovers(spark, catalog, tmp_path):
+    # a compact crash in the rename window leaves data.compact.old; for
+    # `filename` tables truncate must clear it too, or the next read()'s
+    # _recover_compact restores it and truncated rows resurrect
+    import shutil
+    loc = str(tmp_path / "ft_store")
+    catalog.create_table("ftl", "a int", filename=loc)
+    catalog.insert("ftl", spark.createDataFrame([(1,), (2,)], "a int"))
+    shutil.copytree(loc, loc + ".compact.old")  # simulated crash leftover
+    catalog.truncate("ftl")
+    assert not os.path.exists(loc + ".compact.old")
+    assert catalog.row_count("ftl") == 0
+    assert catalog.read("ftl").count() == 0  # no resurrection via recovery
+    catalog.drop_table("ftl")
+
+
+def test_copy_to_program_early_exit_and_stderr_flood(spark, catalog, tmp_path):
+    # an early-exiting consumer (head) must not raise BrokenPipeError,
+    # and a consumer that floods stderr must not deadlock the writer
+    from cstore_fdw_spark.io import copy_to_program
+    catalog.create_table("tpe", "a int")
+    catalog.insert("tpe", spark.createDataFrame(
+        [(i,) for i in range(20000)], "a int"))
+    sink = tmp_path / "first.csv"
+    assert copy_to_program(catalog, "tpe", f"head -c 64 > {sink}") == 0
+    assert len(sink.read_bytes()) == 64
+    # ~1MB of stderr while consuming stdin: would deadlock without the
+    # concurrent stderr drain
+    noisy = ("python3 -c \"import sys; sys.stderr.write('e'*1048576); "
+             "sys.stderr.flush(); data=sys.stdin.buffer.read(); "
+             "sys.stdout.write(str(len(data)))\" > " + str(tmp_path / "n.txt"))
+    assert copy_to_program(catalog, "tpe", noisy) == 0
+    assert int((tmp_path / "n.txt").read_text()) > 0
+    # failing consumer still surfaces collected stderr
+    with pytest.raises(CStoreError, match="boom"):
+        copy_to_program(catalog, "tpe",
+                        "python3 -c \"import sys; sys.stderr.write('boom'); "
+                        "sys.exit(2)\"")
