@@ -290,19 +290,15 @@ def dedup_embedding_cosine(spark, sf_dir):
                     (F.col("keeper_id") != F.col("vec_id")).alias("is_dup")))
 
 
-def embedding_lsh_dedup(e: DataFrame, tau: float) -> DataFrame:
-    """LSH pre-blocked embedding dedup over any (vec_id, label, embedding)
-    DataFrame: sign-random-projection buckets (the deterministic
-    multi-table planes from operators.similarity) REPLACE the all-pairs
-    join inside each label group — candidates must share (label, table,
-    bucket), so occupancy per block is ~|group|/2^bits instead of |group|,
-    which is what keeps a skewed or huge label group from going quadratic
-    at 100 TB. Candidates are then verified with the exact ordered-fold
-    cosine, and every vector takes keeper = min(vec_id) over itself and
-    its verified neighbors — the same dedup semantics as the exact
-    dedup_embedding_cosine (whose output is the recall anchor: verified
-    blocked pairs ⊆ exact pairs by construction).
-    Output: (vec_id, keeper_id, is_dup)."""
+def lsh_verified_pairs(e: DataFrame, tau: float) -> DataFrame:
+    """The scale-path candidate generator shared by the embedding-dedup
+    family: sign-random-projection buckets (the deterministic multi-table
+    planes from operators.similarity) REPLACE the all-pairs join inside
+    each label group — candidates must share (label, table, bucket), so
+    occupancy per block is ~|group|/2^bits instead of |group|, which is
+    what keeps a skewed or huge label group from going quadratic at
+    100 TB. Candidates are then verified with the exact ordered-fold
+    cosine. Output: (vec_a, vec_b) with vec_a < vec_b, cosine ≥ tau."""
     from cstore_fdw_spark.operators.similarity import cosine, lsh_buckets
 
     sig = (e.select("vec_id", "label",
@@ -321,9 +317,20 @@ def embedding_lsh_dedup(e: DataFrame, tau: float) -> DataFrame:
                   F.col("embedding").alias("avec"))
     vb = e.select(F.col("vec_id").alias("vec_b"),
                   F.col("embedding").alias("bvec"))
-    pairs = (cand.join(va, "vec_a").join(vb, "vec_b")
-             .filter(cosine(F.col("avec"), F.col("bvec")) >= tau)
-             .select("vec_a", "vec_b"))
+    return (cand.join(va, "vec_a").join(vb, "vec_b")
+            .filter(cosine(F.col("avec"), F.col("bvec")) >= tau)
+            .select("vec_a", "vec_b"))
+
+
+def embedding_lsh_dedup(e: DataFrame, tau: float) -> DataFrame:
+    """LSH pre-blocked embedding dedup over any (vec_id, label, embedding)
+    DataFrame: candidate pairs from :func:`lsh_verified_pairs`, then every
+    vector takes keeper = min(vec_id) over itself and its verified
+    neighbors — the same dedup semantics as the exact
+    dedup_embedding_cosine (whose output is the recall anchor: verified
+    blocked pairs ⊆ exact pairs by construction).
+    Output: (vec_id, keeper_id, is_dup)."""
+    pairs = lsh_verified_pairs(e, tau)
     edges = (pairs.select(F.col("vec_a").alias("vec_id"),
                           F.col("vec_b").alias("nb"))
              .unionByName(pairs.select(F.col("vec_b").alias("vec_id"),
@@ -335,9 +342,10 @@ def embedding_lsh_dedup(e: DataFrame, tau: float) -> DataFrame:
                     (F.col("keeper_id") != F.col("vec_id")).alias("is_dup")))
 
 
-def _emb_lsh_oracle() -> str:
-    """DuckDB replica: same inline ±1 planes → buckets → (label, table,
-    bucket) candidates → exact-cosine verification → min-keeper."""
+def _lsh_pairs_ctes() -> str:
+    """Shared DuckDB CTE block replicating :func:`lsh_verified_pairs`:
+    inline ±1 planes → buckets → (label, table, bucket) candidates →
+    exact-cosine verification. Ends with a ``pairs(vec_a, vec_b)`` CTE."""
     from cstore_fdw_spark.operators.similarity import (
         LSH_BITS, LSH_TABLES, _ORACLE_COS, _plane_matrix)
 
@@ -348,8 +356,7 @@ def _emb_lsh_oracle() -> str:
             arr = ", ".join("1.0" if v > 0 else "-1.0"
                             for v in planes[t * LSH_BITS + j])
             rows.append(f"({t}, {1 << j}, [{arr}]::DOUBLE[])")
-    return f"""
-    WITH planes(t, w, plane) AS (VALUES
+    return f"""planes(t, w, plane) AS (VALUES
       {",".join(rows)}),
     buck AS (
       SELECT e.vec_id, e.label, p.t,
@@ -368,7 +375,14 @@ def _emb_lsh_oracle() -> str:
       FROM cand c
       JOIN embeddings a ON a.vec_id = c.vec_a
       JOIN embeddings b ON b.vec_id = c.vec_b
-      WHERE {_ORACLE_COS} >= {EMB_DEDUP_TAU}),
+      WHERE {_ORACLE_COS} >= {EMB_DEDUP_TAU})"""
+
+
+def _emb_lsh_oracle() -> str:
+    """DuckDB replica: same inline ±1 planes → buckets → (label, table,
+    bucket) candidates → exact-cosine verification → min-keeper."""
+    return f"""
+    WITH {_lsh_pairs_ctes()},
     edges AS (
       SELECT vec_a AS vec_id, vec_b AS nb FROM pairs
       UNION ALL SELECT vec_b AS vec_id, vec_a AS nb FROM pairs
@@ -716,18 +730,12 @@ def dedup_simhash(spark, sf_dir):
             .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING))
 
 
-@register(
-    "dedup_connected_components",
-    category="dedup",
-    oracle=f"""
-    WITH RECURSIVE pairs AS (
-      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
-      FROM embeddings a JOIN embeddings b
-        ON a.label = b.label AND a.vec_id < b.vec_id
-      WHERE list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
-        (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
-         sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))
-        >= {EMB_DEDUP_TAU}),
+def _cc_oracle() -> str:
+    """DuckDB replica of dedup_connected_components: the SAME LSH
+    candidate+verify pair generation as :func:`_lsh_pairs_ctes` feeding
+    an (unchanged) recursive-CTE transitive closure."""
+    return f"""
+    WITH RECURSIVE {_lsh_pairs_ctes()},
     edges AS (
       SELECT vec_a AS src, vec_b AS dst FROM pairs
       UNION ALL SELECT vec_b AS src, vec_a AS dst FROM pairs),
@@ -737,12 +745,26 @@ def dedup_simhash(spark, sf_dir):
       SELECT e.dst AS vec_id, r.comp
       FROM reach r JOIN edges e ON e.src = r.vec_id)
     SELECT vec_id, MIN(comp) AS component FROM reach GROUP BY vec_id
-    """)
+    """
+
+
+@register("dedup_connected_components", category="dedup",
+          oracle=_cc_oracle())
 def dedup_connected_components(spark, sf_dir):
     """Full transitive-closure dedup: connected components of the
-    cosine-≥-τ near-dup graph (the fixed point that the one-hop
-    dedup_embedding_cosine pass approximates). Component id = min vec_id
-    reachable through any chain of near-duplicates.
+    LSH-verified cosine-≥-τ near-dup graph (the fixed point that the
+    one-hop dedup_embedding_lsh_blocked pass approximates). Component
+    id = min vec_id reachable through any chain of near-duplicates.
+
+    Edge generation reuses :func:`lsh_verified_pairs` — (label, table,
+    bucket) blocking + exact-cosine verification — so no label group is
+    ever joined all-pairs; per-block occupancy is ~|group|/2^bits, which
+    is what survives a skewed 100 TB label distribution. The DuckDB
+    oracle replicates the identical candidate stage before its recursive
+    closure (blocking at τ=0.35 is NOT lossless — measured at sf0.01 the
+    planes miss 17/26 exact pairs — so the oracle must block the same
+    way; the closure semantics over the blocked graph are then verified
+    bit-for-bit).
 
     Iterative min-label propagation: each round every vertex takes the
     min of its own component id and its neighbors'; converges in
@@ -751,16 +773,9 @@ def dedup_connected_components(spark, sf_dir):
     localCheckpoint so the plan doesn't grow with iterations — the
     standard large-graph CC shape (GraphX/GraphFrames use the same
     algorithm); edges shuffle-partition by src once and stay put."""
-    from cstore_fdw_spark.operators.similarity import cosine
-
     e = table(spark, sf_dir, "embeddings")
-    a, b = e.alias("a"), e.alias("b")
-    cos = cosine(F.col("a.embedding"), F.col("b.embedding"))
-    pairs = (a.join(b, (F.col("a.label") == F.col("b.label"))
-                    & (F.col("a.vec_id") < F.col("b.vec_id")))
-             .filter(cos >= EMB_DEDUP_TAU)
-             .select(F.col("a.vec_id").alias("src"),
-                     F.col("b.vec_id").alias("dst")))
+    pairs = lsh_verified_pairs(e, EMB_DEDUP_TAU).select(
+        F.col("vec_a").alias("src"), F.col("vec_b").alias("dst"))
     edges = (pairs.unionByName(pairs.select(F.col("dst").alias("src"),
                                             F.col("src").alias("dst")))
              .localCheckpoint(eager=True))

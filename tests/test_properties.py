@@ -103,3 +103,36 @@ def test_minhash_recalls_exact_duplicates(spark, sf_dir):
     for i in range(50):
         assert (i, i + offset) in pairs, f"duplicate pair {i} missed"
         assert pairs[(i, i + offset)] == 1.0
+
+
+def test_cc_edges_are_lsh_blocked_not_all_pairs(spark, sf_dir):
+    """dedup_connected_components must generate edges through the LSH
+    candidate stage: the pair-join condition must include the (table,
+    bucket) struct key, never a bare label-only equi-join that goes
+    quadratic inside a label group at scale."""
+    from cstore_fdw_spark.operators import table
+    from cstore_fdw_spark.operators.dedup import (
+        EMB_DEDUP_TAU, lsh_verified_pairs)
+    from cstore_fdw_spark.plans.verify import explain_str
+
+    e = table(spark, sf_dir, "embeddings")
+    pairs = lsh_verified_pairs(e, EMB_DEDUP_TAU)
+    plan = explain_str(pairs)
+    # the candidate join keys on the exploded (t, b) struct
+    assert "tb" in plan
+    import re
+    # the a×b candidate join must key on the bucket struct (formatted
+    # explain prints "Left keys [2]: [label#_, tb#_]"), not label alone
+    key_lines = re.findall(r"(?:Left|Right) keys.*tb#", plan)
+    assert key_lines, f"no join keyed on LSH buckets found:\n{plan}"
+    # and blocked pairs are a subset of the exact label-blocked pairs
+    from cstore_fdw_spark.operators.similarity import cosine
+    a, b = e.alias("a"), e.alias("b")
+    exact = set(map(tuple, (
+        a.join(b, (F.col("a.label") == F.col("b.label"))
+               & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .filter(cosine(F.col("a.embedding"), F.col("b.embedding"))
+                >= EMB_DEDUP_TAU)
+        .select(F.col("a.vec_id"), F.col("b.vec_id")).collect())))
+    blocked = set(map(tuple, pairs.collect()))
+    assert blocked <= exact
