@@ -71,3 +71,27 @@ def minhash_coeffs(n: int) -> list[tuple[int, int]]:
     return [(_const(f"cstore-minhash-a-{i}", 1, P31 - 1),
              _const(f"cstore-minhash-b-{i}", 0, P31 - 1))
             for i in range(n)]
+
+
+#: multipliers for the two 31-bit polynomial band-key accumulators; both
+#: < 2^20, so every intermediate (acc % P31) * C + v stays < 2^51 —
+#: exact int64 arithmetic in both engines.
+POLY_C1 = 1_000_003
+POLY_C2 = 999_983
+
+
+def band_key_sql(elems: list[str]) -> str:
+    """62-bit band key from signature words by pure integer arithmetic —
+    engine-neutral SQL (no hashing, no string rendering): two Horner
+    polynomials mod P31 with independent multipliers, packed as
+    ``hi * 2^31 + lo``. Collision probability between two distinct band
+    slices is ~2^-62, vs the 2^-60 of the md5-based key it replaces,
+    while skipping a per-band VARCHAR render + md5 in the hot path.
+    ``elems`` are SQL expressions for the slice's signature words (each
+    value already < P31)."""
+    def poly(c: int) -> str:
+        e = f"({elems[0]})"
+        for nxt in elems[1:]:
+            e = f"((({e}) * {c} + ({nxt})) % {P31})"
+        return e
+    return f"({poly(POLY_C1)}) * 2147483648 + ({poly(POLY_C2)})"

@@ -408,7 +408,7 @@ def dedup_embedding_lsh_blocked(spark, sf_dir):
 # ---------------------------------------------------------------- MinHash
 
 from cstore_fdw_spark.functions.portable_hash import (  # noqa: E402
-    P31, duck_h60, duck_w32, minhash_coeffs, spark_h60, spark_w32,
+    P31, band_key_sql, duck_w32, minhash_coeffs, spark_w32,
 )
 
 N_HASHES = 32
@@ -448,37 +448,43 @@ def _doc_shingles(spark, sf_dir) -> DataFrame:
             .select("doc_id", F.explode("shingles").alias("shingle")))
 
 
-#: signature fold: per shingle compute all N hashes, then element-wise min
-#: across shingles — ONE traversal of the shingle array per row, no shuffle
-#: (the naive explode→groupBy formulation shuffles the entire shingle set;
-#: at 100 TB that's the difference between a map-only stage and a terabyte
-#: exchange). MinHash per Broder '97, banding per MMDS ch.3.
+#: signature shape: explode distinct shingles → ONE codegen md5 per
+#: shingle → 32-way MIN hash-aggregate per doc. The aggregation is
+#: map-side-combined, so what shuffles is one 33-column row per doc per
+#: map partition — not the shingle set — and the per-shingle work stays
+#: inside whole-stage codegen (an earlier per-row higher-order-function
+#: fold avoided the shuffle but ran interpreted, ~2× slower end-to-end).
+#: MinHash per Broder '97, banding per MMDS ch.3.
 #:
-#: Hashing is the portable scheme: x = md5-word(shingle) mod p, then the
-#: classic universal family h_i(x) = (a_i·x + b_i) mod p — ONE md5 per
-#: shingle (cheaper than round 1's 32 xxhash64 calls) and bit-identical in
-#: DuckDB, which is what makes the whole LSH pipeline oracle-checkable.
-#: The inner transform(array(x_expr), x -> ...) binds the md5 to a lambda
-#: variable so ProjectCollapse can't re-inline it into all 32 terms.
-_X_EXPR = f"({spark_w32('s', 0)} % {P31})"
-_HS_ARR = (
-    "transform(array(" + _X_EXPR + "), x -> array("
-    + ", ".join(f"(({a}L * x + {b}L) % {P31})" for a, b in _MH_COEFFS)
-    + "))[0]")
-_SIG_ARR = (
-    "aggregate("
-    f"  transform(shingles, s -> {_HS_ARR}),"
-    f"  array_repeat({P31}L, {N_HASHES}),"
-    "  (acc, h) -> zip_with(acc, h, (a, b) -> least(a, b)))")
+#: Hashing is the portable scheme: md5(shingle) is computed once; the
+#: universal-hash base word x (hex chars 1-8) and the 60-bit
+#: verification join key (hex chars 1-15) are substrings of the same
+#: digest, bit-identical in DuckDB, which is what makes the whole LSH
+#: pipeline oracle-checkable.
+_X_FROM_MD5 = ("(cast(conv(substring(m, 1, 8), 16, 10) as bigint)"
+               f" % {P31}) AS x")
+_H60_FROM_MD5 = "cast(conv(substring(m, 1, 15), 16, 10) as bigint) AS sh"
+
+
+def shingle_hashes(docs_with_shingles: DataFrame) -> DataFrame:
+    """(doc_id, x, sh) — one exploded row per distinct shingle, with the
+    universal-hash base word and the 60-bit verification key derived from
+    a single md5 evaluation in one codegen pass."""
+    return (docs_with_shingles
+            .select("doc_id", F.explode("shingles").alias("s"))
+            .selectExpr("doc_id", "md5(cast(s as binary)) AS m")
+            .selectExpr("doc_id", _X_FROM_MD5, _H60_FROM_MD5))
 
 
 def minhash_signatures(docs_with_shingles: DataFrame) -> DataFrame:
-    """(doc_id, n_sh, sigs: array<bigint>[N]) — pure projection, the whole
-    signature is one fused expression so the shingle array is built and
-    traversed exactly once per row."""
-    return docs_with_shingles.select(
-        "doc_id", F.size("shingles").alias("n_sh"),
-        F.expr(_SIG_ARR).alias("sigs"))
+    """(doc_id, n_sh, s0..s{N-1}) — 32 universal-hash MIN aggregates over
+    the exploded shingle hashes (partial aggregation makes the exchange
+    one row per doc)."""
+    mins = [F.min((F.lit(a) * F.col("x") + F.lit(b)) % P31).alias(f"s{i}")
+            for i, (a, b) in enumerate(_MH_COEFFS)]
+    return (shingle_hashes(docs_with_shingles)
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_sh"), *mins))
 
 
 def minhash_lsh_pairs(docs: DataFrame) -> DataFrame:
@@ -486,32 +492,39 @@ def minhash_lsh_pairs(docs: DataFrame) -> DataFrame:
     (doc_id, text) DataFrame, verified with the exact shingle-set Jaccard
     on candidates only — the 100 TB dedup path.
 
-    Pipeline: shingle (projection) → 32 min-hashes (projection) → 8 band
-    keys per doc → bucket join on (band, band_hash) → candidate pairs →
-    exact Jaccard via shingle join restricted to candidates.
-    Output: (doc_a, doc_b, n_common_bands, jaccard)."""
-    # signatures and shingles each feed multiple joins: localCheckpoint
-    # materializes them once (narrow rows; at cluster scale this is the
-    # standard persist-the-signature-table step) instead of re-deriving
-    # the expensive projections on every join branch. Docs with zero
-    # shingles (empty text) are excluded — their all-sentinel signatures
-    # would otherwise collide in every band (and Jaccard over empty sets
-    # is undefined); the oracle's explode drops them naturally.
+    Pipeline: shingle (projection) → one md5 per shingle (codegen,
+    persisted once) → 32 min-hashes (map-side-combined aggregate) →
+    8 arithmetic band keys per doc → bucket join on (band, band_key) →
+    candidate pairs → exact Jaccard via 60-bit-hash join restricted to
+    candidates. Output: (doc_a, doc_b, n_common_bands, jaccard)."""
+    # persist() materializes the per-shingle hashes once (the expensive
+    # shingle build + md5); signatures, band keys, sizes, and
+    # verification keys all derive from it. Docs with zero shingles
+    # (empty text) are excluded — their all-sentinel signatures would
+    # otherwise collide in every band (and Jaccard over empty sets is
+    # undefined); the oracle's explode drops them naturally.
     shingled = shingle_arrays(docs).filter(F.size("shingles") > 0)
-    sig = minhash_signatures(shingled).localCheckpoint(eager=False)
-    # band keys: portable hash of each ROWS_PER_BAND-slice of the
-    # signature array (comma-joined decimal rendering — identical in the
-    # oracle); the generator's child is evaluated once per row, so `sigs`
-    # is not recomputed per band
-    band_str = (f"array_join(transform(slice(sigs, b * {ROWS_PER_BAND} + 1,"
-                f" {ROWS_PER_BAND}), v -> cast(v as string)), ',')")
-    bands = (sig.select(
-        "doc_id",
-        F.posexplode(F.expr(
-            f"transform(sequence(0, {N_BANDS - 1}),"
-            f" b -> {spark_h60(band_str)})")))
-        .select("doc_id", F.col("pos").alias("band"),
-                F.col("col").alias("bh")))
+    ex = shingle_hashes(shingled).persist()
+    # persist(), not localCheckpoint(), for the signature table: both are
+    # materialized once and reused by every consumer (bands self-join,
+    # sizes), but localCheckpoint pays driver-side physical planning +
+    # codegen compilation of the 32-agg plan at BUILD time (~2 s measured)
+    # while persist defers everything to the first action
+    mins = [F.min((F.lit(a) * F.col("x") + F.lit(b)) % P31).alias(f"s{i}")
+            for i, (a, b) in enumerate(_MH_COEFFS)]
+    sigs = (ex.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_sh"), *mins)
+            .persist())
+    # band keys: pure integer arithmetic over each ROWS_PER_BAND-slice of
+    # the signature (two Horner polynomials mod P31 packed to 62 bits —
+    # no VARCHAR render, no md5; identical expression in the oracle)
+    band_cols = F.array(*[
+        F.expr(band_key_sql([f"s{t * ROWS_PER_BAND + r}"
+                             for r in range(ROWS_PER_BAND)]))
+        for t in range(N_BANDS)])
+    bands = (sigs.select("doc_id", F.posexplode(band_cols))
+             .select("doc_id", F.col("pos").alias("band"),
+                     F.col("col").alias("bh")))
     a = bands.alias("a")
     b = bands.alias("b")
     candidates = (a.join(b, (F.col("a.band") == F.col("b.band"))
@@ -522,14 +535,14 @@ def minhash_lsh_pairs(docs: DataFrame) -> DataFrame:
                   .agg(F.count(F.lit(1)).alias("n_common_bands")))
     # exact verification restricted to candidates: expand each candidate
     # pair by doc_a's shingles, then probe doc_b's shingle set — cost is
-    # O(candidates × shingles-per-doc), never the all-pairs shingle join
-    sizes = sig.select("doc_id", "n_sh")
-    shingles = (shingled.select("doc_id", F.explode("shingles").alias("shingle"))
-                .localCheckpoint(eager=False))
-    sh_a = (shingles.withColumnRenamed("doc_id", "doc_a")
-            .withColumnRenamed("shingle", "sh"))
-    sh_b = (shingles.withColumnRenamed("doc_id", "doc_b")
-            .withColumnRenamed("shingle", "sh"))
+    # O(candidates × shingles-per-doc), never the all-pairs shingle join.
+    # The join key is the 60-bit digest prefix, not the shingle string:
+    # same distinctness (md5 is computed per DISTINCT shingle), a fraction
+    # of the shuffle bytes.
+    sizes = sigs.select("doc_id", "n_sh")
+    shingles = ex.select("doc_id", "sh")
+    sh_a = shingles.withColumnRenamed("doc_id", "doc_a")
+    sh_b = shingles.withColumnRenamed("doc_id", "doc_b")
     common = (candidates.select("doc_a", "doc_b")
               .join(sh_a, "doc_a")
               .join(sh_b, ["doc_b", "sh"])
@@ -556,10 +569,10 @@ def _minhash_oracle() -> str:
         f"MIN(({a} * x + {b}) % {P31}) AS s{i}"
         for i, (a, b) in enumerate(_MH_COEFFS))
     band_rows = " UNION ALL ".join(
-        "SELECT doc_id, {t} AS t, {bs} AS bs FROM sigs".format(
-            t=t, bs=" || ',' || ".join(
-                f"CAST(s{t * ROWS_PER_BAND + r} AS VARCHAR)"
-                for r in range(ROWS_PER_BAND)))
+        "SELECT doc_id, {t} AS t, {bk} AS bh FROM sigs".format(
+            t=t, bk=band_key_sql(
+                [f"s{t * ROWS_PER_BAND + r}"
+                 for r in range(ROWS_PER_BAND)]))
         for t in range(N_BANDS))
     return f"""
     WITH base AS (
@@ -572,15 +585,19 @@ def _minhash_oracle() -> str:
       FROM base),
     szs AS (SELECT doc_id, len(shingles) AS n_sh, shingles
             FROM sh WHERE len(shingles) > 0),
-    ex AS (SELECT doc_id, UNNEST(shingles) AS shingle FROM szs),
-    hx AS (SELECT doc_id, {duck_w32('shingle', 0)} % {P31} AS x FROM ex),
+    ex AS (SELECT doc_id, md5(UNNEST(shingles)) AS m FROM szs),
+    hx AS (SELECT doc_id,
+                  CAST('0x' || substr(m, 1, 8) AS BIGINT) % {P31} AS x
+           FROM ex),
+    exk AS (SELECT doc_id,
+                   CAST('0x' || substr(m, 1, 15) AS BIGINT) AS sh_key
+            FROM ex),
     sigs AS (
       SELECT doc_id,
         {mins}
       FROM hx GROUP BY doc_id),
     bands AS (
-      SELECT doc_id, t, {duck_h60('bs')} AS bh
-      FROM ({band_rows}) u),
+      SELECT doc_id, t, bh FROM ({band_rows}) u),
     cand AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
              COUNT(*) AS n_common_bands
@@ -590,8 +607,8 @@ def _minhash_oracle() -> str:
     common AS (
       SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
       FROM cand c
-      JOIN ex ea ON ea.doc_id = c.doc_a
-      JOIN ex eb ON eb.doc_id = c.doc_b AND eb.shingle = ea.shingle
+      JOIN exk ea ON ea.doc_id = c.doc_a
+      JOIN exk eb ON eb.doc_id = c.doc_b AND eb.sh_key = ea.sh_key
       GROUP BY 1, 2)
     SELECT c.doc_a, c.doc_b, c.n_common_bands,
            COALESCE(CAST(m.n_common AS DOUBLE)
