@@ -37,6 +37,7 @@ import shutil
 import time
 from dataclasses import dataclass, field
 from typing import Any
+from uuid import uuid4
 
 import pyarrow.parquet as pq
 from pyspark.sql import DataFrame, SparkSession
@@ -127,12 +128,27 @@ class TableMeta:
     # existed — reference cstore_reader.c:1224-1292). Stored as SQL literal.
     column_defaults: dict[str, Any] = field(default_factory=dict)
     # column -> basenames of the data files that existed when the column
-    # was added: ONLY rows from these files read the default; an explicit
-    # NULL written after the column existed stays NULL (PG semantics).
-    # Recorded once at ALTER time (a DDL-frequency O(#files) listing; a
-    # production variant would stamp a write-epoch watermark into file
-    # names instead of materializing the list).
+    # was added (LEGACY, pre-epoch metas only — no longer written): ONLY
+    # rows from these files read the default; an explicit NULL written
+    # after the column existed stays NULL (PG semantics).
     backfill_files: dict[str, list[str]] = field(default_factory=dict)
+    # monotone per-table write epoch: every insert() batch stamps its data
+    # files with ``e{epoch:012d}-``; ADD COLUMN records the then-current
+    # epoch as the column's backfill watermark below — O(1) metadata
+    # instead of materializing the file list (the reference's analog is
+    # the stripe count in the footer, cstore_metadata.c).
+    write_epoch: int = 0
+    # column -> write-epoch watermark: rows from files with epoch <= wm
+    # pre-date the column and read the constant default; files written
+    # after (epoch > wm) keep their stored values, so an explicit NULL
+    # stays NULL (PG semantics, cstore_reader.c:1224-1292). A None value
+    # means "fully baked by compact()" — present (not legacy) but nothing
+    # left to backfill.
+    backfill_watermark: dict[str, int | None] = field(default_factory=dict)
+    # session-catalog names this table was register_table()'d under:
+    # lifecycle ops that rewrite data files (compact) refresh + re-analyze
+    # these so catalog readers never see stale file lists or stats
+    registered_names: list[str] = field(default_factory=list)
     version: str = "1.0"
     created_at: float = 0.0
 
@@ -223,6 +239,7 @@ class CStoreCatalog:
         ``filename`` location (reference DeleteCStoreTableFiles,
         cstore_fdw.c:334-382,897-926 + drop event trigger)."""
         meta = self._load_meta(name)  # raises if the table doesn't exist
+        self._drop_registered(meta)
         if "filename" in meta.options:
             data = self._data_path(meta)
             shutil.rmtree(data, ignore_errors=True)
@@ -310,14 +327,41 @@ class CStoreCatalog:
             aligned = aligned.sortWithinPartitions(*sort_by.split(","))
         stripe_rows = meta.options.get("stripe_row_count",
                                        DEFAULT_STRIPE_ROW_COUNT)
-        writer = (aligned.write.mode("overwrite" if overwrite else "append")
+        # stage the batch to a sibling temp dir, then move the files in
+        # with an ``e{epoch:012d}-`` name prefix: the monotone epoch is
+        # what ADD COLUMN's backfill watermark compares against (O(1)
+        # metadata vs listing every file). Move cost is O(batch files) —
+        # the same order as the reference's per-stripe footer rewrite
+        # (cstore_writer.c:344-357); an object-store deployment would
+        # commit a manifest instead of renaming.
+        data_path = self._data_path(meta)
+        staged = data_path + f".insert.{uuid4().hex[:8]}"
+        writer = (aligned.write.mode("overwrite")
                   .option("maxRecordsPerFile", str(stripe_rows * 10)))
         for k, v in self._writer_options(meta).items():
             writer = writer.option(k, v)
         part = meta.options.get("partition_by")
         if part:
             writer = writer.partitionBy(*part.split(","))
-        getattr(writer, self._format(meta))(self._data_path(meta))
+        getattr(writer, self._format(meta))(staged)
+        meta.write_epoch += 1
+        self._save_meta(meta)  # commit the epoch before files appear
+        prefix = f"e{meta.write_epoch:012d}-"
+        try:
+            if overwrite and os.path.isdir(data_path):
+                shutil.rmtree(data_path)
+            for root, _dirs, files in os.walk(staged):
+                rel = os.path.relpath(root, staged)
+                dest = (data_path if rel == "."
+                        else os.path.join(data_path, rel))
+                os.makedirs(dest, exist_ok=True)
+                for fn in files:
+                    if fn.startswith(("_", ".")):  # _SUCCESS, .crc
+                        continue
+                    os.replace(os.path.join(root, fn),
+                               os.path.join(dest, prefix + fn))
+        finally:
+            shutil.rmtree(staged, ignore_errors=True)
 
     def compact(self, name: str) -> int:
         """Rewrite the table's data files into stripe-sized files and
@@ -373,11 +417,16 @@ class CStoreCatalog:
         os.rename(data_path, old_path)
         os.rename(tmp_path, data_path)
         shutil.rmtree(old_path)
-        if meta.backfill_files:
+        if meta.backfill_files or meta.backfill_watermark:
             # defaults are baked into the rewritten files; nothing
-            # pre-dates any column anymore
+            # pre-dates any column anymore (clearing the watermarks is
+            # also what keeps explicit NULLs baked by this rewrite from
+            # re-reading as the default — compacted files carry no epoch
+            # stamp and would otherwise fall under every watermark)
             meta.backfill_files = {c: [] for c in meta.backfill_files}
+            meta.backfill_watermark = {c: None for c in meta.column_defaults}
             self._save_meta(meta)
+        self._refresh_registered(meta)
         return sum(1 for _ in _data_files(data_path, fmt))
 
     def _recover_compact(self, meta: TableMeta, fmt: str) -> None:
@@ -428,10 +477,25 @@ class CStoreCatalog:
                     # existed must stay NULL (PG semantics; the reference
                     # backfills only stripes older than the column,
                     # cstore_reader.c:1224-1292)
+                    has_wm = f_.name in meta.backfill_watermark
+                    wm = meta.backfill_watermark.get(f_.name)
                     old_files = meta.backfill_files.get(f_.name)
                     default_lit = F.lit(
                         meta.column_defaults[f_.name]).cast(f_.dataType)
-                    if old_files is None:
+                    if has_wm and wm is None:
+                        pass  # fully baked by compact(): stored values win
+                    elif wm is not None:
+                        # epoch watermark: files stamped e{epoch}- with
+                        # epoch <= wm (or unstamped = epoch 0) pre-date
+                        # the column
+                        raw = F.regexp_extract(
+                            F.input_file_name(), r"/e(\d{12})-[^/]*$", 1)
+                        epoch = (F.when(raw == "", F.lit(0))
+                                 .otherwise(raw.cast("bigint")))
+                        col = F.when(epoch <= F.lit(wm),
+                                     F.coalesce(col, default_lit)
+                                     ).otherwise(col)
+                    elif old_files is None:
                         # legacy meta without file tracking: the old
                         # (over-broad) coalesce is the only safe reading
                         col = F.coalesce(col, default_lit)
@@ -467,7 +531,8 @@ class CStoreCatalog:
         projection that a catalog table can't express — compact() first
         (it bakes the defaults into the files)."""
         meta = self._load_meta(name)
-        if any(meta.backfill_files.get(c) or c not in
+        if any(meta.backfill_watermark.get(c) is not None
+               or meta.backfill_files.get(c) or c not in
                _physical_columns(self._data_path(meta), self._format(meta))
                for c in meta.column_defaults):
             raise CStoreError(
@@ -484,7 +549,26 @@ class CStoreCatalog:
             f"LOCATION '{self._data_path(meta)}'")
         if part:
             self.spark.catalog.recoverPartitions(spark_name)
+        if spark_name not in meta.registered_names:
+            meta.registered_names.append(spark_name)
+            self._save_meta(meta)
         return spark_name
+
+    def _refresh_registered(self, meta: TableMeta) -> None:
+        """After a file-rewriting op (compact), make session-catalog
+        registrations see the new files and fresh stats: REFRESH drops the
+        cached file listing, ANALYZE recollects the CBO column stats (the
+        reference's stripe append rewrites the footer so readers always
+        see current metadata, cstore_writer.c:344-357)."""
+        for spark_name in meta.registered_names:
+            if self.spark.catalog.tableExists(spark_name):
+                self.spark.sql(f"REFRESH TABLE `{spark_name}`")
+                self.spark.sql(f"ANALYZE TABLE `{spark_name}` COMPUTE "
+                               "STATISTICS FOR ALL COLUMNS")
+
+    def _drop_registered(self, meta: TableMeta) -> None:
+        for spark_name in meta.registered_names:
+            self.spark.sql(f"DROP TABLE IF EXISTS `{spark_name}`")
 
     # ----------------------------------------------------------- evolution
     def add_column(self, name: str, column: str, dtype: str,
@@ -503,13 +587,13 @@ class CStoreCatalog:
                 raise CStoreError(
                     "unsupported non-constant default value")
             meta.column_defaults[column] = default
-            # snapshot the files that pre-date the column: only their rows
-            # get the default at read time (cstore_reader.c:1224-1292
-            # backfills exactly the stripes older than the column)
-            meta.backfill_files[column] = sorted(
-                os.path.basename(p)
-                for p in _data_files(self._data_path(meta),
-                                     self._format(meta)))
+            # record the write-epoch watermark: only rows from files
+            # stamped with epoch <= this (including legacy/compacted
+            # files with no stamp, which read as epoch 0) get the default
+            # at read time (cstore_reader.c:1224-1292 backfills exactly
+            # the stripes older than the column) — O(1) metadata, no file
+            # listing
+            meta.backfill_watermark[column] = meta.write_epoch
         self._save_meta(meta)
 
     def drop_column(self, name: str, column: str) -> None:

@@ -241,3 +241,51 @@ def copy_from_program(catalog: CStoreCatalog, table: str, command: str,
     finally:
         import os as _os
         _os.unlink(staged)
+
+
+def copy_from_stdin(catalog: CStoreCatalog, table: str, stream,
+                    columns: list[str] | None = None,
+                    **csv_options: Any) -> None:
+    """A5 (STDIN form): ``COPY table FROM STDIN WITH CSV`` — ingest CSV
+    from any readable file object (the reference accepts the same pipe
+    grammar, ``cstore_fdw.c:539-707``; ``input/load.source`` drives it
+    through psql's \\copy). The stream is staged to a temp file so the
+    distributed CSV reader parses it with the full COPY dialect."""
+    import tempfile
+
+    with tempfile.NamedTemporaryFile(mode="wb", suffix=".csv",
+                                     delete=False) as tmp:
+        data = stream.read()
+        tmp.write(data.encode() if isinstance(data, str) else data)
+        staged = tmp.name
+    try:
+        copy_from_csv(catalog, table, staged, columns=columns, **csv_options)
+    finally:
+        import os as _os
+        _os.unlink(staged)
+
+
+def copy_to_stdout(catalog: CStoreCatalog, table_or_df: str | DataFrame,
+                   stream, header: bool = False,
+                   **csv_options: Any) -> int:
+    """A6 (STDOUT form): ``COPY table TO STDOUT WITH CSV`` — export the
+    table (or query DataFrame) as CSV into any writable file object,
+    the symmetric twin of :func:`copy_from_stdin`. Returns the number of
+    bytes written. Part files stream in deterministic (sorted) order;
+    the writer handles binary and text streams alike."""
+    import glob
+    import tempfile
+
+    wants_bytes = not hasattr(stream, "encoding")
+    written = 0
+    with tempfile.TemporaryDirectory() as staged:
+        out_dir = f"{staged}/out"
+        copy_to_csv(catalog, table_or_df, out_dir, header=header,
+                    **csv_options)
+        for part in sorted(glob.glob(f"{out_dir}/part-*")):
+            with open(part, "rb") as f:
+                while chunk := f.read(1 << 20):
+                    stream.write(chunk if wants_bytes
+                                 else chunk.decode())
+                    written += len(chunk)
+    return written

@@ -463,3 +463,65 @@ def test_copy_to_program_early_exit_and_stderr_flood(spark, catalog, tmp_path):
         copy_to_program(catalog, "tpe",
                         "python3 -c \"import sys; sys.stderr.write('boom'); "
                         "sys.exit(2)\"")
+
+
+def test_compact_refreshes_registered_table(spark, catalog):
+    # after compact() swaps the data directory, a session-catalog
+    # registration must see the new file list (REFRESH) and fresh CBO
+    # stats (re-ANALYZE) — the reference's footer rewrite keeps readers
+    # on current metadata (cstore_writer.c:344-357)
+    import uuid
+    name = "tc_" + uuid.uuid4().hex[:8]
+    catalog.create_table(name, "a int")
+    for i in range(4):  # four small files
+        catalog.insert(name, spark.createDataFrame(
+            [(i * 10 + j,) for j in range(5)], "a int"))
+    catalog.register_table(name)
+    catalog.analyze(name)
+    assert spark.table(name).count() == 20
+    try:
+        catalog.compact(name)
+        # catalog reader sees the rewritten files, not the stale listing
+        assert spark.table(name).count() == 20
+        assert sorted(r.a for r in spark.table(name).collect()) == \
+            sorted(i * 10 + j for i in range(4) for j in range(5))
+        # and the planner stats were recollected over the new files
+        jstats = (spark.table(name)._jdf.queryExecution()
+                  .optimizedPlan().stats())
+        assert jstats.rowCount().isDefined()
+        assert jstats.rowCount().get() == 20
+        # drop_table also removes the registration
+        catalog.drop_table(name)
+        assert not spark.catalog.tableExists(name)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS `{name}`")
+
+
+def test_copy_stdin_stdout_roundtrip(spark, catalog, tmp_path):
+    # COPY FROM STDIN / TO STDOUT file-object overloads (the reference
+    # accepts the same pipe grammar, cstore_fdw.c:539-707)
+    import io as _io
+    from cstore_fdw_spark.io import copy_from_stdin, copy_to_stdout
+    catalog.create_table("tsi", "a int, b string")
+    copy_from_stdin(catalog, "tsi", _io.StringIO("1,x\n2,\"y,z\"\n3,\n"))
+    rows = {r.a: r.b for r in catalog.read("tsi").collect()}
+    assert rows == {1: "x", 2: "y,z", 3: None}
+    # text stream out
+    out = _io.StringIO()
+    n = copy_to_stdout(catalog, "tsi", out)
+    assert n == len(out.getvalue())
+    assert sorted(out.getvalue().strip().splitlines()) == \
+        ['1,x', '2,"y,z"', '3,']
+    # binary stream out and back in through stdin (full round-trip)
+    bout = _io.BytesIO()
+    copy_to_stdout(catalog, "tsi", bout)
+    catalog.create_table("tsi2", "a int, b string")
+    bout.seek(0)
+    copy_from_stdin(catalog, "tsi2", bout)
+    assert {r.a: r.b for r in catalog.read("tsi2").collect()} == rows
+    # column-list form over stdin
+    catalog.create_table("tsi3", "a int, b string, c double")
+    copy_from_stdin(catalog, "tsi3", _io.StringIO("x,9\n"),
+                    columns=["b", "a"])
+    r = catalog.read("tsi3").collect()[0]
+    assert (r.a, r.b, r.c) == (9, "x", None)
