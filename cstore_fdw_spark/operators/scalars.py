@@ -12,6 +12,7 @@ can differ across engines by 1 ulp, so outputs stick to IEEE-exact ops
 from __future__ import annotations
 
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from cstore_fdw_spark.operators import register, table
 from cstore_fdw_spark.operators.relational import dec
@@ -208,3 +209,51 @@ def case_coalesce_nullif(spark, sf_dir):
                    F.lit("OTHER")).alias("seg"),
         F.ifnull(F.nullif(F.col("c_nationkey"), F.lit(0)),
                  F.lit(-1)).alias("nk_or_neg"))
+
+
+#: Danish-alphabet sample appended to the nation names: Å/Æ/Ø sort after
+#: Z, and 'Aa' is the traditional digraph spelling of Å (ICU da places it
+#: at the end too) — the cases the reference's da_DK collation test
+#: exercises (input/block_filtering.source:62-71).
+_DANISH_NAMES = ["Århus", "Ærø", "Ødis", "Aalborg", "Aarhus", "ALGERIA"]
+
+
+@register(
+    "collation_danish_order",
+    category="scalar",
+    oracle=f"""
+    WITH names(name) AS (
+      SELECT n_name FROM nation
+      UNION ALL
+      SELECT * FROM (VALUES {", ".join(f"('{n}')" for n in _DANISH_NAMES)})),
+    ranked AS (
+      SELECT name,
+             ROW_NUMBER() OVER (ORDER BY name COLLATE da, name) AS da_rank
+      FROM names)
+    SELECT name, da_rank, (name COLLATE da > 'VIETNAM') AS after_vietnam
+    FROM ranked
+    """)
+def collation_danish_order(spark, sf_dir):
+    """Locale-aware text ordering via ICU collation (Spark 4 ``COLLATE
+    da`` ≡ PostgreSQL ``collate "da_DK"``): ranks nation names plus a
+    Danish-letter sample under the Danish alphabet, where Æ/Ø/Å (and the
+    digraph 'Aa') sort AFTER Z — the reference's collation test shape
+    (input/block_filtering.source:62-71). The DuckDB oracle runs the
+    identical ICU collation, so the full collated order is value-checked,
+    not just a behavioral smoke test. ``after_vietnam`` mirrors the
+    reference's collated range predicate (A > 'B'); collated predicates
+    are deliberately NOT pushed to parquet zone maps, whose min/max are
+    binary order (the reference stores collated stripe min/max instead —
+    cstore_writer.c comparisons run through the column's collation)."""
+    n = table(spark, sf_dir, "nation").select(F.col("n_name").alias("name"))
+    extra = spark.createDataFrame([(x,) for x in _DANISH_NAMES],
+                                  "name string")
+    names = n.unionByName(extra)
+    ranked = names.select(
+        "name",
+        F.row_number().over(
+            Window.orderBy(F.expr("name COLLATE da"), "name")
+        ).alias("da_rank"))
+    return ranked.select(
+        "name", "da_rank",
+        F.expr("name COLLATE da > 'VIETNAM'").alias("after_vietnam"))

@@ -24,3 +24,58 @@ def test_tablesample_deterministic_and_sized(spark, sf_dir):
     from cstore_fdw_spark.operators import table
     n = table(spark, sf_dir, "orders").count()
     assert 0.05 * n < len(a) < 0.2 * n
+
+
+def test_image_dims_parse_real_bytes(spark):
+    """The real magic-byte parser against genuine image headers: a real
+    1x1 PNG, a handcrafted-but-valid JPEG (APP0 + SOF0, per ITU T.81),
+    a GIF89a descriptor, and junk — both directly and through the
+    distributed mapInPandas pipeline."""
+    import base64
+    import struct
+    from cstore_fdw_spark.operators.multimodal import (
+        PNG_1x1_B64, parse_image_dims)
+
+    png = base64.b64decode(PNG_1x1_B64)
+    assert png[:8] == b"\x89PNG\r\n\x1a\n"  # genuine signature
+    assert parse_image_dims(png) == ("png", 1, 1)
+
+    # minimal valid JPEG structure: SOI, APP0/JFIF, SOF0 (320x240), EOI
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" \
+        + struct.pack(">HH", 1, 1) + b"\x00\x00"
+    sof0 = b"\xff\xc0" + struct.pack(">H", 17) + b"\x08" \
+        + struct.pack(">HH", 240, 320) + b"\x03" \
+        + b"\x01\x22\x00\x02\x11\x01\x03\x11\x01"
+    jpeg = b"\xff\xd8" + app0 + sof0 + b"\xff\xd9"
+    assert parse_image_dims(jpeg) == ("jpeg", 320, 240)
+    # progressive JPEG (SOF2) parses too
+    jpeg2 = b"\xff\xd8" + app0 + b"\xff\xc2" + sof0[2:] + b"\xff\xd9"
+    assert parse_image_dims(jpeg2) == ("jpeg", 320, 240)
+
+    gif = b"GIF89a" + struct.pack("<HH", 7, 9) + b"\x00\x00\x00"
+    assert parse_image_dims(gif) == ("gif", 7, 9)
+
+    assert parse_image_dims(b"plain text payload") is None
+    assert parse_image_dims(b"") is None
+
+    # and through the distributed Arrow path
+    df = spark.createDataFrame(
+        [(1, png), (2, jpeg), (3, gif), (4, b"junk")],
+        "doc_id long, payload binary")
+
+    def dims(batches):
+        import pandas as pd
+        for pdf in batches:
+            parsed = [parse_image_dims(p) for p in pdf["payload"]]
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "fmt": [p[0] if p else "raw" for p in parsed],
+                "width": [p[1] if p else None for p in parsed],
+                "height": [p[2] if p else None for p in parsed]})
+
+    out = {r.doc_id: (r.fmt, r.width, r.height)
+           for r in df.mapInPandas(
+               dims, "doc_id long, fmt string, width long, height long"
+           ).collect()}
+    assert out == {1: ("png", 1, 1), 2: ("jpeg", 320, 240),
+                   3: ("gif", 7, 9), 4: ("raw", None, None)}
