@@ -111,8 +111,20 @@ def ppjoin_jaccard_pairs(items: DataFrame, tau: float) -> DataFrame:
     inverted index drops the frequent items that dominate the blowup.
     The exact overlap is then counted over candidates only.
     Output: (doc_a, doc_b, n_common, size_a, size_b, jaccard)."""
-    items = items.localCheckpoint(eager=False)
-    sizes = items.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_s"))
+    # items carry an internal 64-bit hash (never surfaced — any
+    # injective-on-the-data hash works, so the cheap engine-local
+    # xxhash64, not the portable md5 family): long equality joins and
+    # long-array intersections run several× faster than string ones
+    items = (items.withColumn("ih", F.xxhash64("item"))
+             .localCheckpoint(eager=False))
+    # per-doc sorted item-hash array + size: the verification operand.
+    # Arrays are bounded by document length, so candidate verification
+    # shuffles O(candidates × doc length) bytes with NO row explosion.
+    sets = (items.groupBy("doc_id")
+            .agg(F.sort_array(F.collect_set("ih")).alias("iset"),
+                 F.count(F.lit(1)).alias("n_s"))
+            .localCheckpoint(eager=False))
+    sizes = sets.select("doc_id", "n_s")
     # global (per-language) item frequency → total rarity order (freq,
     # then item lexicographically as the deterministic tie-break)
     freq = items.groupBy("lang", "item").agg(F.count(F.lit(1)).alias("gf"))
@@ -122,31 +134,56 @@ def ppjoin_jaccard_pairs(items: DataFrame, tau: float) -> DataFrame:
               .join(sizes, "doc_id")
               .filter(F.col("rn") <= F.col("n_s")
                       - F.ceil(F.lit(tau) * F.col("n_s")) + 1)
-              .select("doc_id", "lang", "item"))
+              .select("doc_id", "lang", "ih", "rn", "n_s"))
+    # PPJoin candidate generation with pair-level overlap accumulation
+    # (Xiao WWW'08 §3.2): collect ALL prefix collisions per pair, then
+    # bound the best-case total overlap by
+    #   c + min(|A| − max rn_a, |B| − max rn_b)
+    # (c collisions seen inside the prefixes; everything else must come
+    # after each side's last colliding position). A τ-pair needs overlap
+    # α = ⌈τ/(1+τ)·(|A|+|B|)⌉, so pairs whose bound misses α are pruned
+    # LOSSLESSLY before touching the item arrays — on dense corpora this
+    # is the difference between verifying thousands and verifying
+    # hundreds of thousands of candidates. Length filter in the join:
+    # |A| ≥ ⌈τ·|B|⌉ (else jaccard < τ regardless of overlap).
     pa, pb = prefix.alias("pa"), prefix.alias("pb")
-    cand = (pa.join(pb, (F.col("pa.item") == F.col("pb.item"))
-                    & (F.col("pa.lang") == F.col("pb.lang"))
-                    & (F.col("pa.doc_id") < F.col("pb.doc_id")))
-            .select(F.col("pa.doc_id").alias("doc_a"),
-                    F.col("pb.doc_id").alias("doc_b"))
-            .distinct())
-    # exact overlap restricted to candidates
-    ia = items.withColumnRenamed("doc_id", "doc_a").select("doc_a", "item")
-    ib = items.withColumnRenamed("doc_id", "doc_b").select("doc_b", "item")
-    pairs = (cand.join(ia, "doc_a")
-             .join(ib, ["doc_b", "item"])
-             .groupBy("doc_a", "doc_b")
-             .agg(F.count(F.lit(1)).alias("n_common")))
-    sa, sb = sizes.alias("sa"), sizes.alias("sb")
-    jac = (F.col("n_common").cast("double")
-           / (F.col("sa.n_s") + F.col("sb.n_s") - F.col("n_common")))
-    return (pairs
-            .join(sa, F.col("sa.doc_id") == F.col("doc_a"))
-            .join(sb, F.col("sb.doc_id") == F.col("doc_b"))
-            .select("doc_a", "doc_b", "n_common",
-                    F.col("sa.n_s").alias("size_a"),
-                    F.col("sb.n_s").alias("size_b"),
-                    jac.alias("jaccard"))
+    collisions = (
+        pa.join(pb, (F.col("pa.ih") == F.col("pb.ih"))
+                & (F.col("pa.lang") == F.col("pb.lang"))
+                & (F.col("pa.doc_id") < F.col("pb.doc_id"))
+                & (F.col("pa.n_s") >= F.ceil(F.lit(tau) * F.col("pb.n_s")))
+                & (F.col("pb.n_s") >= F.ceil(F.lit(tau) * F.col("pa.n_s"))))
+        .select(F.col("pa.doc_id").alias("doc_a"),
+                F.col("pb.doc_id").alias("doc_b"),
+                F.col("pa.rn").alias("rn_a"), F.col("pb.rn").alias("rn_b"),
+                F.col("pa.n_s").alias("n_a"), F.col("pb.n_s").alias("n_b")))
+    alpha = F.ceil(F.lit(tau) / (1 + tau) * (F.col("n_a") + F.col("n_b")))
+    cand = (collisions
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count(F.lit(1)).alias("c"),
+                 F.max("rn_a").alias("mra"), F.max("rn_b").alias("mrb"),
+                 F.first("n_a").alias("n_a"), F.first("n_b").alias("n_b"))
+            .filter((F.col("c") + F.least(F.col("n_a") - F.col("mra"),
+                                          F.col("n_b") - F.col("mrb")))
+                    >= alpha)
+            .select("doc_a", "doc_b"))
+    # exact overlap on surviving candidates — long-array intersection in
+    # whole-stage codegen, not an exploded item join (the explode form
+    # multiplies candidates by items-per-doc and was the dominant cost
+    # on dense posting lists)
+    sa = sets.select(F.col("doc_id").alias("doc_a"),
+                     F.col("iset").alias("set_a"),
+                     F.col("n_s").alias("size_a"))
+    sb = sets.select(F.col("doc_id").alias("doc_b"),
+                     F.col("iset").alias("set_b"),
+                     F.col("n_s").alias("size_b"))
+    n_common = F.size(F.array_intersect("set_a", "set_b"))
+    jac = (n_common.cast("double")
+           / (F.col("size_a") + F.col("size_b") - n_common))
+    return (cand.join(sa, "doc_a").join(sb, "doc_b")
+            .select("doc_a", "doc_b",
+                    n_common.cast("long").alias("n_common"),
+                    "size_a", "size_b", jac.alias("jaccard"))
             .filter(F.col("jaccard") >= tau))
 
 
@@ -188,11 +225,12 @@ _CHAR_GRAM_ARR = ("array_distinct(transform("
                   "sequence(1, greatest(length(text) - 2, 1)),"
                   " i -> substring(text, i, 3)))")
 
-NGRAM_JACCARD_TAU = 0.5
+NGRAM_JACCARD_TAU = 0.8
 
 
 @register(
     "dedup_ngram_jaccard",
+    bench=True,
     category="dedup",
     oracle=f"""
     WITH g AS (

@@ -457,6 +457,7 @@ def q2_min_cost_supplier(spark, sf_dir):
 
 @register(
     "q9_product_type_profit",
+    bench=True,
     category="tpch",
     oracle=f"""
     SELECT nation, o_year,

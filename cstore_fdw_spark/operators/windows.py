@@ -17,6 +17,7 @@ from cstore_fdw_spark.operators.relational import dec, to_dbl
 
 @register(
     "window_topk_per_group",
+    bench=True,
     category="window",
     oracle="""
     SELECT o_orderpriority, o_orderkey, o_totalprice, rn FROM (
