@@ -10,6 +10,7 @@ case tolerates it.
 from __future__ import annotations
 
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from cstore_fdw_spark.operators import register, table
 
@@ -209,3 +210,103 @@ def stats_corr_slope(spark, sf_dir):
         ((F.col("sy").cast("double") - slope * F.col("sx").cast("double"))
          / F.col("n").cast("double")).alias("intercept"))
         .orderBy("l_returnflag"))
+
+
+@register(
+    "stats_skew_kurt_mode_median",
+    category="analytics",
+    oracle="""
+    WITH m AS (
+      SELECT l_returnflag, COUNT(*) AS n,
+             SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS s1,
+             SUM(CAST(ROUND(l_quantity) AS BIGINT)
+                 * CAST(ROUND(l_quantity) AS BIGINT)) AS s2,
+             SUM(CAST(ROUND(l_quantity) AS BIGINT)
+                 * CAST(ROUND(l_quantity) AS BIGINT)
+                 * CAST(ROUND(l_quantity) AS BIGINT)) AS s3,
+             SUM(CAST(ROUND(l_quantity) AS BIGINT)
+                 * CAST(ROUND(l_quantity) AS BIGINT)
+                 * CAST(ROUND(l_quantity) AS BIGINT)
+                 * CAST(ROUND(l_quantity) AS BIGINT)) AS s4,
+             CAST(quantile_cont(CAST(ROUND(l_quantity) AS BIGINT), 0.5)
+                  AS DOUBLE) AS median_qty
+      FROM lineitem GROUP BY l_returnflag),
+    d AS (
+      SELECT l_returnflag, n, median_qty,
+             CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mu,
+             CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) AS r2,
+             CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE) AS r3,
+             CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE) AS r4
+      FROM m),
+    g AS (
+      SELECT l_returnflag, n, median_qty, mu,
+             r2 - mu * mu AS m2,
+             r3 - 3 * mu * r2 + 2 * mu * mu * mu AS m3,
+             r4 - 4 * mu * r3 + 6 * mu * mu * r2
+                - 3 * mu * mu * mu * mu AS m4
+      FROM d),
+    freq AS (
+      SELECT l_returnflag, CAST(ROUND(l_quantity) AS BIGINT) AS qty,
+             COUNT(*) AS cnt
+      FROM lineitem GROUP BY 1, 2),
+    md AS (
+      SELECT l_returnflag, qty AS mode_qty
+      FROM (SELECT l_returnflag, qty,
+                   ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                                      ORDER BY cnt DESC, qty) AS rk
+            FROM freq) WHERE rk = 1)
+    SELECT g.l_returnflag, g.n,
+           g.m3 / (g.m2 * SQRT(g.m2)) AS skewness,
+           g.m4 / (g.m2 * g.m2) - 3 AS kurtosis,
+           g.median_qty, md.mode_qty
+    FROM g JOIN md ON md.l_returnflag = g.l_returnflag
+    ORDER BY g.l_returnflag
+    """)
+def stats_skew_kurt_mode_median(spark, sf_dir):
+    """Higher statistical aggregates — skewness, excess kurtosis, median,
+    mode — per return flag, all deterministic:
+
+    - skew/kurtosis from EXACT integer raw moments (Σx..Σx⁴ as BIGINT —
+      quantity ≤ 50 keeps Σx⁴ far inside int64), finished with the
+      IDENTICAL double expression shape on both engines; ×, ÷ and sqrt
+      are IEEE-exact-rounded so the results hash-match bit-for-bit
+      (built-in skewness()/kurtosis() aggregate doubles in partition
+      order and can never hash-match an oracle).
+    - median via percentile() on ints ≡ DuckDB quantile_cont (bit-exact).
+    - mode via an explicit frequency groupBy + row_number with a
+      deterministic smallest-value tie-break (built-in mode() breaks
+      ties arbitrarily in both engines).
+    One shuffle for the moments, one for the frequencies — both
+    map-side combined; the scale shape of every one-pass statistic."""
+    li = table(spark, sf_dir, "lineitem")
+    x = F.round("l_quantity").cast("bigint")
+    m = (li.groupBy("l_returnflag")
+         .agg(F.count(F.lit(1)).alias("n"),
+              F.sum(x).alias("s1"), F.sum(x * x).alias("s2"),
+              F.sum(x * x * x).alias("s3"),
+              F.sum(x * x * x * x).alias("s4"),
+              F.percentile(x, F.lit(0.5)).cast("double")
+              .alias("median_qty")))
+    nd = F.col("n").cast("double")
+    mu = F.col("s1").cast("double") / nd
+    r2 = F.col("s2").cast("double") / nd
+    r3 = F.col("s3").cast("double") / nd
+    r4 = F.col("s4").cast("double") / nd
+    m2 = r2 - mu * mu
+    m3 = r3 - F.lit(3) * mu * r2 + F.lit(2) * mu * mu * mu
+    m4 = (r4 - F.lit(4) * mu * r3 + F.lit(6) * mu * mu * r2
+          - F.lit(3) * mu * mu * mu * mu)
+    g = m.select("l_returnflag", "n", "median_qty",
+                 (m3 / (m2 * F.sqrt(m2))).alias("skewness"),
+                 (m4 / (m2 * m2) - F.lit(3)).alias("kurtosis"))
+    w = (Window.partitionBy("l_returnflag")
+         .orderBy(F.col("cnt").desc(), "qty"))
+    md = (li.groupBy("l_returnflag", x.alias("qty"))
+          .agg(F.count(F.lit(1)).alias("cnt"))
+          .select("l_returnflag", "qty", F.row_number().over(w).alias("rk"))
+          .filter(F.col("rk") == 1)
+          .select("l_returnflag", F.col("qty").alias("mode_qty")))
+    return (g.join(md, "l_returnflag")
+            .select("l_returnflag", "n", "skewness", "kurtosis",
+                    "median_qty", "mode_qty")
+            .orderBy("l_returnflag"))

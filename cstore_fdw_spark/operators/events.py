@@ -180,3 +180,42 @@ def events_enrich_segment(spark, sf_dir):
             .groupBy(F.col("c_mktsegment").alias("segment"), "event_type")
             .agg(F.count(F.lit(1)).alias("n"),
                  to_dbl(dsum("value")).alias("total_value")))
+
+
+@register(
+    "events_click_purchase_interval_join",
+    category="events",
+    oracle="""
+    SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+           c.user_id,
+           CAST(epoch_us(p.ts) - epoch_us(c.ts) AS BIGINT) AS micros_between
+    FROM events c JOIN events p
+      ON p.user_id = c.user_id
+     AND c.event_type = 'click' AND p.event_type = 'purchase'
+     AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+    """)
+def events_click_purchase_interval_join(spark, sf_dir):
+    """Interval (event-time range) join: each click joined to the same
+    user's purchases within the following 30 minutes — the batch twin of
+    the canonical Structured Streaming stream-stream join (both sides
+    watermarked, join condition = equi-key + event-time interval;
+    `streaming.events.click_purchase_interval_join` runs the identical
+    logic on two streams, proven equal in tests/test_streaming.py).
+    The equi-key keeps it a hash/sort-merge join with the interval as a
+    residual — never a cross product. Time delta in exact microseconds
+    (unix_micros on both engines)."""
+    e = table(spark, sf_dir, "events")
+    c = (e.filter(F.col("event_type") == "click")
+         .select(F.col("event_id").alias("click_id"), "user_id",
+                 F.col("ts").alias("click_ts")))
+    p = (e.filter(F.col("event_type") == "purchase")
+         .select(F.col("event_id").alias("purchase_id"),
+                 F.col("user_id").alias("p_user"),
+                 F.col("ts").alias("purchase_ts")))
+    return (c.join(p, (F.col("p_user") == F.col("user_id"))
+                   & (F.col("purchase_ts") > F.col("click_ts"))
+                   & (F.col("purchase_ts") <= F.col("click_ts")
+                      + F.expr("INTERVAL 30 MINUTE")))
+            .select("click_id", "purchase_id", "user_id",
+                    (F.unix_micros("purchase_ts")
+                     - F.unix_micros("click_ts")).alias("micros_between")))

@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from cstore_fdw_spark.operators import register, table
 
@@ -422,3 +423,48 @@ def except_all_keys(spark, sf_dir):
          .select(F.col("c_nationkey").alias("nk")))
     s = table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nk"))
     return c.exceptAll(s)
+
+
+@register(
+    "distinct_on_latest_order",
+    category="sort",
+    oracle="""
+    SELECT DISTINCT ON (o_custkey)
+           o_custkey, o_orderkey, o_orderdate, o_totalprice
+    FROM orders
+    ORDER BY o_custkey, o_orderdate DESC, o_orderkey DESC
+    """)
+def distinct_on_latest_order(spark, sf_dir):
+    """PostgreSQL ``SELECT DISTINCT ON (key) … ORDER BY key, tiebreak`` —
+    the idiom reference users reach for 'latest row per key'. Spark
+    expresses it as a row_number window over (key ORDER BY tiebreak) +
+    rank-1 filter: one shuffle on the key, per-partition heaps, never a
+    global sort. Deterministic tie-break on orderkey."""
+    w = (Window.partitionBy("o_custkey")
+         .orderBy(F.col("o_orderdate").desc(), F.col("o_orderkey").desc()))
+    return (table(spark, sf_dir, "orders")
+            .select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice",
+                    F.row_number().over(w).alias("rn"))
+            .filter(F.col("rn") == 1)
+            .drop("rn"))
+
+
+@register(
+    "orderby_limit_offset",
+    category="sort",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 20 OFFSET 40
+    """)
+def orderby_limit_offset(spark, sf_dir):
+    """Keyset-free pagination: ORDER BY … LIMIT k OFFSET n. Spark 4's
+    native offset() keeps the TakeOrderedAndProject shape (top n+k heap,
+    driver drops n) — still never a global sort; for deep pages at scale,
+    keyset pagination (WHERE key > last_seen) is the right rewrite and is
+    expressible with the same orderBy/filter ops."""
+    return (table(spark, sf_dir, "orders")
+            .select("o_orderkey", "o_totalprice")
+            .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+            .offset(40).limit(20))

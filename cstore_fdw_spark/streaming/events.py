@@ -100,3 +100,31 @@ def enrich_with_customer(events: DataFrame, customer: DataFrame) -> DataFrame:
                      F.col("c_mktsegment").alias("segment"))
             .agg(F.count(F.lit(1)).alias("n"))
             .select(F.col("w.start").alias("hour_start"), "segment", "n"))
+
+
+def click_purchase_interval_join(clicks: DataFrame,
+                                 purchases: DataFrame) -> DataFrame:
+    """Stream-stream inner join (the canonical Structured Streaming
+    two-stream operator): clicks ⋈ purchases on user within a 30-minute
+    event-time interval. BOTH sides carry watermarks and the join
+    condition bounds event time in both directions, so the engine can
+    expire buffered rows — without the interval bound, stream-stream join
+    state grows forever. The streaming twin of the batch
+    ``events_click_purchase_interval_join`` (proven equal in
+    tests/test_streaming.py)."""
+    c = (clicks.filter(F.col("event_type") == "click")
+         .select(F.col("event_id").alias("click_id"), "user_id",
+                 F.col("ts").alias("click_ts"))
+         .withWatermark("click_ts", WATERMARK))
+    p = (purchases.filter(F.col("event_type") == "purchase")
+         .select(F.col("event_id").alias("purchase_id"),
+                 F.col("user_id").alias("p_user"),
+                 F.col("ts").alias("purchase_ts"))
+         .withWatermark("purchase_ts", WATERMARK))
+    return (c.join(p, (F.col("p_user") == F.col("user_id"))
+                   & (F.col("purchase_ts") > F.col("click_ts"))
+                   & (F.col("purchase_ts") <= F.col("click_ts")
+                      + F.expr("INTERVAL 30 MINUTE")))
+            .select("click_id", "purchase_id", "user_id",
+                    (F.unix_micros("purchase_ts")
+                     - F.unix_micros("click_ts")).alias("micros_between")))

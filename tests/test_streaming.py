@@ -110,3 +110,30 @@ def test_stream_static_join_matches_batch(spark, sf_dir):
              .select(F.col("w.start").alias("hour_start"), "segment", "n"))
     assert {tuple(r) for r in out.collect()} \
         == {tuple(r) for r in batch.collect()}
+
+
+def test_stream_stream_interval_join_matches_batch(spark, sf_dir):
+    # the canonical two-stream join: watermarks on BOTH sides + a bounded
+    # event-time interval condition (state can expire); results must
+    # equal the batch interval join exactly
+    import tempfile
+    from cstore_fdw_spark.operators import load_all
+    from cstore_fdw_spark.streaming.events import (
+        click_purchase_interval_join, read_events_stream)
+
+    reg = load_all()
+    batch = sorted(
+        tuple(r) for r in
+        reg["events_click_purchase_interval_join"].builder(
+            spark, sf_dir).collect())
+    stream = read_events_stream(spark, sf_dir)
+    out = click_purchase_interval_join(stream, stream)
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (out.writeStream.format("memory").queryName("ssj")
+             .outputMode("append")
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+    got = sorted(tuple(r) for r in spark.table("ssj").collect())
+    assert got == batch
+    assert len(got) > 0
