@@ -310,3 +310,80 @@ def stats_skew_kurt_mode_median(spark, sf_dir):
             .select("l_returnflag", "n", "skewness", "kurtosis",
                     "median_qty", "mode_qty")
             .orderBy("l_returnflag"))
+
+
+def _stratified_oracle() -> str:
+    from cstore_fdw_spark.functions.portable_hash import duck_h60
+    h = duck_h60("CAST(doc_id AS VARCHAR)")
+    return f"""
+    WITH rates(lang, permille) AS (VALUES
+      ('en', 500), ('de', 200), ('fr', 100)),
+    hashed AS (
+      SELECT d.doc_id, d.lang, d.source, {h} % 1000 AS bucket
+      FROM documents d)
+    SELECT h.doc_id, h.lang, h.source
+    FROM hashed h JOIN rates r ON r.lang = h.lang
+    WHERE h.bucket < r.permille
+    """
+
+
+@register(
+    "sample_stratified_hash",
+    category="analytics",
+    oracle=_stratified_oracle())
+def sample_stratified_hash(spark, sf_dir):
+    """Stratified sampling with per-language rates (en 50%, de 20%,
+    fr 10%) — the training-data mixture-reweighting primitive. The
+    stratum rate is applied by portable-hash bucket (`h60(doc_id) % 1000
+    < permille`), not an RNG: the sample is reproducible across engines,
+    runs, and cluster topologies, subsets monotonically when a rate is
+    raised (bucket < 100 ⊂ bucket < 500 — so ablation sets nest), and
+    the oracle verifies the exact row SET. Spark's sampleBy() draws from
+    per-partition RNG streams, which is neither stable under
+    repartitioning nor cross-engine checkable. The rate table joins as a
+    broadcast; the scan stays one pass, no shuffle."""
+    from cstore_fdw_spark.functions.portable_hash import spark_h60
+
+    rates = F.broadcast(spark.createDataFrame(
+        [("en", 500), ("de", 200), ("fr", 100)], "lang string, permille int"))
+    d = table(spark, sf_dir, "documents")
+    return (d.select("doc_id", "lang", "source",
+                     (F.expr(spark_h60("cast(doc_id as string)")) % 1000)
+                     .alias("bucket"))
+            .join(rates, "lang")
+            .filter(F.col("bucket") < F.col("permille"))
+            .select("doc_id", "lang", "source"))
+
+
+@register(
+    "embedding_vector_stats",
+    category="similarity",
+    oracle="""
+    SELECT vec_id, label,
+           SQRT(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+             AS l2_norm,
+           CAST(len(embedding) AS INTEGER) AS dim,
+           CAST(list_position(embedding,
+                              list_max(embedding)) - 1 AS INTEGER)
+             AS argmax_dim,
+           CAST(list_max(embedding) AS DOUBLE) AS max_val
+    FROM embeddings
+    """)
+def embedding_vector_stats(spark, sf_dir):
+    """Per-vector embedding diagnostics — L2 norm (ordered fold, bit-exact
+    vs list_dot_product: gotcha #9), dimensionality, argmax dimension
+    (0-based, first occurrence on ties — both engines take the first),
+    and max activation. Pure per-row projection: embarrassingly parallel,
+    no shuffle, the shape of any map-side vector preprocessing (norm
+    clipping, outlier screening) before ANN indexing."""
+    from cstore_fdw_spark.operators.similarity import dot
+
+    e = table(spark, sf_dir, "embeddings")
+    emb = F.col("embedding")
+    return e.select(
+        "vec_id", "label",
+        F.sqrt(dot(emb, emb)).alias("l2_norm"),
+        F.size(emb).alias("dim"),
+        (F.array_position(emb, F.array_max(emb)).cast("int") - 1)
+        .alias("argmax_dim"),
+        F.array_max(emb).cast("double").alias("max_val"))

@@ -129,12 +129,16 @@ def ppjoin_jaccard_pairs(items: DataFrame, tau: float) -> DataFrame:
     # then item lexicographically as the deterministic tie-break)
     freq = items.groupBy("lang", "item").agg(F.count(F.lit(1)).alias("gf"))
     wdoc = Window.partitionBy("doc_id").orderBy("gf", "item")
+    # persist: the self-join below would otherwise rebuild the whole
+    # freq-aggregate + rarity window on BOTH sides (verified in the
+    # executed plan — no subtree reuse without materialization)
     prefix = (items.join(freq, ["lang", "item"])
               .withColumn("rn", F.row_number().over(wdoc))
               .join(sizes, "doc_id")
               .filter(F.col("rn") <= F.col("n_s")
                       - F.ceil(F.lit(tau) * F.col("n_s")) + 1)
-              .select("doc_id", "lang", "ih", "rn", "n_s"))
+              .select("doc_id", "lang", "ih", "rn", "n_s")
+              .persist())
     # PPJoin candidate generation with pair-level overlap accumulation
     # (Xiao WWW'08 §3.2): collect ALL prefix collisions per pair, then
     # bound the best-case total overlap by

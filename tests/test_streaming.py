@@ -137,3 +137,43 @@ def test_stream_stream_interval_join_matches_batch(spark, sf_dir):
     got = sorted(tuple(r) for r in spark.table("ssj").collect())
     assert got == batch
     assert len(got) > 0
+
+
+def test_concurrent_stream_ledgers_do_not_lose_entries(spark, catalog):
+    # two streams (distinct checkpoints) appending to one table: the
+    # flock-guarded ledger read-modify-write must not lose either
+    # stream's replay marker under interleaving (an unlocked
+    # load->insert->replace could drop the other writer's entry and
+    # re-enable duplicate appends on replay)
+    import threading
+    from cstore_fdw_spark.streaming.ingest import (
+        _ledger_path, _load_ledger, batch_writer)
+
+    catalog.create_table("tcl", "a int")
+    df = spark.createDataFrame([(1,)], "a int")
+    writers = [batch_writer(catalog, "tcl", f"/tmp/ck_tcl_{i}")
+               for i in range(4)]
+    errs = []
+
+    def run(w, base):
+        try:
+            for b in range(3):
+                w(df, b)
+        except Exception as e:  # noqa: BLE001
+            errs.append(e)
+
+    threads = [threading.Thread(target=run, args=(w, i))
+               for i, w in enumerate(writers)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs
+    ledger = _load_ledger(_ledger_path(catalog, "tcl"))
+    # every stream's marker survived at its final batch id
+    assert sorted(ledger.values()) == [2, 2, 2, 2], ledger
+    assert catalog.row_count("tcl") == 12
+    # replays are now suppressed for every stream
+    for w in writers:
+        w(df, 2)
+    assert catalog.row_count("tcl") == 12
