@@ -383,12 +383,40 @@ class CStoreCatalog:
         (run by both read() and compact()) rolls back or cleans up —
         readers never silently see an empty table.
         Partitioned tables compact within each partition."""
+        return self._rewrite(name)
+
+    def delete_where(self, name: str, predicate: Any) -> int:
+        """Copy-on-write DELETE (extension — the reference, like this
+        engine's storage model, is append-only with no row-level delete;
+        modern columnar stores express DELETE as a filtered file rewrite,
+        which is exactly :meth:`compact` with a keep-filter). Rows
+        matching ``predicate`` (SQL string or Column) are dropped; the
+        rewrite reuses compact's temp-dir + two-rename commit protocol and
+        its crash recovery, so readers see either the old or the new row
+        set, never a partial delete. Returns the number of rows deleted.
+
+        At scale this rewrites only data files — a production variant
+        would prune untouched files via zone maps first; here the rewrite
+        is already one distributed pass."""
+        before = self.row_count(name)
+        cond = F.expr(predicate) if isinstance(predicate, str) else predicate
+        self._rewrite(name, keep=~cond)
+        return before - self.row_count(name)
+
+    def _rewrite(self, name: str, keep=None) -> int:
         meta = self._load_meta(name)
         fmt = self._format(meta)
         self._recover_compact(meta, fmt)
         df = self.read(name)
+        if keep is not None:
+            df = df.filter(keep)
         total = df.count()
+        if total == 0 and keep is None:
+            return 0
         if total == 0:
+            # DELETE of every row: truncate keeps the table valid+empty
+            self.truncate(name)
+            self._refresh_registered(meta)
             return 0
         stripe_rows = meta.options.get("stripe_row_count",
                                        DEFAULT_STRIPE_ROW_COUNT)

@@ -219,3 +219,91 @@ def events_click_purchase_interval_join(spark, sf_dir):
             .select("click_id", "purchase_id", "user_id",
                     (F.unix_micros("purchase_ts")
                      - F.unix_micros("click_ts")).alias("micros_between")))
+
+
+@register(
+    "events_gapfill_interpolate",
+    category="events",
+    oracle=f"""
+    WITH hourly AS (
+      SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS h,
+             COUNT(*) AS n,
+             {_dbl("SUM(CAST(value AS DECIMAL(12,2)))")} AS spend
+      FROM events WHERE event_type = 'purchase' GROUP BY 1),
+    spine AS (
+      SELECT UNNEST(generate_series((SELECT MIN(h) FROM hourly),
+                                    (SELECT MAX(h) FROM hourly),
+                                    INTERVAL 1 HOUR)) AS h),
+    joined AS (
+      SELECT s.h, COALESCE(y.n, 0) AS n, y.spend
+      FROM spine s LEFT JOIN hourly y ON y.h = s.h),
+    ctx AS (
+      SELECT h, n, spend,
+        last_value(spend IGNORE NULLS) OVER
+          (ORDER BY h ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          AS prev_s,
+        last_value(CASE WHEN spend IS NOT NULL THEN h END IGNORE NULLS)
+          OVER (ORDER BY h ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          AS prev_h,
+        first_value(spend IGNORE NULLS) OVER
+          (ORDER BY h ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+          AS next_s,
+        first_value(CASE WHEN spend IS NOT NULL THEN h END IGNORE NULLS)
+          OVER (ORDER BY h ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+          AS next_h
+      FROM joined)
+    SELECT h AS hour_start, n, (spend IS NULL) AS interpolated,
+      CASE
+        WHEN spend IS NOT NULL THEN spend
+        WHEN prev_s IS NULL THEN next_s
+        WHEN next_s IS NULL THEN prev_s
+        ELSE prev_s + (next_s - prev_s)
+             * (CAST(epoch_us(h) - epoch_us(prev_h) AS DOUBLE)
+                / CAST(epoch_us(next_h) - epoch_us(prev_h) AS DOUBLE))
+      END AS spend_filled
+    FROM ctx
+    """)
+def events_gapfill_interpolate(spark, sf_dir):
+    """Time-series gap filling: a dense hourly spine
+    (sequence/generate_series between the observed bounds), zero-filled
+    counts, and LINEAR INTERPOLATION of hourly purchase spend across
+    missing hours (prev/next non-null neighbors via IGNORE NULLS window
+    frames; edges clamp to the known side). Spend aggregates as exact
+    DECIMAL then converts once (to_dbl), and the interpolation fraction
+    is exact integer microseconds → one double division — the identical
+    expression shape in DuckDB, so interpolated values hash-match.
+    The spine here is one series (a global window over #hours rows —
+    tiny); the per-key variant partitions every window by the series key,
+    which is the 100 TB shape."""
+    e = table(spark, sf_dir, "events")
+    hourly = (e.filter(F.col("event_type") == "purchase")
+              .groupBy(F.date_trunc("hour", "ts").alias("h"))
+              .agg(F.count(F.lit(1)).alias("n"),
+                   to_dbl(dsum("value")).alias("spend")))
+    bounds = hourly.agg(F.min("h").alias("lo"), F.max("h").alias("hi"))
+    spine = (bounds.select(F.explode(F.sequence(
+        "lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("h")))
+    joined = (spine.join(hourly, "h", "left")
+              .select("h", F.coalesce("n", F.lit(0)).alias("n"), "spend"))
+    w_prev = (Window.orderBy("h")
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    w_next = (Window.orderBy("h")
+              .rowsBetween(Window.currentRow, Window.unboundedFollowing))
+    h_if = F.when(F.col("spend").isNotNull(), F.col("h"))
+    ctx = joined.select(
+        "h", "n", "spend",
+        F.last("spend", ignorenulls=True).over(w_prev).alias("prev_s"),
+        F.last(h_if, ignorenulls=True).over(w_prev).alias("prev_h"),
+        F.first("spend", ignorenulls=True).over(w_next).alias("next_s"),
+        F.first(h_if, ignorenulls=True).over(w_next).alias("next_h"))
+    frac = ((F.unix_micros("h") - F.unix_micros("prev_h")).cast("double")
+            / (F.unix_micros("next_h")
+               - F.unix_micros("prev_h")).cast("double"))
+    filled = (F.when(F.col("spend").isNotNull(), F.col("spend"))
+              .when(F.col("prev_s").isNull(), F.col("next_s"))
+              .when(F.col("next_s").isNull(), F.col("prev_s"))
+              .otherwise(F.col("prev_s")
+                         + (F.col("next_s") - F.col("prev_s")) * frac))
+    return ctx.select(F.col("h").alias("hour_start"), "n",
+                      F.col("spend").isNull().alias("interpolated"),
+                      filled.alias("spend_filled"))

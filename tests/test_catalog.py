@@ -525,3 +525,27 @@ def test_copy_stdin_stdout_roundtrip(spark, catalog, tmp_path):
                     columns=["b", "a"])
     r = catalog.read("tsi3").collect()[0]
     assert (r.a, r.b, r.c) == (9, "x", None)
+
+
+def test_delete_where_copy_on_write(spark, catalog):
+    # copy-on-write DELETE: filtered rewrite through compact's swap
+    # protocol (the reference is append-only; modern columnar DELETE is
+    # exactly this file rewrite)
+    catalog.create_table("td", "a int, b string")
+    catalog.insert("td", spark.createDataFrame(
+        [(i, "x" if i % 2 else "y") for i in range(10)], "a int, b string"))
+    assert catalog.delete_where("td", "b = 'y'") == 5
+    rows = sorted(r.a for r in catalog.read("td").collect())
+    assert rows == [1, 3, 5, 7, 9]
+    # Column-form predicate, composes with schema evolution defaults
+    catalog.add_column("td", "e", "int", default=7)
+    assert catalog.delete_where("td", F.col("a") < 3) == 1
+    got = {(r.a, r.e) for r in catalog.read("td").collect()}
+    assert got == {(3, 7), (5, 7), (7, 7), (9, 7)}
+    # deleting everything leaves a valid empty table
+    assert catalog.delete_where("td", F.lit(True)) == 4
+    assert catalog.row_count("td") == 0
+    catalog.insert("td", spark.createDataFrame([(1, "z", 5)],
+                                               "a int, b string, e int"))
+    assert catalog.read("td").collect()[0].e == 5
+    catalog.drop_table("td")
