@@ -307,3 +307,62 @@ def events_gapfill_interpolate(spark, sf_dir):
     return ctx.select(F.col("h").alias("hour_start"), "n",
                       F.col("spend").isNull().alias("interpolated"),
                       filled.alias("spend_filled"))
+
+
+@register(
+    "events_retention_cohorts",
+    category="events",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id,
+             CAST(date_trunc('week', MIN(ts)) AS TIMESTAMP) AS cohort_week
+      FROM events GROUP BY user_id),
+    activity AS (
+      SELECT DISTINCT e.user_id,
+             CAST(date_trunc('week', e.ts) AS TIMESTAMP) AS active_week
+      FROM events e),
+    joined AS (
+      SELECT f.cohort_week,
+             CAST((epoch_us(a.active_week) - epoch_us(f.cohort_week))
+                  / (CAST(7 AS BIGINT) * 86400 * 1000000) AS BIGINT)
+               AS week_no,
+             a.user_id
+      FROM firsts f JOIN activity a ON a.user_id = f.user_id),
+    sizes AS (SELECT cohort_week, COUNT(*) AS cohort_size FROM firsts
+              GROUP BY cohort_week)
+    SELECT j.cohort_week, j.week_no,
+           COUNT(DISTINCT j.user_id) AS active_users,
+           s.cohort_size,
+           CAST(COUNT(DISTINCT j.user_id) AS DOUBLE)
+             / CAST(s.cohort_size AS DOUBLE) AS retention
+    FROM joined j JOIN sizes s ON s.cohort_week = j.cohort_week
+    GROUP BY j.cohort_week, j.week_no, s.cohort_size
+    """)
+def events_retention_cohorts(spark, sf_dir):
+    """Weekly cohort retention matrix: users grouped by first-seen week,
+    fraction active in each subsequent week — the canonical product-
+    analytics rollup. Two aggregate-then-join stages, both map-side
+    combined; week_no from exact microsecond arithmetic so the matrix
+    hash-matches. At 100 TB the first-seen table is the only state that
+    persists between incremental refreshes."""
+    e = table(spark, sf_dir, "events")
+    firsts = (e.groupBy("user_id")
+              .agg(F.date_trunc("week", F.min("ts")).alias("cohort_week")))
+    activity = (e.select("user_id",
+                         F.date_trunc("week", "ts").alias("active_week"))
+                .distinct())
+    week_us = 7 * 86400 * 1_000_000
+    joined = (firsts.join(activity, "user_id")
+              .select("cohort_week", "user_id",
+                      ((F.unix_micros("active_week")
+                        - F.unix_micros("cohort_week")) / F.lit(week_us))
+                      .cast("bigint").alias("week_no")))
+    sizes = firsts.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).alias("cohort_size"))
+    return (joined.groupBy("cohort_week", "week_no")
+            .agg(F.count_distinct("user_id").alias("active_users"))
+            .join(sizes, "cohort_week")
+            .select("cohort_week", "week_no", "active_users", "cohort_size",
+                    (F.col("active_users").cast("double")
+                     / F.col("cohort_size").cast("double"))
+                    .alias("retention")))

@@ -311,3 +311,45 @@ def text_tfidf_top_terms(spark, sf_dir):
             .withColumn("rank", F.row_number().over(w).cast("long"))
             .filter(F.col("rank") <= TFIDF_TOP_K)
             .select("lang", "token", "tf", "df", "n_docs", "weight", "rank"))
+
+
+@register(
+    "text_ngram_topk_per_lang",
+    category="text",
+    oracle="""
+    WITH g AS (
+      SELECT lang, UNNEST(list_transform(
+               generate_series(1, GREATEST(LENGTH(text) - 2, 1)),
+               i -> substr(text, i, 3))) AS gram
+      FROM documents WHERE text <> ''),
+    f AS (
+      SELECT lang, gram, COUNT(*) AS freq
+      FROM g WHERE LENGTH(gram) = 3 GROUP BY 1, 2),
+    r AS (
+      SELECT lang, gram, freq,
+             CAST(ROW_NUMBER() OVER (PARTITION BY lang
+                    ORDER BY freq DESC, gram) AS BIGINT) AS rank
+      FROM f)
+    SELECT lang, gram, freq, rank FROM r WHERE rank <= 10
+    """)
+def text_ngram_topk_per_lang(spark, sf_dir):
+    """Character-trigram frequency profile: top-10 trigrams per language
+    (the classic n-gram language-model fingerprint — langid training
+    reduces to exactly this rollup). Occurrences counted WITH multiplicity
+    (unlike the dedup pipeline's distinct sets): explode → one map-side-
+    combined count per (lang, gram) → per-lang row_number with a
+    deterministic gram tie-break. The heavy explode never shuffles raw
+    text — only (lang, gram) pairs after partial aggregation."""
+    from pyspark.sql.window import Window
+
+    d = table(spark, sf_dir, "documents").filter(F.col("text") != "")
+    grams = (d.select("lang", F.explode(F.expr(
+        "transform(sequence(1, greatest(length(text) - 2, 1)),"
+        " i -> substring(text, i, 3))")).alias("gram"))
+        .filter(F.length("gram") == 3))
+    w = Window.partitionBy("lang").orderBy(F.col("freq").desc(), "gram")
+    return (grams.groupBy("lang", "gram")
+            .agg(F.count(F.lit(1)).alias("freq"))
+            .select("lang", "gram", "freq",
+                    F.row_number().over(w).cast("long").alias("rank"))
+            .filter(F.col("rank") <= 10))
