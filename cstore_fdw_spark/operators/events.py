@@ -366,3 +366,58 @@ def events_retention_cohorts(spark, sf_dir):
                     (F.col("active_users").cast("double")
                      / F.col("cohort_size").cast("double"))
                     .alias("retention")))
+
+
+@register(
+    "events_hourly_anomaly_zscore",
+    category="events",
+    oracle="""
+    WITH hourly AS (
+      SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS h,
+             COUNT(*) AS n
+      FROM events GROUP BY 1),
+    ctx AS (
+      SELECT h, n,
+        CAST(SUM(n) OVER w AS BIGINT) AS s1,
+        CAST(SUM(n * n) OVER w AS BIGINT) AS s2,
+        CAST(COUNT(*) OVER w AS BIGINT) AS k
+      FROM hourly
+      WINDOW w AS (ORDER BY h ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
+    SELECT h AS hour_start, n, k AS baseline_hours,
+      CASE WHEN k >= 12 AND (CAST(k AS DOUBLE) * CAST(s2 AS DOUBLE)
+                             - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)) > 0
+        THEN (CAST(n AS DOUBLE) - CAST(s1 AS DOUBLE) / CAST(k AS DOUBLE))
+             / SQRT((CAST(k AS DOUBLE) * CAST(s2 AS DOUBLE)
+                     - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+                    / (CAST(k AS DOUBLE) * CAST(k AS DOUBLE)))
+      END AS zscore
+    FROM ctx
+    """)
+def events_hourly_anomaly_zscore(spark, sf_dir):
+    """Trailing-window anomaly score: each hour's event count vs the mean
+    and population stddev of the PRECEDING 24 hours (rows frame 24
+    preceding .. 1 preceding — the current hour never contaminates its
+    own baseline; warm-up hours with <12 baselines emit NULL). Moments
+    accumulate as exact integer window sums; the z formula is one
+    identical double expression on both engines (×, ÷, sqrt are
+    IEEE-exact), so scores hash-match. Partition by a stream key for the
+    per-series variant at scale."""
+    e = table(spark, sf_dir, "events")
+    hourly = (e.groupBy(F.date_trunc("hour", "ts").alias("h"))
+              .agg(F.count(F.lit(1)).alias("n")))
+    w = Window.orderBy("h").rowsBetween(-24, -1)
+    ctx = hourly.select(
+        "h", "n",
+        F.sum("n").over(w).cast("bigint").alias("s1"),
+        F.sum(F.col("n") * F.col("n")).over(w).cast("bigint").alias("s2"),
+        F.count(F.lit(1)).over(w).cast("bigint").alias("k"))
+    kd = F.col("k").cast("double")
+    s1d = F.col("s1").cast("double")
+    s2d = F.col("s2").cast("double")
+    var_num = kd * s2d - s1d * s1d
+    z = ((F.col("n").cast("double") - s1d / kd)
+         / F.sqrt(var_num / (kd * kd)))
+    return ctx.select(
+        F.col("h").alias("hour_start"), "n",
+        F.col("k").alias("baseline_hours"),
+        F.when((F.col("k") >= 12) & (var_num > 0), z).alias("zscore"))

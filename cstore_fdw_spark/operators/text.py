@@ -353,3 +353,49 @@ def text_ngram_topk_per_lang(spark, sf_dir):
             .select("lang", "gram", "freq",
                     F.row_number().over(w).cast("long").alias("rank"))
             .filter(F.col("rank") <= 10))
+
+
+@register(
+    "text_training_mix_recipe",
+    category="text",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, lang, source,
+             CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_tokens,
+             CAST(LEN(LIST_FILTER(STRING_SPLIT(text, ' '),
+                  w -> w IN ('the', 'a', 'of', 'and'))) AS BIGINT) AS n_stop
+      FROM documents),
+    scored AS (
+      SELECT doc_id, lang, source, n_tokens,
+             CASE
+               WHEN n_tokens < 20 THEN 'too_short'
+               WHEN n_tokens > 1000 THEN 'too_long'
+               WHEN CAST(n_stop AS DOUBLE) / n_tokens < 0.01
+                 THEN 'low_stopword'
+               ELSE 'keep' END AS verdict
+      FROM t)
+    SELECT lang, source, verdict,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+    FROM scored GROUP BY 1, 2, 3
+    """)
+def text_training_mix_recipe(spark, sf_dir):
+    """The training-mix accounting query every data pipeline ends with:
+    per (language, source) — how many documents and tokens survive each
+    quality gate, and WHY the rest were dropped (first-failing-rule
+    verdict, C4/Gopher-style). One projection + one map-side-combined
+    rollup; the token totals are what mixture reweighting consumes."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n_tokens = F.size(toks).cast("long")
+    n_stop = F.size(F.filter(
+        toks, lambda w: w.isin("the", "a", "of", "and"))).cast("long")
+    verdict = (F.when(n_tokens < 20, "too_short")
+               .when(n_tokens > 1000, "too_long")
+               .when(n_stop.cast("double") / n_tokens < 0.01, "low_stopword")
+               .otherwise("keep"))
+    return (d.select("doc_id", "lang", "source",
+                     n_tokens.alias("n_tokens"), verdict.alias("verdict"))
+            .groupBy("lang", "source", "verdict")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_tokens").alias("total_tokens")))

@@ -102,3 +102,29 @@ def test_aggregate_pushdown_count(spark, block_table):
     from footers (cstore_reader.c:400-462)."""
     df = spark.read.parquet(block_table).groupBy().count()
     assert df.collect()[0][0] == 10_000
+
+
+def test_no_unbounded_nested_loop_joins(spark, sf_dir):
+    """Plan-shape sweep: no registered query in the join/dedup/similarity
+    families (nor any bench query) may plan a CartesianProduct, and
+    BroadcastNestedLoopJoin is allowed only for the documented
+    bounded-broadcast cases (brute-force ANN query sets, the cross-join
+    demo, 1-row scalar-subquery comparisons). A quadratic join sneaking
+    into any scale-path pipeline fails here before it fails at 100 TB."""
+    from cstore_fdw_spark.operators import load_all
+
+    allowed_bnlj = {"ann_cosine_topk", "ann_ivf_coarse", "join_cross",
+                    "q11_important_stock", "q22_global_sales_opportunity"}
+    reg = load_all()
+    checked = 0
+    for name, spec in sorted(reg.items()):
+        if not (spec.bench or spec.category in
+                ("join", "dedup", "similarity")):
+            continue
+        plan = (spec.builder(spark, sf_dir)
+                ._jdf.queryExecution().executedPlan().toString())
+        assert "CartesianProduct" not in plan, name
+        if name not in allowed_bnlj:
+            assert "BroadcastNestedLoopJoin" not in plan, name
+        checked += 1
+    assert checked >= 25
