@@ -658,6 +658,142 @@ class CStoreCatalog:
         meta.schema_json = json.dumps(T.StructType(fields).jsonValue())
         self._save_meta(meta)
 
+    def rename_table(self, name: str, new_name: str) -> None:
+        """ALTER TABLE RENAME — metadata + directory move (the reference
+        inherits rename from PostgreSQL's catalog; its data file is keyed
+        by relation oid so rename is metadata-only, cstore_fdw.c uses the
+        oid path. Here the default data dir moves with the table; a
+        custom ``filename`` location stays put by design). Session-
+        catalog registrations are dropped (they point at the old name —
+        re-register under the new one)."""
+        meta = self._load_meta(name)
+        if self.exists(new_name):
+            raise CStoreError(f'relation "{new_name}" already exists')
+        self._drop_registered(meta)
+        meta.registered_names = []
+        meta.name = new_name
+        os.rename(self.table_path(name), self.table_path(new_name))
+        self._save_meta(meta)
+
+    def rename_column(self, name: str, column: str, new_column: str) -> None:
+        """ALTER TABLE RENAME COLUMN. The reference is metadata-only
+        (PostgreSQL addresses columns by attnum; the data file never
+        stores names) — Parquet addresses columns BY NAME, so a pure
+        metadata rename would orphan existing data. Documented delta:
+        this engine rewrites the data files copy-on-write (same commit
+        protocol as compact/delete_where) with the column aliased; all
+        evolution metadata (defaults, watermarks) follows the rename."""
+        meta = self._load_meta(name)
+        schema = meta.schema()
+        if column not in schema.fieldNames():
+            raise CStoreError(f'column "{column}" does not exist')
+        if new_column in schema.fieldNames():
+            raise CStoreError(f'column "{new_column}" already exists')
+        df = self.read(name).withColumnRenamed(column, new_column)
+        fields = [T.StructField(new_column if f_.name == column else f_.name,
+                                f_.dataType, f_.nullable)
+                  for f_ in schema.fields]
+        meta.schema_json = json.dumps(T.StructType(fields).jsonValue())
+        for d in (meta.column_defaults, meta.backfill_watermark,
+                  meta.backfill_files):
+            if column in d:
+                d[new_column] = d.pop(column)
+        for opt in ("partition_by", "sort_by"):
+            if opt in meta.options:
+                meta.options[opt] = ",".join(
+                    new_column if c == column else c
+                    for c in meta.options[opt].split(","))
+        self._save_meta(meta)
+        # rewrite under the new schema (bakes defaults like compact; the
+        # meta saved above is what read() uses when _rewrite re-reads)
+        self._rewrite_df(meta, df)
+
+    def _rewrite_df(self, meta: TableMeta, df: DataFrame) -> None:
+        """Commit ``df`` as the table's new contents via the compact swap
+        protocol (temp dir + two renames + recovery)."""
+        fmt = self._format(meta)
+        data_path = self._data_path(meta)
+        tmp_path = data_path + ".compact.tmp"
+        old_path = data_path + ".compact.old"
+        shutil.rmtree(tmp_path, ignore_errors=True)
+        writer = df.write.mode("overwrite")
+        for k, v in self._writer_options(meta).items():
+            writer = writer.option(k, v)
+        part = meta.options.get("partition_by")
+        if part:
+            writer = writer.partitionBy(*part.split(","))
+        getattr(writer, fmt)(tmp_path)
+        os.rename(data_path, old_path)
+        os.rename(tmp_path, data_path)
+        shutil.rmtree(old_path)
+        if meta.backfill_files or meta.backfill_watermark:
+            meta.backfill_files = {c: [] for c in meta.backfill_files}
+            meta.backfill_watermark = {c: None for c in meta.column_defaults}
+            self._save_meta(meta)
+        self._refresh_registered(meta)
+
+    # -------------------------------------------------------------- views
+    def _view_path(self, name: str) -> str:
+        return os.path.join(self.warehouse, f"_cstore_view_{name}.json")
+
+    def create_view(self, name: str, sql: str,
+                    replace: bool = False) -> None:
+        """CREATE [OR REPLACE] VIEW over managed tables — the reference's
+        users layer PostgreSQL views on their foreign tables
+        (README.md's customer_reviews examples); here the view body is
+        Spark SQL stored in the warehouse and resolved lazily at read
+        time, so views always reflect current table contents."""
+        if self.exists(name):
+            raise CStoreError(f'relation "{name}" already exists')
+        if os.path.exists(self._view_path(name)) and not replace:
+            raise CStoreError(f'view "{name}" already exists')
+        tmp = self._view_path(name) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"name": name, "sql": sql,
+                       "created_at": time.time()}, f)
+        os.replace(tmp, self._view_path(name))
+
+    def list_views(self) -> list[str]:
+        out = []
+        for entry in sorted(os.listdir(self.warehouse)):
+            if entry.startswith("_cstore_view_") and entry.endswith(".json"):
+                out.append(entry[len("_cstore_view_"):-len(".json")])
+        return out
+
+    def drop_view(self, name: str) -> None:
+        try:
+            os.remove(self._view_path(name))
+        except FileNotFoundError:
+            raise CStoreError(f'view "{name}" does not exist') from None
+
+    def read_view(self, name: str) -> DataFrame:
+        """Resolve a stored view: every managed table whose name appears
+        in the view SQL (word-boundary match — the same lightweight
+        resolution psql's \\d-style tooling uses) is registered as a temp
+        view, then the body runs via spark.sql. Views may reference other
+        views (resolved recursively, cycles rejected)."""
+        return self._read_view(name, frozenset())
+
+    def _read_view(self, name: str, seen: frozenset) -> DataFrame:
+        import re as _re
+
+        if name in seen:
+            raise CStoreError(f'view "{name}" is recursively defined')
+        try:
+            with open(self._view_path(name)) as f:
+                spec = json.load(f)
+        except FileNotFoundError:
+            raise CStoreError(f'view "{name}" does not exist') from None
+        sql = spec["sql"]
+        for t in self.list_tables():
+            if _re.search(rf"\b{_re.escape(t)}\b", sql):
+                self.read(t).createOrReplaceTempView(t)
+        for v in self.list_views():
+            if v != name and _re.search(rf"\b{_re.escape(v)}\b", sql):
+                self._read_view(v, seen | {name}) \
+                    .createOrReplaceTempView(v)
+        return self.spark.sql(sql)
+
     # ----------------------------------------------------------- metadata
     def table_size(self, name: str) -> int:
         """A19 ``cstore_table_size``: on-disk bytes of all table files

@@ -549,3 +549,52 @@ def test_delete_where_copy_on_write(spark, catalog):
                                                "a int, b string, e int"))
     assert catalog.read("td").collect()[0].e == 5
     catalog.drop_table("td")
+
+
+def test_rename_table_and_column(spark, catalog):
+    catalog.create_table("trn", "a int, b string", sort_by="a")
+    catalog.insert("trn", spark.createDataFrame(
+        [(1, "x"), (2, "y")], "a int, b string"))
+    catalog.rename_table("trn", "trn2")
+    assert not catalog.exists("trn") and catalog.exists("trn2")
+    assert sorted(r.a for r in catalog.read("trn2").collect()) == [1, 2]
+    # column rename rewrites data under the new name; metadata follows
+    catalog.add_column("trn2", "e", "int", default=5)
+    catalog.rename_column("trn2", "a", "key")
+    got = {(r.key, r.b, r.e) for r in catalog.read("trn2").collect()}
+    assert got == {(1, "x", 5), (2, "y", 5)}
+    assert catalog._load_meta("trn2").options["sort_by"] == "key"
+    with pytest.raises(CStoreError, match="does not exist"):
+        catalog.rename_column("trn2", "a", "zz")
+    with pytest.raises(CStoreError, match="already exists"):
+        catalog.rename_column("trn2", "b", "key")
+    # post-rename inserts and reads agree
+    catalog.insert("trn2", spark.createDataFrame(
+        [(3, "z", 9)], "key int, b string, e int"))
+    assert catalog.row_count("trn2") == 3
+    catalog.drop_table("trn2")
+
+
+def test_views_over_tables(spark, catalog):
+    catalog.create_table("vt", "a int, grp string")
+    catalog.insert("vt", spark.createDataFrame(
+        [(1, "g1"), (2, "g1"), (3, "g2")], "a int, grp string"))
+    catalog.create_view("v_sums",
+                        "SELECT grp, SUM(a) AS s FROM vt GROUP BY grp")
+    got = {(r.grp, r.s) for r in catalog.read_view("v_sums").collect()}
+    assert got == {("g1", 3), ("g2", 3)}
+    # views see current data (resolved lazily)
+    catalog.insert("vt", spark.createDataFrame([(10, "g2")],
+                                               "a int, grp string"))
+    got = {(r.grp, r.s) for r in catalog.read_view("v_sums").collect()}
+    assert got == {("g1", 3), ("g2", 13)}
+    # view over view
+    catalog.create_view("v_top",
+                        "SELECT grp FROM v_sums WHERE s > 10")
+    assert [r.grp for r in catalog.read_view("v_top").collect()] == ["g2"]
+    assert catalog.list_views() == ["v_sums", "v_top"]
+    with pytest.raises(CStoreError, match="does not exist"):
+        catalog.read_view("nope")
+    catalog.drop_view("v_top")
+    catalog.drop_view("v_sums")
+    catalog.drop_table("vt")
