@@ -27,6 +27,10 @@ _PG_CSV_OPTS = {
     "emptyValue": "",
     "timestampFormat": "yyyy-MM-dd HH:mm:ss[.SSSSSS]",
     "dateFormat": "yyyy-MM-dd",
+    # PG COPY errors on malformed input ('invalid input syntax for type
+    # integer'); Spark's default PERMISSIVE mode would silently load NULL
+    # instead. Callers can override with mode='PERMISSIVE' explicitly.
+    "mode": "FAILFAST",
 }
 
 # ---------------------------------------------------------------- infinity
@@ -66,17 +70,34 @@ def _infinity_read_csv(spark: SparkSession, schema, path: str,
         for f in schema.fields])
     df = spark.read.options(**opts).schema(raw).csv(path)
     cols = []
+    checks = []
     for f in schema.fields:
         if isinstance(f.dataType, dt_types):
             pinf, ninf = ((DATE_PINF, DATE_NINF)
                           if isinstance(f.dataType, T.DateType)
                           else (TIMESTAMP_PINF, TIMESTAMP_NINF))
             c = F.trim(F.col(f.name))
-            cols.append(F.when(c == "infinity", F.lit(pinf))
-                        .when(c == "-infinity", F.lit(ninf))
-                        .otherwise(c).cast(f.dataType).alias(f.name))
+            mapped = (F.when(c == "infinity", F.lit(pinf))
+                      .when(c == "-infinity", F.lit(ninf))
+                      .otherwise(c).cast(f.dataType))
+            cols.append(mapped.alias(f.name))
+            # PG-strict: a non-null text that fails the datetime cast is
+            # an error, not a silent NULL (datetime columns read as
+            # strings for the ±infinity mapping, so FAILFAST can't see
+            # them — validate the cast explicitly)
+            checks.append((f.name, F.col(f.name).isNotNull()
+                           & mapped.isNull()))
         else:
             cols.append(F.col(f.name))
+    if str(opts.get("mode", "")).upper() == "FAILFAST" and checks:
+        bad = df.filter(checks[0][1] if len(checks) == 1 else
+                        __import__("functools").reduce(
+                            lambda a, b: a | b, (c for _, c in checks)))
+        row = bad.take(1)
+        if row:
+            raise CStoreError(
+                "invalid input syntax for timestamp/date column: "
+                f"{row[0].asDict()}")
     return df.select(*cols)
 
 
@@ -129,7 +150,16 @@ def copy_from_csv(catalog: CStoreCatalog, table: str, path: str,
             if f_.name not in columns:
                 df = df.withColumn(f_.name, F.lit(None).cast(f_.dataType))
         df = df.select(*schema.fieldNames())
-    catalog.insert(table, df)
+    try:
+        catalog.insert(table, df)
+    except Exception as exc:  # noqa: BLE001 — translate parse errors only
+        msg = str(exc)
+        if "Malformed" in msg or "FAILED_READ_FILE" in msg:
+            raise CStoreError(
+                f'invalid input syntax in COPY source "{path}" '
+                "(malformed CSV record; pass mode='PERMISSIVE' to "
+                "NULL-fill instead)") from exc
+        raise
 
 
 def copy_to_csv(catalog: CStoreCatalog, table_or_df: str | DataFrame,

@@ -57,3 +57,27 @@ def test_csv_pg_dialect_nulls(spark, tmp_path):
     assert rows[1] is None
     assert rows[2] == ""
     assert rows[3] == "x"
+
+
+def test_copy_malformed_input_errors_like_pg(spark, catalog, tmp_path):
+    # PG COPY raises 'invalid input syntax' on malformed values; Spark's
+    # PERMISSIVE default would silently NULL them — COPY defaults to
+    # FAILFAST with a CStoreError, PERMISSIVE available by explicit opt-in
+    import pytest
+    from cstore_fdw_spark.catalog import CStoreError
+    from cstore_fdw_spark.io import copy_from_csv
+    catalog.create_table("tmf", "a int, b int")
+    bad = tmp_path / "bad.csv"
+    bad.write_text("1,2\nnotanint,3\n4,5\n")
+    with pytest.raises(CStoreError, match="invalid input syntax"):
+        copy_from_csv(catalog, "tmf", str(bad))
+    # explicit opt-in to permissive NULL-filling
+    copy_from_csv(catalog, "tmf", str(bad), mode="PERMISSIVE")
+    assert catalog.row_count("tmf") == 3
+    # malformed timestamps error too (they read via the ±infinity string
+    # path, which FAILFAST alone can't see)
+    catalog.create_table("tmt", "a int, ts timestamp")
+    badts = tmp_path / "badts.csv"
+    badts.write_text("1,2024-01-01 00:00:00\n2,notadate\n")
+    with pytest.raises(CStoreError, match="invalid input syntax"):
+        copy_from_csv(catalog, "tmt", str(badts))
