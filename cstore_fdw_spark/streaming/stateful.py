@@ -76,3 +76,73 @@ def running_spend(events: DataFrame, with_timeout: bool = False) -> DataFrame:
                 stateStructType=STATE_SCHEMA,
                 outputMode="update",
                 timeoutConf=timeout))
+
+
+# ------------------------------------------------- sequence-pattern match
+
+PATTERN_WINDOW_US = 30 * 60 * 1_000_000  # signup→purchase within 30 min
+
+MATCH_SCHEMA = T.StructType([
+    T.StructField("user_id", T.LongType()),
+    T.StructField("signup_us", T.LongType()),
+    T.StructField("purchase_us", T.LongType()),
+    T.StructField("micros_between", T.LongType()),
+])
+
+PATTERN_STATE_SCHEMA = T.StructType([
+    T.StructField("signup_us", T.LongType()),
+])
+
+
+def _pattern_update(key, pdfs: "Iterable[pd.DataFrame]",
+                    state: GroupState) -> "Iterable[pd.DataFrame]":
+    """Per-user A-then-B matcher: remember the EARLIEST unmatched signup;
+    emit a match for every purchase within the pattern window after it.
+    State is one long per user (the canonical CEP building block — Spark's
+    built-in windows can't express 'first A, then any B within T of it'
+    because the anchor is data-dependent, not clock-aligned)."""
+    (user_id,) = key
+    if state.hasTimedOut:
+        state.remove()
+        return
+    signup_us = state.get[0] if state.exists else None
+    rows = []
+    events = []
+    for pdf in pdfs:
+        for us, etype in zip(pdf["us"], pdf["event_type"]):
+            events.append((int(us), etype))
+    events.sort()  # event-time order within the batch
+    for us, etype in events:
+        if etype == "signup":
+            if signup_us is None or us < signup_us:
+                signup_us = us
+        elif etype == "purchase" and signup_us is not None:
+            if 0 < us - signup_us <= PATTERN_WINDOW_US:
+                rows.append((user_id, signup_us, us, us - signup_us))
+    if signup_us is not None:
+        state.update((signup_us,))
+    if rows:
+        yield pd.DataFrame(rows, columns=[f.name for f in MATCH_SCHEMA])
+
+
+def signup_purchase_pattern(events: DataFrame) -> DataFrame:
+    """Streaming sequence-pattern detection (CEP): first signup per user,
+    then every purchase within 30 minutes of it. The batch equivalent is
+    a min-aggregate + interval join; here one long of state per user
+    does it incrementally. Caveat for multi-batch replays: a purchase
+    arriving in an earlier micro-batch than its signup (out-of-order
+    across batches) is missed — the documented at-most-once CEP
+    trade-off; a production variant buffers purchases for the watermark
+    delay."""
+    from pyspark.sql import functions as F
+
+    prepared = events.select(
+        "user_id", "event_type",
+        F.unix_micros("ts").alias("us"))
+    return (prepared.groupBy("user_id")
+            .applyInPandasWithState(
+                _pattern_update,
+                outputStructType=MATCH_SCHEMA,
+                stateStructType=PATTERN_STATE_SCHEMA,
+                outputMode="append",
+                timeoutConf=GroupStateTimeout.NoTimeout))

@@ -177,3 +177,42 @@ def test_concurrent_stream_ledgers_do_not_lose_entries(spark, catalog):
     for w in writers:
         w(df, 2)
     assert catalog.row_count("tcl") == 12
+
+
+def test_stateful_pattern_detection_matches_batch(spark, sf_dir):
+    # CEP A-then-B: streaming stateful matcher == batch min-signup +
+    # interval-join formulation on the same data (single-batch drain, so
+    # the cross-batch out-of-order caveat doesn't apply)
+    import tempfile
+    from pyspark.sql import functions as F
+    from cstore_fdw_spark.operators import table
+    from cstore_fdw_spark.streaming.events import read_events_stream
+    from cstore_fdw_spark.streaming.stateful import (
+        PATTERN_WINDOW_US, signup_purchase_pattern)
+
+    e = table(spark, sf_dir, "events")
+    s = (e.filter(F.col("event_type") == "signup")
+         .groupBy("user_id")
+         .agg(F.min(F.unix_micros("ts")).alias("signup_us")))
+    p = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.unix_micros("ts").alias("purchase_us"))
+    batch = sorted(
+        tuple(r) for r in
+        s.join(p, "user_id")
+        .filter((F.col("purchase_us") > F.col("signup_us"))
+                & (F.col("purchase_us") - F.col("signup_us")
+                   <= PATTERN_WINDOW_US))
+        .select("user_id", "signup_us", "purchase_us",
+                (F.col("purchase_us") - F.col("signup_us"))
+                .alias("micros_between")).collect())
+    stream = read_events_stream(spark, sf_dir)
+    out = signup_purchase_pattern(stream)
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (out.writeStream.format("memory").queryName("cep")
+             .outputMode("append")
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+    got = sorted(tuple(r) for r in spark.table("cep").collect())
+    assert got == batch
+    assert len(got) > 0
