@@ -475,7 +475,7 @@ class CStoreCatalog:
                 os.rename(old_path, data_path)
 
     # -------------------------------------------------------------- read
-    def read(self, name: str) -> DataFrame:
+    def read(self, name: str, as_of_epoch: int | None = None) -> DataFrame:
         """A1+A22: scan with schema-evolution repair.
 
         Columns added after data was written are synthesized from the
@@ -483,6 +483,15 @@ class CStoreCatalog:
         the reference does the same at deserialization time
         (cstore_reader.c:1224-1292). Dropped columns simply leave their
         data unreferenced (column pruning never reads them).
+
+        ``as_of_epoch`` reads a historical snapshot: only files whose
+        ``e{epoch}-`` stamp is ≤ the given epoch (append-only time
+        travel, free with the epoch-stamped append protocol — each
+        insert()'s epoch is a commit id). History extends back to the
+        last file REWRITE: compact/delete_where/rename_column replace
+        files (their output is unstamped = epoch 0), after which earlier
+        snapshots are gone — the same contract as VACUUM'd MVCC or an
+        expired Iceberg snapshot. Current epoch: ``current_epoch()``.
         """
         meta = self._load_meta(name)
         fmt = self._format(meta)
@@ -491,9 +500,21 @@ class CStoreCatalog:
         data_path = self._data_path(meta)
         if not _has_data_files(data_path, fmt):
             return self.spark.createDataFrame([], target)
-        reader = self.spark.read.schema(
-            _physical_schema(target, data_path, fmt))
-        df = getattr(reader, fmt)(data_path)
+        if as_of_epoch is not None:
+            paths = [p for p in _data_files(data_path, fmt)
+                     if _file_epoch(p) <= as_of_epoch]
+            if not paths:
+                return self.spark.createDataFrame([], target)
+            reader = (self.spark.read
+                      .schema(_physical_schema(target, data_path, fmt))
+                      # explicit file lists disable partition discovery
+                      # unless the hive-layout root is pinned
+                      .option("basePath", data_path))
+            df = getattr(reader, fmt)(*paths)
+        else:
+            reader = self.spark.read.schema(
+                _physical_schema(target, data_path, fmt))
+            df = getattr(reader, fmt)(data_path)
         projections = []
         for f_ in target.fields:
             if f_.name in df.columns:
@@ -540,6 +561,12 @@ class CStoreCatalog:
                 projections.append(F.lit(default).cast(f_.dataType)
                                    .alias(f_.name))
         return df.select(*projections)
+
+    def current_epoch(self, name: str) -> int:
+        """The table's latest committed write epoch — the snapshot id to
+        pass to ``read(name, as_of_epoch=...)`` to pin "now". Epoch 0 is
+        the state before any insert (or after any rewrite)."""
+        return self._load_meta(name).write_epoch
 
     def sql_view(self, name: str, view_name: str | None = None) -> str:
         """Register the table as a temp view for spark.sql queries."""
@@ -909,3 +936,12 @@ def _physical_schema(target: T.StructType, data_path: str,
     phys_names = _physical_columns(data_path, fmt)
     fields = [f_ for f_ in target.fields if f_.name in phys_names]
     return T.StructType(fields)
+
+
+def _file_epoch(path: str) -> int:
+    """Epoch stamp of a data file (0 for unstamped/rewritten files)."""
+    base = os.path.basename(path)
+    if base.startswith("e") and len(base) > 13 and base[13] == "-" \
+            and base[1:13].isdigit():
+        return int(base[1:13])
+    return 0

@@ -598,3 +598,29 @@ def test_views_over_tables(spark, catalog):
     catalog.drop_view("v_top")
     catalog.drop_view("v_sums")
     catalog.drop_table("vt")
+
+
+def test_time_travel_read_as_of_epoch(spark, catalog):
+    # append-only snapshot reads: each insert() commits an epoch; reading
+    # as_of an earlier epoch excludes later files (Iceberg-snapshot-style,
+    # free with the e{epoch}- append protocol)
+    catalog.create_table("tt", "a int, grp string", partition_by="grp")
+    assert catalog.current_epoch("tt") == 0
+    assert catalog.read("tt", as_of_epoch=0).count() == 0
+    catalog.insert("tt", spark.createDataFrame(
+        [(1, "x"), (2, "y")], "a int, grp string"))
+    e1 = catalog.current_epoch("tt")
+    catalog.insert("tt", spark.createDataFrame(
+        [(3, "x")], "a int, grp string"))
+    e2 = catalog.current_epoch("tt")
+    assert e2 > e1
+    # snapshot at e1 sees only the first batch (partition cols intact)
+    snap = catalog.read("tt", as_of_epoch=e1).orderBy("a").collect()
+    assert [(r.a, r.grp) for r in snap] == [(1, "x"), (2, "y")]
+    # snapshot at e2 == current read
+    assert catalog.read("tt", as_of_epoch=e2).count() == 3
+    assert catalog.read("tt").count() == 3
+    # rewrite (compact) bakes files to epoch 0: history collapses, but
+    # every snapshot >= 0 still sees the full current table
+    catalog.compact("tt")
+    assert catalog.read("tt", as_of_epoch=e1).count() == 3
