@@ -387,3 +387,46 @@ def embedding_vector_stats(spark, sf_dir):
         (F.array_position(emb, F.array_max(emb)).cast("int") - 1)
         .alias("argmax_dim"),
         F.array_max(emb).cast("double").alias("max_val"))
+
+
+@register(
+    "unpivot_status_counts",
+    category="analytics",
+    oracle="""
+    WITH wide AS (
+      SELECT o_orderpriority,
+             CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS f_cnt,
+             CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS o_cnt,
+             CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS p_cnt
+      FROM orders GROUP BY o_orderpriority)
+    SELECT o_orderpriority, status, cnt FROM (
+      SELECT o_orderpriority, 'F' AS status, f_cnt AS cnt FROM wide
+      UNION ALL
+      SELECT o_orderpriority, 'O', o_cnt FROM wide
+      UNION ALL
+      SELECT o_orderpriority, 'P', p_cnt FROM wide)
+    WHERE cnt IS NOT NULL
+    """)
+def unpivot_status_counts(spark, sf_dir):
+    """UNPIVOT (melt): the wide crosstab from pivot_status_by_priority
+    folded back to long form via Spark's native unpivot (the
+    pivot/unpivot round-trip every BI layer needs). The oracle spells it
+    as UNION ALL — the dialect-neutral definition of UNPIVOT. Unpivot is
+    a zero-shuffle projection (each input row emits 3); only the
+    up-front crosstab aggregates."""
+    o = table(spark, sf_dir, "orders")
+    wide = (o.groupBy("o_orderpriority")
+            .pivot("o_orderstatus", ["F", "O", "P"])
+            .agg(F.coalesce(F.count(F.lit(1)), F.lit(0)))
+            .select("o_orderpriority",
+                    F.coalesce("F", F.lit(0)).cast("long").alias("f_cnt"),
+                    F.coalesce("O", F.lit(0)).cast("long").alias("o_cnt"),
+                    F.coalesce("P", F.lit(0)).cast("long").alias("p_cnt")))
+    return (wide.unpivot(
+        "o_orderpriority", ["f_cnt", "o_cnt", "p_cnt"], "status_col", "cnt")
+        .select("o_orderpriority",
+                F.upper(F.substring("status_col", 1, 1)).alias("status"),
+                "cnt"))

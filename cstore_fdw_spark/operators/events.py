@@ -421,3 +421,44 @@ def events_hourly_anomaly_zscore(spark, sf_dir):
         F.col("h").alias("hour_start"), "n",
         F.col("k").alias("baseline_hours"),
         F.when((F.col("k") >= 12) & (var_num > 0), z).alias("zscore"))
+
+
+@register(
+    "events_markov_transitions",
+    category="events",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, event_type,
+             LEAD(event_type) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS next_type
+      FROM events),
+    c AS (
+      SELECT event_type AS from_type, next_type AS to_type,
+             COUNT(*) AS n
+      FROM s WHERE next_type IS NOT NULL GROUP BY 1, 2)
+    SELECT from_type, to_type, n,
+           CAST(n AS DOUBLE)
+             / SUM(n) OVER (PARTITION BY from_type) AS p
+    FROM c
+    """)
+def events_markov_transitions(spark, sf_dir):
+    """First-order Markov transition matrix over per-user event
+    sequences: P(next event type | current), the standard user-journey /
+    clickstream model. One window (lead over user timelines, tie-broken
+    on event_id) → counted pairs → row-normalized. The raw events only
+    shuffle once, keyed by user_id (uniform); transition counts are a
+    5×5-ish table, so the normalizing window is trivially small. The
+    count→double division is exact-int IEEE division — identical in both
+    engines."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    e = table(spark, sf_dir, "events")
+    s = e.select("event_type",
+                 F.lead("event_type").over(w).alias("next_type"))
+    c = (s.filter(F.col("next_type").isNotNull())
+         .groupBy(F.col("event_type").alias("from_type"),
+                  F.col("next_type").alias("to_type"))
+         .agg(F.count(F.lit(1)).alias("n")))
+    wp = Window.partitionBy("from_type")
+    return c.select("from_type", "to_type", "n",
+                    (F.col("n").cast("double")
+                     / F.sum("n").over(wp)).alias("p"))

@@ -399,3 +399,140 @@ def text_training_mix_recipe(spark, sf_dir):
             .groupBy("lang", "source", "verdict")
             .agg(F.count(F.lit(1)).alias("n_docs"),
                  F.sum("n_tokens").alias("total_tokens")))
+
+
+@register(
+    "text_repetition_quality",
+    category="text",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks
+      FROM documents WHERE text <> ''),
+    base AS (
+      SELECT doc_id,
+             CAST(len(toks) AS BIGINT) AS n_tokens,
+             CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+             list_transform(generate_series(1, len(toks) - 1),
+                            i -> toks[i] || ' ' || toks[i + 1]) AS bigs
+      FROM t),
+    e AS (
+      SELECT doc_id, UNNEST(bigs) AS big FROM base),
+    c AS (
+      SELECT doc_id, big, COUNT(*) AS cnt FROM e GROUP BY 1, 2),
+    top AS (
+      SELECT doc_id, big AS top_bigram, cnt AS top_bigram_n
+      FROM (SELECT doc_id, big, cnt,
+                   ROW_NUMBER() OVER (PARTITION BY doc_id
+                     ORDER BY cnt DESC, big) AS rn FROM c)
+      WHERE rn = 1)
+    SELECT b.doc_id, b.n_tokens, b.n_distinct,
+           CAST(b.n_tokens - b.n_distinct AS DOUBLE) / b.n_tokens
+             AS dup_token_frac,
+           top.top_bigram,
+           CAST(COALESCE(top.top_bigram_n, 0) AS BIGINT) AS top_bigram_n,
+           CASE WHEN b.n_tokens > 1
+                THEN CAST(COALESCE(top.top_bigram_n, 0) AS DOUBLE)
+                     / (b.n_tokens - 1)
+                ELSE CAST(0 AS DOUBLE) END AS top_bigram_frac,
+           (CAST(b.n_tokens - b.n_distinct AS DOUBLE) / b.n_tokens) <= 0.7
+             AND (CASE WHEN b.n_tokens > 1
+                       THEN CAST(COALESCE(top.top_bigram_n, 0) AS DOUBLE)
+                            / (b.n_tokens - 1)
+                       ELSE CAST(0 AS DOUBLE) END) <= 0.2 AS keep
+    FROM base b LEFT JOIN top ON b.doc_id = top.doc_id
+    """)
+def text_repetition_quality(spark, sf_dir):
+    """Gopher-style repetition quality filter (Rae et al. '21 §A1.1):
+    duplicate-token fraction and most-frequent-word-bigram fraction per
+    document, plus the keep/drop verdict. The bigram list is built from
+    ONE bound token array (transform-over-array binding — without it
+    ProjectCollapse re-inlines the split per position, O(len²), gotcha
+    encoded in text_winnow_fingerprint). Counting shuffles only (doc_id,
+    bigram) pairs after map-side partial aggregation; the per-doc top-1
+    is a window over the counted pairs, tie-broken on the bigram itself
+    so the answer is deterministic. Scale: everything keys on doc_id —
+    uniform, unbounded parallelism; no broadcast, no skew."""
+    from pyspark.sql.window import Window
+
+    d = table(spark, sf_dir, "documents").filter(F.col("text") != "")
+    bigs_expr = F.expr(
+        "transform(array(split(text, ' ')), t ->"
+        " transform(sequence(1, greatest(size(t) - 1, 0)),"
+        "  i -> concat(element_at(t, i), ' ', element_at(t, i + 1))))[0]")
+    toks = F.split("text", " ")
+    base = d.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct"),
+        bigs_expr.alias("bigs"))
+    counts = (base.select("doc_id", F.explode("bigs").alias("big"))
+              .groupBy("doc_id", "big").agg(F.count(F.lit(1)).alias("cnt")))
+    w = Window.partitionBy("doc_id").orderBy(F.col("cnt").desc(), "big")
+    top = (counts.withColumn("rn", F.row_number().over(w))
+           .filter(F.col("rn") == 1)
+           .select("doc_id", F.col("big").alias("top_bigram"),
+                   F.col("cnt").alias("top_bigram_n")))
+    dup_frac = ((F.col("n_tokens") - F.col("n_distinct")).cast("double")
+                / F.col("n_tokens"))
+    top_n = F.coalesce("top_bigram_n", F.lit(0)).cast("long")
+    top_frac = (F.when(F.col("n_tokens") > 1,
+                       top_n.cast("double") / (F.col("n_tokens") - 1))
+                .otherwise(F.lit(0.0)))
+    return (base.drop("bigs").join(top, "doc_id", "left")
+            .select("doc_id", "n_tokens", "n_distinct",
+                    dup_frac.alias("dup_token_frac"),
+                    "top_bigram",
+                    top_n.alias("top_bigram_n"),
+                    top_frac.alias("top_bigram_frac"),
+                    ((dup_frac <= 0.7) & (top_frac <= 0.2)).alias("keep")))
+
+
+PACK_BUDGET = 2048
+
+
+@register(
+    "text_pack_sequences",
+    category="text",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, source,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents),
+    c AS (
+      SELECT doc_id, source, n_tokens,
+             CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cum
+      FROM t)
+    SELECT source,
+           CAST((cum - n_tokens) // {PACK_BUDGET} AS BIGINT) AS pack_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS tokens_total,
+           MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+    FROM c GROUP BY 1, 2
+    """)
+def text_pack_sequences(spark, sf_dir):
+    """Training sequence packing (GPT-style concat-and-chunk): documents
+    are concatenated in doc_id order within each source and cut into
+    PACK_BUDGET-token context windows; a document belongs to the pack
+    where it starts. One window (cumulative token sum per source) + one
+    rollup. Scale: the window partitions by source — each source packs
+    independently, so a 100 TB corpus packs with per-source parallelism
+    and no global sort; skewed sources would be pre-split by a
+    (source, doc_id-range) composite key, which only renames pack_id."""
+    from pyspark.sql.window import Window
+
+    d = table(spark, sf_dir, "documents")
+    t = d.select("doc_id", "source",
+                 F.size(F.split("text", " ")).cast("long").alias("n_tokens"))
+    w = (Window.partitionBy("source").orderBy("doc_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    c = t.withColumn("cum", F.sum("n_tokens").over(w))
+    return (c.select("source", "doc_id", "n_tokens",
+                     F.expr(f"(cum - n_tokens) div {PACK_BUDGET}")
+                     .cast("long").alias("pack_id"))
+            .groupBy("source", "pack_id")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_tokens").alias("tokens_total"),
+                 F.min("doc_id").alias("first_doc"),
+                 F.max("doc_id").alias("last_doc")))
