@@ -403,6 +403,71 @@ class CStoreCatalog:
         self._rewrite(name, keep=~cond)
         return before - self.row_count(name)
 
+    def merge_into(self, name: str, source: DataFrame,
+                   on: str | list[str],
+                   when_matched: str | None = "update",
+                   when_not_matched: str | None = "insert") -> dict[str, int]:
+        """MERGE INTO (upsert) — extension beyond the reference's
+        append-only surface, with PostgreSQL 15 MERGE semantics:
+        ``when_matched`` is ``"update"`` (source row replaces the target
+        row), ``"delete"``, or ``None`` (leave matched rows); unmatched
+        source rows are inserted when ``when_not_matched="insert"``.
+        A source that hits the same target row twice is rejected, like
+        PG's "MERGE command cannot affect row a second time".
+
+        Copy-on-write: the merged row set commits through the compact
+        swap protocol (temp dir + two renames + crash recovery), so
+        readers see the old or the new table, never a mix. At scale the
+        join keys on ``on`` — a production variant would zone-map-prune
+        untouched files and rewrite only touched ones; the join itself
+        is one shuffle on the merge key either way.
+
+        Returns ``{"matched": n, "inserted": n}`` row counts.
+        """
+        keys = [on] if isinstance(on, str) else list(on)
+        meta = self._load_meta(name)
+        target = meta.schema()
+        for k in keys:
+            if k not in target.fieldNames():
+                raise CStoreError(f'merge key "{k}" not in table "{name}"')
+        cols = []
+        for f_ in target.fields:
+            if f_.name not in source.columns:
+                raise CStoreError(
+                    f'column "{f_.name}" missing from merge source')
+            cols.append(F.col(f_.name).cast(f_.dataType).alias(f_.name))
+        src = source.select(*cols)
+        dup = (src.groupBy(*keys).count().filter(F.col("count") > 1))
+        if dup.limit(1).count() > 0:
+            raise CStoreError(
+                "MERGE source affects the same row a second time "
+                f"(duplicate {keys} in source)")
+        tgt = self.read(name)
+        src_keys = src.select(*keys)
+        kept = tgt.join(src_keys, keys, "left_anti")
+        n_matched = tgt.count() - kept.count()
+        pieces = [kept]
+        n_inserted = 0
+        if when_matched == "update":
+            pieces.append(src.join(tgt.select(*keys), keys, "left_semi"))
+        elif when_matched not in ("delete", None):
+            raise CStoreError(f"unknown when_matched: {when_matched!r}")
+        if when_not_matched == "insert":
+            ins = src.join(tgt.select(*keys), keys, "left_anti")
+            n_inserted = ins.count()
+            pieces.append(ins)
+        elif when_not_matched is not None:
+            raise CStoreError(
+                f"unknown when_not_matched: {when_not_matched!r}")
+        merged = pieces[0]
+        for p in pieces[1:]:
+            merged = merged.unionByName(p)
+        if merged.limit(1).count() == 0:
+            self.truncate(name)
+        else:
+            self._rewrite_df(meta, merged)
+        return {"matched": n_matched, "inserted": n_inserted}
+
     def _rewrite(self, name: str, keep=None) -> int:
         meta = self._load_meta(name)
         fmt = self._format(meta)

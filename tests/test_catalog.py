@@ -624,3 +624,31 @@ def test_time_travel_read_as_of_epoch(spark, catalog):
     # every snapshot >= 0 still sees the full current table
     catalog.compact("tt")
     assert catalog.read("tt", as_of_epoch=e1).count() == 3
+
+
+def test_merge_into_upsert(spark, catalog):
+    catalog.create_table("m", "k int, v string")
+    catalog.insert("m", spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k int, v string"))
+    src = spark.createDataFrame([(2, "B"), (4, "D")], "k int, v string")
+    res = catalog.merge_into("m", src, on="k")
+    assert res == {"matched": 1, "inserted": 1}
+    out = {(r.k, r.v) for r in catalog.read("m").collect()}
+    assert out == {(1, "a"), (2, "B"), (3, "c"), (4, "D")}
+    # matched-delete form: drop rows present in the source, no inserts
+    res = catalog.merge_into(
+        "m", spark.createDataFrame([(1, "x"), (9, "y")], "k int, v string"),
+        on="k", when_matched="delete", when_not_matched=None)
+    assert res == {"matched": 1, "inserted": 0}
+    assert {r.k for r in catalog.read("m").collect()} == {2, 3, 4}
+    # a source hitting the same target row twice is rejected (PG MERGE)
+    with pytest.raises(CStoreError):
+        catalog.merge_into("m", spark.createDataFrame(
+            [(2, "p"), (2, "q")], "k int, v string"), on="k")
+    # merge into empty-after-delete-everything path
+    res = catalog.merge_into(
+        "m", spark.createDataFrame(
+            [(2, "x"), (3, "x"), (4, "x")], "k int, v string"),
+        on="k", when_matched="delete", when_not_matched=None)
+    assert res["matched"] == 3
+    assert catalog.read("m").count() == 0
