@@ -253,7 +253,7 @@ def collation_danish_order(spark, sf_dir):
         "name",
         F.row_number().over(
             Window.orderBy(F.expr("name COLLATE da"), "name")
-        ).alias("da_rank"))
+        ).cast("long").alias("da_rank"))
     return ranked.select(
         "name", "da_rank",
         F.expr("name COLLATE da > 'VIETNAM'").alias("after_vietnam"))
