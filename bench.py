@@ -25,7 +25,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from cstore_fdw_spark.operators import load_all  # noqa: E402
+from cstore_fdw_spark.operators import clear_caches, load_all  # noqa: E402
 from cstore_fdw_spark.session import get_spark  # noqa: E402
 
 
@@ -46,12 +46,18 @@ def main() -> None:
     for name, spec in bench_specs.items():
         runs = []
         for _ in range(2):
+            # cache hygiene between executions: builder-tracked persists,
+            # table caches, and straggler localCheckpoint RDDs all die
+            # here, so heap residency never accumulates across the run
+            # (the round-3 artifact was an OOM from exactly that)
+            clear_caches(spark)
             t0 = time.perf_counter()
             df = spec.builder(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
             runs.append(time.perf_counter() - t0)
         cold[name] = round(runs[0], 3)
         warm[name] = round(runs[1], 3)
+    clear_caches(spark)
 
     print(json.dumps({
         "metric": "headline_queries_total_runtime",

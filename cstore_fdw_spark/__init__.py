@@ -27,5 +27,6 @@ Modules
 
 from cstore_fdw_spark.session import get_spark  # noqa: F401
 from cstore_fdw_spark.catalog import CStoreCatalog  # noqa: F401
+from cstore_fdw_spark.operators import clear_caches  # noqa: F401
 
 __version__ = "0.1.0"

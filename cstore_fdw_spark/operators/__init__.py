@@ -38,11 +38,67 @@ class QuerySpec:
 
 REGISTRY: dict[str, QuerySpec] = {}
 
+#: persisted/localCheckpoint'ed intermediates created by the CURRENT
+#: builder invocation. Builders return lazy DataFrames, so they can never
+#: unpersist their own caches (the caller hasn't run the query yet); left
+#: alone, a long-lived session (the driver's 131-query correctness sweep,
+#: a 30-execution bench run) accumulates every cached prefix/signature
+#: table from every invocation until the JVM heap fills (the round-3
+#: BENCH OOM). Instead each builder registers its caches here via
+#: :func:`track_cache`, and the NEXT builder invocation releases them —
+#: cache residency is bounded at one query's working set. Contract: a
+#: builder's returned DataFrame is valid until the next builder runs
+#: (every harness — driver gate, bench, local gate, tests — consumes
+#: results sequentially).
+_BUILD_CACHES: list[DataFrame] = []
+
+
+def track_cache(df: DataFrame) -> DataFrame:
+    """Register a persisted/checkpointed intermediate for deferred release
+    at the next builder invocation (or an explicit ``clear_caches``)."""
+    _BUILD_CACHES.append(df)
+    return df
+
+
+def release_build_caches() -> None:
+    """Unpersist every intermediate tracked since the last release."""
+    while _BUILD_CACHES:
+        df = _BUILD_CACHES.pop()
+        try:
+            df.unpersist()
+        except Exception:  # noqa: BLE001 — session may already be gone
+            pass
+
+
+def clear_caches(spark: SparkSession) -> None:
+    """Session-wide cache hygiene between queries: release tracked builder
+    caches, drop table caches, and unpersist any straggler RDD (e.g.
+    localCheckpoint blocks). bench.py and scripts/local_gate.py call this
+    between queries; after it runs ``getPersistentRDDs()`` is empty."""
+    release_build_caches()
+    try:
+        spark.catalog.clearCache()
+    except Exception:  # noqa: BLE001
+        pass
+    try:
+        jrdds = spark.sparkContext._jsc.getPersistentRDDs()
+        for _rid, rdd in jrdds.items():  # py4j JavaMap → MutableMapping
+            rdd.unpersist()
+    except Exception:  # noqa: BLE001
+        pass
+
 
 def register(name: str, oracle: str | None = None, category: str = "general",
              bench: bool = False):
     def deco(fn):
-        REGISTRY[name] = QuerySpec(name, fn, oracle, category,
+        import functools
+
+        @functools.wraps(fn)
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            release_build_caches()  # previous query's caches die here
+            return fn(spark, sf_dir)
+
+        REGISTRY[name] = QuerySpec(name, wrapped, oracle, category,
                                    (fn.__doc__ or "").strip(), bench)
         return fn
     return deco

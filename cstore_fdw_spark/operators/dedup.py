@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.window import Window
 
-from cstore_fdw_spark.operators import register, table
+from cstore_fdw_spark.operators import register, table, track_cache
 
 #: the duplicated corpus used by exact-dedup demos: documents ∪ documents
 #: with shifted ids, so every text has exactly one duplicate. (The driver's
@@ -115,15 +115,22 @@ def ppjoin_jaccard_pairs(items: DataFrame, tau: float) -> DataFrame:
     # injective-on-the-data hash works, so the cheap engine-local
     # xxhash64, not the portable md5 family): long equality joins and
     # long-array intersections run several× faster than string ones
-    items = (items.withColumn("ih", F.xxhash64("item"))
-             .localCheckpoint(eager=False))
+    items = track_cache(items.withColumn("ih", F.xxhash64("item"))
+                        .localCheckpoint(eager=False))
     # per-doc sorted item-hash array + size: the verification operand.
     # Arrays are bounded by document length, so candidate verification
     # shuffles O(candidates × doc length) bytes with NO row explosion.
-    sets = (items.groupBy("doc_id")
-            .agg(F.sort_array(F.collect_set("ih")).alias("iset"),
-                 F.count(F.lit(1)).alias("n_s"))
-            .localCheckpoint(eager=False))
+    sets = track_cache(
+        items.groupBy("doc_id")
+        .agg(F.sort_array(F.collect_set("ih")).alias("iset"))
+        # sizes and overlap must share one convention: n_s is derived from
+        # the SAME distinct-hash set that verification intersects (a
+        # duplicate (doc_id, item) input row, or in principle a 64-bit
+        # hash collision — xxhash64 is assumed injective on the corpus,
+        # as any set-similarity-on-hashes scheme assumes — would
+        # otherwise skew jaccard via inconsistent sizes)
+        .withColumn("n_s", F.size("iset").cast("long"))
+        .localCheckpoint(eager=False))
     sizes = sets.select("doc_id", "n_s")
     # global (per-language) item frequency → total rarity order (freq,
     # then item lexicographically as the deterministic tie-break)
@@ -139,6 +146,7 @@ def ppjoin_jaccard_pairs(items: DataFrame, tau: float) -> DataFrame:
                       - F.ceil(F.lit(tau) * F.col("n_s")) + 1)
               .select("doc_id", "lang", "ih", "rn", "n_s")
               .persist())
+    track_cache(prefix)
     # PPJoin candidate generation with pair-level overlap accumulation
     # (Xiao WWW'08 §3.2): collect ALL prefix collisions per pair, then
     # bound the best-case total overlap by
@@ -546,7 +554,7 @@ def minhash_lsh_pairs(docs: DataFrame) -> DataFrame:
     # otherwise collide in every band (and Jaccard over empty sets is
     # undefined); the oracle's explode drops them naturally.
     shingled = shingle_arrays(docs).filter(F.size("shingles") > 0)
-    ex = shingle_hashes(shingled).persist()
+    ex = track_cache(shingle_hashes(shingled).persist())
     # persist(), not localCheckpoint(), for the signature table: both are
     # materialized once and reused by every consumer (bands self-join,
     # sizes), but localCheckpoint pays driver-side physical planning +
@@ -554,9 +562,9 @@ def minhash_lsh_pairs(docs: DataFrame) -> DataFrame:
     # while persist defers everything to the first action
     mins = [F.min((F.lit(a) * F.col("x") + F.lit(b)) % P31).alias(f"s{i}")
             for i, (a, b) in enumerate(_MH_COEFFS)]
-    sigs = (ex.groupBy("doc_id")
-            .agg(F.count(F.lit(1)).alias("n_sh"), *mins)
-            .persist())
+    sigs = track_cache(ex.groupBy("doc_id")
+                       .agg(F.count(F.lit(1)).alias("n_sh"), *mins)
+                       .persist())
     # band keys: pure integer arithmetic over each ROWS_PER_BAND-slice of
     # the signature (two Horner polynomials mod P31 packed to 62 bits —
     # no VARCHAR render, no md5; identical expression in the oracle)
@@ -835,10 +843,12 @@ def dedup_connected_components(spark, sf_dir):
     e = table(spark, sf_dir, "embeddings")
     pairs = lsh_verified_pairs(e, EMB_DEDUP_TAU).select(
         F.col("vec_a").alias("src"), F.col("vec_b").alias("dst"))
-    edges = (pairs.unionByName(pairs.select(F.col("dst").alias("src"),
-                                            F.col("src").alias("dst")))
-             .localCheckpoint(eager=True))
+    edges = track_cache(
+        pairs.unionByName(pairs.select(F.col("dst").alias("src"),
+                                       F.col("src").alias("dst")))
+        .localCheckpoint(eager=True))
     labels = e.select("vec_id", F.col("vec_id").alias("comp"))
+    prev = None  # superseded round checkpoints die inside the loop
     while True:
         nbr_min = (edges.join(labels, edges.src == labels.vec_id)
                    .groupBy(F.col("dst").alias("vec_id"))
@@ -851,7 +861,11 @@ def dedup_connected_components(spark, sf_dir):
                        .cast("long").alias("changed"))
                .localCheckpoint(eager=True))
         changed = new.agg(F.sum("changed")).collect()[0][0]
+        if prev is not None:
+            prev.unpersist()
+        prev = new
         labels = new.select("vec_id", "comp")
         if not changed:
             break
+    track_cache(prev)  # the converged labels the caller is about to read
     return labels.select("vec_id", F.col("comp").alias("component"))

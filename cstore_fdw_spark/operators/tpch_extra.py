@@ -20,7 +20,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from cstore_fdw_spark.operators import register, table
+from cstore_fdw_spark.operators import register, table, track_cache
 from cstore_fdw_spark.operators.relational import D, D4, _dbl, dec, dsum, to_dbl
 
 
@@ -435,6 +435,7 @@ def q2_min_cost_supplier(spark, sf_dir):
              .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity"))
                   .alias("unit_cost"))
              .localCheckpoint(eager=False))
+    track_cache(costs)
     min_cost = (costs.groupBy(F.col("l_partkey").alias("mk"))
                 .agg(F.min("unit_cost").alias("mc")))
     p = (table(spark, sf_dir, "part")
@@ -559,6 +560,7 @@ def q11_important_stock(spark, sf_dir):
              .agg(F.sum(dec("l_extendedprice") * dec("l_quantity"))
                   .cast("decimal(18,4)").alias("v"))
              .localCheckpoint(eager=False))
+    track_cache(value)
     tot = value.agg(F.sum("v").alias("total"),
                     F.count(F.lit(1)).cast("decimal(10,0)").alias("cnt"))
     return (value.join(F.broadcast(tot))

@@ -44,6 +44,12 @@ ENGINE_CONFS: dict[str, str] = {
     # events.parquet carries TIMESTAMP(NANOS); read as long + convert
     # (operators.table) instead of failing the scan.
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # parquet TIMESTAMP(isAdjustedToUTC=false) reads as plain TIMESTAMP,
+    # not TIMESTAMP_NTZ (Spark 3.4+ default infers NTZ, on which the
+    # engine's unix_micros/interval arithmetic is ill-typed). With the
+    # UTC session timezone the instant semantics match DuckDB's naive
+    # read bit-for-bit — same contract the nanos path provides.
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
     # ANSI off: the engine mirrors permissive PostgreSQL-executor behavior
     # for arithmetic edge cases; DuckDB oracle queries are written to agree.
     "spark.sql.ansi.enabled": "false",
@@ -76,6 +82,15 @@ def get_spark(app_name: str = "cstore_fdw_spark", master: str | None = None,
         master = f"local[{cpus}]"
     if master:
         builder = builder.master(master)
+    # In local[N] ONE JVM holds the driver, every executor thread, and
+    # every cached block; the JVM-ergonomics default heap (~1/4 of RAM)
+    # is memory-marginal for a 32-thread run (round-3 bench OOM'd there).
+    # Set before JVM launch (PySpark passes builder confs to spark-submit
+    # at gateway start, so this is honored); env-overridable for smaller
+    # hosts. On a real cluster spark-submit's own --driver-memory wins.
+    builder = builder.config(
+        "spark.driver.memory",
+        os.environ.get("SPARK_GRAFT_DRIVER_MEM", "64g"))
     for k, v in ENGINE_CONFS.items():
         builder = builder.config(k, v)
     for k, v in (extra_confs or {}).items():

@@ -89,38 +89,68 @@ MATCH_SCHEMA = T.StructType([
     T.StructField("micros_between", T.LongType()),
 ])
 
+#: how long (event time) an unmatched purchase is buffered in state
+#: waiting for a late signup — the operator's out-of-order tolerance.
+#: A purchase p can only ever match a signup s ∈ [p − W, p); once the
+#: user's max seen event time passes p + delay, any such s would itself
+#: be later than the tolerated disorder, so p is dropped — state stays
+#: bounded at O(purchases per user per delay window).
+PATTERN_DISORDER_US = PATTERN_WINDOW_US
+
 PATTERN_STATE_SCHEMA = T.StructType([
     T.StructField("signup_us", T.LongType()),
+    T.StructField("pending_purchases", T.ArrayType(T.LongType())),
+    T.StructField("max_seen_us", T.LongType()),
 ])
 
 
 def _pattern_update(key, pdfs: "Iterable[pd.DataFrame]",
                     state: GroupState) -> "Iterable[pd.DataFrame]":
-    """Per-user A-then-B matcher: remember the EARLIEST unmatched signup;
+    """Per-user A-then-B matcher: remember the EARLIEST signup seen;
     emit a match for every purchase within the pattern window after it.
-    State is one long per user (the canonical CEP building block — Spark's
-    built-in windows can't express 'first A, then any B within T of it'
-    because the anchor is data-dependent, not clock-aligned)."""
+    State per user = one long (the signup anchor) + a bounded buffer of
+    not-yet-matched purchases (out-of-order tolerance: a purchase whose
+    signup arrives in a LATER micro-batch is held for
+    ``PATTERN_DISORDER_US`` of event time and matched when the signup
+    lands — the canonical CEP building block; Spark's built-in windows
+    can't express 'first A, then any B within T of it' because the
+    anchor is data-dependent, not clock-aligned)."""
     (user_id,) = key
     if state.hasTimedOut:
         state.remove()
         return
-    signup_us = state.get[0] if state.exists else None
-    rows = []
+    if state.exists:
+        signup_us, pending, max_seen = state.get
+        pending = list(pending or [])
+    else:
+        signup_us, pending, max_seen = None, [], None
     events = []
     for pdf in pdfs:
         for us, etype in zip(pdf["us"], pdf["event_type"]):
             events.append((int(us), etype))
     events.sort()  # event-time order within the batch
-    for us, etype in events:
+    # replay buffered purchases alongside the new batch: a signup in this
+    # batch may anchor purchases that arrived in earlier batches
+    merged = sorted([(us, "purchase") for us in pending] + events)
+    rows = []
+    keep: list[int] = []
+    for us, etype in merged:
         if etype == "signup":
             if signup_us is None or us < signup_us:
                 signup_us = us
-        elif etype == "purchase" and signup_us is not None:
-            if 0 < us - signup_us <= PATTERN_WINDOW_US:
+        elif etype == "purchase":
+            if (signup_us is not None
+                    and 0 < us - signup_us <= PATTERN_WINDOW_US):
                 rows.append((user_id, signup_us, us, us - signup_us))
-    if signup_us is not None:
-        state.update((signup_us,))
+            else:
+                keep.append(us)
+    batch_max = max((us for us, _ in events), default=None)
+    if batch_max is not None:
+        max_seen = batch_max if max_seen is None else max(max_seen, batch_max)
+    # expire buffered purchases past the disorder horizon (bounded state)
+    if max_seen is not None:
+        keep = [us for us in keep if us > max_seen - PATTERN_DISORDER_US]
+    state.update((signup_us, keep, max_seen))
     if rows:
         yield pd.DataFrame(rows, columns=[f.name for f in MATCH_SCHEMA])
 
@@ -128,12 +158,14 @@ def _pattern_update(key, pdfs: "Iterable[pd.DataFrame]",
 def signup_purchase_pattern(events: DataFrame) -> DataFrame:
     """Streaming sequence-pattern detection (CEP): first signup per user,
     then every purchase within 30 minutes of it. The batch equivalent is
-    a min-aggregate + interval join; here one long of state per user
-    does it incrementally. Caveat for multi-batch replays: a purchase
-    arriving in an earlier micro-batch than its signup (out-of-order
-    across batches) is missed — the documented at-most-once CEP
-    trade-off; a production variant buffers purchases for the watermark
-    delay."""
+    a min-aggregate + interval join; here the per-user state is the
+    signup anchor plus a disorder-bounded buffer of unmatched purchases,
+    so a purchase arriving in an EARLIER micro-batch than its signup
+    still matches once the signup lands (tolerance
+    ``PATTERN_DISORDER_US`` of event time). Remaining caveat: a signup
+    arriving later than an already-emitted match's anchor can't retract
+    the emitted row (append-mode CEP has no retractions) — identical to
+    Flink CEP's allowed-lateness contract."""
     from pyspark.sql import functions as F
 
     prepared = events.select(

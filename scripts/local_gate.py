@@ -73,7 +73,7 @@ def main() -> int:
     import duckdb
 
     from cstore_fdw_spark.datasets import TABLES
-    from cstore_fdw_spark.operators import load_all
+    from cstore_fdw_spark.operators import clear_caches, load_all
     from cstore_fdw_spark.session import get_spark
 
     registry = load_all()
@@ -88,6 +88,7 @@ def main() -> int:
     t0 = time.time()
     fails = []
     for i, name in enumerate(names, 1):
+        clear_caches(spark)  # previous query's caches die before the next
         spec = registry[name]
         rec = {"rows_match": False, "schema_match": False,
                "hash_match": False, "spark_rows": None,
@@ -120,6 +121,10 @@ def main() -> int:
             fails.append(name)
         print(f"[{i:3}/{len(names)}] {'ok  ' if ok else 'FAIL'} {name}",
               flush=True)
+
+    clear_caches(spark)
+    residual = dict(spark.sparkContext._jsc.getPersistentRDDs().items())
+    print(f"persistent RDDs after sweep+clear: {len(residual)}")
 
     suffix = "" if not args.only else ".partial"
     path = os.path.join(

@@ -179,18 +179,38 @@ def test_concurrent_stream_ledgers_do_not_lose_entries(spark, catalog):
     assert catalog.row_count("tcl") == 12
 
 
-def test_stateful_pattern_detection_matches_batch(spark, sf_dir):
+def test_stateful_pattern_detection_matches_batch(spark, sf_dir, tmp_path):
     # CEP A-then-B: streaming stateful matcher == batch min-signup +
-    # interval-join formulation on the same data (single-batch drain, so
-    # the cross-batch out-of-order caveat doesn't apply)
-    import tempfile
+    # interval-join formulation on the same data. The real events at
+    # small SFs can contain ZERO in-window pairs (sf0.01 does), which
+    # would make the equivalence vacuously true — so a synthetic
+    # guaranteed-match user is injected into BOTH sides, keeping the
+    # nonemptiness assertion meaningful at every scale factor.
+    import os
+    import shutil
+    from datetime import datetime, timedelta
     from pyspark.sql import functions as F
-    from cstore_fdw_spark.operators import table
-    from cstore_fdw_spark.streaming.events import read_events_stream
     from cstore_fdw_spark.streaming.stateful import (
         PATTERN_WINDOW_US, signup_purchase_pattern)
 
-    e = table(spark, sf_dir, "events")
+    src_dir = tmp_path / "events_src"
+    src_dir.mkdir()
+    real = f"{sf_dir}/events.parquet"
+    if os.path.isdir(real):
+        for fn in os.listdir(real):
+            if fn.endswith(".parquet"):
+                shutil.copy(os.path.join(real, fn), src_dir / fn)
+    else:
+        shutil.copy(real, src_dir / "events.parquet")
+    schema = spark.read.parquet(real).schema
+    base = datetime(2030, 1, 1, 12, 0, 0)
+    synth = spark.createDataFrame(
+        [(10**12 + 1, base, 10**9, "signup", 0.0, "{}"),
+         (10**12 + 2, base + timedelta(minutes=10), 10**9,
+          "purchase", 5.0, "{}")], schema)
+    synth.coalesce(1).write.mode("append").parquet(str(src_dir))
+
+    e = spark.read.schema(schema).parquet(str(src_dir))
     s = (e.filter(F.col("event_type") == "signup")
          .groupBy("user_id")
          .agg(F.min(F.unix_micros("ts")).alias("signup_us")))
@@ -205,14 +225,54 @@ def test_stateful_pattern_detection_matches_batch(spark, sf_dir):
         .select("user_id", "signup_us", "purchase_us",
                 (F.col("purchase_us") - F.col("signup_us"))
                 .alias("micros_between")).collect())
-    stream = read_events_stream(spark, sf_dir)
+    stream = spark.readStream.schema(schema).parquet(str(src_dir))
     out = signup_purchase_pattern(stream)
-    with tempfile.TemporaryDirectory() as ckpt:
-        q = (out.writeStream.format("memory").queryName("cep")
-             .outputMode("append")
-             .option("checkpointLocation", ckpt)
-             .trigger(availableNow=True).start())
-        q.awaitTermination(120)
+    q = (out.writeStream.format("memory").queryName("cep")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
     got = sorted(tuple(r) for r in spark.table("cep").collect())
     assert got == batch
-    assert len(got) > 0
+    assert len(got) > 0  # the injected pair guarantees nonemptiness
+
+
+def test_cep_out_of_order_across_batches(spark, tmp_path):
+    # a purchase whose signup arrives in a LATER micro-batch (event-time
+    # earlier — bounded disorder) must still match: the state buffers
+    # unmatched purchases for PATTERN_DISORDER_US of event time
+    from datetime import datetime, timedelta
+    from cstore_fdw_spark.streaming.stateful import signup_purchase_pattern
+
+    from cstore_fdw_spark.streaming.stateful import MATCH_SCHEMA
+
+    schema = "user_id long, event_type string, ts timestamp"
+    src = tmp_path / "src"
+    src.mkdir()
+    ckpt = str(tmp_path / "ck")
+    out_dir = str(tmp_path / "out")
+    base = datetime(2024, 1, 1, 12, 0, 0)
+
+    def drain():
+        # file sink (not memory): it supports restart from the checkpoint,
+        # which is the whole point of the two-drain replay
+        stream = spark.readStream.schema(schema).parquet(str(src))
+        q = (signup_purchase_pattern(stream)
+             .writeStream.format("parquet").option("path", out_dir)
+             .outputMode("append").option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        return spark.read.schema(MATCH_SCHEMA).parquet(out_dir)
+
+    # batch 1: the purchase alone — no anchor yet, nothing may be emitted
+    spark.createDataFrame(
+        [(7, "purchase", base + timedelta(minutes=10))], schema
+    ).coalesce(1).write.mode("append").parquet(str(src))
+    assert drain().count() == 0
+    # batch 2: its signup arrives late (event time BEFORE the purchase)
+    spark.createDataFrame(
+        [(7, "signup", base)], schema
+    ).coalesce(1).write.mode("append").parquet(str(src))
+    rows = drain().collect()
+    assert [(r.user_id, r.micros_between) for r in rows] \
+        == [(7, 10 * 60 * 1_000_000)]
