@@ -35,6 +35,7 @@ import json
 import os
 import shutil
 import time
+from contextlib import contextmanager
 from dataclasses import dataclass, field
 from typing import Any
 from uuid import uuid4
@@ -43,6 +44,7 @@ import pyarrow.parquet as pq
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+from pyspark.sql.window import Window
 
 META_FILE = "_cstore_meta.json"
 
@@ -149,6 +151,14 @@ class TableMeta:
     # lifecycle ops that rewrite data files (compact) refresh + re-analyze
     # these so catalog readers never see stale file lists or stats
     registered_names: list[str] = field(default_factory=list)
+    # epoch-snapshot retention floor: file-REWRITING ops (compact,
+    # DELETE, MERGE, INSERT OVERWRITE, TRUNCATE) collapse history — their
+    # output no longer distinguishes earlier epochs. They record the
+    # epoch at which they ran here, and read(as_of_epoch < floor) raises
+    # a clear "snapshot vacuumed" error instead of silently returning
+    # post-rewrite rows (the same contract as an expired Iceberg
+    # snapshot or VACUUM'd MVCC).
+    history_floor: int = 0
     version: str = "1.0"
     created_at: float = 0.0
 
@@ -267,6 +277,7 @@ class CStoreCatalog:
                 shutil.rmtree(data, ignore_errors=True)
                 shutil.rmtree(data + ".compact.tmp", ignore_errors=True)
                 shutil.rmtree(data + ".compact.old", ignore_errors=True)
+            meta.history_floor = meta.write_epoch  # history is gone
             self._save_meta(meta)
 
     def _data_path(self, meta: TableMeta) -> str:
@@ -327,13 +338,25 @@ class CStoreCatalog:
             aligned = aligned.sortWithinPartitions(*sort_by.split(","))
         stripe_rows = meta.options.get("stripe_row_count",
                                        DEFAULT_STRIPE_ROW_COUNT)
-        # stage the batch to a sibling temp dir, then move the files in
-        # with an ``e{epoch:012d}-`` name prefix: the monotone epoch is
-        # what ADD COLUMN's backfill watermark compares against (O(1)
-        # metadata vs listing every file). Move cost is O(batch files) —
-        # the same order as the reference's per-stripe footer rewrite
-        # (cstore_writer.c:344-357); an object-store deployment would
-        # commit a manifest instead of renaming.
+        # stage the batch to a sibling temp dir (the long, distributed
+        # part — unserialized), then COMMIT under the table's writer
+        # lock:
+        #   append → stamp files with the next ``e{epoch:012d}-`` prefix
+        #     inside the staging dir, move them in, and only then save
+        #     the epoch to the metadata — the VISIBILITY commit. read()
+        #     ignores files stamped above the committed epoch, so a
+        #     crash mid-move leaves an invisible partial batch (cleaned
+        #     by the next locked writer via :meth:`_recover_orphans`),
+        #     and an in-process failure rolls the moved files back.
+        #   overwrite → the compact two-rename swap (+ its crash
+        #     recovery), so readers see the old or the new table, never
+        #     an empty window.
+        # The epoch is what ADD COLUMN's backfill watermark compares
+        # against (O(1) metadata vs listing every file). Move cost is
+        # O(batch files) — the same order as the reference's per-stripe
+        # footer rewrite (cstore_writer.c:344-357); an object-store
+        # deployment would commit a manifest instead of renaming.
+        fmt = self._format(meta)
         data_path = self._data_path(meta)
         staged = data_path + f".insert.{uuid4().hex[:8]}"
         writer = (aligned.write.mode("overwrite")
@@ -343,23 +366,60 @@ class CStoreCatalog:
         part = meta.options.get("partition_by")
         if part:
             writer = writer.partitionBy(*part.split(","))
-        getattr(writer, self._format(meta))(staged)
-        meta.write_epoch += 1
-        self._save_meta(meta)  # commit the epoch before files appear
-        prefix = f"e{meta.write_epoch:012d}-"
+        getattr(writer, fmt)(staged)
         try:
-            if overwrite and os.path.isdir(data_path):
-                shutil.rmtree(data_path)
-            for root, _dirs, files in os.walk(staged):
-                rel = os.path.relpath(root, staged)
-                dest = (data_path if rel == "."
-                        else os.path.join(data_path, rel))
-                os.makedirs(dest, exist_ok=True)
-                for fn in files:
-                    if fn.startswith(("_", ".")):  # _SUCCESS, .crc
-                        continue
-                    os.replace(os.path.join(root, fn),
-                               os.path.join(dest, prefix + fn))
+            with self._writer_lock(name):
+                # re-read the committed epoch under the lock: another
+                # writer may have appended while this batch was staging
+                meta = self._load_meta(name)
+                self._recover_orphans(meta, fmt)
+                epoch = meta.write_epoch + 1
+                prefix = f"e{epoch:012d}-"
+                # bake final names (and drop _SUCCESS/.crc) inside the
+                # staging dir — invisible until the move below
+                for root, _dirs, files in os.walk(staged):
+                    for fn in files:
+                        if fn.startswith(("_", ".")):
+                            os.remove(os.path.join(root, fn))
+                        else:
+                            os.rename(os.path.join(root, fn),
+                                      os.path.join(root, prefix + fn))
+                if overwrite:
+                    old_path = data_path + ".compact.old"
+                    # epoch first: if the swap never happens the bump is
+                    # a harmless gap; saving AFTER the swap would make
+                    # the new files orphan-deletable in the crash window
+                    meta.write_epoch = epoch
+                    meta.history_floor = epoch  # prior snapshots die
+                    self._save_meta(meta)
+                    if os.path.isdir(data_path):
+                        os.rename(data_path, old_path)
+                    os.rename(staged, data_path)  # commit point
+                    shutil.rmtree(old_path, ignore_errors=True)
+                else:
+                    moved: list[tuple[str, str]] = []
+                    try:
+                        for root, _dirs, files in os.walk(staged):
+                            rel = os.path.relpath(root, staged)
+                            dest = (data_path if rel == "."
+                                    else os.path.join(data_path, rel))
+                            os.makedirs(dest, exist_ok=True)
+                            for fn in files:
+                                s_, d_ = (os.path.join(root, fn),
+                                          os.path.join(dest, fn))
+                                os.replace(s_, d_)
+                                moved.append((s_, d_))
+                    except BaseException:
+                        # roll the partial batch back out of the table —
+                        # the append either fully lands or not at all
+                        for s_, d_ in reversed(moved):
+                            try:
+                                os.replace(d_, s_)
+                            except OSError:
+                                pass
+                        raise
+                    meta.write_epoch = epoch
+                    self._save_meta(meta)  # visibility commit
         finally:
             shutil.rmtree(staged, ignore_errors=True)
 
@@ -405,22 +465,41 @@ class CStoreCatalog:
 
     def merge_into(self, name: str, source: DataFrame,
                    on: str | list[str],
-                   when_matched: str | None = "update",
+                   when_matched="update",
                    when_not_matched: str | None = "insert") -> dict[str, int]:
         """MERGE INTO (upsert) — extension beyond the reference's
-        append-only surface, with PostgreSQL 15 MERGE semantics:
-        ``when_matched`` is ``"update"`` (source row replaces the target
-        row), ``"delete"``, or ``None`` (leave matched rows); unmatched
-        source rows are inserted when ``when_not_matched="insert"``.
-        A source that hits the same target row twice is rejected, like
-        PG's "MERGE command cannot affect row a second time".
+        append-only surface, with PostgreSQL 15 MERGE semantics.
+
+        ``when_matched`` is one of:
+
+        - ``"update"`` — the source row replaces the matched target row;
+        - ``"delete"`` — the matched target row is dropped;
+        - ``None`` — matched target rows are left unchanged (an
+          insert-only merge);
+        - a list of ``(condition_sql, action)`` clauses — PG 15's
+          ``WHEN MATCHED AND <condition> THEN <action>`` chain. Each
+          ``condition_sql`` is a SQL boolean over ``t.<col>`` (the
+          current target row) and ``s.<col>`` (the matching source
+          row); ``None`` means unconditional. ``action`` is
+          ``"update"``, ``"delete"``, or ``"nothing"``. Clauses are
+          evaluated IN ORDER and the first true condition wins; a
+          matched row satisfying no clause is left unchanged (PG: the
+          row is simply not affected by the MERGE).
+
+        Unmatched source rows are inserted when
+        ``when_not_matched="insert"`` (``None`` = ignore them). A source
+        with duplicate merge keys is rejected, like PG's "MERGE command
+        cannot affect row a second time".
 
         Copy-on-write: the merged row set commits through the compact
         swap protocol (temp dir + two renames + crash recovery), so
-        readers see the old or the new table, never a mix. At scale the
-        join keys on ``on`` — a production variant would zone-map-prune
-        untouched files and rewrite only touched ones; the join itself
-        is one shuffle on the merge key either way.
+        readers see the old or the new table, never a mix. The whole
+        merge is ONE full-outer join on the merge key, materialized
+        once: row counts, the duplicate-source check, and the rewrite
+        all read that single cached result (exactly one Spark job runs
+        before the rewrite — at 100 TB the join never re-executes). A
+        production variant would additionally zone-map-prune untouched
+        files and rewrite only touched ones.
 
         Returns ``{"matched": n, "inserted": n}`` row counts.
         """
@@ -437,36 +516,79 @@ class CStoreCatalog:
                     f'column "{f_.name}" missing from merge source')
             cols.append(F.col(f_.name).cast(f_.dataType).alias(f_.name))
         src = source.select(*cols)
-        dup = (src.groupBy(*keys).count().filter(F.col("count") > 1))
-        if dup.limit(1).count() > 0:
-            raise CStoreError(
-                "MERGE source affects the same row a second time "
-                f"(duplicate {keys} in source)")
-        tgt = self.read(name)
-        src_keys = src.select(*keys)
-        kept = tgt.join(src_keys, keys, "left_anti")
-        n_matched = tgt.count() - kept.count()
-        pieces = [kept]
-        n_inserted = 0
-        if when_matched == "update":
-            pieces.append(src.join(tgt.select(*keys), keys, "left_semi"))
-        elif when_matched not in ("delete", None):
+        names = target.fieldNames()
+        if when_matched in ("update", "delete"):
+            clauses = [(None, when_matched)]
+        elif when_matched is None:
+            clauses = []
+        elif isinstance(when_matched, (list, tuple)):
+            clauses = []
+            for cond, action in when_matched:
+                if action not in ("update", "delete", "nothing"):
+                    raise CStoreError(f"unknown merge action: {action!r}")
+                clauses.append((cond, action))
+        else:
             raise CStoreError(f"unknown when_matched: {when_matched!r}")
-        if when_not_matched == "insert":
-            ins = src.join(tgt.select(*keys), keys, "left_anti")
-            n_inserted = ins.count()
-            pieces.append(ins)
-        elif when_not_matched is not None:
+        if when_not_matched not in ("insert", None):
             raise CStoreError(
                 f"unknown when_not_matched: {when_not_matched!r}")
-        merged = pieces[0]
-        for p in pieces[1:]:
-            merged = merged.unionByName(p)
-        if merged.limit(1).count() == 0:
-            self.truncate(name)
-        else:
-            self._rewrite_df(meta, merged)
-        return {"matched": n_matched, "inserted": n_inserted}
+        insert = when_not_matched == "insert"
+
+        # one shuffle on the merge key: full-outer join of (key, packed
+        # target row) with (key, packed source row); every downstream
+        # question — matched action, insert, counters, duplicate check —
+        # is a projection/aggregation of this join, computed in ONE pass
+        # over its cached output (the round-3 version re-executed the
+        # join for each of four counters).
+        tgt = self.read(name)
+        t = tgt.select(*[F.col(k) for k in keys],
+                       F.struct(*[F.col(c) for c in names]).alias("t"))
+        dup_w = Window.partitionBy(*keys)
+        s = src.select(*[F.col(k) for k in keys],
+                       F.struct(*[F.col(c) for c in names]).alias("s"),
+                       F.count(F.lit(1)).over(dup_w).alias("_src_n"))
+        j = t.join(s, keys, "full_outer")
+        matched = F.col("t").isNotNull() & F.col("s").isNotNull()
+        act = None
+        for cond, action in clauses:
+            pred = matched if cond is None else (matched & F.expr(cond))
+            act = F.when(pred, action) if act is None else \
+                act.when(pred, action)
+        act = (act.otherwise("keep") if act is not None
+               else F.lit("keep"))  # no clause matched → row unaffected
+        out = (F.when(matched & (act == F.lit("update")), F.col("s"))
+               .when(matched & (act == F.lit("delete")), F.lit(None))
+               .when(matched, F.col("t"))
+               .when(F.col("t").isNotNull(), F.col("t"))
+               .otherwise(F.col("s") if insert else F.lit(None)))
+        merged = (j.select(matched.alias("_matched"),
+                           F.col("t").isNotNull().alias("_has_t"),
+                           F.col("_src_n"),
+                           out.alias("_out"))
+                  .persist())
+        try:
+            stats = merged.agg(
+                F.sum(F.col("_matched").cast("long")).alias("n_matched"),
+                F.sum((~F.col("_has_t") & F.col("_out").isNotNull())
+                      .cast("long")).alias("n_inserted"),
+                F.max("_src_n").alias("max_src"),
+                F.count("_out").alias("n_rows")).collect()[0]
+            if (stats.max_src or 0) > 1:
+                raise CStoreError(
+                    "MERGE source affects the same row a second time "
+                    f"(duplicate {keys} in source)")
+            if (stats.n_rows or 0) == 0:
+                self.truncate(name)
+                self._refresh_registered(meta)
+            else:
+                self._rewrite_df(
+                    meta,
+                    merged.filter(F.col("_out").isNotNull())
+                    .select("_out.*"))
+        finally:
+            merged.unpersist()
+        return {"matched": int(stats.n_matched or 0),
+                "inserted": int(stats.n_inserted or 0)}
 
     def _rewrite(self, name: str, keep=None) -> int:
         meta = self._load_meta(name)
@@ -518,9 +640,39 @@ class CStoreCatalog:
             # stamp and would otherwise fall under every watermark)
             meta.backfill_files = {c: [] for c in meta.backfill_files}
             meta.backfill_watermark = {c: None for c in meta.column_defaults}
-            self._save_meta(meta)
+        meta.history_floor = meta.write_epoch  # snapshots before this die
+        self._save_meta(meta)
         self._refresh_registered(meta)
         return sum(1 for _ in _data_files(data_path, fmt))
+
+    @contextmanager
+    def _writer_lock(self, name: str):
+        """Exclusive per-table writer lock (flock on a sidecar file):
+        serializes insert commits so epoch stamps never collide and
+        orphan recovery never races an in-flight writer. Readers never
+        take it — they filter uncommitted epochs instead."""
+        import fcntl
+        lock_path = os.path.join(self.table_path(name),
+                                 "_cstore_writer.lock")
+        with open(lock_path, "w") as f:
+            fcntl.flock(f, fcntl.LOCK_EX)
+            try:
+                yield
+            finally:
+                fcntl.flock(f, fcntl.LOCK_UN)
+
+    def _recover_orphans(self, meta: TableMeta, fmt: str) -> None:
+        """Repair after an insert() crash: delete data files stamped with
+        an epoch ABOVE the committed ``write_epoch`` — they belong to a
+        batch whose visibility commit (the metadata save) never happened,
+        so no reader has ever seen them. Called only under the writer
+        lock (a racing writer could otherwise lose its staged batch)."""
+        data_path = self._data_path(meta)
+        if not os.path.isdir(data_path):
+            return
+        for p in list(_data_files(data_path, fmt)):
+            if _file_epoch(p) > meta.write_epoch:
+                os.remove(p)
 
     def _recover_compact(self, meta: TableMeta, fmt: str) -> None:
         """Repair the table after a compact() crash.
@@ -553,23 +705,38 @@ class CStoreCatalog:
         ``e{epoch}-`` stamp is ≤ the given epoch (append-only time
         travel, free with the epoch-stamped append protocol — each
         insert()'s epoch is a commit id). History extends back to the
-        last file REWRITE: compact/delete_where/rename_column replace
-        files (their output is unstamped = epoch 0), after which earlier
-        snapshots are gone — the same contract as VACUUM'd MVCC or an
-        expired Iceberg snapshot. Current epoch: ``current_epoch()``.
+        last file REWRITE: compact/delete_where/MERGE/OVERWRITE/TRUNCATE
+        replace or drop files, record the rewrite epoch as the table's
+        ``history_floor``, and requesting a snapshot BELOW the floor
+        raises a clear vacuumed-snapshot error — never silently wrong
+        rows. Same contract as VACUUM'd MVCC or an expired Iceberg
+        snapshot. Current epoch: ``current_epoch()``.
         """
         meta = self._load_meta(name)
         fmt = self._format(meta)
         target = meta.schema()
         self._recover_compact(meta, fmt)
+        if as_of_epoch is not None and as_of_epoch < meta.history_floor:
+            raise CStoreError(
+                f'snapshot epoch {as_of_epoch} of "{name}" predates the '
+                f"last file rewrite (history floor "
+                f"{meta.history_floor}): the files backing it were "
+                "vacuumed by compact/DELETE/MERGE/OVERWRITE/TRUNCATE")
         data_path = self._data_path(meta)
-        if not _has_data_files(data_path, fmt):
+        all_files = (list(_data_files(data_path, fmt))
+                     if os.path.isdir(data_path) else [])
+        if not all_files:
             return self.spark.createDataFrame([], target)
-        if as_of_epoch is not None:
-            paths = [p for p in _data_files(data_path, fmt)
-                     if _file_epoch(p) <= as_of_epoch]
-            if not paths:
-                return self.spark.createDataFrame([], target)
+        # visibility horizon: a snapshot epoch if requested, else the
+        # committed write_epoch — files stamped above it belong to an
+        # uncommitted (crashed or in-flight) insert batch and must not
+        # be read (the next locked writer garbage-collects them)
+        horizon = (meta.write_epoch if as_of_epoch is None
+                   else as_of_epoch)
+        paths = [p for p in all_files if _file_epoch(p) <= horizon]
+        if not paths:
+            return self.spark.createDataFrame([], target)
+        if len(paths) < len(all_files):
             reader = (self.spark.read
                       .schema(_physical_schema(target, data_path, fmt))
                       # explicit file lists disable partition discovery
@@ -821,7 +988,8 @@ class CStoreCatalog:
         if meta.backfill_files or meta.backfill_watermark:
             meta.backfill_files = {c: [] for c in meta.backfill_files}
             meta.backfill_watermark = {c: None for c in meta.column_defaults}
-            self._save_meta(meta)
+        meta.history_floor = meta.write_epoch  # snapshots before this die
+        self._save_meta(meta)
         self._refresh_registered(meta)
 
     # -------------------------------------------------------------- views

@@ -93,7 +93,19 @@ def _infinity_read_csv(spark: SparkSession, schema, path: str,
         bad = df.filter(checks[0][1] if len(checks) == 1 else
                         __import__("functools").reduce(
                             lambda a, b: a | b, (c for _, c in checks)))
-        row = bad.take(1)
+        # this eager probe also runs the FAILFAST scan of every OTHER
+        # column — translate its malformed-row errors to the COPY
+        # contract here, since the caller's translation wraps only the
+        # insert action, not this validation
+        try:
+            row = bad.take(1)
+        except Exception as exc:  # noqa: BLE001 — parse errors only
+            msg = str(exc)
+            if "Malformed" in msg or "FAILED_READ_FILE" in msg:
+                raise CStoreError(
+                    f'invalid input syntax in COPY source "{path}" '
+                    "(malformed row rejected, PG COPY contract)") from exc
+            raise
         if row:
             raise CStoreError(
                 "invalid input syntax for timestamp/date column: "

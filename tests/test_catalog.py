@@ -620,10 +620,14 @@ def test_time_travel_read_as_of_epoch(spark, catalog):
     # snapshot at e2 == current read
     assert catalog.read("tt", as_of_epoch=e2).count() == 3
     assert catalog.read("tt").count() == 3
-    # rewrite (compact) bakes files to epoch 0: history collapses, but
-    # every snapshot >= 0 still sees the full current table
+    # rewrite (compact) vacuums history up to the rewrite epoch: a stale
+    # snapshot errors clearly instead of silently returning current rows
     catalog.compact("tt")
-    assert catalog.read("tt", as_of_epoch=e1).count() == 3
+    with pytest.raises(CStoreError, match="history floor"):
+        catalog.read("tt", as_of_epoch=e1)
+    # snapshots at/after the floor still read the current table
+    floor = catalog._load_meta("tt").history_floor
+    assert catalog.read("tt", as_of_epoch=floor).count() == 3
 
 
 def test_merge_into_upsert(spark, catalog):
@@ -652,3 +656,107 @@ def test_merge_into_upsert(spark, catalog):
         on="k", when_matched="delete", when_not_matched=None)
     assert res["matched"] == 3
     assert catalog.read("m").count() == 0
+
+
+def test_insert_crash_batch_invisible_and_collected(spark, catalog):
+    # a batch whose visibility commit (the metadata epoch save) never
+    # happened must be invisible to readers and garbage-collected by the
+    # next writer — simulate the crash by planting files stamped with an
+    # epoch above the committed one
+    import glob
+    import shutil as sh
+
+    catalog.create_table("ic", "a int")
+    catalog.insert("ic", spark.createDataFrame([(1,), (2,)], "a int"))
+    meta = catalog._load_meta("ic")
+    data = catalog._data_path(meta)
+    src_file = glob.glob(f"{data}/e*.parquet")[0]
+    orphan = os.path.join(
+        data, f"e{meta.write_epoch + 1:012d}-crashed.parquet")
+    sh.copy(src_file, orphan)
+    # invisible to plain reads AND to row counts via read()
+    assert catalog.read("ic").count() == 2
+    # the next committed insert garbage-collects it and lands cleanly
+    catalog.insert("ic", spark.createDataFrame([(3,)], "a int"))
+    assert not os.path.exists(orphan)
+    assert {r.a for r in catalog.read("ic").collect()} == {1, 2, 3}
+
+
+def test_insert_overwrite_never_empty_window(spark, catalog):
+    # overwrite commits via the two-rename swap: after a simulated crash
+    # between the renames (data dir gone, .compact.old present), readers
+    # still recover the previous contents — never an empty table
+    catalog.create_table("ow", "a int")
+    catalog.insert("ow", spark.createDataFrame([(1,), (2,)], "a int"))
+    meta = catalog._load_meta("ow")
+    data = catalog._data_path(meta)
+    os.rename(data, data + ".compact.old")  # crash mid-swap
+    assert {r.a for r in catalog.read("ow").collect()} == {1, 2}
+    # and a real overwrite replaces contents atomically
+    catalog.insert("ow", spark.createDataFrame([(9,)], "a int"),
+                   overwrite=True)
+    assert {r.a for r in catalog.read("ow").collect()} == {9}
+
+
+def test_merge_into_insert_only_keeps_matched_rows(spark, catalog):
+    # when_matched=None is an INSERT-ONLY merge: matched target rows must
+    # survive untouched (PG 15: a row no WHEN MATCHED clause affects stays)
+    catalog.create_table("mi", "k int, v string")
+    catalog.insert("mi", spark.createDataFrame(
+        [(1, "a"), (2, "b")], "k int, v string"))
+    res = catalog.merge_into(
+        "mi", spark.createDataFrame(
+            [(2, "IGNORED"), (3, "c")], "k int, v string"),
+        on="k", when_matched=None)
+    assert res == {"matched": 1, "inserted": 1}
+    out = {(r.k, r.v) for r in catalog.read("mi").collect()}
+    assert out == {(1, "a"), (2, "b"), (3, "c")}
+
+
+def test_merge_into_conditional_actions(spark, catalog):
+    # PG-15 WHEN MATCHED AND <cond> THEN <action> chains, first match
+    # wins, unmatched-by-any-clause rows stay. t.* = target, s.* = source.
+    catalog.create_table("mc", "k int, qty int")
+    catalog.insert("mc", spark.createDataFrame(
+        [(1, 10), (2, 0), (3, 5), (4, 7)], "k int, qty int"))
+    src = spark.createDataFrame(
+        [(1, 99),    # t.qty=10 → first clause false, second true → update
+         (2, 50),    # t.qty=0  → first clause true → delete
+         (3, -1),    # s.qty<0  → matches no clause → row stays (5)
+         (9, 12)],   # unmatched → insert
+        "k int, qty int")
+    res = catalog.merge_into(
+        "mc", src, on="k",
+        when_matched=[("t.qty = 0", "delete"),
+                      ("s.qty > t.qty", "update"),
+                      ("s.qty < 0", "nothing")])
+    assert res == {"matched": 3, "inserted": 1}
+    out = {(r.k, r.qty) for r in catalog.read("mc").collect()}
+    assert out == {(1, 99), (3, 5), (4, 7), (9, 12)}
+
+
+def test_merge_into_is_single_pass(spark, catalog):
+    # the merge must not re-execute the source/target join per counter:
+    # exactly ONE job may run before the rewrite's write job (plus the
+    # write itself and post-commit bookkeeping) — round 3 ran five
+    catalog.create_table("mp", "k int, v string")
+    catalog.insert("mp", spark.createDataFrame(
+        [(1, "a"), (2, "b")], "k int, v string"))
+    sc = spark.sparkContext
+    # AQE turns every shuffle stage into its own job, which would make
+    # the count nondeterministic — switch it off so one action == one job
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    sc.setJobGroup("merge-single-pass", "merge job-count probe")
+    try:
+        catalog.merge_into(
+            "mp", spark.createDataFrame([(2, "B"), (3, "C")],
+                                        "k int, v string"), on="k")
+    finally:
+        sc.setJobGroup(None, None)
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    jobs = sc.statusTracker().getJobIdsForGroup("merge-single-pass")
+    # 1 stats aggregate (materializes the cached join) + 1 rewrite write
+    # (+1 tolerance); the round-3 implementation ran the join five times
+    assert len(jobs) <= 3, jobs
+    out = {(r.k, r.v) for r in catalog.read("mp").collect()}
+    assert out == {(1, "a"), (2, "B"), (3, "C")}

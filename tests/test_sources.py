@@ -81,3 +81,10 @@ def test_copy_malformed_input_errors_like_pg(spark, catalog, tmp_path):
     badts.write_text("1,2024-01-01 00:00:00\n2,notadate\n")
     with pytest.raises(CStoreError, match="invalid input syntax"):
         copy_from_csv(catalog, "tmt", str(badts))
+    # a malformed NON-datetime value in a file that ALSO has datetime
+    # columns surfaces through the eager ±infinity validation probe —
+    # it must still translate to the COPY contract, not a raw Spark error
+    badint = tmp_path / "badint.csv"
+    badint.write_text("1,2024-01-01 00:00:00\nnotanint,2024-01-02 00:00:00\n")
+    with pytest.raises(CStoreError, match="invalid input syntax"):
+        copy_from_csv(catalog, "tmt", str(badint))
