@@ -28,6 +28,14 @@ ENGINE_CONFS: dict[str, str] = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # let AQE re-plan (coalesce/broadcast) INSIDE persisted subtrees too:
+    # the default pins a cached plan's output partitioning, so every
+    # persist() in a pipeline otherwise executes with the full static
+    # shuffle-partition count — for the dedup pipelines that meant ~35
+    # stages of tiny tasks per query (measured 3-5x slower at sf0.1);
+    # at 100 TB the same setting sizes cached partitions to the AQE
+    # advisory target instead of the static count.
+    "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning": "true",
     # --- Columnar scan: pushdown + pruning (zone-map parity, SURVEY §4).
     "spark.sql.parquet.filterPushdown": "true",
     "spark.sql.parquet.aggregatePushdown": "true",
