@@ -466,9 +466,11 @@ class CStoreCatalog:
     def merge_into(self, name: str, source: DataFrame,
                    on: str | list[str],
                    when_matched="update",
-                   when_not_matched: str | None = "insert") -> dict[str, int]:
+                   when_not_matched: str | None = "insert",
+                   when_not_matched_by_source=None) -> dict[str, int]:
         """MERGE INTO (upsert) — extension beyond the reference's
-        append-only surface, with PostgreSQL 15 MERGE semantics.
+        append-only surface, with PostgreSQL 15 MERGE semantics (plus
+        PG 17's ``WHEN NOT MATCHED BY SOURCE``).
 
         ``when_matched`` is one of:
 
@@ -491,6 +493,12 @@ class CStoreCatalog:
         with duplicate merge keys is rejected, like PG's "MERGE command
         cannot affect row a second time".
 
+        ``when_not_matched_by_source`` (PG 17) acts on TARGET rows with
+        no matching source row: ``None`` keeps them (the default),
+        ``"delete"`` drops them (the classic make-target-mirror-source
+        sync), or a list of ``(condition_sql, action)`` clauses over
+        ``t.<col>`` with actions ``"delete"`` / ``"nothing"``.
+
         Copy-on-write: the merged row set commits through the compact
         swap protocol (temp dir + two renames + crash recovery), so
         readers see the old or the new table, never a mix. The whole
@@ -501,7 +509,9 @@ class CStoreCatalog:
         production variant would additionally zone-map-prune untouched
         files and rewrite only touched ones.
 
-        Returns ``{"matched": n, "inserted": n}`` row counts.
+        Returns ``{"matched": n, "inserted": n, "removed_unmatched": n}``
+        row counts (``removed_unmatched`` = target rows deleted by
+        ``when_not_matched_by_source``).
         """
         keys = [on] if isinstance(on, str) else list(on)
         meta = self._load_meta(name)
@@ -533,6 +543,20 @@ class CStoreCatalog:
             raise CStoreError(
                 f"unknown when_not_matched: {when_not_matched!r}")
         insert = when_not_matched == "insert"
+        if when_not_matched_by_source == "delete":
+            src_clauses = [(None, "delete")]
+        elif when_not_matched_by_source is None:
+            src_clauses = []
+        elif isinstance(when_not_matched_by_source, (list, tuple)):
+            src_clauses = []
+            for cond, action in when_not_matched_by_source:
+                if action not in ("delete", "nothing"):
+                    raise CStoreError(
+                        f"unknown by-source merge action: {action!r}")
+                src_clauses.append((cond, action))
+        else:
+            raise CStoreError("unknown when_not_matched_by_source: "
+                              f"{when_not_matched_by_source!r}")
 
         # one shuffle on the merge key: full-outer join of (key, packed
         # target row) with (key, packed source row); every downstream
@@ -556,10 +580,19 @@ class CStoreCatalog:
                 act.when(pred, action)
         act = (act.otherwise("keep") if act is not None
                else F.lit("keep"))  # no clause matched → row unaffected
+        tgt_only = F.col("t").isNotNull() & F.col("s").isNull()
+        src_act = None
+        for cond, action in src_clauses:
+            pred = tgt_only if cond is None else (tgt_only & F.expr(cond))
+            src_act = (F.when(pred, action) if src_act is None
+                       else src_act.when(pred, action))
+        src_act = (src_act.otherwise("keep") if src_act is not None
+                   else F.lit("keep"))
         out = (F.when(matched & (act == F.lit("update")), F.col("s"))
                .when(matched & (act == F.lit("delete")), F.lit(None))
                .when(matched, F.col("t"))
-               .when(F.col("t").isNotNull(), F.col("t"))
+               .when(tgt_only & (src_act == F.lit("delete")), F.lit(None))
+               .when(tgt_only, F.col("t"))
                .otherwise(F.col("s") if insert else F.lit(None)))
         merged = (j.select(matched.alias("_matched"),
                            F.col("t").isNotNull().alias("_has_t"),
@@ -571,6 +604,9 @@ class CStoreCatalog:
                 F.sum(F.col("_matched").cast("long")).alias("n_matched"),
                 F.sum((~F.col("_has_t") & F.col("_out").isNotNull())
                       .cast("long")).alias("n_inserted"),
+                F.sum((F.col("_has_t") & ~F.col("_matched")
+                       & F.col("_out").isNull())
+                      .cast("long")).alias("n_removed"),
                 F.max("_src_n").alias("max_src"),
                 F.count("_out").alias("n_rows")).collect()[0]
             if (stats.max_src or 0) > 1:
@@ -588,7 +624,8 @@ class CStoreCatalog:
         finally:
             merged.unpersist()
         return {"matched": int(stats.n_matched or 0),
-                "inserted": int(stats.n_inserted or 0)}
+                "inserted": int(stats.n_inserted or 0),
+                "removed_unmatched": int(stats.n_removed or 0)}
 
     def _rewrite(self, name: str, keep=None) -> int:
         meta = self._load_meta(name)

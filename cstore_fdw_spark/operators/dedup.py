@@ -764,7 +764,7 @@ def _simhash_oracle() -> str:
     """
 
 
-@register("dedup_simhash", category="dedup", oracle=_simhash_oracle())
+@register("dedup_simhash", bench=True, category="dedup", oracle=_simhash_oracle())
 def dedup_simhash(spark, sf_dir):
     """SimHash near-dup pairs: 64-bit signatures as four 16-bit chunks,
     chunk blocking (pigeonhole: pairs within Hamming ≤ SIMHASH_CHUNKS-1 = 3
@@ -815,7 +815,7 @@ def _cc_oracle() -> str:
     """
 
 
-@register("dedup_connected_components", category="dedup",
+@register("dedup_connected_components", bench=True, category="dedup",
           oracle=_cc_oracle())
 def dedup_connected_components(spark, sf_dir):
     """Full transitive-closure dedup: connected components of the

@@ -65,7 +65,7 @@ def events_sliding_window(spark, sf_dir):
 
 
 @register(
-    "events_sessionize",
+    "events_sessionize", bench=True,
     category="events",
     oracle=f"""
     WITH flagged AS (

@@ -292,7 +292,7 @@ def q10_returned_items(spark, sf_dir):
 
 
 @register(
-    "asof_join_last_click",
+    "asof_join_last_click", bench=True,
     category="join",
     oracle="""
     SELECT p.event_id, p.user_id, p.ts,

@@ -215,6 +215,7 @@ def q12_shipmode_priority(spark, sf_dir):
 @register(
     "q18_large_volume_customer",
     category="subquery",
+    bench=True,
     oracle=f"""
     SELECT c_custkey, o_orderkey,
            {_dbl(f"SUM(CAST(l_quantity AS {D}))")} AS total_qty

@@ -81,7 +81,7 @@ def text_token_count_bpe_ish(spark, sf_dir):
 
 
 @register(
-    "text_quality_score",
+    "text_quality_score", bench=True,
     category="text",
     oracle="""
     WITH t AS (
@@ -491,7 +491,7 @@ PACK_BUDGET = 2048
 
 
 @register(
-    "text_pack_sequences",
+    "text_pack_sequences", bench=True,
     category="text",
     oracle=f"""
     WITH t AS (

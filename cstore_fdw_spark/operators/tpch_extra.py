@@ -309,7 +309,7 @@ def q20_nested_in_chain(spark, sf_dir):
 
 
 @register(
-    "q21_suppliers_kept_waiting",
+    "q21_suppliers_kept_waiting", bench=True,
     category="tpch",
     oracle="""
     WITH multi AS (

@@ -92,13 +92,19 @@ def get_spark(app_name: str = "cstore_fdw_spark", master: str | None = None,
         builder = builder.master(master)
     # In local[N] ONE JVM holds the driver, every executor thread, and
     # every cached block; the JVM-ergonomics default heap (~1/4 of RAM)
-    # is memory-marginal for a 32-thread run (round-3 bench OOM'd there).
-    # Set before JVM launch (PySpark passes builder confs to spark-submit
-    # at gateway start, so this is honored); env-overridable for smaller
-    # hosts. On a real cluster spark-submit's own --driver-memory wins.
+    # is memory-marginal for a 32-thread run (round-3 bench OOM'd there
+    # — from unbounded cache accumulation, since fixed by track_cache).
+    # 16g is deliberate: with caches bounded to one query's working set
+    # the bench peaks far below it, and a LARGER heap measurably hurts —
+    # at 64g G1's young generation grows to tens of GB and one allocation
+    # burst per bench run ate a multi-second collection pause (observed
+    # as a random query 3-4x over its steady-state time). Set before JVM
+    # launch (PySpark passes builder confs to spark-submit at gateway
+    # start); env-overridable for bigger scale factors. On a real
+    # cluster spark-submit's own --driver-memory wins.
     builder = builder.config(
         "spark.driver.memory",
-        os.environ.get("SPARK_GRAFT_DRIVER_MEM", "64g"))
+        os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
     for k, v in ENGINE_CONFS.items():
         builder = builder.config(k, v)
     for k, v in (extra_confs or {}).items():

@@ -636,14 +636,14 @@ def test_merge_into_upsert(spark, catalog):
         [(1, "a"), (2, "b"), (3, "c")], "k int, v string"))
     src = spark.createDataFrame([(2, "B"), (4, "D")], "k int, v string")
     res = catalog.merge_into("m", src, on="k")
-    assert res == {"matched": 1, "inserted": 1}
+    assert res == {"matched": 1, "inserted": 1, "removed_unmatched": 0}
     out = {(r.k, r.v) for r in catalog.read("m").collect()}
     assert out == {(1, "a"), (2, "B"), (3, "c"), (4, "D")}
     # matched-delete form: drop rows present in the source, no inserts
     res = catalog.merge_into(
         "m", spark.createDataFrame([(1, "x"), (9, "y")], "k int, v string"),
         on="k", when_matched="delete", when_not_matched=None)
-    assert res == {"matched": 1, "inserted": 0}
+    assert res == {"matched": 1, "inserted": 0, "removed_unmatched": 0}
     assert {r.k for r in catalog.read("m").collect()} == {2, 3, 4}
     # a source hitting the same target row twice is rejected (PG MERGE)
     with pytest.raises(CStoreError):
@@ -708,7 +708,7 @@ def test_merge_into_insert_only_keeps_matched_rows(spark, catalog):
         "mi", spark.createDataFrame(
             [(2, "IGNORED"), (3, "c")], "k int, v string"),
         on="k", when_matched=None)
-    assert res == {"matched": 1, "inserted": 1}
+    assert res == {"matched": 1, "inserted": 1, "removed_unmatched": 0}
     out = {(r.k, r.v) for r in catalog.read("mi").collect()}
     assert out == {(1, "a"), (2, "b"), (3, "c")}
 
@@ -730,9 +730,34 @@ def test_merge_into_conditional_actions(spark, catalog):
         when_matched=[("t.qty = 0", "delete"),
                       ("s.qty > t.qty", "update"),
                       ("s.qty < 0", "nothing")])
-    assert res == {"matched": 3, "inserted": 1}
+    assert res == {"matched": 3, "inserted": 1, "removed_unmatched": 0}
     out = {(r.k, r.qty) for r in catalog.read("mc").collect()}
     assert out == {(1, 99), (3, 5), (4, 7), (9, 12)}
+
+
+def test_merge_not_matched_by_source(spark, catalog):
+    # PG 17 WHEN NOT MATCHED BY SOURCE: the classic mirror-the-source
+    # sync — update matched, insert new, delete target rows absent from
+    # the source — in one merge
+    catalog.create_table("ms", "k int, v string")
+    catalog.insert("ms", spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k int, v string"))
+    src = spark.createDataFrame([(2, "B"), (4, "D")], "k int, v string")
+    res = catalog.merge_into("ms", src, on="k",
+                             when_not_matched_by_source="delete")
+    assert res == {"matched": 1, "inserted": 1, "removed_unmatched": 2}
+    assert {(r.k, r.v) for r in catalog.read("ms").collect()} \
+        == {(2, "B"), (4, "D")}
+    # conditional form: only delete unmatched rows satisfying t-predicate
+    catalog.insert("ms", spark.createDataFrame(
+        [(7, "old"), (8, "keep")], "k int, v string"))
+    res = catalog.merge_into(
+        "ms", spark.createDataFrame([(2, "B2")], "k int, v string"),
+        on="k",
+        when_not_matched_by_source=[("t.v = 'old'", "delete")])
+    assert res == {"matched": 1, "inserted": 0, "removed_unmatched": 1}
+    assert {(r.k, r.v) for r in catalog.read("ms").collect()} \
+        == {(2, "B2"), (4, "D"), (8, "keep")}
 
 
 def test_merge_into_is_single_pass(spark, catalog):
