@@ -445,6 +445,91 @@ class CStoreCatalog:
         Partitioned tables compact within each partition."""
         return self._rewrite(name)
 
+    def vacuum(self, name: str, keep_epochs: int = 0) -> int:
+        """Incremental retention (Iceberg ``expire_snapshots`` analog):
+        consolidate data files OLDER than ``write_epoch - keep_epochs``
+        into stripe-sized files stamped AT that cutoff epoch, leaving
+        newer epoch files — and the snapshots they back — untouched.
+        Raises the table's ``history_floor`` to the cutoff, so
+        ``read(as_of_epoch=e)`` keeps working for every ``e`` in the
+        retained window and raises the vacuumed-snapshot error below it.
+        ``keep_epochs=0`` consolidates everything (compact with intact
+        current-epoch semantics).
+
+        At 100 TB this is the bounded-history answer: old epochs stop
+        costing file-count/listing overhead while the recent window
+        stays time-travelable. Commits through the compact swap protocol
+        (kept files hard-link into the staging dir — no data copy).
+        Returns the number of files reclaimed."""
+        meta = self._load_meta(name)
+        fmt = self._format(meta)
+        self._recover_compact(meta, fmt)
+        if any(meta.backfill_files.get(c) for c in meta.backfill_files):
+            # legacy file-name backfill lists can't survive a partial
+            # consolidation — bake everything via the full rewrite
+            self._rewrite(name)
+            return 0
+        # never vacuum below an existing floor (the files are gone)
+        cutoff = max(meta.history_floor,
+                     max(0, meta.write_epoch - keep_epochs))
+        data_path = self._data_path(meta)
+        old_files = [p for p in _data_files(data_path, fmt)
+                     if _file_epoch(p) <= cutoff]
+        if not old_files:
+            return 0
+        df = self.read(name, as_of_epoch=cutoff)
+        stripe_rows = meta.options.get("stripe_row_count",
+                                       DEFAULT_STRIPE_ROW_COUNT)
+        rows_per_file = stripe_rows * 10
+        total = df.count()
+        part = meta.options.get("partition_by")
+        if part:
+            df = df.repartition(*part.split(","))
+        elif total:
+            df = df.repartition(max(1, -(-total // rows_per_file)))
+        sort_by = meta.options.get("sort_by")
+        if sort_by:
+            df = df.sortWithinPartitions(*sort_by.split(","))
+        tmp_path = data_path + ".compact.tmp"
+        old_path = data_path + ".compact.old"
+        shutil.rmtree(tmp_path, ignore_errors=True)
+        if total:
+            writer = (df.write.mode("overwrite")
+                      .option("maxRecordsPerFile", str(rows_per_file)))
+            for k, v in self._writer_options(meta).items():
+                writer = writer.option(k, v)
+            if part:
+                writer = writer.partitionBy(*part.split(","))
+            getattr(writer, fmt)(tmp_path)
+        else:
+            os.makedirs(tmp_path, exist_ok=True)
+        prefix = f"e{cutoff:012d}-"
+        for root, _dirs, files in os.walk(tmp_path):
+            for fn in files:
+                if fn.startswith(("_", ".")):
+                    os.remove(os.path.join(root, fn))
+                else:
+                    os.rename(os.path.join(root, fn),
+                              os.path.join(root, prefix + fn))
+        with self._writer_lock(name):
+            # kept (newer-epoch) files ride along as hard links — zero
+            # data copied, and the swap stays the atomic commit point
+            for p in _data_files(data_path, fmt):
+                if _file_epoch(p) > cutoff:
+                    rel = os.path.relpath(p, data_path)
+                    dest = os.path.join(tmp_path, rel)
+                    os.makedirs(os.path.dirname(dest), exist_ok=True)
+                    os.link(p, dest)
+            os.rename(data_path, old_path)
+            os.rename(tmp_path, data_path)
+            shutil.rmtree(old_path)
+            meta.history_floor = cutoff
+            self._save_meta(meta)
+        self._refresh_registered(meta)
+        new_old = sum(1 for p in _data_files(data_path, fmt)
+                      if _file_epoch(p) <= cutoff)
+        return len(old_files) - new_old
+
     def delete_where(self, name: str, predicate: Any) -> int:
         """Copy-on-write DELETE (extension — the reference, like this
         engine's storage model, is append-only with no row-level delete;

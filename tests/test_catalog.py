@@ -630,6 +630,48 @@ def test_time_travel_read_as_of_epoch(spark, catalog):
     assert catalog.read("tt", as_of_epoch=floor).count() == 3
 
 
+def test_vacuum_keeps_recent_snapshots(spark, catalog):
+    # vacuum(keep_epochs=N) consolidates files older than the cutoff but
+    # keeps the recent epoch window time-travelable: snapshots at/after
+    # the cutoff stay exact, below it they raise the vacuumed error
+    catalog.create_table("vt", "a int")
+    for i in range(4):  # epochs 1..4, one file each
+        catalog.insert("vt", spark.createDataFrame([(i,)], "a int"))
+    reclaimed = catalog.vacuum("vt", keep_epochs=2)  # cutoff = epoch 2
+    assert reclaimed >= 1  # epochs 1+2 consolidated into one file
+    assert catalog._load_meta("vt").history_floor == 2
+    # retained window: exact snapshots
+    assert {r.a for r in catalog.read("vt", as_of_epoch=2).collect()} \
+        == {0, 1}
+    assert {r.a for r in catalog.read("vt", as_of_epoch=3).collect()} \
+        == {0, 1, 2}
+    assert {r.a for r in catalog.read("vt").collect()} == {0, 1, 2, 3}
+    with pytest.raises(CStoreError, match="history floor"):
+        catalog.read("vt", as_of_epoch=1)
+    # appending after vacuum keeps epochs monotone and readable
+    catalog.insert("vt", spark.createDataFrame([(9,)], "a int"))
+    assert {r.a for r in catalog.read("vt").collect()} == {0, 1, 2, 3, 9}
+    # vacuum everything: current reads unchanged, floor = current epoch
+    catalog.vacuum("vt", keep_epochs=0)
+    assert {r.a for r in catalog.read("vt").collect()} == {0, 1, 2, 3, 9}
+    assert catalog.read(
+        "vt", as_of_epoch=catalog.current_epoch("vt")).count() == 5
+
+
+def test_vacuum_partitioned_table(spark, catalog):
+    catalog.create_table("vp", "a int, grp string", partition_by="grp")
+    for i in range(3):
+        catalog.insert("vp", spark.createDataFrame(
+            [(i, "x"), (i, "y")], "a int, grp string"))
+    catalog.vacuum("vp", keep_epochs=1)
+    rows = sorted((r.a, r.grp) for r in catalog.read("vp").collect())
+    assert rows == sorted((i, g) for i in range(3) for g in ("x", "y"))
+    # snapshot inside the retained window still partition-correct
+    snap = sorted((r.a, r.grp)
+                  for r in catalog.read("vp", as_of_epoch=2).collect())
+    assert snap == sorted((i, g) for i in range(2) for g in ("x", "y"))
+
+
 def test_merge_into_upsert(spark, catalog):
     catalog.create_table("m", "k int, v string")
     catalog.insert("m", spark.createDataFrame(
@@ -680,6 +722,34 @@ def test_insert_crash_batch_invisible_and_collected(spark, catalog):
     catalog.insert("ic", spark.createDataFrame([(3,)], "a int"))
     assert not os.path.exists(orphan)
     assert {r.a for r in catalog.read("ic").collect()} == {1, 2, 3}
+
+
+def test_concurrent_inserts_serialize_without_loss(spark, catalog):
+    # 4 threads x 3 appends: the per-table writer lock must serialize
+    # commits so no batch is lost, no epoch collides, and every row is
+    # visible afterwards
+    import threading
+
+    catalog.create_table("ci", "a int")
+    errs = []
+
+    def run(base):
+        try:
+            for i in range(3):
+                catalog.insert("ci", spark.createDataFrame(
+                    [(base * 100 + i,)], "a int"))
+        except Exception as e:  # noqa: BLE001
+            errs.append(e)
+
+    threads = [threading.Thread(target=run, args=(b,)) for b in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs
+    rows = {r.a for r in catalog.read("ci").collect()}
+    assert rows == {b * 100 + i for b in range(4) for i in range(3)}
+    assert catalog.current_epoch("ci") == 12  # one epoch per commit
 
 
 def test_insert_overwrite_never_empty_window(spark, catalog):
