@@ -536,3 +536,143 @@ def text_pack_sequences(spark, sf_dir):
                  F.sum("n_tokens").alias("tokens_total"),
                  F.min("doc_id").alias("first_doc"),
                  F.max("doc_id").alias("last_doc")))
+
+
+# ---------------------------------------------------------------- decontam
+
+#: shingle width for eval-set decontamination. Published pipelines use
+#: 8-13 token n-grams (GPT-3 used 13; the synthetic docs average ~54
+#: tokens, so 8 keeps several shingles per doc).
+DECON_K = 8
+#: benchmark membership: every 11th doc_id stands in for the held-out
+#: eval set (a real pipeline would join an external benchmark corpus).
+DECON_MOD = 11
+
+
+def _shingle_expr(k: int) -> str:
+    """K-token shingle array as a pure JVM expression — same
+    one-evaluation-per-row `transform(array(e), x -> body)[0]` trick as
+    the dedup pipeline (ProjectCollapse would otherwise re-inline
+    split() per shingle position: O(len²))."""
+    return (
+        "transform(array(split(text, ' ')), toks ->"
+        " array_distinct(filter(transform("
+        f"   sequence(1, greatest(size(toks) - {k - 1}, 1)),"
+        f"   i -> concat_ws(' ', slice(toks, i, {k}))), s -> s <> '')))[0]"
+    )
+
+
+@register(
+    "text_decontaminate_ngram",
+    category="text",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, string_split(text, ' ') AS toks
+      FROM documents WHERE text <> ''),
+    sh AS (
+      SELECT doc_id, list_distinct(list_filter(list_transform(
+          generate_series(1, GREATEST(len(toks) - {DECON_K - 1}, 1)),
+          i -> array_to_string(list_slice(toks, i, i + {DECON_K - 1}), ' ')),
+        s -> s <> '')) AS shingles
+      FROM base),
+    ex AS (SELECT doc_id, UNNEST(shingles) AS s FROM sh),
+    bench AS (SELECT DISTINCT s FROM ex WHERE doc_id % {DECON_MOD} = 0),
+    corpus AS (SELECT doc_id, s FROM ex WHERE doc_id % {DECON_MOD} <> 0),
+    shared AS (
+      SELECT c.doc_id, COUNT(*) AS n_shared
+      FROM corpus c JOIN bench b ON c.s = b.s GROUP BY c.doc_id),
+    sizes AS (SELECT doc_id, CAST(len(shingles) AS BIGINT) AS n_shingles
+              FROM sh WHERE doc_id % {DECON_MOD} <> 0)
+    SELECT z.doc_id, z.n_shingles,
+           CAST(COALESCE(s.n_shared, 0) AS BIGINT) AS n_shared,
+           (COALESCE(s.n_shared, 0) * 5 >= z.n_shingles
+            OR COALESCE(s.n_shared, 0) >= 8) AS contaminated
+    FROM sizes z LEFT JOIN shared s ON z.doc_id = s.doc_id
+    """)
+def text_decontaminate_ngram(spark, sf_dir):
+    """Benchmark decontamination: flag training documents that share
+    {DECON_K}-token n-grams with the held-out eval set (every
+    {DECON_MOD}th doc stands in for it) — the GPT-3/Pile-style overlap
+    check that keeps eval answers out of the training mix. A doc is
+    contaminated when ≥20% of its shingles (or ≥8 absolute) appear in
+    the benchmark; both thresholds are exact-integer rules, so the
+    result hash-matches the DuckDB oracle with no float comparisons.
+
+    Scale: the benchmark shingle set is the SMALL side by construction
+    (eval suites are MBs, corpora are TBs) — it broadcasts, so the
+    corpus-side shingle stream joins map-side with no shuffle of the
+    corpus; per-doc counts then aggregate map-side-combined on doc_id.
+    Shingles stay inside whole-stage codegen (no Python)."""
+    d = (table(spark, sf_dir, "documents").filter(F.col("text") != "")
+         .select("doc_id", F.expr(_shingle_expr(DECON_K)).alias("shingles")))
+    ex = d.select("doc_id", F.explode("shingles").alias("s"))
+    bench = (ex.filter(F.col("doc_id") % DECON_MOD == 0)
+             .select("s").distinct())
+    corpus = ex.filter(F.col("doc_id") % DECON_MOD != 0)
+    shared = (corpus.join(F.broadcast(bench), "s", "left_semi")
+              .groupBy("doc_id")
+              .agg(F.count(F.lit(1)).alias("shared_cnt")))
+    sizes = (d.filter(F.col("doc_id") % DECON_MOD != 0)
+             .select("doc_id",
+                     F.size("shingles").cast("long").alias("n_shingles")))
+    n_shared = F.coalesce(F.col("shared_cnt"), F.lit(0)).cast("long")
+    return (sizes.join(shared, "doc_id", "left")
+            .select("doc_id", "n_shingles",
+                    n_shared.alias("n_shared"),
+                    ((n_shared * 5 >= F.col("n_shingles"))
+                     | (n_shared >= 8)).alias("contaminated")))
+
+
+# ---------------------------------------------------------------- rarity
+
+#: fixed-point scale for the inverse-unigram-probability surrogate
+_RARITY_SCALE = 1_000_000
+
+
+@register(
+    "text_rarity_score",
+    category="text",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS token
+      FROM documents WHERE text <> ''),
+    cnt AS (SELECT token, COUNT(*) AS c FROM tok GROUP BY token),
+    tot AS (SELECT COUNT(*) AS total FROM tok),
+    scored AS (
+      SELECT t.doc_id,
+             CAST(tot.total AS BIGINT) * {_RARITY_SCALE} // cnt.c
+               AS rarity_fp
+      FROM tok t JOIN cnt ON t.token = cnt.token CROSS JOIN tot)
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tok,
+           SUM(rarity_fp) // COUNT(*) AS mean_rarity_fp
+    FROM scored GROUP BY doc_id
+    """)
+def text_rarity_score(spark, sf_dir):
+    """Perplexity-proxy quality score: mean inverse unigram probability
+    per document (CCNet-style LM filtering's cheap stand-in). For each
+    token instance, rarity = total_tokens/corpus_count(token) in 1e6
+    fixed point via exact integer floor division — NOT -ln p: ln() is
+    not bit-identical across libm implementations (same reasoning as
+    the tfidf idf surrogate), while the integer form hash-matches the
+    oracle exactly and orders documents identically to mean 1/p.
+    High scores = rare-token-heavy docs (specialist text or garbage —
+    both ends get reviewed in a curation pipeline).
+
+    Scale: one (token) count aggregate (map-side combined), a scalar
+    total (broadcast), then one join from the token stream to the count
+    table — the count table is Zipf-compact (vocab ≪ corpus) so AQE
+    broadcasts it at realistic vocab sizes; the final per-doc mean
+    aggregates map-side on doc_id."""
+    d = table(spark, sf_dir, "documents").filter(F.col("text") != "")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    cnt = tok.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    tot = tok.agg(F.count(F.lit(1)).alias("total"))
+    scored = (tok.join(cnt, "token")
+              .join(F.broadcast(tot))
+              .select("doc_id",
+                      F.expr(f"total * {_RARITY_SCALE} div c")
+                      .alias("rarity_fp")))
+    return (scored.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_tok"),
+                 F.expr("sum(rarity_fp) div count(1)")
+                 .alias("mean_rarity_fp")))
