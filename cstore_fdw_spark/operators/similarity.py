@@ -256,6 +256,37 @@ IVF_NLIST = 16    # coarse centroids
 IVF_NPROBE = 3    # probed cells per query
 
 
+def _ivf_scored_cells(e):
+    """(vec_id, embedding, norm, cell, ccos, rn) — every vector scored
+    against the deterministic hash-seeded coarse centroids, rn ordering
+    cells by cosine per vector (rn=1 is the vector's home cell). Shared
+    by IVF search and clustered semantic dedup. Centers are tiny
+    (nlist×dim) → broadcast; the top-NLIST-by-portable-hash sample is a
+    cheap metadata-size top-k, not a full sort, at 100 TB."""
+    from cstore_fdw_spark.functions.portable_hash import spark_h60
+
+    wc = Window.orderBy("h", "vec_id")
+    cents = (e.select("vec_id", "embedding",
+                      F.expr(spark_h60("cast(vec_id as string)")).alias("h"))
+             .withColumn("rn", F.row_number().over(wc))
+             .filter(F.col("rn") <= IVF_NLIST)
+             .select((F.col("rn") - 1).alias("cell"),
+                     F.col("embedding").alias("centroid"),
+                     F.sqrt(dot(F.col("embedding"), F.col("embedding")))
+                     .alias("centnorm")))
+    v = e.select("vec_id", "embedding",
+                 F.sqrt(dot(F.col("embedding"), F.col("embedding")))
+                 .alias("norm"))
+    ccos = (dot(F.col("embedding"), F.col("centroid"))
+            / (F.col("norm") * F.col("centnorm")))
+    wassign = Window.partitionBy("vec_id").orderBy(F.col("ccos").desc(),
+                                                   "cell")
+    return (v.crossJoin(F.broadcast(cents))
+            .select("vec_id", "embedding", "norm", "cell",
+                    ccos.alias("ccos"))
+            .withColumn("rn", F.row_number().over(wassign)))
+
+
 def _ivf_oracle() -> str:
     """DuckDB replica of the IVF pipeline: same hash-seeded centroid
     selection, same argmax-cosine assignment, same probe + re-rank."""
@@ -321,32 +352,8 @@ def ann_ivf_coarse(spark, sf_dir):
     pass; every cosine is an ordered fold, so the DuckDB oracle
     reproduces cells, probes, and ranking bit-for-bit.
     Output: (query_id, neighbor_id, rank, cos)."""
-    from cstore_fdw_spark.functions.portable_hash import spark_h60
-
     e = table(spark, sf_dir, "embeddings")
-    wc = Window.orderBy("h", "vec_id")
-    # top-NLIST by portable hash = deterministic uniform sample; the
-    # global sort is over a metadata-size projection (id, hash) and NLIST
-    # rows survive — at 100 TB this is a cheap top-k, not a full sort
-    cents = (e.select("vec_id", "embedding",
-                      F.expr(spark_h60("cast(vec_id as string)")).alias("h"))
-             .withColumn("rn", F.row_number().over(wc))
-             .filter(F.col("rn") <= IVF_NLIST)
-             .select((F.col("rn") - 1).alias("cell"),
-                     F.col("embedding").alias("centroid"),
-                     F.sqrt(dot(F.col("embedding"), F.col("embedding")))
-                     .alias("centnorm")))
-    v = e.select("vec_id", "embedding",
-                 F.sqrt(dot(F.col("embedding"), F.col("embedding")))
-                 .alias("norm"))
-    ccos = (dot(F.col("embedding"), F.col("centroid"))
-            / (F.col("norm") * F.col("centnorm")))
-    wassign = Window.partitionBy("vec_id").orderBy(F.col("ccos").desc(),
-                                                   "cell")
-    scored_cells = (v.crossJoin(F.broadcast(cents))
-                    .select("vec_id", "embedding", "norm", "cell",
-                            ccos.alias("ccos"))
-                    .withColumn("rn", F.row_number().over(wassign)))
+    scored_cells = _ivf_scored_cells(e)
     assigned = (scored_cells.filter(F.col("rn") == 1)
                 .select("vec_id", "embedding", "norm", "cell"))
     probes = (scored_cells.filter((F.col("vec_id") < N_QUERIES)
@@ -367,3 +374,90 @@ def ann_ivf_coarse(spark, sf_dir):
             .withColumn("rank", F.row_number().over(w).cast("long"))
             .filter(F.col("rank") <= TOP_K)
             .select("query_id", "neighbor_id", "rank", "cos"))
+
+
+# --------------------------------------------------------------- semdedup
+
+#: within-cluster duplicate threshold — same cosine bar as the embedding
+#: dedup family (dedup.EMB_DEDUP_TAU; duplicated constant keeps the
+#: modules decoupled)
+SEMDEDUP_TAU = 0.35
+
+
+def _semdedup_oracle() -> str:
+    from cstore_fdw_spark.functions.portable_hash import duck_h60
+
+    ccos = """
+     list_dot_product(e.embedding::DOUBLE[], c.centroid::DOUBLE[]) /
+     (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) *
+      sqrt(list_dot_product(c.centroid::DOUBLE[], c.centroid::DOUBLE[])))"""
+    return f"""
+    WITH cents AS (
+      SELECT rn - 1 AS cell, embedding AS centroid FROM (
+        SELECT vec_id, embedding,
+               ROW_NUMBER() OVER (
+                 ORDER BY {duck_h60("CAST(vec_id AS VARCHAR)")}, vec_id)
+                 AS rn
+        FROM embeddings) t
+      WHERE rn <= {IVF_NLIST}),
+    ccos AS (
+      SELECT e.vec_id, c.cell, {ccos} AS ccos
+      FROM embeddings e, cents c),
+    assign AS (
+      SELECT vec_id, cell FROM (
+        SELECT vec_id, cell,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY ccos DESC, cell) AS rn
+        FROM ccos) t WHERE rn = 1),
+    pairs AS (
+      SELECT * FROM (
+        SELECT sa.vec_id AS va, sb.vec_id AS vb,
+               CAST(sa.cell AS BIGINT) AS cell, {_ORACLE_COS} AS cos
+        FROM assign sa
+        JOIN assign sb ON sa.cell = sb.cell AND sa.vec_id < sb.vec_id
+        JOIN embeddings a ON a.vec_id = sa.vec_id
+        JOIN embeddings b ON b.vec_id = sb.vec_id) t
+      WHERE cos >= {SEMDEDUP_TAU})
+    SELECT vb AS dup_id, va AS keeper_id, cell, cos FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY vb ORDER BY va) AS rn
+      FROM pairs) t
+    WHERE rn = 1
+    """
+
+
+@register("dedup_semantic_clustered", category="dedup",
+          oracle=_semdedup_oracle())
+def dedup_semantic_clustered(spark, sf_dir):
+    """SemDeDup-style semantic deduplication (Abbas et al. '23): cluster
+    the corpus with the IVF coarse quantizer, then find cosine-≥-τ
+    duplicates ONLY within each cluster; each duplicate maps to the
+    smallest-id keeper it duplicates. The third embedding-dedup scale
+    path next to the exact per-label anchor and sign-LSH blocking:
+    clustering bounds the pair space at Σ|cell|² ≈ N²/nlist (nlist
+    scales with corpus size in production, keeping cells ~constant), and
+    cluster assignment is one broadcast argmax pass — no shuffle of the
+    vectors beyond the per-cell equi-join.
+
+    Every cosine is an ordered fold, so the DuckDB oracle reproduces
+    cells, pairs, and keeper choice bit-for-bit.
+    Output: (dup_id, keeper_id, cell, cos)."""
+    e = table(spark, sf_dir, "embeddings")
+    assigned = (_ivf_scored_cells(e).filter(F.col("rn") == 1)
+                .select("vec_id", "embedding", "norm",
+                        F.col("cell").cast("long").alias("cell")))
+    a = assigned.select(F.col("vec_id").alias("va"),
+                        F.col("embedding").alias("avec"),
+                        F.col("norm").alias("anorm"), "cell")
+    b = assigned.select(F.col("vec_id").alias("vb"),
+                        F.col("embedding").alias("bvec"),
+                        F.col("norm").alias("bnorm"), "cell")
+    cos = dot(F.col("avec"), F.col("bvec")) / (F.col("anorm") * F.col("bnorm"))
+    pairs = (a.join(b, ["cell"])
+             .filter(F.col("va") < F.col("vb"))
+             .select("va", "vb", "cell", cos.alias("cos"))
+             .filter(F.col("cos") >= SEMDEDUP_TAU))
+    w = Window.partitionBy("vb").orderBy("va")
+    return (pairs.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(F.col("vb").alias("dup_id"),
+                    F.col("va").alias("keeper_id"), "cell", "cos"))

@@ -114,7 +114,9 @@ def test_no_unbounded_nested_loop_joins(spark, sf_dir):
     from cstore_fdw_spark.operators import load_all
 
     allowed_bnlj = {"ann_cosine_topk", "ann_ivf_coarse", "join_cross",
-                    "q11_important_stock", "q22_global_sales_opportunity"}
+                    "q11_important_stock", "q22_global_sales_opportunity",
+                    # vectors × 16 broadcast IVF centroids (bounded side)
+                    "dedup_semantic_clustered"}
     reg = load_all()
     checked = 0
     for name, spec in sorted(reg.items()):
