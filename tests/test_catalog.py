@@ -672,6 +672,39 @@ def test_vacuum_partitioned_table(spark, catalog):
     assert snap == sorted((i, g) for i in range(2) for g in ("x", "y"))
 
 
+def test_merge_into_partitioned_table(spark, catalog):
+    # the single-pass merge must commit correctly through the
+    # partitionBy rewrite path (hive-layout dirs, partition values kept)
+    catalog.create_table("mpart", "k int, v string, grp string",
+                         partition_by="grp")
+    catalog.insert("mpart", spark.createDataFrame(
+        [(1, "a", "x"), (2, "b", "y")], "k int, v string, grp string"))
+    res = catalog.merge_into(
+        "mpart", spark.createDataFrame(
+            [(2, "B", "y"), (3, "c", "x")], "k int, v string, grp string"),
+        on="k")
+    assert res == {"matched": 1, "inserted": 1, "removed_unmatched": 0}
+    rows = {(r.k, r.v, r.grp) for r in catalog.read("mpart").collect()}
+    assert rows == {(1, "a", "x"), (2, "B", "y"), (3, "c", "x")}
+    import os
+    data = catalog._data_path(catalog._load_meta("mpart"))
+    assert any(d.startswith("grp=") for d in os.listdir(data))
+
+
+def test_vacuum_with_pending_backfill_bakes_defaults(spark, catalog):
+    # a table with a pending ADD COLUMN DEFAULT watermark still vacuums
+    # correctly: old rows keep reading the default, explicit values stay
+    catalog.create_table("vb", "a int")
+    catalog.insert("vb", spark.createDataFrame([(1,), (2,)], "a int"))
+    catalog.add_column("vb", "d", "int", default=7)
+    catalog.insert("vb", spark.createDataFrame(
+        [(3, None), (4, 9)], "a int, d int"))
+    catalog.vacuum("vb", keep_epochs=1)
+    rows = {(r.a, r.d) for r in catalog.read("vb").collect()}
+    # pre-column rows read the default; the explicit NULL stays NULL
+    assert rows == {(1, 7), (2, 7), (3, None), (4, 9)}
+
+
 def test_merge_into_upsert(spark, catalog):
     catalog.create_table("m", "k int, v string")
     catalog.insert("m", spark.createDataFrame(
