@@ -650,13 +650,17 @@ class CStoreCatalog:
         # over its cached output (the round-3 version re-executed the
         # join for each of four counters).
         tgt = self.read(name)
-        t = tgt.select(*[F.col(k) for k in keys],
+        # keys are joined under internal _k{i} names so the packed-row
+        # struct aliases "t"/"s" can never collide with a table column
+        # (a merge key literally named t or s is legal)
+        kcols = [f"_k{i}" for i in range(len(keys))]
+        t = tgt.select(*[F.col(k).alias(a) for k, a in zip(keys, kcols)],
                        F.struct(*[F.col(c) for c in names]).alias("t"))
-        dup_w = Window.partitionBy(*keys)
-        s = src.select(*[F.col(k) for k in keys],
+        dup_w = Window.partitionBy(*[F.col(k) for k in keys])
+        s = src.select(*[F.col(k).alias(a) for k, a in zip(keys, kcols)],
                        F.struct(*[F.col(c) for c in names]).alias("s"),
                        F.count(F.lit(1)).over(dup_w).alias("_src_n"))
-        j = t.join(s, keys, "full_outer")
+        j = t.join(s, kcols, "full_outer")
         matched = F.col("t").isNotNull() & F.col("s").isNotNull()
         act = None
         for cond, action in clauses:

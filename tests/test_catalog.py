@@ -672,6 +672,27 @@ def test_vacuum_partitioned_table(spark, catalog):
     assert snap == sorted((i, g) for i in range(2) for g in ("x", "y"))
 
 
+def test_merge_key_named_like_internal_struct(spark, catalog):
+    # a merge key literally named "t" (or "s") must not collide with the
+    # internal packed-row struct aliases
+    catalog.create_table("mt", "t int, s string")
+    catalog.insert("mt", spark.createDataFrame(
+        [(1, "a"), (2, "b")], "t int, s string"))
+    res = catalog.merge_into(
+        "mt", spark.createDataFrame([(2, "B"), (3, "c")], "t int, s string"),
+        on="t")
+    assert res == {"matched": 1, "inserted": 1, "removed_unmatched": 0}
+    assert {(r.t, r.s) for r in catalog.read("mt").collect()} \
+        == {(1, "a"), (2, "B"), (3, "c")}
+    # conditional chain still addresses columns through t.*/s.*
+    res = catalog.merge_into(
+        "mt", spark.createDataFrame([(3, "C")], "t int, s string"),
+        on="t", when_matched=[("s.s > t.s", "update")])
+    assert res["matched"] == 1
+    assert {(r.t, r.s) for r in catalog.read("mt").collect()} \
+        == {(1, "a"), (2, "B"), (3, "c")}  # "C" < "c" → clause false
+
+
 def test_merge_into_partitioned_table(spark, catalog):
     # the single-pass merge must commit correctly through the
     # partitionBy rewrite path (hive-layout dirs, partition values kept)
