@@ -64,6 +64,18 @@ class CStoreError(Exception):
     """Engine-level error (mirrors the reference's ereport(ERROR) paths)."""
 
 
+class CStoreConcurrentWriteError(CStoreError):
+    """Optimistic-commit conflict: another writer committed between the
+    start of a copy-on-write rewrite (compact/vacuum/DELETE/MERGE/ALTER)
+    and its swap. The staged output was computed from a now-stale file
+    set — swapping it in would silently drop the concurrent batch, and
+    saving the stale metadata would regress ``write_epoch`` (making the
+    concurrently committed files orphan-collectable). The commit is
+    refused instead; ``_rewrite`` retries from a fresh read, MERGE
+    surfaces this error (PostgreSQL serialization-failure contract:
+    re-run the statement)."""
+
+
 def validate_options(options: dict[str, Any]) -> dict[str, Any]:
     """Validate table options; unknown keys and out-of-range values error
     (parity with cstore_fdw_validator, reference cstore_fdw.c:1273-1340)."""
@@ -512,6 +524,23 @@ class CStoreCatalog:
                     os.rename(os.path.join(root, fn),
                               os.path.join(root, prefix + fn))
         with self._writer_lock(name):
+            # optimistic commit: the staged consolidation covers only
+            # files ≤ cutoff, which concurrent INSERTs never touch (new
+            # batches stamp epochs above the committed write_epoch), so
+            # an epoch advance alone does NOT invalidate it — the new
+            # files simply ride along via the live listing below. A
+            # concurrent REWRITE does invalidate it (the whole dir was
+            # replaced); every rewrite commit raises history_floor, so
+            # that is the conflict signal. The meta saved is re-loaded
+            # here — never the copy from operation start, whose
+            # write_epoch may be stale (saving it would regress the
+            # epoch and orphan-collect a concurrently committed batch).
+            fresh = self._load_meta(name)
+            if fresh.history_floor != meta.history_floor:
+                shutil.rmtree(tmp_path, ignore_errors=True)
+                raise CStoreConcurrentWriteError(
+                    f'concurrent rewrite of "{name}" invalidated this '
+                    "vacuum; re-run it")
             # kept (newer-epoch) files ride along as hard links — zero
             # data copied, and the swap stays the atomic commit point
             for p in _data_files(data_path, fmt):
@@ -523,8 +552,9 @@ class CStoreCatalog:
             os.rename(data_path, old_path)
             os.rename(tmp_path, data_path)
             shutil.rmtree(old_path)
-            meta.history_floor = cutoff
-            self._save_meta(meta)
+            fresh.history_floor = cutoff
+            self._save_meta(fresh)
+            meta = fresh
         self._refresh_registered(meta)
         new_old = sum(1 for p in _data_files(data_path, fmt)
                       if _file_epoch(p) <= cutoff)
@@ -600,6 +630,7 @@ class CStoreCatalog:
         """
         keys = [on] if isinstance(on, str) else list(on)
         meta = self._load_meta(name)
+        base_epoch = meta.write_epoch  # optimistic-commit read snapshot
         target = meta.schema()
         for k in keys:
             if k not in target.fieldNames():
@@ -706,10 +737,16 @@ class CStoreCatalog:
                 self.truncate(name)
                 self._refresh_registered(meta)
             else:
+                # surfaces CStoreConcurrentWriteError if another writer
+                # committed since the join's read snapshot — the PG
+                # serialization-failure contract: re-run the MERGE
+                # (retrying internally would silently re-execute the
+                # expensive join; the caller owns that decision)
                 self._rewrite_df(
                     meta,
                     merged.filter(F.col("_out").isNotNull())
-                    .select("_out.*"))
+                    .select("_out.*"),
+                    base_epoch=base_epoch)
         finally:
             merged.unpersist()
         return {"matched": int(stats.n_matched or 0),
@@ -717,9 +754,26 @@ class CStoreCatalog:
                 "removed_unmatched": int(stats.n_removed or 0)}
 
     def _rewrite(self, name: str, keep=None) -> int:
+        # optimistic-concurrency loop: the distributed rewrite runs
+        # unlocked; if another writer committed meanwhile the lock-held
+        # commit refuses and we redo from a fresh read (which then
+        # includes the concurrent batch). Bounded — losing the race
+        # three times in a row means sustained concurrent ingest, and
+        # the caller should schedule the rewrite differently.
+        for _ in range(3):
+            try:
+                return self._rewrite_once(name, keep)
+            except CStoreConcurrentWriteError:
+                continue
+        raise CStoreConcurrentWriteError(
+            f'rewrite of "{name}" lost the commit race 3 times to '
+            "concurrent writers; retry when ingest quiesces")
+
+    def _rewrite_once(self, name: str, keep=None) -> int:
         meta = self._load_meta(name)
         fmt = self._format(meta)
         self._recover_compact(meta, fmt)
+        base_epoch = meta.write_epoch
         df = self.read(name)
         if keep is not None:
             df = df.filter(keep)
@@ -746,7 +800,6 @@ class CStoreCatalog:
             df = df.sortWithinPartitions(*sort_by.split(","))
         data_path = self._data_path(meta)
         tmp_path = data_path + ".compact.tmp"
-        old_path = data_path + ".compact.old"
         shutil.rmtree(tmp_path, ignore_errors=True)
         writer = (df.write.mode("overwrite")
                   .option("maxRecordsPerFile", str(rows_per_file)))
@@ -755,21 +808,60 @@ class CStoreCatalog:
         if part:
             writer = writer.partitionBy(*part.split(","))
         getattr(writer, fmt)(tmp_path)
-        os.rename(data_path, old_path)
-        os.rename(tmp_path, data_path)
-        shutil.rmtree(old_path)
-        if meta.backfill_files or meta.backfill_watermark:
-            # defaults are baked into the rewritten files; nothing
-            # pre-dates any column anymore (clearing the watermarks is
-            # also what keeps explicit NULLs baked by this rewrite from
-            # re-reading as the default — compacted files carry no epoch
-            # stamp and would otherwise fall under every watermark)
-            meta.backfill_files = {c: [] for c in meta.backfill_files}
-            meta.backfill_watermark = {c: None for c in meta.column_defaults}
-        meta.history_floor = meta.write_epoch  # snapshots before this die
-        self._save_meta(meta)
-        self._refresh_registered(meta)
+        fresh = self._commit_swap(name, base_epoch, tmp_path)
+        self._refresh_registered(fresh)
         return sum(1 for _ in _data_files(data_path, fmt))
+
+    def _commit_swap(self, name: str, base_epoch: int, tmp_path: str,
+                     mutate=None) -> TableMeta:
+        """Commit a staged full-table rewrite under the per-table writer
+        lock (optimistic concurrency — the Iceberg commit protocol shape).
+
+        The expensive distributed write into ``tmp_path`` ran UNLOCKED
+        against the file set visible at ``base_epoch``. Here the
+        metadata is re-loaded under the lock: if any other writer
+        committed in the meantime (``write_epoch`` moved, or another
+        rewrite raised ``history_floor``), swapping the stage in would
+        silently drop that committed batch — and saving the stale meta
+        would regress ``write_epoch``, making the concurrent files
+        orphan-collectable by :meth:`_recover_orphans` (a data-loss
+        path). The commit is refused with
+        :class:`CStoreConcurrentWriteError` instead and the stage is
+        removed. On success the FRESHLY loaded meta (never the caller's
+        possibly-stale copy) is mutated and saved; ``write_epoch`` is
+        bumped so rewrite commits are themselves visible to other
+        in-flight optimistic writers.
+
+        ``mutate(fresh_meta)`` applies caller metadata edits (e.g.
+        RENAME COLUMN's schema change) before the save."""
+        with self._writer_lock(name):
+            fresh = self._load_meta(name)
+            if fresh.write_epoch != base_epoch:
+                shutil.rmtree(tmp_path, ignore_errors=True)
+                raise CStoreConcurrentWriteError(
+                    f'concurrent write to "{name}" (epoch {base_epoch} '
+                    f"→ {fresh.write_epoch}) invalidated this rewrite")
+            data_path = self._data_path(fresh)
+            old_path = data_path + ".compact.old"
+            os.rename(data_path, old_path)
+            os.rename(tmp_path, data_path)
+            shutil.rmtree(old_path)
+            if mutate is not None:
+                mutate(fresh)
+            if fresh.backfill_files or fresh.backfill_watermark:
+                # defaults are baked into the rewritten files; nothing
+                # pre-dates any column anymore (clearing the watermarks
+                # is also what keeps explicit NULLs baked by this
+                # rewrite from re-reading as the default — compacted
+                # files carry no epoch stamp and would otherwise fall
+                # under every watermark)
+                fresh.backfill_files = {c: [] for c in fresh.backfill_files}
+                fresh.backfill_watermark = {
+                    c: None for c in fresh.column_defaults}
+            fresh.write_epoch += 1  # rewrite commits are real commits
+            fresh.history_floor = fresh.write_epoch  # prior snapshots die
+            self._save_meta(fresh)
+        return fresh
 
     @contextmanager
     def _writer_lock(self, name: str):
@@ -989,59 +1081,67 @@ class CStoreCatalog:
         """ALTER TABLE ADD COLUMN [DEFAULT const] — old stripes synthesize
         the default at read time (reference cstore_reader.c:1224-1248;
         only constant defaults, cstore_reader.c:1257-1292)."""
-        meta = self._load_meta(name)
-        schema = meta.schema()
-        if column in schema.fieldNames():
-            raise CStoreError(f'column "{column}" already exists')
-        schema = schema.add(column, T.StructType.fromDDL(f"x {dtype}")[0].dataType)
-        meta.schema_json = json.dumps(schema.jsonValue())
-        if default is not None:
-            if isinstance(default, (list, dict)):
-                raise CStoreError(
-                    "unsupported non-constant default value")
-            meta.column_defaults[column] = default
-            # record the write-epoch watermark: only rows from files
-            # stamped with epoch <= this (including legacy/compacted
-            # files with no stamp, which read as epoch 0) get the default
-            # at read time (cstore_reader.c:1224-1292 backfills exactly
-            # the stripes older than the column) — O(1) metadata, no file
-            # listing
-            meta.backfill_watermark[column] = meta.write_epoch
-        self._save_meta(meta)
+        if default is not None and isinstance(default, (list, dict)):
+            raise CStoreError("unsupported non-constant default value")
+        dt = T.StructType.fromDDL(f"x {dtype}")[0].dataType
+        # load-mutate-save runs under the writer lock: an unlocked save
+        # could clobber a concurrently committed insert's epoch bump
+        # (regressing write_epoch orphan-collects that batch)
+        with self._writer_lock(name):
+            meta = self._load_meta(name)
+            schema = meta.schema()
+            if column in schema.fieldNames():
+                raise CStoreError(f'column "{column}" already exists')
+            schema = schema.add(column, dt)
+            meta.schema_json = json.dumps(schema.jsonValue())
+            if default is not None:
+                meta.column_defaults[column] = default
+                # record the write-epoch watermark: only rows from files
+                # stamped with epoch <= this (including legacy/compacted
+                # files with no stamp, which read as epoch 0) get the
+                # default at read time (cstore_reader.c:1224-1292
+                # backfills exactly the stripes older than the column) —
+                # O(1) metadata, no file listing
+                meta.backfill_watermark[column] = meta.write_epoch
+            self._save_meta(meta)
 
     def drop_column(self, name: str, column: str) -> None:
         """ALTER TABLE DROP COLUMN — metadata-only; data stays but is never
         read again (reference marks attisdropped, cstore_fdw.c:1907-1910)."""
-        meta = self._load_meta(name)
-        schema = meta.schema()
-        if column not in schema.fieldNames():
-            raise CStoreError(f'column "{column}" does not exist')
-        new = T.StructType([f_ for f_ in schema.fields if f_.name != column])
-        meta.schema_json = json.dumps(new.jsonValue())
-        meta.column_defaults.pop(column, None)
-        self._save_meta(meta)
+        with self._writer_lock(name):  # see add_column's lock rationale
+            meta = self._load_meta(name)
+            schema = meta.schema()
+            if column not in schema.fieldNames():
+                raise CStoreError(f'column "{column}" does not exist')
+            new = T.StructType(
+                [f_ for f_ in schema.fields if f_.name != column])
+            meta.schema_json = json.dumps(new.jsonValue())
+            meta.column_defaults.pop(column, None)
+            self._save_meta(meta)
 
     def alter_column_type(self, name: str, column: str, new_type: str) -> None:
         """A13: allow implicit coercions only (reference
         cstore_fdw.c:717-769 errors with 'Converting to ... may corrupt or
         truncate existing data')."""
-        meta = self._load_meta(name)
-        schema = meta.schema()
-        if column not in schema.fieldNames():
-            raise CStoreError(f'column "{column}" does not exist')
-        old_f = schema[column]
-        old_s = old_f.dataType.simpleString()
-        new_s = T.StructType.fromDDL(f"x {new_type}")[0].dataType.simpleString()
-        if old_s != new_s and (old_s, new_s) not in _IMPLICIT_COERCIONS:
-            raise CStoreError(
-                f'Converting column "{column}" from {old_s} to {new_s} may '
-                "corrupt or truncate existing data")
-        fields = [T.StructField(f_.name,
-                                T.StructType.fromDDL(f"x {new_type}")[0].dataType
-                                if f_.name == column else f_.dataType,
-                                f_.nullable) for f_ in schema.fields]
-        meta.schema_json = json.dumps(T.StructType(fields).jsonValue())
-        self._save_meta(meta)
+        with self._writer_lock(name):  # see add_column's lock rationale
+            meta = self._load_meta(name)
+            schema = meta.schema()
+            if column not in schema.fieldNames():
+                raise CStoreError(f'column "{column}" does not exist')
+            old_f = schema[column]
+            old_s = old_f.dataType.simpleString()
+            new_dt = T.StructType.fromDDL(f"x {new_type}")[0].dataType
+            new_s = new_dt.simpleString()
+            if old_s != new_s and (old_s, new_s) not in _IMPLICIT_COERCIONS:
+                raise CStoreError(
+                    f'Converting column "{column}" from {old_s} to '
+                    f"{new_s} may corrupt or truncate existing data")
+            fields = [T.StructField(f_.name,
+                                    new_dt if f_.name == column
+                                    else f_.dataType,
+                                    f_.nullable) for f_ in schema.fields]
+            meta.schema_json = json.dumps(T.StructType(fields).jsonValue())
+            self._save_meta(meta)
 
     def rename_table(self, name: str, new_name: str) -> None:
         """ALTER TABLE RENAME — metadata + directory move (the reference
@@ -1074,32 +1174,49 @@ class CStoreCatalog:
             raise CStoreError(f'column "{column}" does not exist')
         if new_column in schema.fieldNames():
             raise CStoreError(f'column "{new_column}" already exists')
+        base_epoch = meta.write_epoch
         df = self.read(name).withColumnRenamed(column, new_column)
-        fields = [T.StructField(new_column if f_.name == column else f_.name,
-                                f_.dataType, f_.nullable)
-                  for f_ in schema.fields]
-        meta.schema_json = json.dumps(T.StructType(fields).jsonValue())
-        for d in (meta.column_defaults, meta.backfill_watermark,
-                  meta.backfill_files):
-            if column in d:
-                d[new_column] = d.pop(column)
-        for opt in ("partition_by", "sort_by"):
-            if opt in meta.options:
-                meta.options[opt] = ",".join(
-                    new_column if c == column else c
-                    for c in meta.options[opt].split(","))
-        self._save_meta(meta)
-        # rewrite under the new schema (bakes defaults like compact; the
-        # meta saved above is what read() uses when _rewrite re-reads)
-        self._rewrite_df(meta, df)
 
-    def _rewrite_df(self, meta: TableMeta, df: DataFrame) -> None:
+        def mutate(m: TableMeta) -> None:
+            flds = [T.StructField(
+                        new_column if f_.name == column else f_.name,
+                        f_.dataType, f_.nullable)
+                    for f_ in m.schema().fields]
+            m.schema_json = json.dumps(T.StructType(flds).jsonValue())
+            for d in (m.column_defaults, m.backfill_watermark,
+                      m.backfill_files):
+                if column in d:
+                    d[new_column] = d.pop(column)
+            for opt in ("partition_by", "sort_by"):
+                if opt in m.options:
+                    m.options[opt] = ",".join(
+                        new_column if c == column else c
+                        for c in m.options[opt].split(","))
+
+        # rewrite under the new schema (bakes defaults like compact).
+        # The schema edit is applied to the freshly loaded meta inside
+        # the lock-held commit — never saved ahead of the data swap, so
+        # an aborted/conflicted rewrite leaves the table untouched.
+        # The staged write needs the renamed layout options (e.g. a
+        # renamed partition column), so apply the same edit to the
+        # local working copy first (NOT saved).
+        mutate(meta)
+        self._rewrite_df(meta, df, base_epoch=base_epoch, mutate=mutate)
+
+    def _rewrite_df(self, meta: TableMeta, df: DataFrame,
+                    base_epoch: int, mutate=None) -> None:
         """Commit ``df`` as the table's new contents via the compact swap
-        protocol (temp dir + two renames + recovery)."""
+        protocol (temp dir + staged write + lock-validated swap).
+        ``base_epoch`` is the committed ``write_epoch`` the caller's
+        ``df`` was computed from; the commit is refused with
+        :class:`CStoreConcurrentWriteError` if another writer has
+        advanced it (see :meth:`_commit_swap`). ``meta`` supplies only
+        immutable layout facts (format/options/data path) for the staged
+        write — the metadata actually saved is re-loaded under the
+        lock."""
         fmt = self._format(meta)
         data_path = self._data_path(meta)
         tmp_path = data_path + ".compact.tmp"
-        old_path = data_path + ".compact.old"
         shutil.rmtree(tmp_path, ignore_errors=True)
         writer = df.write.mode("overwrite")
         for k, v in self._writer_options(meta).items():
@@ -1108,15 +1225,9 @@ class CStoreCatalog:
         if part:
             writer = writer.partitionBy(*part.split(","))
         getattr(writer, fmt)(tmp_path)
-        os.rename(data_path, old_path)
-        os.rename(tmp_path, data_path)
-        shutil.rmtree(old_path)
-        if meta.backfill_files or meta.backfill_watermark:
-            meta.backfill_files = {c: [] for c in meta.backfill_files}
-            meta.backfill_watermark = {c: None for c in meta.column_defaults}
-        meta.history_floor = meta.write_epoch  # snapshots before this die
-        self._save_meta(meta)
-        self._refresh_registered(meta)
+        fresh = self._commit_swap(name=meta.name, base_epoch=base_epoch,
+                                  tmp_path=tmp_path, mutate=mutate)
+        self._refresh_registered(fresh)
 
     # -------------------------------------------------------------- views
     def _view_path(self, name: str) -> str:

@@ -909,3 +909,100 @@ def test_merge_into_is_single_pass(spark, catalog):
     assert len(jobs) <= 3, jobs
     out = {(r.k, r.v) for r in catalog.read("mp").collect()}
     assert out == {(1, "a"), (2, "B"), (3, "C")}
+
+
+def test_rewrite_retries_when_concurrent_insert_commits(
+        spark, catalog, monkeypatch):
+    # the ADVICE-flagged data-loss path: a rewrite (here DELETE) staged
+    # from a pre-insert file set must NOT swap in — it would drop the
+    # concurrently committed batch and regress write_epoch so orphan
+    # recovery deletes it. _rewrite must detect the conflict under the
+    # writer lock and retry from a fresh read that includes the batch.
+    from cstore_fdw_spark.catalog import CStoreCatalog
+    catalog.create_table("race_del", "k long, v long")
+    catalog.insert("race_del",
+                   spark.range(10).selectExpr("id as k", "id as v"))
+    orig = CStoreCatalog._commit_swap
+    state = {"injected": False}
+
+    def racy(self, name, base_epoch, tmp_path, mutate=None):
+        if not state["injected"]:
+            state["injected"] = True
+            # a concurrent writer commits between staging and the lock
+            self.insert(name, spark.range(100, 105)
+                        .selectExpr("id as k", "id as v"))
+        return orig(self, name, base_epoch, tmp_path, mutate=mutate)
+
+    monkeypatch.setattr(CStoreCatalog, "_commit_swap", racy)
+    catalog.delete_where("race_del", "k < 3")
+    rows = {r.k for r in catalog.read("race_del").collect()}
+    # delete applied AND the racing batch survived (retry re-read it)
+    assert rows == set(range(3, 10)) | set(range(100, 105))
+
+
+def test_merge_conflict_surfaces_error_and_loses_nothing(
+        spark, catalog, monkeypatch):
+    # MERGE does not retry internally (the join is expensive); it must
+    # surface a serialization-failure error, leave the table untouched
+    # (old rows + the racing batch), and never regress write_epoch.
+    from cstore_fdw_spark.catalog import (CStoreCatalog,
+                                          CStoreConcurrentWriteError)
+    catalog.create_table("race_mrg", "k long, v long")
+    catalog.insert("race_mrg",
+                   spark.range(5).selectExpr("id as k", "id as v"))
+    orig = CStoreCatalog._commit_swap
+    state = {"injected": False}
+
+    def racy(self, name, base_epoch, tmp_path, mutate=None):
+        if not state["injected"]:
+            state["injected"] = True
+            self.insert(name, spark.range(100, 103)
+                        .selectExpr("id as k", "id as v"))
+        return orig(self, name, base_epoch, tmp_path, mutate=mutate)
+
+    monkeypatch.setattr(CStoreCatalog, "_commit_swap", racy)
+    src = spark.range(3, 7).selectExpr("id as k", "id * 10 as v")
+    with pytest.raises(CStoreConcurrentWriteError):
+        catalog.merge_into("race_mrg", src, on="k")
+    rows = {(r.k, r.v) for r in catalog.read("race_mrg").collect()}
+    assert rows == {(i, i) for i in range(5)} \
+        | {(i, i) for i in range(100, 103)}
+    # the racing insert's commit (epoch 2) was never regressed
+    assert catalog.current_epoch("race_mrg") == 2
+    # re-running the merge after the conflict succeeds and sees the batch
+    res = catalog.merge_into("race_mrg", src, on="k")
+    assert res["matched"] == 2 and res["inserted"] == 2
+    rows = {(r.k, r.v) for r in catalog.read("race_mrg").collect()}
+    assert rows == {(0, 0), (1, 1), (2, 2), (3, 30), (4, 40),
+                    (5, 50), (6, 60), (100, 100), (101, 101), (102, 102)}
+
+
+def test_rename_column_conflict_leaves_schema_untouched(
+        spark, catalog, monkeypatch):
+    # a conflicted RENAME COLUMN rewrite must abort without having saved
+    # the renamed schema (round-4 code saved meta BEFORE the rewrite)
+    from cstore_fdw_spark.catalog import (CStoreCatalog,
+                                          CStoreConcurrentWriteError)
+    catalog.create_table("race_ren", "k long, v long")
+    catalog.insert("race_ren",
+                   spark.range(5).selectExpr("id as k", "id as v"))
+    orig = CStoreCatalog._commit_swap
+    state = {"injected": False}
+
+    def racy(self, name, base_epoch, tmp_path, mutate=None):
+        if not state["injected"]:
+            state["injected"] = True
+            self.insert(name, spark.range(10, 12)
+                        .selectExpr("id as k", "id as v"))
+        return orig(self, name, base_epoch, tmp_path, mutate=mutate)
+
+    monkeypatch.setattr(CStoreCatalog, "_commit_swap", racy)
+    with pytest.raises(CStoreConcurrentWriteError):
+        catalog.rename_column("race_ren", "v", "val")
+    assert catalog._load_meta("race_ren").schema().fieldNames() \
+        == ["k", "v"]
+    # both row sets intact under the original name, retry works
+    assert catalog.read("race_ren").count() == 7
+    catalog.rename_column("race_ren", "v", "val")
+    assert {r.val for r in catalog.read("race_ren").collect()} \
+        == set(range(5)) | {10, 11}
