@@ -252,8 +252,28 @@ def ann_lsh_bucketed(spark, sf_dir):
 
 # ------------------------------------------------------ IVF ANN (scale alt)
 
-IVF_NLIST = 16    # coarse centroids
-IVF_NPROBE = 3    # probed cells per query
+IVF_NLIST_MIN = 16   # centroid floor for tiny corpora
+IVF_NPROBE = 3       # probed cells per query
+
+
+def ivf_nlist(n_rows: int) -> int:
+    """Coarse-quantizer cell count as a FUNCTION of corpus size:
+    ``nlist = max(16, ceil(√N))`` — the standard IVF sizing (FAISS
+    guidelines recommend nlist ∝ √N). Expected cell size is then ~√N,
+    so within-cell pair generation is Σ|cell|² ≈ N·√N, not the
+    N²/const a fixed nlist degenerates to as the corpus grows (the
+    round-4 scale wart: nlist pinned at 16 meant ~6 %-of-corpus cells
+    forever). The matching oracle-side expression is
+    :data:`_NLIST_SQL`; both fold sqrt over the same COUNT so cells
+    reproduce bit-for-bit."""
+    import math
+    return max(IVF_NLIST_MIN, math.ceil(math.sqrt(n_rows)))
+
+
+#: DuckDB replica of :func:`ivf_nlist` — a scalar subquery so the static
+#: oracle SQL derives nlist from the very corpus it scans.
+_NLIST_SQL = (f"(SELECT GREATEST({IVF_NLIST_MIN}, "
+              "CAST(ceil(sqrt(COUNT(*))) AS BIGINT)) FROM embeddings)")
 
 
 def _ivf_scored_cells(e):
@@ -262,14 +282,17 @@ def _ivf_scored_cells(e):
     cells by cosine per vector (rn=1 is the vector's home cell). Shared
     by IVF search and clustered semantic dedup. Centers are tiny
     (nlist×dim) → broadcast; the top-NLIST-by-portable-hash sample is a
-    cheap metadata-size top-k, not a full sort, at 100 TB."""
+    cheap metadata-size top-k, not a full sort, at 100 TB. The one
+    eager action here is the count() sizing nlist — a metadata-cheap
+    columnar count, amortized across the whole pipeline."""
     from cstore_fdw_spark.functions.portable_hash import spark_h60
 
+    nlist = ivf_nlist(e.count())
     wc = Window.orderBy("h", "vec_id")
     cents = (e.select("vec_id", "embedding",
                       F.expr(spark_h60("cast(vec_id as string)")).alias("h"))
              .withColumn("rn", F.row_number().over(wc))
-             .filter(F.col("rn") <= IVF_NLIST)
+             .filter(F.col("rn") <= nlist)
              .select((F.col("rn") - 1).alias("cell"),
                      F.col("embedding").alias("centroid"),
                      F.sqrt(dot(F.col("embedding"), F.col("embedding")))
@@ -304,7 +327,7 @@ def _ivf_oracle() -> str:
                  ORDER BY {duck_h60("CAST(vec_id AS VARCHAR)")}, vec_id)
                  AS rn
         FROM embeddings) t
-      WHERE rn <= {IVF_NLIST}),
+      WHERE rn <= {_NLIST_SQL}),
     ccos AS (
       SELECT e.vec_id, c.cell, {ccos} AS ccos
       FROM embeddings e, cents c),
@@ -399,7 +422,7 @@ def _semdedup_oracle() -> str:
                  ORDER BY {duck_h60("CAST(vec_id AS VARCHAR)")}, vec_id)
                  AS rn
         FROM embeddings) t
-      WHERE rn <= {IVF_NLIST}),
+      WHERE rn <= {_NLIST_SQL}),
     ccos AS (
       SELECT e.vec_id, c.cell, {ccos} AS ccos
       FROM embeddings e, cents c),
@@ -433,10 +456,11 @@ def dedup_semantic_clustered(spark, sf_dir):
     duplicates ONLY within each cluster; each duplicate maps to the
     smallest-id keeper it duplicates. The third embedding-dedup scale
     path next to the exact per-label anchor and sign-LSH blocking:
-    clustering bounds the pair space at Σ|cell|² ≈ N²/nlist (nlist
-    scales with corpus size in production, keeping cells ~constant), and
-    cluster assignment is one broadcast argmax pass — no shuffle of the
-    vectors beyond the per-cell equi-join.
+    clustering bounds the pair space at Σ|cell|² ≈ N²/nlist, and with
+    ``nlist = max(16, ⌈√N⌉)`` (:func:`ivf_nlist`) that is N·√N — cells
+    stay ~√N rows as the corpus grows instead of a fixed fraction of
+    it. Cluster assignment is one broadcast argmax pass — no shuffle of
+    the vectors beyond the per-cell equi-join.
 
     Every cosine is an ordered fold, so the DuckDB oracle reproduces
     cells, pairs, and keeper choice bit-for-bit.
