@@ -171,6 +171,14 @@ class TableMeta:
     # post-rewrite rows (the same contract as an expired Iceberg
     # snapshot or VACUUM'd MVCC).
     history_floor: int = 0
+    # relative paths of data files LOGICALLY deleted by a file-pruned
+    # rewrite (selective MERGE/DELETE) whose physical removal hasn't
+    # completed yet: the metadata save listing them here is the atomic
+    # commit point (readers exclude them immediately); the files are
+    # unlinked right after, and a crash in between is repaired by the
+    # next locked writer's :meth:`CStoreCatalog._recover_orphans`.
+    # The Iceberg analog is the DELETED entry in a manifest.
+    dropped_files: list[str] = field(default_factory=list)
     version: str = "1.0"
     created_at: float = 0.0
 
@@ -542,9 +550,13 @@ class CStoreCatalog:
                     f'concurrent rewrite of "{name}" invalidated this '
                     "vacuum; re-run it")
             # kept (newer-epoch) files ride along as hard links — zero
-            # data copied, and the swap stays the atomic commit point
+            # data copied, and the swap stays the atomic commit point.
+            # Logically dropped files must NOT be linked back in: the
+            # swap removes their bytes, completing their GC.
+            dropped = set(fresh.dropped_files)
             for p in _data_files(data_path, fmt):
-                if _file_epoch(p) > cutoff:
+                if _file_epoch(p) > cutoff \
+                        and os.path.relpath(p, data_path) not in dropped:
                     rel = os.path.relpath(p, data_path)
                     dest = os.path.join(tmp_path, rel)
                     os.makedirs(os.path.dirname(dest), exist_ok=True)
@@ -552,6 +564,7 @@ class CStoreCatalog:
             os.rename(data_path, old_path)
             os.rename(tmp_path, data_path)
             shutil.rmtree(old_path)
+            fresh.dropped_files = []
             fresh.history_floor = cutoff
             self._save_meta(fresh)
             meta = fresh
@@ -561,22 +574,88 @@ class CStoreCatalog:
         return len(old_files) - new_old
 
     def delete_where(self, name: str, predicate: Any) -> int:
-        """Copy-on-write DELETE (extension — the reference, like this
-        engine's storage model, is append-only with no row-level delete;
-        modern columnar stores express DELETE as a filtered file rewrite,
-        which is exactly :meth:`compact` with a keep-filter). Rows
-        matching ``predicate`` (SQL string or Column) are dropped; the
-        rewrite reuses compact's temp-dir + two-rename commit protocol and
-        its crash recovery, so readers see either the old or the new row
-        set, never a partial delete. Returns the number of rows deleted.
+        """Copy-on-write DELETE with FILE PRUNING (extension — the
+        reference, like this engine's storage model, is append-only with
+        no row-level delete; modern columnar stores express DELETE as a
+        selective file rewrite). One scan finds the files that contain
+        ≥1 matching row (predicate pushdown + column pruning keep it to
+        the predicate's columns, with row-group stats skipping); ONLY
+        those files are rewritten and swapped in via the partial-commit
+        protocol (:meth:`_commit_partial`) — every untouched file keeps
+        its inode, name, and bytes, so a selective DELETE from a 100 TB
+        table costs O(affected files), not a full rewrite. When every
+        file is touched, the classic full rewrite runs instead (it also
+        repacks to stripe-sized files).
 
-        At scale this rewrites only data files — a production variant
-        would prune untouched files via zone maps first; here the rewrite
-        is already one distributed pass."""
-        before = self.row_count(name)
+        Rows where the predicate evaluates to NULL are KEPT (SQL DELETE
+        semantics: only TRUE deletes). Returns the number of rows
+        deleted."""
         cond = F.expr(predicate) if isinstance(predicate, str) else predicate
-        self._rewrite(name, keep=~cond)
-        return before - self.row_count(name)
+        for _ in range(3):
+            try:
+                return self._delete_once(name, cond)
+            except CStoreConcurrentWriteError:
+                continue
+        raise CStoreConcurrentWriteError(
+            f'DELETE on "{name}" lost the commit race 3 times to '
+            "concurrent writers; retry when ingest quiesces")
+
+    def _delete_once(self, name: str, cond) -> int:
+        meta = self._load_meta(name)
+        fmt = self._format(meta)
+        self._recover_compact(meta, fmt)
+        base_epoch = meta.write_epoch
+        data_path = self._data_path(meta)
+        visible = self._visible_files(meta)
+        if not visible:
+            return 0
+        # ONE pruning scan yields both the touched-file list and the
+        # deleted-row count: per-file counts of predicate-TRUE rows
+        per_file = (self.read(name)
+                    .withColumn("_file", F.input_file_name())
+                    .filter(cond)
+                    .groupBy("_file").count().collect())
+        if not per_file:
+            return 0
+        deleted = int(sum(r["count"] for r in per_file))
+        touched = sorted(_uri_to_path(r["_file"]) for r in per_file)
+        keep = ~cond.eqNullSafe(F.lit(True))
+        if len(touched) >= len(visible):
+            # nothing to prune — the full rewrite also repacks
+            self._rewrite(name, keep=keep)
+            return deleted
+        keep_df = self._read_files(meta, touched).filter(keep)
+        staged = self._stage_write(meta, keep_df)
+        try:
+            fresh = self._commit_partial(
+                name, base_epoch, staged,
+                [os.path.relpath(p, data_path) for p in touched])
+        finally:
+            shutil.rmtree(staged, ignore_errors=True)
+        self._refresh_registered(fresh)
+        return deleted
+
+    def _stage_write(self, meta: TableMeta, df: DataFrame) -> str:
+        """Write ``df`` to a sibling staging directory with the table's
+        layout options (stripe sizing, partitioning, sort, codec); the
+        caller commits it via :meth:`_commit_partial` and removes the
+        leftover dir."""
+        data_path = self._data_path(meta)
+        staged = data_path + f".stage.{uuid4().hex[:8]}"
+        stripe_rows = meta.options.get("stripe_row_count",
+                                       DEFAULT_STRIPE_ROW_COUNT)
+        sort_by = meta.options.get("sort_by")
+        if sort_by:
+            df = df.sortWithinPartitions(*sort_by.split(","))
+        writer = (df.write.mode("overwrite")
+                  .option("maxRecordsPerFile", str(stripe_rows * 10)))
+        for k, v in self._writer_options(meta).items():
+            writer = writer.option(k, v)
+        part = meta.options.get("partition_by")
+        if part:
+            writer = writer.partitionBy(*part.split(","))
+        getattr(writer, self._format(meta))(staged)
+        return staged
 
     def merge_into(self, name: str, source: DataFrame,
                    on: str | list[str],
@@ -620,9 +699,12 @@ class CStoreCatalog:
         merge is ONE full-outer join on the merge key, materialized
         once: row counts, the duplicate-source check, and the rewrite
         all read that single cached result (exactly one Spark job runs
-        before the rewrite — at 100 TB the join never re-executes). A
-        production variant would additionally zone-map-prune untouched
-        files and rewrite only touched ones.
+        before the rewrite — at 100 TB the join never re-executes).
+        Files whose merge-key zone map cannot overlap the source's key
+        range are pruned from the join AND from the rewrite: they stay
+        byte-identical on disk, committed via the partial protocol
+        (:meth:`_commit_partial`), so a selective upsert costs
+        O(touched files) — not a table rewrite.
 
         Returns ``{"matched": n, "inserted": n, "removed_unmatched": n}``
         row counts (``removed_unmatched`` = target rows deleted by
@@ -674,13 +756,47 @@ class CStoreCatalog:
             raise CStoreError("unknown when_not_matched_by_source: "
                               f"{when_not_matched_by_source!r}")
 
+        # FILE PRUNING: a file whose footer [min,max] range on the first
+        # merge key cannot overlap the source's key range holds only
+        # rows the merge leaves unchanged — it never enters the join and
+        # stays byte-identical on disk (a selective 100-row upsert into
+        # a 100 TB table rewrites O(touched files), not the table).
+        # Inapplicable with WHEN NOT MATCHED BY SOURCE clauses (those
+        # touch every target row). Zone-map data comes from parquet
+        # footers only; files without stats stay candidates.
+        data_path = self._data_path(meta)
+        visible = self._visible_files(meta)
+        pruned = False
+        candidate_rel: list[str] = []
+        tgt = self.read(name)
+        if (not src_clauses) and self._format(meta) == "parquet" \
+                and len(visible) > 1:
+            lohi = src.agg(F.min(keys[0]).alias("lo"),
+                           F.max(keys[0]).alias("hi")).collect()[0]
+            if lohi.lo is not None:
+                cand = []
+                for p in visible:
+                    rng = _parquet_minmax(p, keys[0])
+                    try:
+                        untouched = (rng is not None
+                                     and (rng[1] < lohi.lo
+                                          or rng[0] > lohi.hi))
+                    except TypeError:  # incomparable stats repr
+                        untouched = False
+                    if not untouched:
+                        cand.append(p)
+                if len(cand) < len(visible):
+                    pruned = True
+                    candidate_rel = [os.path.relpath(p, data_path)
+                                     for p in cand]
+                    tgt = self._read_files(meta, cand)
+
         # one shuffle on the merge key: full-outer join of (key, packed
         # target row) with (key, packed source row); every downstream
         # question — matched action, insert, counters, duplicate check —
         # is a projection/aggregation of this join, computed in ONE pass
         # over its cached output (the round-3 version re-executed the
         # join for each of four counters).
-        tgt = self.read(name)
         # keys are joined under internal _k{i} names so the packed-row
         # struct aliases "t"/"s" can never collide with a table column
         # (a merge key literally named t or s is legal)
@@ -733,20 +849,26 @@ class CStoreCatalog:
                 raise CStoreError(
                     "MERGE source affects the same row a second time "
                     f"(duplicate {keys} in source)")
-            if (stats.n_rows or 0) == 0:
+            out_df = (merged.filter(F.col("_out").isNotNull())
+                      .select("_out.*"))
+            # commit path — all three surface CStoreConcurrentWriteError
+            # if another writer committed since the join's read snapshot
+            # (PG serialization-failure contract: re-run the MERGE;
+            # retrying internally would silently re-execute the
+            # expensive join, and the caller owns that decision)
+            if pruned:
+                staged = self._stage_write(meta, out_df)
+                try:
+                    fresh = self._commit_partial(
+                        name, base_epoch, staged, candidate_rel)
+                finally:
+                    shutil.rmtree(staged, ignore_errors=True)
+                self._refresh_registered(fresh)
+            elif (stats.n_rows or 0) == 0:
                 self.truncate(name)
                 self._refresh_registered(meta)
             else:
-                # surfaces CStoreConcurrentWriteError if another writer
-                # committed since the join's read snapshot — the PG
-                # serialization-failure contract: re-run the MERGE
-                # (retrying internally would silently re-execute the
-                # expensive join; the caller owns that decision)
-                self._rewrite_df(
-                    meta,
-                    merged.filter(F.col("_out").isNotNull())
-                    .select("_out.*"),
-                    base_epoch=base_epoch)
+                self._rewrite_df(meta, out_df, base_epoch=base_epoch)
         finally:
             merged.unpersist()
         return {"matched": int(stats.n_matched or 0),
@@ -858,8 +980,88 @@ class CStoreCatalog:
                 fresh.backfill_files = {c: [] for c in fresh.backfill_files}
                 fresh.backfill_watermark = {
                     c: None for c in fresh.column_defaults}
+            # the whole dir was replaced from a read that excluded
+            # logically dropped files — their bytes are gone now
+            fresh.dropped_files = []
             fresh.write_epoch += 1  # rewrite commits are real commits
             fresh.history_floor = fresh.write_epoch  # prior snapshots die
+            self._save_meta(fresh)
+        return fresh
+
+    def _commit_partial(self, name: str, base_epoch: int, staged: str,
+                        dropped: list[str]) -> TableMeta:
+        """Commit a FILE-PRUNED rewrite: the files staged in ``staged``
+        replace exactly the ``dropped`` (data-dir-relative) files;
+        every other data file keeps its inode, name, and bytes — a
+        selective MERGE/DELETE touches O(affected files), not O(table).
+
+        Protocol (insert-append commit + a tombstone list):
+        1. under the writer lock, verify no concurrent commit
+           (``write_epoch`` still ``base_epoch`` — else refuse, see
+           :class:`CStoreConcurrentWriteError`);
+        2. stamp the staged files with the next epoch and move them into
+           the data dir — INVISIBLE until the metadata commit (readers
+           filter epochs above the committed one; a crash here leaves
+           them for :meth:`_recover_orphans`);
+        3. save the metadata with the bumped epoch and ``dropped`` added
+           to ``dropped_files`` — the ATOMIC commit point: new files
+           become visible and dropped files invisible in the same
+           os.replace;
+        4. physically unlink the dropped files and clear the list (a
+           crash between 3 and 4 is repaired by the next locked
+           writer's idempotent GC).
+        """
+        fmt = None
+        with self._writer_lock(name):
+            fresh = self._load_meta(name)
+            fmt = self._format(fresh)
+            if fresh.write_epoch != base_epoch:
+                shutil.rmtree(staged, ignore_errors=True)
+                raise CStoreConcurrentWriteError(
+                    f'concurrent write to "{name}" (epoch {base_epoch} '
+                    f"→ {fresh.write_epoch}) invalidated this rewrite")
+            self._recover_orphans(fresh, fmt)
+            data_path = self._data_path(fresh)
+            epoch = fresh.write_epoch + 1
+            prefix = f"e{epoch:012d}-"
+            for root, _dirs, files in os.walk(staged):
+                for fn in files:
+                    if fn.startswith(("_", ".")):
+                        os.remove(os.path.join(root, fn))
+                    else:
+                        os.rename(os.path.join(root, fn),
+                                  os.path.join(root, prefix + fn))
+            moved: list[tuple[str, str]] = []
+            try:
+                for root, _dirs, files in os.walk(staged):
+                    rel = os.path.relpath(root, staged)
+                    dest = (data_path if rel == "."
+                            else os.path.join(data_path, rel))
+                    os.makedirs(dest, exist_ok=True)
+                    for fn in files:
+                        s_, d_ = (os.path.join(root, fn),
+                                  os.path.join(dest, fn))
+                        os.replace(s_, d_)
+                        moved.append((s_, d_))
+            except BaseException:
+                for s_, d_ in reversed(moved):
+                    try:
+                        os.replace(d_, s_)
+                    except OSError:
+                        pass
+                raise
+            fresh.write_epoch = epoch
+            # replaced files back every older snapshot — history ends here
+            fresh.history_floor = epoch
+            fresh.dropped_files = sorted(
+                set(fresh.dropped_files) | set(dropped))
+            self._save_meta(fresh)  # COMMIT
+            for rel in fresh.dropped_files:
+                try:
+                    os.remove(os.path.join(data_path, rel))
+                except OSError:
+                    pass
+            fresh.dropped_files = []
             self._save_meta(fresh)
         return fresh
 
@@ -880,17 +1082,30 @@ class CStoreCatalog:
                 fcntl.flock(f, fcntl.LOCK_UN)
 
     def _recover_orphans(self, meta: TableMeta, fmt: str) -> None:
-        """Repair after an insert() crash: delete data files stamped with
-        an epoch ABOVE the committed ``write_epoch`` — they belong to a
-        batch whose visibility commit (the metadata save) never happened,
-        so no reader has ever seen them. Called only under the writer
-        lock (a racing writer could otherwise lose its staged batch)."""
+        """Repair after a writer crash — called only under the writer
+        lock (a racing writer could otherwise lose its staged batch).
+
+        Two cases: (1) data files stamped with an epoch ABOVE the
+        committed ``write_epoch`` belong to a batch whose visibility
+        commit (the metadata save) never happened, so no reader has ever
+        seen them — delete them. (2) files still listed in
+        ``dropped_files`` were logically deleted by a committed
+        file-pruned rewrite but their physical unlink crashed — finish
+        it and clear the list (mutates ``meta``; the caller's later
+        ``_save_meta`` persists the cleared list, and losing THAT save
+        merely re-runs this idempotent GC)."""
         data_path = self._data_path(meta)
         if not os.path.isdir(data_path):
             return
         for p in list(_data_files(data_path, fmt)):
             if _file_epoch(p) > meta.write_epoch:
                 os.remove(p)
+        for rel in meta.dropped_files:
+            try:
+                os.remove(os.path.join(data_path, rel))
+            except OSError:
+                pass
+        meta.dropped_files = []
 
     def _recover_compact(self, meta: TableMeta, fmt: str) -> None:
         """Repair the table after a compact() crash.
@@ -945,13 +1160,7 @@ class CStoreCatalog:
                      if os.path.isdir(data_path) else [])
         if not all_files:
             return self.spark.createDataFrame([], target)
-        # visibility horizon: a snapshot epoch if requested, else the
-        # committed write_epoch — files stamped above it belong to an
-        # uncommitted (crashed or in-flight) insert batch and must not
-        # be read (the next locked writer garbage-collects them)
-        horizon = (meta.write_epoch if as_of_epoch is None
-                   else as_of_epoch)
-        paths = [p for p in all_files if _file_epoch(p) <= horizon]
+        paths = self._visible_files(meta, as_of_epoch=as_of_epoch)
         if not paths:
             return self.spark.createDataFrame([], target)
         if len(paths) < len(all_files):
@@ -965,6 +1174,44 @@ class CStoreCatalog:
             reader = self.spark.read.schema(
                 _physical_schema(target, data_path, fmt))
             df = getattr(reader, fmt)(data_path)
+        return self._project(meta, df)
+
+    def _visible_files(self, meta: TableMeta,
+                       as_of_epoch: int | None = None) -> list[str]:
+        """The data files a reader may see: committed (epoch stamp ≤ the
+        visibility horizon — files above it belong to an uncommitted or
+        crashed insert batch) and not logically dropped by a file-pruned
+        rewrite whose physical unlink hasn't completed."""
+        fmt = self._format(meta)
+        data_path = self._data_path(meta)
+        if not os.path.isdir(data_path):
+            return []
+        horizon = (meta.write_epoch if as_of_epoch is None
+                   else as_of_epoch)
+        dropped = set(meta.dropped_files)
+        return [p for p in _data_files(data_path, fmt)
+                if _file_epoch(p) <= horizon
+                and os.path.relpath(p, data_path) not in dropped]
+
+    def _read_files(self, meta: TableMeta, paths: list[str]) -> DataFrame:
+        """Read an explicit subset of the table's data files through the
+        same schema-evolution projection as :meth:`read` — the scan side
+        of file-pruned MERGE/DELETE."""
+        target = meta.schema()
+        if not paths:
+            return self.spark.createDataFrame([], target)
+        fmt = self._format(meta)
+        data_path = self._data_path(meta)
+        reader = (self.spark.read
+                  .schema(_physical_schema(target, data_path, fmt))
+                  .option("basePath", data_path))
+        return self._project(meta, getattr(reader, fmt)(*paths))
+
+    def _project(self, meta: TableMeta, df: DataFrame) -> DataFrame:
+        """Schema-evolution read repair (A22): synthesize added columns /
+        constant defaults for rows that pre-date them (reference
+        cstore_reader.c:1224-1292)."""
+        target = meta.schema()
         projections = []
         for f_ in target.fields:
             if f_.name in df.columns:
@@ -1314,11 +1561,8 @@ class CStoreCatalog:
         (reference sums skip-list rowCounts, cstore_reader.c:400-462)."""
         meta = self._load_meta(name)
         fmt = self._format(meta)
-        data_path = self._data_path(meta)
-        if not _has_data_files(data_path, fmt):
-            return 0
         total = 0
-        for path in _data_files(data_path, fmt):
+        for path in self._visible_files(meta):
             if fmt == "orc":
                 from pyarrow import orc as pa_orc
                 total += pa_orc.ORCFile(path).nrows
@@ -1406,6 +1650,41 @@ def _physical_schema(target: T.StructType, data_path: str,
     phys_names = _physical_columns(data_path, fmt)
     fields = [f_ for f_ in target.fields if f_.name in phys_names]
     return T.StructType(fields)
+
+
+def _uri_to_path(uri: str) -> str:
+    """Local filesystem path from Spark's ``input_file_name()`` URI
+    (``file:///...`` with percent-encoding)."""
+    from urllib.parse import unquote, urlparse
+    parsed = urlparse(uri)
+    return unquote(parsed.path) if parsed.scheme else unquote(uri)
+
+
+def _parquet_minmax(path: str, column: str):
+    """(min, max) of ``column`` across a parquet file's row groups,
+    from FOOTER STATISTICS only — no data pages read; the zone-map
+    lookup behind merge-key file pruning (the reference's analog is the
+    per-block skip list, cstore_reader.c:400-462). None when the column
+    or any row group's stats are absent (callers must treat the file as
+    possibly-touched)."""
+    try:
+        md = pq.ParquetFile(path).metadata
+    except Exception:
+        return None
+    names = [md.schema.column(i).name for i in range(md.num_columns)]
+    if column not in names:
+        return None
+    ci = names.index(column)
+    mins, maxs = [], []
+    for g in range(md.num_row_groups):
+        st = md.row_group(g).column(ci).statistics
+        if st is None or not st.has_min_max:
+            return None
+        mins.append(st.min)
+        maxs.append(st.max)
+    if not mins:
+        return None
+    return min(mins), max(maxs)
 
 
 def _file_epoch(path: str) -> int:

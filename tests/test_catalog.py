@@ -922,19 +922,29 @@ def test_rewrite_retries_when_concurrent_insert_commits(
     catalog.create_table("race_del", "k long, v long")
     catalog.insert("race_del",
                    spark.range(10).selectExpr("id as k", "id as v"))
-    orig = CStoreCatalog._commit_swap
+    orig_swap = CStoreCatalog._commit_swap
+    orig_partial = CStoreCatalog._commit_partial
     state = {"injected": False}
 
-    def racy(self, name, base_epoch, tmp_path, mutate=None):
+    def inject(self, name):
         if not state["injected"]:
             state["injected"] = True
             # a concurrent writer commits between staging and the lock
             self.insert(name, spark.range(100, 105)
                         .selectExpr("id as k", "id as v"))
-        return orig(self, name, base_epoch, tmp_path, mutate=mutate)
 
-    monkeypatch.setattr(CStoreCatalog, "_commit_swap", racy)
+    def racy_swap(self, name, base_epoch, tmp_path, mutate=None):
+        inject(self, name)
+        return orig_swap(self, name, base_epoch, tmp_path, mutate=mutate)
+
+    def racy_partial(self, name, base_epoch, staged, dropped):
+        inject(self, name)
+        return orig_partial(self, name, base_epoch, staged, dropped)
+
+    monkeypatch.setattr(CStoreCatalog, "_commit_swap", racy_swap)
+    monkeypatch.setattr(CStoreCatalog, "_commit_partial", racy_partial)
     catalog.delete_where("race_del", "k < 3")
+    assert state["injected"]
     rows = {r.k for r in catalog.read("race_del").collect()}
     # delete applied AND the racing batch survived (retry re-read it)
     assert rows == set(range(3, 10)) | set(range(100, 105))
@@ -950,17 +960,26 @@ def test_merge_conflict_surfaces_error_and_loses_nothing(
     catalog.create_table("race_mrg", "k long, v long")
     catalog.insert("race_mrg",
                    spark.range(5).selectExpr("id as k", "id as v"))
-    orig = CStoreCatalog._commit_swap
+    orig_swap = CStoreCatalog._commit_swap
+    orig_partial = CStoreCatalog._commit_partial
     state = {"injected": False}
 
-    def racy(self, name, base_epoch, tmp_path, mutate=None):
+    def inject(self, name):
         if not state["injected"]:
             state["injected"] = True
             self.insert(name, spark.range(100, 103)
                         .selectExpr("id as k", "id as v"))
-        return orig(self, name, base_epoch, tmp_path, mutate=mutate)
 
-    monkeypatch.setattr(CStoreCatalog, "_commit_swap", racy)
+    def racy_swap(self, name, base_epoch, tmp_path, mutate=None):
+        inject(self, name)
+        return orig_swap(self, name, base_epoch, tmp_path, mutate=mutate)
+
+    def racy_partial(self, name, base_epoch, staged, dropped):
+        inject(self, name)
+        return orig_partial(self, name, base_epoch, staged, dropped)
+
+    monkeypatch.setattr(CStoreCatalog, "_commit_swap", racy_swap)
+    monkeypatch.setattr(CStoreCatalog, "_commit_partial", racy_partial)
     src = spark.range(3, 7).selectExpr("id as k", "id * 10 as v")
     with pytest.raises(CStoreConcurrentWriteError):
         catalog.merge_into("race_mrg", src, on="k")
@@ -1006,3 +1025,91 @@ def test_rename_column_conflict_leaves_schema_untouched(
     catalog.rename_column("race_ren", "v", "val")
     assert {r.val for r in catalog.read("race_ren").collect()} \
         == set(range(5)) | {10, 11}
+
+
+def _file_inventory(path):
+    out = {}
+    for root, _dirs, files in os.walk(path):
+        for fn in files:
+            p = os.path.join(root, fn)
+            st = os.stat(p)
+            out[os.path.relpath(p, path)] = (st.st_ino, st.st_size,
+                                             st.st_mtime_ns)
+    return out
+
+
+def test_delete_file_pruning_leaves_untouched_files_byte_identical(
+        spark, catalog):
+    # selective DELETE must rewrite ONLY the files containing matching
+    # rows; the others keep their inode, size, and mtime (at 100 TB a
+    # selective delete is O(affected files), not a table rewrite)
+    catalog.create_table("fpd", "k long, v long")
+    for lo in (0, 100, 200):
+        catalog.insert("fpd", spark.range(lo, lo + 100).coalesce(1)
+                       .selectExpr("id as k", "id as v"))
+    data = os.path.join(catalog.table_path("fpd"), "data")
+    before = _file_inventory(data)
+    assert len(before) == 3
+    deleted = catalog.delete_where("fpd", "k >= 110 and k < 130")
+    assert deleted == 20
+    after = _file_inventory(data)
+    untouched = {r for r in before if after.get(r) == before[r]}
+    assert len(untouched) == 2          # [0,99] and [200,299] intact
+    assert len(set(before) - set(after)) == 1   # the touched file gone
+    new = set(after) - set(before)
+    assert new and all(os.path.basename(r).startswith("e000000000004-")
+                       for r in new)    # replacement stamped commit epoch
+    rows = sorted(r.k for r in catalog.read("fpd").collect())
+    assert rows == [k for k in range(300) if not (110 <= k < 130)]
+    assert catalog.row_count("fpd") == 280
+    meta = catalog._load_meta("fpd")
+    assert meta.dropped_files == []     # tombstones GC'd in-commit
+    assert meta.write_epoch == 4 and meta.history_floor == 4
+    # replaced files break older snapshots — clear error, never wrong rows
+    with pytest.raises(CStoreError, match="history floor"):
+        catalog.read("fpd", as_of_epoch=3)
+
+
+def test_merge_file_pruning_matches_full_answer(spark, catalog):
+    # a merge whose source key range misses a file's zone map leaves
+    # that file byte-identical AND produces exactly the rows a full
+    # rewrite would
+    catalog.create_table("fpm", "k long, v long")
+    for lo in (0, 100, 200):
+        catalog.insert("fpm", spark.range(lo, lo + 100).coalesce(1)
+                       .selectExpr("id as k", "id as v"))
+    data = os.path.join(catalog.table_path("fpm"), "data")
+    before = _file_inventory(data)
+    # keys 150-159 update file [100,199]; key 400 is a fresh insert;
+    # the source range [150,400] overlaps [200,299] too — only [0,99]
+    # is provably untouched
+    src = spark.createDataFrame(
+        [(k, k + 10000) for k in range(150, 160)] + [(400, 10400)],
+        "k long, v long")
+    res = catalog.merge_into("fpm", src, on="k")
+    assert res == {"matched": 10, "inserted": 1, "removed_unmatched": 0}
+    after = _file_inventory(data)
+    untouched = {r for r in before if after.get(r) == before[r]}
+    assert len(untouched) == 1          # the [0,99] file survived as-is
+    expected = {(k, k) for k in range(300) if not (150 <= k < 160)}
+    expected |= {(k, k + 10000) for k in range(150, 160)}
+    expected |= {(400, 10400)}
+    assert {(r.k, r.v) for r in catalog.read("fpm").collect()} == expected
+    assert catalog.row_count("fpm") == 301
+    assert catalog._load_meta("fpm").dropped_files == []
+
+
+def test_merge_pruning_skipped_with_by_source_clause(spark, catalog):
+    # WHEN NOT MATCHED BY SOURCE touches every target row — no pruning
+    # may apply, and rows outside the source range must still be deleted
+    catalog.create_table("fps", "k long, v long")
+    for lo in (0, 100):
+        catalog.insert("fps", spark.range(lo, lo + 100).coalesce(1)
+                       .selectExpr("id as k", "id as v"))
+    src = spark.range(100, 200).selectExpr("id as k", "id + 1 as v")
+    res = catalog.merge_into("fps", src, on="k",
+                             when_not_matched_by_source="delete")
+    assert res == {"matched": 100, "inserted": 0,
+                   "removed_unmatched": 100}
+    assert {(r.k, r.v) for r in catalog.read("fps").collect()} \
+        == {(k, k + 1) for k in range(100, 200)}
