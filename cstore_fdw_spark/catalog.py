@@ -687,6 +687,14 @@ class CStoreCatalog:
         with duplicate merge keys is rejected, like PG's "MERGE command
         cannot affect row a second time".
 
+        The source may omit non-key target columns (schema-evolving
+        upserts): updates keep the target row's value for omitted
+        columns and inserts fill them with the column DEFAULT (else
+        NULL) — the same outcome as a PG ``MERGE`` whose ``UPDATE SET``
+        / ``INSERT (cols)`` lists name only the supplied columns. In
+        clause conditions, ``s.<omitted>`` reads as that fill value.
+        Merge keys must always be present.
+
         ``when_not_matched_by_source`` (PG 17) acts on TARGET rows with
         no matching source row: ``None`` keeps them (the default),
         ``"delete"`` drops them (the classic make-target-mirror-source
@@ -717,12 +725,24 @@ class CStoreCatalog:
         for k in keys:
             if k not in target.fieldNames():
                 raise CStoreError(f'merge key "{k}" not in table "{name}"')
+        # schema evolution: the source may omit NON-KEY target columns
+        # (the first thing an upsert pipeline with evolving schemas
+        # hits). PG-equivalent semantics — UPDATE SET only the supplied
+        # columns (missing ones keep the target row's value), INSERT
+        # fills missing columns with the table's column DEFAULT, else
+        # NULL. Extra source columns are ignored by the select.
         cols = []
+        missing: set[str] = set()
         for f_ in target.fields:
-            if f_.name not in source.columns:
-                raise CStoreError(
-                    f'column "{f_.name}" missing from merge source')
-            cols.append(F.col(f_.name).cast(f_.dataType).alias(f_.name))
+            if f_.name in source.columns:
+                cols.append(F.col(f_.name).cast(f_.dataType).alias(f_.name))
+            else:
+                if f_.name in keys:
+                    raise CStoreError(
+                        f'merge key "{f_.name}" missing from merge source')
+                missing.add(f_.name)
+                cols.append(F.lit(meta.column_defaults.get(f_.name))
+                            .cast(f_.dataType).alias(f_.name))
         src = source.select(*cols)
         names = target.fieldNames()
         if when_matched in ("update", "delete"):
@@ -824,7 +844,13 @@ class CStoreCatalog:
                        else src_act.when(pred, action))
         src_act = (src_act.otherwise("keep") if src_act is not None
                    else F.lit("keep"))
-        out = (F.when(matched & (act == F.lit("update")), F.col("s"))
+        # the UPDATE image: supplied source columns win, columns the
+        # source omitted keep the target row's value
+        upd = (F.struct(*[
+            (F.col("t").getField(c) if c in missing
+             else F.col("s").getField(c)).alias(c) for c in names])
+            if missing else F.col("s"))
+        out = (F.when(matched & (act == F.lit("update")), upd)
                .when(matched & (act == F.lit("delete")), F.lit(None))
                .when(matched, F.col("t"))
                .when(tgt_only & (src_act == F.lit("delete")), F.lit(None))

@@ -1113,3 +1113,27 @@ def test_merge_pruning_skipped_with_by_source_clause(spark, catalog):
                    "removed_unmatched": 100}
     assert {(r.k, r.v) for r in catalog.read("fps").collect()} \
         == {(k, k + 1) for k in range(100, 200)}
+
+
+def test_merge_narrower_source_schema_evolution(spark, catalog):
+    # PG-equivalent: UPDATE SET lists only supplied columns (omitted
+    # keep target values); INSERT fills omitted columns with the column
+    # DEFAULT, else NULL; merge keys must be present
+    catalog.create_table("mn", "k int, v string, note string")
+    catalog.insert("mn", spark.createDataFrame(
+        [(1, "a", "n1"), (2, "b", "n2")], "k int, v string, note string"))
+    catalog.add_column("mn", "score", "int", default=7)
+    src = spark.createDataFrame([(2, "B"), (3, "C")], "k int, v string")
+    res = catalog.merge_into("mn", src, on="k")
+    assert res == {"matched": 1, "inserted": 1, "removed_unmatched": 0}
+    rows = {(r.k, r.v, r.note, r.score)
+            for r in catalog.read("mn").collect()}
+    assert rows == {
+        (1, "a", "n1", 7),     # untouched (old row reads its default)
+        (2, "B", "n2", 7),     # updated: v from source, note+score kept
+        (3, "C", None, 7),     # inserted: note NULL, score DEFAULT 7
+    }
+    # a missing merge KEY is still an error
+    with pytest.raises(CStoreError, match="merge key"):
+        catalog.merge_into(
+            "mn", spark.createDataFrame([("x",)], "v string"), on="k")
