@@ -427,8 +427,11 @@ def multimodal_pixel_decode(spark, sf_dir):
                 w, h = 1 + doc_id % 4, 1 + doc_id % 3
                 raster = bytes((doc_id * 31 + k) % 256
                                for k in range(w * h * 3))
-                payloads.append(png_encode_rgb(w, h, raster,
-                                               filter_type=doc_id % 5))
+                # doc_id % 5 is always 0 here (the filter above selects
+                # every 5th doc) — vary on doc_id//5 so the pipeline
+                # actually exercises all five PNG filter types
+                payloads.append(png_encode_rgb(
+                    w, h, raster, filter_type=(doc_id // 5) % 5))
             yield pd.DataFrame({"doc_id": pdf["doc_id"],
                                 "payload": payloads})
 

@@ -97,6 +97,12 @@ MATCH_SCHEMA = T.StructType([
 #: bounded at O(purchases per user per delay window).
 PATTERN_DISORDER_US = PATTERN_WINDOW_US
 
+#: NOTE (checkpoint compatibility): this schema grew from 1 field
+#: (round 3: signup anchor only) to 3 in round 4 —
+#: ``applyInPandasWithState`` state schemas are frozen into streaming
+#: checkpoints, so a query restarted from a pre-round-4 checkpoint
+#: must start from a fresh checkpoint location (the same contract as
+#: changing any stateful operator's schema in Structured Streaming).
 PATTERN_STATE_SCHEMA = T.StructType([
     T.StructField("signup_us", T.LongType()),
     T.StructField("pending_purchases", T.ArrayType(T.LongType())),
@@ -150,7 +156,17 @@ def _pattern_update(key, pdfs: "Iterable[pd.DataFrame]",
     # expire buffered purchases past the disorder horizon (bounded state)
     if max_seen is not None:
         keep = [us for us in keep if us > max_seen - PATTERN_DISORDER_US]
-    state.update((signup_us, keep, max_seen))
+    if signup_us is None and not keep:
+        # nothing worth remembering (every buffered purchase expired,
+        # no anchor yet): drop the state row instead of retaining a
+        # max_seen-only tombstone for every user ever seen. Users WITH
+        # an anchor keep one small state row for the stream's lifetime
+        # — inherent to "FIRST signup per user" semantics (a bounded
+        # timeout would silently re-anchor on a later signup).
+        if state.exists:
+            state.remove()
+    else:
+        state.update((signup_us, keep, max_seen))
     if rows:
         yield pd.DataFrame(rows, columns=[f.name for f in MATCH_SCHEMA])
 
