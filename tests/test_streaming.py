@@ -276,3 +276,73 @@ def test_cep_out_of_order_across_batches(spark, tmp_path):
     rows = drain().collect()
     assert [(r.user_id, r.micros_between) for r in rows] \
         == [(7, 10 * 60 * 1_000_000)]
+
+
+def test_cep_update_mode_corrects_late_earlier_signup(spark, tmp_path):
+    # the append-mode-impossible case: a match was already emitted, then
+    # a LATE signup with an EARLIER event time arrives — update mode
+    # re-emits the match with the corrected anchor, and the correction
+    # stream reduces (min signup per user+purchase) to the batch answer
+    from datetime import datetime, timedelta
+    from cstore_fdw_spark.streaming.stateful import (
+        MATCH_SCHEMA, signup_purchase_pattern)
+
+    schema = "user_id long, event_type string, ts timestamp"
+    src = tmp_path / "src"
+    src.mkdir()
+    ckpt = str(tmp_path / "ck")
+    out_dir = str(tmp_path / "out")
+    base = datetime(2024, 1, 1, 12, 0, 0)
+
+    def drain():
+        # foreachBatch: the file sink is append-only, but an update-mode
+        # correction stream lands fine through a per-batch append write
+        # (the classic CDC-sink pattern) — and it restarts from the
+        # checkpoint, which the two-drain replay needs
+        stream = spark.readStream.schema(schema).parquet(str(src))
+        q = (signup_purchase_pattern(stream, mode="update")
+             .writeStream
+             .foreachBatch(lambda df, _bid:
+                           df.write.mode("append").parquet(out_dir))
+             .outputMode("update").option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        return spark.read.schema(MATCH_SCHEMA).parquet(out_dir)
+
+    # batch 1: signup at +5min, purchase at +10min → match emitted with
+    # the +5min anchor (5 minutes between)
+    spark.createDataFrame(
+        [(9, "signup", base + timedelta(minutes=5)),
+         (9, "purchase", base + timedelta(minutes=10))], schema
+    ).coalesce(1).write.mode("append").parquet(str(src))
+    first = [(r.user_id, r.micros_between) for r in drain().collect()]
+    assert first == [(9, 5 * 60 * 1_000_000)]
+    # batch 2: the TRUE first signup (event time = base) arrives late →
+    # a correction row re-anchors the same purchase at 10 minutes
+    spark.createDataFrame(
+        [(9, "signup", base)], schema
+    ).coalesce(1).write.mode("append").parquet(str(src))
+    rows = drain().collect()
+    assert sorted((r.user_id, r.micros_between) for r in rows) \
+        == [(9, 5 * 60 * 1_000_000), (9, 10 * 60 * 1_000_000)]
+    # reduce the correction stream: min anchor per (user, purchase)
+    from pyspark.sql import functions as F
+    reduced = (spark.read.schema(MATCH_SCHEMA).parquet(out_dir)
+               .groupBy("user_id", "purchase_us")
+               .agg(F.min("signup_us").alias("signup_us"))
+               .collect())
+    assert [(r.user_id, r.purchase_us - r.signup_us)
+            for r in reduced] == [(9, 10 * 60 * 1_000_000)]
+    # equal to the batch formulation over the full event set
+    e = spark.read.schema(schema).parquet(str(src))
+    s = (e.filter("event_type = 'signup'")
+         .groupBy("user_id")
+         .agg(F.min(F.unix_micros("ts")).alias("signup_us")))
+    p = e.filter("event_type = 'purchase'").select(
+        "user_id", F.unix_micros("ts").alias("purchase_us"))
+    batch = sorted(
+        (r.user_id, r.purchase_us - r.signup_us) for r in
+        s.join(p, "user_id")
+        .filter("purchase_us > signup_us").collect())
+    assert sorted((r.user_id, r.purchase_us - r.signup_us)
+                  for r in reduced) == batch
