@@ -317,18 +317,83 @@ def png_encode_rgb(width: int, height: int, raster: bytes,
             + _png_chunk(b"IEND", b""))
 
 
-#: channels per PNG color type (RFC 2083 §4.1.1)
-_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+#: channels per PNG color type (RFC 2083 §4.1.1); type 3 = palette
+#: (one index byte per pixel, expanded through PLTE after unfiltering)
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def png_encode_palette(width: int, height: int, indices: bytes,
+                       palette: list[tuple[int, int, int]],
+                       filter_type: int = 0) -> bytes:
+    """REAL palette PNG writer (color type 3, RFC 2083 §4.1.1): a PLTE
+    chunk of RGB entries plus one index byte per pixel, scanline-filtered
+    like any other PNG (bpp = 1). Fabricates genuine type-3 payloads
+    whose pixels the oracle recomputes in closed form."""
+    import struct
+    import zlib
+
+    prev = bytes(width)
+    out = []
+    for y in range(height):
+        raw = indices[y * width:(y + 1) * width]
+        f = filter_type
+        filt = bytearray()
+        for x in range(width):
+            a = raw[x - 1] if x >= 1 else 0
+            b = prev[x]
+            c = prev[x - 1] if x >= 1 else 0
+            if f == 0:
+                v = raw[x]
+            elif f == 1:
+                v = (raw[x] - a) % 256
+            elif f == 2:
+                v = (raw[x] - b) % 256
+            elif f == 3:
+                v = (raw[x] - (a + b) // 2) % 256
+            else:  # Paeth
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else \
+                    (b if pb <= pc else c)
+                v = (raw[x] - pred) % 256
+            filt.append(v)
+        out.append(bytes([f]) + bytes(filt))
+        prev = raw
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 3, 0, 0, 0)
+    plte = b"".join(bytes(rgb) for rgb in palette)
+    return (b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"PLTE", plte)
+            + _png_chunk(b"IDAT", zlib.compress(b"".join(out)))
+            + _png_chunk(b"IEND", b""))
+
+
+def _pil_decode(payload: bytes) -> tuple[int, int, int, bytes]:
+    """Codec-library fallback for image shapes the stdlib decoder
+    doesn't cover (Adam7-interlaced PNG, JPEG): decode via PIL when it
+    is installed, else raise the honest scope error. The Spark-side
+    plumbing (mapInPandas schema, batching) is identical either way."""
+    try:
+        from PIL import Image
+    except ImportError:
+        raise ValueError(
+            "unsupported image shape for the stdlib decoder and PIL is "
+            "not installed — pip install pillow enables interlaced-PNG "
+            "and JPEG pixel decode") from None
+    import io
+    img = Image.open(io.BytesIO(payload)).convert("RGB")
+    return (img.width, img.height, 3, img.tobytes())
 
 
 def png_decode_pixels(payload: bytes) -> tuple[int, int, int, bytes]:
     """REAL PNG pixel decode (stdlib struct+zlib — no codec dependency):
     chunk walk → IHDR → concatenated-IDAT inflate → per-scanline
-    unfilter (all five filters). Covers 8-bit depth, color types
-    0/2/4/6, non-interlaced — the common case a pipeline's own writers
-    produce; palette/16-bit/interlaced still need a codec library (PIL
-    swap-in), which is the honest remaining scope line. Returns
-    (width, height, channels, raster bytes)."""
+    unfilter (all five filters). Covers bit depths 8 and 16, color
+    types 0/2/3/4/6 (palette via PLTE expansion), non-interlaced.
+    Adam7-interlaced images fall back to PIL when installed
+    (:func:`_pil_decode`) and raise a clear scope error otherwise.
+    Returns (width, height, channels, raster bytes) — for depth 16 the
+    raster is big-endian 16-bit samples; palette images return the
+    EXPANDED 3-channel RGB raster."""
     import struct
     import zlib
 
@@ -337,6 +402,9 @@ def png_decode_pixels(payload: bytes) -> tuple[int, int, int, bytes]:
     i, n = 8, len(payload)
     width = height = None
     channels = None
+    depth = 8
+    ctype = None
+    plte: bytes = b""
     idat = bytearray()
     while i + 8 <= n:
         (length,) = struct.unpack(">I", payload[i:i + 4])
@@ -345,19 +413,24 @@ def png_decode_pixels(payload: bytes) -> tuple[int, int, int, bytes]:
         if tag == b"IHDR":
             width, height, depth, ctype, _comp, _filt, interlace = \
                 struct.unpack(">IIBBBBB", data)
-            if depth != 8 or ctype not in _PNG_CHANNELS or interlace:
+            if interlace:
+                return _pil_decode(payload)  # Adam7 — codec territory
+            if depth not in (8, 16) or ctype not in _PNG_CHANNELS \
+                    or (ctype == 3 and depth != 8):
                 raise ValueError(
-                    f"unsupported PNG (depth={depth} type={ctype} "
-                    f"interlace={interlace}) — needs a codec library")
+                    f"unsupported PNG (depth={depth} type={ctype}) — "
+                    "needs a codec library")
             channels = _PNG_CHANNELS[ctype]
+        elif tag == b"PLTE":
+            plte = data
         elif tag == b"IDAT":
             idat.extend(data)
         elif tag == b"IEND":
             break
         i += 12 + length
     raw = zlib.decompress(bytes(idat))
-    stride = width * channels
-    bpp = channels
+    bpp = channels * (depth // 8)   # filter distance in BYTES (RFC 2083
+    stride = width * bpp            # §6.2: 16-bit samples filter bytewise)
     recon = bytearray()
     prev = bytes(stride)
     for y in range(height):
@@ -386,6 +459,14 @@ def png_decode_pixels(payload: bytes) -> tuple[int, int, int, bytes]:
             cur.append((row[x] + pred) % 256)
         recon.extend(cur)
         prev = bytes(cur)
+    if ctype == 3:
+        # palette expansion: each index byte → its PLTE RGB triple
+        if not plte:
+            raise ValueError("palette PNG without PLTE chunk")
+        rgb = bytearray()
+        for idx in recon:
+            rgb.extend(plte[idx * 3:idx * 3 + 3])
+        return (width, height, 3, bytes(rgb))
     return (width, height, channels, bytes(recon))
 
 
@@ -443,6 +524,74 @@ def multimodal_pixel_decode(spark, sf_dir):
             rows = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 w, h, _ch, raster = png_decode_pixels(bytes(payload))
+                rows.append((int(doc_id), w, h, len(raster), sum(raster)))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "width", "height",
+                               "n_bytes", "px_sum"])
+
+    return media.mapInPandas(
+        decode, "doc_id long, width long, height long, n_bytes long, "
+                "px_sum long")
+
+
+@register(
+    "multimodal_palette_decode",
+    category="multimodal",
+    oracle="""
+    SELECT doc_id,
+           CAST(1 + doc_id % 4 AS BIGINT) AS width,
+           CAST(1 + doc_id % 3 AS BIGINT) AS height,
+           CAST((1 + doc_id % 4) * (1 + doc_id % 3) * 3 AS BIGINT)
+             AS n_bytes,
+           CAST(LIST_SUM(LIST_TRANSFORM(
+                RANGE(0, (1 + doc_id % 4) * (1 + doc_id % 3)),
+                k -> (doc_id * 7  + ((doc_id + k) % 16) * 3) % 256
+                   + (doc_id * 11 + ((doc_id + k) % 16) * 5) % 256
+                   + (doc_id * 13 + ((doc_id + k) % 16) * 7) % 256))
+             AS BIGINT) AS px_sum
+    FROM documents WHERE doc_id % 11 = 0
+    """)
+def multimodal_palette_decode(spark, sf_dir):
+    """Palette-PNG (color type 3) pixel decode — the round-4 'needs a
+    codec library' gap closed in pure stdlib: every 11th document gets a
+    genuine type-3 PNG (16-entry PLTE derived from doc_id in closed
+    form, index bytes scanline-filtered with the filter varying per
+    image), and a second ``mapInPandas`` stage decodes it back — chunk
+    walk, inflate, unfilter at bpp=1, PLTE expansion to RGB. The DuckDB
+    oracle recomputes the expanded pixel statistics from the closed
+    form — it never sees the PNG — so the palette path is value-checked
+    end-to-end. Interlaced PNG/JPEG remain behind the optional-PIL
+    fallback (:func:`_pil_decode`)."""
+    d = (table(spark, sf_dir, "documents")
+         .filter(F.col("doc_id") % 11 == 0).select("doc_id"))
+
+    def encode(batches):
+        import pandas as pd
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                w, h = 1 + doc_id % 4, 1 + doc_id % 3
+                palette = [((doc_id * 7 + i * 3) % 256,
+                            (doc_id * 11 + i * 5) % 256,
+                            (doc_id * 13 + i * 7) % 256)
+                           for i in range(16)]
+                indices = bytes((doc_id + k) % 16 for k in range(w * h))
+                payloads.append(png_encode_palette(
+                    w, h, indices, palette,
+                    filter_type=(doc_id // 11) % 5))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"],
+                                "payload": payloads})
+
+    media = d.mapInPandas(encode, "doc_id long, payload binary")
+
+    def decode(batches):
+        import pandas as pd
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, ch, raster = png_decode_pixels(bytes(payload))
+                assert ch == 3  # palette expands to RGB
                 rows.append((int(doc_id), w, h, len(raster), sum(raster)))
             yield pd.DataFrame(
                 rows, columns=["doc_id", "width", "height",

@@ -102,14 +102,55 @@ def test_png_pixel_decode_round_trip():
     assert (w, h, ch) == (1, 1, 4)
     assert rec == b"\x00\x00\xff\x7f"
 
-    # unsupported shapes fail loudly, not wrongly
     import pytest
     import struct
     import zlib
-    from cstore_fdw_spark.operators.multimodal import _png_chunk
-    ihdr16 = struct.pack(">IIBBBBB", 1, 1, 16, 2, 0, 0, 0)
-    deep = (b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr16)
-            + _png_chunk(b"IDAT", zlib.compress(b"\x00" * 7))
-            + _png_chunk(b"IEND", b""))
+    from cstore_fdw_spark.operators.multimodal import (
+        _png_chunk, png_encode_palette)
+
+    # palette (color type 3): PLTE expansion, all five filters
+    pal = [(i, 2 * i, 3 * i) for i in range(16)]
+    idx = bytes((3 + k) % 16 for k in range(4 * 3))
+    expanded = b"".join(bytes(pal[i]) for i in idx)
+    for f in range(5):
+        w, h, ch, rec = png_decode_pixels(
+            png_encode_palette(4, 3, idx, pal, filter_type=f))
+        assert (w, h, ch, rec) == (4, 3, 3, expanded), f
+
+    # 16-bit grayscale: bytewise filtering, big-endian samples
+    samples = [1000, 2000, 3000, 40000, 50000, 60000]
+    rows16 = b"".join(
+        b"\x00" + b"".join(struct.pack(">H", s)
+                           for s in samples[y * 3:(y + 1) * 3])
+        for y in range(2))
+    png16 = (b"\x89PNG\r\n\x1a\n"
+             + _png_chunk(b"IHDR", struct.pack(">IIBBBBB",
+                                               3, 2, 16, 0, 0, 0, 0))
+             + _png_chunk(b"IDAT", zlib.compress(rows16))
+             + _png_chunk(b"IEND", b""))
+    w, h, ch, rec = png_decode_pixels(png16)
+    assert (w, h, ch) == (3, 2, 1)
+    assert [struct.unpack(">H", rec[i:i + 2])[0]
+            for i in range(0, len(rec), 2)] == samples
+
+    # still-unsupported shapes fail loudly, not wrongly
+    ihdr4 = struct.pack(">IIBBBBB", 1, 1, 4, 0, 0, 0, 0)
+    shallow = (b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr4)
+               + _png_chunk(b"IDAT", zlib.compress(b"\x00\x00"))
+               + _png_chunk(b"IEND", b""))
     with pytest.raises(ValueError, match="unsupported PNG"):
-        png_decode_pixels(deep)
+        png_decode_pixels(shallow)
+
+    # Adam7-interlaced: PIL fallback when installed, honest scope error
+    # when not (this container has no PIL — both paths stay covered)
+    ihdr_i = struct.pack(">IIBBBBB", 1, 1, 8, 0, 0, 0, 1)
+    inter = (b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr_i)
+             + _png_chunk(b"IDAT", zlib.compress(b"\x00\x05"))
+             + _png_chunk(b"IEND", b""))
+    try:
+        import PIL  # noqa: F401
+        w, h, ch, rec = png_decode_pixels(inter)
+        assert (w, h, ch) == (1, 1, 3)
+    except ImportError:
+        with pytest.raises(ValueError, match="PIL is not installed"):
+            png_decode_pixels(inter)
