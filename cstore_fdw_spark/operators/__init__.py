@@ -126,3 +126,21 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         if isinstance(df.schema["ts"].dataType, T.LongType):
             df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
     return df
+
+
+def spread(df: DataFrame) -> DataFrame:
+    """Round-robin repartition to cluster parallelism — ONLY when the
+    plan currently has fewer partitions than cores.
+
+    Spark sizes scan partitions by bytes (maxPartitionBytes), so a small
+    file (e.g. the whole documents table in one 600 KB parquet) becomes
+    ONE task, and every CPU-heavy per-row projection downstream (char
+    n-gram builds, shingling, per-token digests) runs single-threaded.
+    The conditional keeps this an explicit small-input fix: at 100 TB a
+    scan already has thousands of splits, the predicate is false, and no
+    full-corpus shuffle is ever introduced. (Partition count comes from
+    the file listing — no data is read.)"""
+    n = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < n:
+        return df.repartition(n)
+    return df

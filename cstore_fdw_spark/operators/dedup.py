@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.window import Window
 
-from cstore_fdw_spark.operators import register, table, track_cache
+from cstore_fdw_spark.operators import register, spread, table, track_cache
 
 #: the duplicated corpus used by exact-dedup demos: documents ∪ documents
 #: with shifted ids, so every text has exactly one duplicate. (The driver's
@@ -84,22 +84,14 @@ def dedup_exact_hash(spark, sf_dir):
                  F.count(F.lit(1)).alias("copies")))
 
 
-def _doc_tokens(spark, sf_dir) -> DataFrame:
-    """(doc_id, lang, token) distinct token sets."""
-    d = table(spark, sf_dir, "documents")
-    return (d.select("doc_id", "lang",
-                     F.explode(F.split("text", " ")).alias("token"))
-            .filter(F.col("token") != "")
-            .distinct())
-
-
 TOKEN_JACCARD_TAU = 0.8
 
 
-def ppjoin_jaccard_pairs(items: DataFrame, tau: float) -> DataFrame:
-    """Exact Jaccard-≥-τ pairs over an (doc_id, lang, item) set table via
-    PPJoin-style prefix filtering (Xiao et al., WWW'08) — the shared
-    engine for both the word-token and char-n-gram Jaccard families.
+def ppjoin_jaccard_pairs(item_sets: DataFrame, tau: float) -> DataFrame:
+    """Exact Jaccard-≥-τ pairs over a (doc_id, lang, items: array<string>)
+    per-doc set table via PPJoin-style prefix filtering (Xiao et al.,
+    WWW'08) — the shared engine for both the word-token and char-n-gram
+    Jaccard families.
 
     Naive inverted-index self-joins are quadratic in posting-list size
     (Zipfian items like "the" put O(n²) pairs in one bucket). Candidates
@@ -111,37 +103,40 @@ def ppjoin_jaccard_pairs(items: DataFrame, tau: float) -> DataFrame:
     inverted index drops the frequent items that dominate the blowup.
     The exact overlap is then counted over candidates only.
     Output: (doc_a, doc_b, n_common, size_a, size_b, jaccard)."""
-    # items carry an internal 64-bit hash (never surfaced — any
-    # injective-on-the-data hash works, so the cheap engine-local
-    # xxhash64, not the portable md5 family): long equality joins and
-    # long-array intersections run several× faster than string ones
-    items = track_cache(items.withColumn("ih", F.xxhash64("item"))
-                        .localCheckpoint(eager=False))
-    # per-doc sorted item-hash array + size: the verification operand.
-    # Arrays are bounded by document length, so candidate verification
-    # shuffles O(candidates × doc length) bytes with NO row explosion.
+    # The per-doc sorted hash set is built as ONE projection — hash each
+    # item inside transform(), no explode, no collect_set shuffle (the
+    # earlier exploded-rows form materialized every (doc, item) string
+    # row and shuffled them all back into per-doc sets; at sf0.1 that
+    # was ~45 % of the query). The hash is an internal 64-bit xxhash64
+    # (never surfaced — any injective-on-the-data hash works, and long
+    # joins/intersections run several× faster than string ones); sizes
+    # and overlap share one convention because n_s is derived from the
+    # SAME distinct-hash array that verification intersects (a 64-bit
+    # collision — assumed absent, as in any set-similarity-on-hashes
+    # scheme — would otherwise skew jaccard via inconsistent sizes).
     sets = track_cache(
-        items.groupBy("doc_id")
-        .agg(F.sort_array(F.collect_set("ih")).alias("iset"))
-        # sizes and overlap must share one convention: n_s is derived from
-        # the SAME distinct-hash set that verification intersects (a
-        # duplicate (doc_id, item) input row, or in principle a 64-bit
-        # hash collision — xxhash64 is assumed injective on the corpus,
-        # as any set-similarity-on-hashes scheme assumes — would
-        # otherwise skew jaccard via inconsistent sizes)
+        spread(item_sets).select(
+            "doc_id", "lang",
+            F.sort_array(F.expr(
+                "transform(items, x -> xxhash64(x))")).alias("iset"))
         .withColumn("n_s", F.size("iset").cast("long"))
-        .localCheckpoint(eager=False))
-    sizes = sets.select("doc_id", "n_s")
+        .persist())
+    # one exploded (doc_id, lang, n_s, ih) view over the cached sets —
+    # re-derived per consumer as pure CPU over cached arrays
+    ex = sets.select("doc_id", "lang", "n_s",
+                     F.explode("iset").alias("ih"))
     # global (per-language) item frequency → total rarity order (freq,
-    # then item lexicographically as the deterministic tie-break)
-    freq = items.groupBy("lang", "item").agg(F.count(F.lit(1)).alias("gf"))
-    wdoc = Window.partitionBy("doc_id").orderBy("gf", "item")
+    # then item hash as the deterministic tie-break; ANY shared total
+    # order preserves the pigeonhole argument, so ordering by the
+    # 64-bit hash instead of the item string changes which items land
+    # in prefixes but not losslessness)
+    freq = ex.groupBy("lang", "ih").agg(F.count(F.lit(1)).alias("gf"))
+    wdoc = Window.partitionBy("doc_id").orderBy("gf", "ih")
     # persist: the self-join below would otherwise rebuild the whole
     # freq-aggregate + rarity window on BOTH sides (verified in the
     # executed plan — no subtree reuse without materialization)
-    prefix = (items.join(freq, ["lang", "item"])
+    prefix = (ex.join(freq, ["lang", "ih"])
               .withColumn("rn", F.row_number().over(wdoc))
-              .join(sizes, "doc_id")
               .filter(F.col("rn") <= F.col("n_s")
                       - F.ceil(F.lit(tau) * F.col("n_s")) + 1)
               .select("doc_id", "lang", "ih", "rn", "n_s")
@@ -226,8 +221,15 @@ def dedup_token_jaccard(spark, sf_dir):
     """Exact token-set (1-gram) Jaccard near-dup pairs within a language,
     via the shared PPJoin prefix-filtered pipeline (lossless — the oracle
     runs the unfiltered inverted-index form). This is also the exact
-    correctness anchor for the MinHash estimate (dedup_minhash_lsh)."""
-    tok = _doc_tokens(spark, sf_dir).withColumnRenamed("token", "item")
+    correctness anchor for the MinHash estimate (dedup_minhash_lsh).
+
+    The distinct token set per doc is an array_distinct PROJECTION (not
+    a distinct() over exploded rows — same set, zero pre-shuffle)."""
+    d = table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", "lang",
+        F.expr("array_distinct(filter(split(text, ' '),"
+               " t -> t <> ''))").alias("items"))
     return ppjoin_jaccard_pairs(tok, TOKEN_JACCARD_TAU)
 
 
@@ -275,8 +277,7 @@ def dedup_ngram_jaccard(spark, sf_dir):
     so the prefix filter matters even more here). Jaccard from exact int
     counts so the double division is deterministic."""
     d = table(spark, sf_dir, "documents").filter(F.col("text") != "")
-    g = d.select("doc_id", "lang",
-                 F.explode(F.expr(_CHAR_GRAM_ARR)).alias("item"))
+    g = d.select("doc_id", "lang", F.expr(_CHAR_GRAM_ARR).alias("items"))
     return ppjoin_jaccard_pairs(g, NGRAM_JACCARD_TAU)
 
 
@@ -458,7 +459,7 @@ def dedup_embedding_lsh_blocked(spark, sf_dir):
 # ---------------------------------------------------------------- MinHash
 
 from cstore_fdw_spark.functions.portable_hash import (  # noqa: E402
-    P31, band_key_sql, duck_w32, minhash_coeffs, spark_w32,
+    P31, band_key_sql, duck_w32, minhash_coeffs,
 )
 
 N_HASHES = 32
@@ -553,7 +554,8 @@ def minhash_lsh_pairs(docs: DataFrame) -> DataFrame:
     # (empty text) are excluded — their all-sentinel signatures would
     # otherwise collide in every band (and Jaccard over empty sets is
     # undefined); the oracle's explode drops them naturally.
-    shingled = shingle_arrays(docs).filter(F.size("shingles") > 0)
+    shingled = (shingle_arrays(spread(docs))
+                .filter(F.size("shingles") > 0))
     ex = track_cache(shingle_hashes(shingled).persist())
     # persist(), not localCheckpoint(), for the signature table: both are
     # materialized once and reused by every consumer (bands self-join,
@@ -702,15 +704,22 @@ def simhash_signatures(tokens: DataFrame) -> DataFrame:
     WWW'07). Bit j of the signature is the sign of sum over tokens of ±1
     by bit j of the token's portable hash (two md5 words = 64 independent
     bits, identical in DuckDB) — all 64 bit-sums run in ONE aggregate
-    pass."""
-    w0 = F.expr(spark_w32("token", 0))
-    w1 = F.expr(spark_w32("token", 1))
+    pass. The digest is computed ONCE per token in a projection and the
+    two 32-bit words extracted from it; inlining ``spark_w32`` into the
+    64 aggregate expressions would instead rely on subexpression
+    elimination to avoid 64 md5 evaluations per row."""
+    hx = (tokens
+          .selectExpr("doc_id", "md5(cast(token as binary)) AS m")
+          .selectExpr(
+              "doc_id",
+              "cast(conv(substring(m, 1, 8), 16, 10) as bigint) AS w0",
+              "cast(conv(substring(m, 9, 8), 16, 10) as bigint) AS w1"))
     bit_sums = [
         F.sum(F.when(
-            F.shiftright(w0 if j < 32 else w1, j % 32)
+            F.shiftright(F.col("w0" if j < 32 else "w1"), j % 32)
             .bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)).alias(f"s_{j}")
         for j in range(SIMHASH_BITS)]
-    sums = tokens.groupBy("doc_id").agg(*bit_sums)
+    sums = hx.groupBy("doc_id").agg(*bit_sums)
     chunk_cols = []
     for c in range(SIMHASH_CHUNKS):
         ck = None
@@ -772,7 +781,17 @@ def dedup_simhash(spark, sf_dir):
     radius), Hamming verification via bit_count(xor) per chunk.
     Portable md5-derived bit planes → the DuckDB oracle recomputes the
     identical signatures and pairs. Output: (doc_a, doc_b, hamming)."""
-    tokens = _doc_tokens(spark, sf_dir).select("doc_id", "token")
+    # per-doc token distinctness as an array_distinct PROJECTION, not a
+    # distinct() over exploded rows: the latter shuffles every token row
+    # before the signature aggregate ever sees them; this form goes
+    # straight from scan to map-side-combined aggregate with zero
+    # pre-shuffles (the oracle's SELECT DISTINCT doc_id, token is the
+    # same set — distinctness is per (doc, token) either way)
+    d = table(spark, sf_dir, "documents")
+    tokens = d.select(
+        "doc_id",
+        F.explode(F.expr("array_distinct(filter(split(text, ' '),"
+                         " t -> t <> ''))")).alias("token"))
     sig = simhash_signatures(tokens)
     chunk_cols = [
         F.struct(F.lit(c).alias("chunk"), F.col(f"c{c}").alias("ck"))
