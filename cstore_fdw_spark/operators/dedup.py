@@ -102,7 +102,11 @@ def ppjoin_jaccard_pairs(item_sets: DataFrame, tau: float) -> DataFrame:
     lossless pruning (oracles run the unfiltered form), while the
     inverted index drops the frequent items that dominate the blowup.
     The exact overlap is then counted over candidates only.
-    Output: (doc_a, doc_b, n_common, size_a, size_b, jaccard)."""
+    Output: (doc_a, doc_b, n_common, size_a, size_b, jaccard).
+
+    Callers pass ``item_sets`` already ``spread()`` (repartition before
+    the item projection), so the set build runs at cluster parallelism
+    even when the source scan is one split."""
     # The per-doc sorted hash set is built as ONE projection — hash each
     # item inside transform(), no explode, no collect_set shuffle (the
     # earlier exploded-rows form materialized every (doc, item) string
@@ -115,12 +119,21 @@ def ppjoin_jaccard_pairs(item_sets: DataFrame, tau: float) -> DataFrame:
     # collision — assumed absent, as in any set-similarity-on-hashes
     # scheme — would otherwise skew jaccard via inconsistent sizes).
     sets = track_cache(
-        spread(item_sets).select(
+        item_sets.select(
             "doc_id", "lang",
             F.sort_array(F.expr(
                 "transform(items, x -> xxhash64(x))")).alias("iset"))
         .withColumn("n_s", F.size("iset").cast("long"))
         .persist())
+    # materialize the cache BEFORE the plan fans out: the prefix build,
+    # the self-join's two sides, and the verify join all consume `sets`,
+    # and Spark evaluates broadcast/subquery branches on parallel threads
+    # — with a lazy persist those threads race to fill the cache and the
+    # loser recomputes the whole gram/token build (measured as sporadic
+    # 2-4x outlier runs). One count() over the freshly cached columnar
+    # batches costs ~the materialization alone and makes every consumer
+    # a guaranteed cache hit.
+    sets.count()
     # one exploded (doc_id, lang, n_s, ih) view over the cached sets —
     # re-derived per consumer as pure CPU over cached arrays
     ex = sets.select("doc_id", "lang", "n_s",
@@ -142,6 +155,7 @@ def ppjoin_jaccard_pairs(item_sets: DataFrame, tau: float) -> DataFrame:
               .select("doc_id", "lang", "ih", "rn", "n_s")
               .persist())
     track_cache(prefix)
+    prefix.count()  # same eager-materialization rationale as `sets`
     # PPJoin candidate generation with pair-level overlap accumulation
     # (Xiao WWW'08 §3.2): collect ALL prefix collisions per pair, then
     # bound the best-case total overlap by
@@ -224,9 +238,12 @@ def dedup_token_jaccard(spark, sf_dir):
     correctness anchor for the MinHash estimate (dedup_minhash_lsh).
 
     The distinct token set per doc is an array_distinct PROJECTION (not
-    a distinct() over exploded rows — same set, zero pre-shuffle)."""
+    a distinct() over exploded rows — same set, zero pre-shuffle), and
+    spread() runs BEFORE the projection: a projection written upstream of
+    the repartition would execute in the scan's (single, for a small
+    file) task and serialize the whole token build."""
     d = table(spark, sf_dir, "documents")
-    tok = d.select(
+    tok = spread(d).select(
         "doc_id", "lang",
         F.expr("array_distinct(filter(split(text, ' '),"
                " t -> t <> ''))").alias("items"))
@@ -277,7 +294,9 @@ def dedup_ngram_jaccard(spark, sf_dir):
     so the prefix filter matters even more here). Jaccard from exact int
     counts so the double division is deterministic."""
     d = table(spark, sf_dir, "documents").filter(F.col("text") != "")
-    g = d.select("doc_id", "lang", F.expr(_CHAR_GRAM_ARR).alias("items"))
+    # spread BEFORE the gram projection (see dedup_token_jaccard)
+    g = spread(d).select("doc_id", "lang",
+                         F.expr(_CHAR_GRAM_ARR).alias("items"))
     return ppjoin_jaccard_pairs(g, NGRAM_JACCARD_TAU)
 
 
@@ -557,6 +576,11 @@ def minhash_lsh_pairs(docs: DataFrame) -> DataFrame:
     shingled = (shingle_arrays(spread(docs))
                 .filter(F.size("shingles") > 0))
     ex = track_cache(shingle_hashes(shingled).persist())
+    # eager materialization before the plan fans out (bands self-join,
+    # sizes, both verification sides): parallel subquery threads racing a
+    # lazy persist recompute the shingle+md5 build — measured as sporadic
+    # 3-4x outlier runs (same rationale as ppjoin_jaccard_pairs)
+    ex.count()
     # persist(), not localCheckpoint(), for the signature table: both are
     # materialized once and reused by every consumer (bands self-join,
     # sizes), but localCheckpoint pays driver-side physical planning +
@@ -567,6 +591,7 @@ def minhash_lsh_pairs(docs: DataFrame) -> DataFrame:
     sigs = track_cache(ex.groupBy("doc_id")
                        .agg(F.count(F.lit(1)).alias("n_sh"), *mins)
                        .persist())
+    sigs.count()  # same eager-materialization rationale as `ex`
     # band keys: pure integer arithmetic over each ROWS_PER_BAND-slice of
     # the signature (two Horner polynomials mod P31 packed to 62 bits —
     # no VARCHAR render, no md5; identical expression in the oracle)
@@ -788,7 +813,10 @@ def dedup_simhash(spark, sf_dir):
     # pre-shuffles (the oracle's SELECT DISTINCT doc_id, token is the
     # same set — distinctness is per (doc, token) either way)
     d = table(spark, sf_dir, "documents")
-    tokens = d.select(
+    # spread BEFORE the token projection: the md5 digests + 64 partial
+    # bit-sums execute in the same stage as this explode, so on a small
+    # single-split scan they would otherwise all run in one task
+    tokens = spread(d).select(
         "doc_id",
         F.explode(F.expr("array_distinct(filter(split(text, ' '),"
                          " t -> t <> ''))")).alias("token"))

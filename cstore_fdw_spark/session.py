@@ -36,6 +36,15 @@ ENGINE_CONFS: dict[str, str] = {
     # at 100 TB the same setting sizes cached partitions to the AQE
     # advisory target instead of the static count.
     "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning": "true",
+    # AQE's parallelism-first coalescing floors reducer sizes at
+    # minPartitionSize (default 1m). CPU-dense-per-byte stages — hash
+    # self-joins and window ranks over 8-byte token digests — carry only
+    # a few MB at sf0.1, so the 1m floor squeezed them to ~6 reducers on
+    # 32 cores (measured: the PPJoin verify stage ran 6 tasks x 2-4 s).
+    # A 256k floor restores ~full parallelism for those stages while
+    # remaining a no-op at scale: reducers at 100 TB are sized by
+    # bytes/parallelism, far above any sane floor.
+    "spark.sql.adaptive.coalescePartitions.minPartitionSize": "256k",
     # --- Columnar scan: pushdown + pruning (zone-map parity, SURVEY §4).
     "spark.sql.parquet.filterPushdown": "true",
     "spark.sql.parquet.aggregatePushdown": "true",
