@@ -813,10 +813,12 @@ def dedup_simhash(spark, sf_dir):
     # pre-shuffles (the oracle's SELECT DISTINCT doc_id, token is the
     # same set — distinctness is per (doc, token) either way)
     d = table(spark, sf_dir, "documents")
-    # spread BEFORE the token projection: the md5 digests + 64 partial
-    # bit-sums execute in the same stage as this explode, so on a small
-    # single-split scan they would otherwise all run in one task
-    tokens = spread(d).select(
+    # NO spread here, deliberately (A/B-measured ~0.3 s faster without):
+    # the md5 + 64 partial bit-sums combine map-side into one row per
+    # doc, so a pre-repartition only adds an exchange without relieving
+    # any reducer; the aggregate's own exchange already spreads the
+    # final merge
+    tokens = d.select(
         "doc_id",
         F.explode(F.expr("array_distinct(filter(split(text, ' '),"
                          " t -> t <> ''))")).alias("token"))
@@ -906,7 +908,10 @@ def dedup_connected_components(spark, sf_dir):
                        .alias("comp"),
                        (F.coalesce("nbr_comp", "comp") < F.col("comp"))
                        .cast("long").alias("changed"))
-               .localCheckpoint(eager=True))
+               # lazy: the changed-count action below materializes the
+               # checkpoint, so each round runs ONE job instead of an
+               # eager-materialize job plus a count job
+               .localCheckpoint(eager=False))
         changed = new.agg(F.sum("changed")).collect()[0][0]
         if prev is not None:
             prev.unpersist()
