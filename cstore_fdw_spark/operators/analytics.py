@@ -355,6 +355,78 @@ def sample_stratified_hash(spark, sf_dir):
             .select("doc_id", "lang", "source"))
 
 
+#: target mixture weights in permyriad (parts per 10,000) and the
+#: overall sampling budget: keep 1/5 of the corpus, redistributed toward
+#: the target language mix regardless of the corpus's natural skew
+_MIXTURE_WEIGHTS = [("en", 4000), ("de", 2500), ("fr", 2000),
+                    ("es", 1000), ("zh", 500)]
+_MIXTURE_BUDGET_DIV = 5  # total sample budget = corpus_rows / 5
+
+
+def _mixture_oracle() -> str:
+    from cstore_fdw_spark.functions.portable_hash import duck_h60
+    h = duck_h60("CAST(doc_id AS VARCHAR)")
+    weights = ", ".join(f"('{l}', {w})" for l, w in _MIXTURE_WEIGHTS)
+    return f"""
+    WITH w(lang, permyriad) AS (VALUES {weights}),
+    n AS (SELECT lang, COUNT(*) AS n_lang FROM documents GROUP BY lang),
+    t AS (SELECT COUNT(*) // {_MIXTURE_BUDGET_DIV} AS budget
+          FROM documents),
+    rates AS (
+      SELECT n.lang,
+             LEAST(1000, (t.budget * w.permyriad // 10000) * 1000
+                          // n.n_lang) AS rate_permille
+      FROM n JOIN w ON w.lang = n.lang CROSS JOIN t)
+    SELECT d.doc_id, d.lang, r.rate_permille
+    FROM documents d
+    JOIN rates r ON r.lang = d.lang
+    WHERE {h} % 1000 < r.rate_permille
+    """
+
+
+@register(
+    "sample_target_mixture",
+    category="analytics",
+    oracle=_mixture_oracle())
+def sample_target_mixture(spark, sf_dir):
+    """Target-mixture sampling: per-language rates COMPUTED from corpus
+    counts so the sample approaches a target domain mix (en 40 %, de
+    25 %, fr 20 %, es 10 %, zh 5 % of a budget of 1/5 the corpus) — the
+    mixture-reweighting step of a training-data pipeline (Pile/DoReMi
+    style), one level above sample_stratified_hash's fixed rates.
+
+    rate_d = min(1, budget·w_d / n_d) in permille via exact integer
+    floor division, membership by portable-hash bucket — the sampled row
+    SET (not just its size) is deterministic, engine-independent, and
+    nests monotonically as weights grow. Rates over 1.0 clamp (a
+    low-resource language can only contribute all its rows — the
+    standard under-budget behavior; upsampling is an epochs-at-training
+    decision, not a sampling one).
+
+    Scale: one count aggregate per language (map-side combined), the
+    resulting rate table is |languages| rows — broadcast by AQE — and
+    the corpus scan stays one pass with no shuffle."""
+    from cstore_fdw_spark.functions.portable_hash import spark_h60
+
+    w = F.broadcast(spark.createDataFrame(
+        _MIXTURE_WEIGHTS, "lang string, permyriad long"))
+    d = table(spark, sf_dir, "documents")
+    n = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_lang"))
+    t = d.agg(F.expr(
+        f"count(1) div {_MIXTURE_BUDGET_DIV}").alias("budget"))
+    rates = (n.join(w, "lang").join(F.broadcast(t))
+             .select("lang", F.least(
+                 F.lit(1000),
+                 F.expr("(budget * permyriad div 10000) * 1000"
+                        " div n_lang")).alias("rate_permille")))
+    return (d.select("doc_id", "lang",
+                     (F.expr(spark_h60("cast(doc_id as string)")) % 1000)
+                     .alias("bucket"))
+            .join(rates, "lang")
+            .filter(F.col("bucket") < F.col("rate_permille"))
+            .select("doc_id", "lang", "rate_permille"))
+
+
 @register(
     "embedding_vector_stats",
     category="similarity",

@@ -676,3 +676,60 @@ def text_rarity_score(spark, sf_dir):
             .agg(F.count(F.lit(1)).alias("n_tok"),
                  F.expr("sum(rarity_fp) div count(1)")
                  .alias("mean_rarity_fp")))
+
+
+#: context-window chunking geometry: window W tokens, stride S < W gives
+#: W - S tokens of overlap between consecutive chunks
+CHUNK_W = 64
+CHUNK_S = 48
+
+
+@register(
+    "text_chunk_overlap",
+    category="text",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, STRING_SPLIT(text, ' ') AS toks
+      FROM documents WHERE text <> ''),
+    c AS (
+      SELECT doc_id, toks,
+             1 + (GREATEST(LEN(toks) - {CHUNK_W}, 0) + {CHUNK_S - 1})
+                 // {CHUNK_S} AS nc
+      FROM base),
+    ch AS (
+      SELECT doc_id, toks,
+             UNNEST(generate_series(0, nc - 1)) AS chunk_idx
+      FROM c)
+    SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+           CAST(LEN(list_slice(toks, 1 + chunk_idx * {CHUNK_S},
+                               chunk_idx * {CHUNK_S} + {CHUNK_W}))
+                AS BIGINT) AS n_chunk_tokens,
+           array_to_string(list_slice(toks, 1 + chunk_idx * {CHUNK_S},
+                                      chunk_idx * {CHUNK_S} + {CHUNK_W}),
+                           ' ') AS chunk_text
+    FROM ch
+    """)
+def text_chunk_overlap(spark, sf_dir):
+    """Overlapping context-window chunking: split each document into
+    windows of {W} tokens with stride {S} ({W}-{S} tokens of overlap) —
+    the step that turns curated documents into training-context rows.
+    Chunk count is 1 + ceil(max(n_tokens - W, 0) / S) in exact integer
+    arithmetic, so the final (possibly short) window is always emitted
+    and every token lands in at least one chunk.
+
+    Scale: pure projection + explode — no shuffle at all; chunks inherit
+    the scan's partitioning, and downstream per-chunk ops (tokenize,
+    pack, dedup) pipeline in the same stage. The window math is a
+    sequence()+slice() composition in whole-stage codegen, never a UDF.
+    """.format(W=CHUNK_W, S=CHUNK_S)
+    d = table(spark, sf_dir, "documents").filter(F.col("text") != "")
+    nc = (f"1 + (greatest(size(toks) - {CHUNK_W}, 0) + {CHUNK_S - 1})"
+          f" div {CHUNK_S}")
+    chunk = (f"transform(sequence(0, {nc} - 1),"
+             f" i -> slice(toks, 1 + i * {CHUNK_S}, {CHUNK_W}))")
+    return (d.select("doc_id", F.split("text", " ").alias("toks"))
+            .select("doc_id", F.posexplode(F.expr(chunk)))
+            .select("doc_id",
+                    F.col("pos").cast("long").alias("chunk_idx"),
+                    F.size("col").cast("long").alias("n_chunk_tokens"),
+                    F.concat_ws(" ", "col").alias("chunk_text")))
