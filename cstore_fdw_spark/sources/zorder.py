@@ -1,0 +1,94 @@
+"""Z-order (Morton-curve) clustering: multi-column data skipping.
+
+The reference's block skipping is one-dimensional: its zone maps
+(``block_filtering`` suite — per-block min/max) only prune scans whose
+filter matches the order the data happened to arrive in. Sorting a table
+by column A makes A-filters skip almost everything and B-filters skip
+NOTHING — at 100 TB a secondary-dimension query re-reads the world.
+
+Z-ordering interleaves the bits of several columns into one sort key, so
+files/row-groups become axis-aligned rectangles in value space: every
+participating column's min/max range per row group is narrow, and
+Parquet's ordinary row-group/page statistics (the engine's zone-map
+equivalent, see ``tests/test_pushdown.py``) prune on ANY of the z
+columns without any new reader machinery. This is the same layout lever
+Delta Lake's OPTIMIZE ZORDER BY applies; here it's a pure write-time
+DataFrame transform:
+
+1. normalize each column to a ``bits``-wide integer rank via min/max
+   scaling (one tiny aggregate; documented caveat: heavily skewed
+   columns want quantile scaling — at that point pass a precomputed
+   rank column instead);
+2. interleave bits in a single codegen projection (no UDF);
+3. range-partition + sort within partitions by the z-value, so each
+   output file covers a compact z-range.
+
+Works for any fixed number of integer-castable columns (2-4 are the
+useful arities; beyond that the per-column resolution inside a row group
+decays — the standard z-order guidance).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from cstore_fdw_spark.catalog import CStoreError
+
+#: default per-column resolution: 2^16 cells per dimension is plenty —
+#: resolution only needs to exceed (rows / rows-per-rowgroup)^(1/k)
+DEFAULT_BITS = 16
+
+
+def z_value(cols: list[Column], bits: int = DEFAULT_BITS) -> Column:
+    """Interleave the low ``bits`` bits of the given integer columns into
+    one Morton code (column i contributes bit j to z-bit ``j*k + i``).
+    Pure bitwise arithmetic — whole-stage codegen, no UDF."""
+    k = len(cols)
+    if not 1 <= k * bits <= 63:
+        raise CStoreError(f"{k} columns x {bits} bits exceeds int64")
+    z = F.lit(0).cast("long")
+    for i, c in enumerate(cols):
+        c = c.cast("long")
+        for j in range(bits):
+            z = z.bitwiseOR(
+                F.shiftleft(F.shiftright(c, j).bitwiseAND(F.lit(1)),
+                            j * k + i))
+    return z
+
+
+def zorder_by(df: DataFrame, cols: list[str], n_files: int,
+              bits: int = DEFAULT_BITS) -> DataFrame:
+    """Cluster ``df`` on the Morton code of ``cols``: normalize each
+    column to [0, 2^bits) by global min/max, interleave, range-partition
+    into ``n_files`` compact z-ranges and sort within each. Write the
+    result with any sink; row-group stats then prune on every z column.
+
+    The min/max aggregate is one tiny job (2 longs per column); its
+    result is folded in as literals so the normalization stays a
+    scan-local projection."""
+    if not cols:
+        raise CStoreError("zorder_by needs at least one column")
+    missing = [c for c in cols if c not in df.columns]
+    if missing:
+        raise CStoreError(f"z-order column(s) {missing} not in {df.columns}")
+    aggs = []
+    for c in cols:
+        aggs += [F.min(F.col(c).cast("long")).alias(f"mn_{c}"),
+                 F.max(F.col(c).cast("long")).alias(f"mx_{c}")]
+    stats = df.agg(*aggs).collect()[0]
+    scaled = []
+    top = (1 << bits) - 1
+    for c in cols:
+        mn, mx = stats[f"mn_{c}"], stats[f"mx_{c}"]
+        if mn is None:
+            raise CStoreError(f"z-order column {c} is all NULL")
+        span = max(mx - mn, 1)
+        # rank = (v - mn) * top / span, exact in int64 for 47-bit spans;
+        # wider domains should pre-bucket (documented in module docs)
+        scaled.append(((F.col(c).cast("long") - F.lit(mn))
+                       * F.lit(top) / F.lit(span)).cast("long"))
+    z = z_value(scaled, bits)
+    return (df.withColumn("__z", z)
+            .repartitionByRange(n_files, "__z")
+            .sortWithinPartitions("__z")
+            .drop("__z"))

@@ -1,0 +1,108 @@
+"""Z-order clustering: prove the LAYOUT pays, by counting which parquet
+row groups a filter could skip via min/max statistics — the engine's
+zone-map machinery (reference block_filtering parity) applied to a
+second dimension.
+
+The test writes the same two-uniform-column dataset twice — linearly
+sorted by column a, and z-ordered on (a, b) — and asserts from the
+parquet footers that a b-filter prunes (almost) nothing in the linear
+layout but most row groups in the z layout, while a-filter pruning stays
+effective in both.
+"""
+
+from __future__ import annotations
+
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from cstore_fdw_spark.catalog import CStoreError
+from cstore_fdw_spark.sources.zorder import z_value, zorder_by
+
+N = 200_000
+DOMAIN = 1 << 16  # a, b uniform in [0, 65536)
+
+
+@pytest.fixture(scope="module")
+def layouts(spark, tmp_path_factory):
+    base = tmp_path_factory.mktemp("zorder")
+    # two independent pseudo-uniform columns from exact integer hashes
+    df = (spark.range(N).select(
+        (F.xxhash64(F.col("id")).bitwiseAND(F.lit(DOMAIN - 1)))
+        .alias("a"),
+        (F.xxhash64(F.col("id"), F.lit(1)).bitwiseAND(F.lit(DOMAIN - 1)))
+        .alias("b"),
+        F.col("id").alias("payload")))
+    linear = str(base / "linear")
+    zpath = str(base / "z")
+    # ~16 row groups per file x small files -> enough stat granularity
+    opts = {"parquet.block.size": str(64 * 1024)}
+    (df.repartitionByRange(8, "a").sortWithinPartitions("a")
+     .write.options(**opts).parquet(linear))
+    zorder_by(df, ["a", "b"], n_files=8).write.options(**opts).parquet(zpath)
+    return linear, zpath
+
+
+def _candidate_row_groups(path: str, col: str, lo: int, hi: int):
+    """(admitted, total) row groups whose [min,max] intersects [lo, hi)."""
+    import glob
+    admitted = total = 0
+    for f in glob.glob(f"{path}/*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        idx = {md.row_group(0).column(i).path_in_schema: i
+               for i in range(md.num_columns)}[col]
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            total += 1
+            if st.min < hi and st.max >= lo:
+                admitted += 1
+    return admitted, total
+
+
+def test_zorder_prunes_secondary_dimension(layouts):
+    linear, zpath = layouts
+    lo, hi = 1000, 1000 + DOMAIN // 64  # a 1/64 slice of b's domain
+    lin_adm, lin_tot = _candidate_row_groups(linear, "b", lo, hi)
+    z_adm, z_tot = _candidate_row_groups(zpath, "b", lo, hi)
+    # linear-by-a layout can prune (almost) nothing on b
+    assert lin_adm >= 0.9 * lin_tot, (lin_adm, lin_tot)
+    # z-order layout prunes the large majority of row groups on b
+    assert z_adm <= 0.5 * z_tot, (z_adm, z_tot)
+
+
+def test_zorder_keeps_primary_dimension_pruning(layouts):
+    linear, zpath = layouts
+    lo, hi = 30_000, 30_000 + DOMAIN // 64
+    lin_adm, lin_tot = _candidate_row_groups(linear, "a", lo, hi)
+    z_adm, z_tot = _candidate_row_groups(zpath, "a", lo, hi)
+    assert lin_adm <= 0.2 * lin_tot  # sorted layout: near-perfect
+    # z-order trades a little a-resolution for b-resolution, but must
+    # still prune most row groups on a
+    assert z_adm <= 0.5 * z_tot, (z_adm, z_tot)
+
+
+def test_zorder_preserves_rows(spark, layouts):
+    linear, zpath = layouts
+    a = spark.read.parquet(linear).agg(
+        F.count(F.lit(1)).alias("n"), F.sum("payload").alias("s")).collect()[0]
+    b = spark.read.parquet(zpath).agg(
+        F.count(F.lit(1)).alias("n"), F.sum("payload").alias("s")).collect()[0]
+    assert (a.n, a.s) == (b.n, b.s) == (N, N * (N - 1) // 2)
+
+
+def test_z_value_interleaves_bits(spark):
+    # z(1, 0) with 2 cols: col0 bit j -> z bit 2j; col1 -> 2j+1
+    row = spark.range(1).select(
+        z_value([F.lit(0b11), F.lit(0b01)], bits=2).alias("z")).collect()[0]
+    # col0=0b11 -> bits 0,2 ; col1=0b01 -> bit 1  => 0b0111
+    assert row.z == 0b0111
+
+
+def test_zorder_validation(spark):
+    df = spark.range(4).select(F.col("id").alias("a"))
+    with pytest.raises(CStoreError, match="not in"):
+        zorder_by(df, ["nope"], 2)
+    with pytest.raises(CStoreError, match="at least one"):
+        zorder_by(df, [], 2)
+    with pytest.raises(CStoreError, match="exceeds int64"):
+        z_value([F.lit(1)] * 5, bits=16)
