@@ -130,3 +130,36 @@ def test_no_unbounded_nested_loop_joins(spark, sf_dir):
             assert "BroadcastNestedLoopJoin" not in plan, name
         checked += 1
     assert checked >= 25
+
+
+# ------------------------------------------ dynamic partition pruning
+
+def test_dynamic_partition_pruning_fires(spark, sf_dir, tmp_path):
+    """Partition pruning through a JOIN: a fact table partitioned on the
+    join key must be pruned by a selective filter on the dim side at
+    RUNTIME (Spark's dynamic partition pruning — the engine inherits it
+    because partitioned layouts are plain Spark partitioned parquet).
+    At 100 TB this is the difference between scanning one date's
+    partitions and scanning the fact table's full history whenever the
+    filter lives on the dimension."""
+    fact_path = str(tmp_path / "fact")
+    (spark.read.parquet(f"{sf_dir}/orders.parquet")
+     .withColumn("pk", F.col("o_orderkey") % 10)
+     .write.partitionBy("pk").parquet(fact_path))
+    fact = spark.read.parquet(fact_path)
+    dim = (spark.range(10)
+           .select(F.col("id").alias("pk"),
+                   (F.col("id") < 2).alias("keep")))
+    j = (fact.join(F.broadcast(dim), "pk")
+         .filter(F.col("keep"))
+         .select("pk", "o_orderkey"))
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan
+    # runtime effect: only the 2 surviving partitions are read
+    j.write.format("noop").mode("overwrite").save()
+    executed = j._jdf.queryExecution().executedPlan().toString()
+    rows = j.count()
+    expected = (spark.read.parquet(f"{sf_dir}/orders.parquet")
+                .filter((F.col("o_orderkey") % 10) < 2).count())
+    assert rows == expected
+    assert "dynamicpruning" in executed.lower(), executed
