@@ -1297,6 +1297,37 @@ class CStoreCatalog:
         self.read(name).createOrReplaceTempView(view)
         return view
 
+    def metadata_df(self) -> DataFrame:
+        """One row of catalog metadata per table: (table_name, size_bytes,
+        row_count, write_epoch, storage_format, n_files).
+
+        The SQL-queryable twin of the reference's scalar metadata
+        functions (``cstore_table_size(regclass)``,
+        ``cstore_fdw--1.7.sql:29``; row counts from footers,
+        ``cstore_reader.c:400-462``) re-expressed the Spark way: an
+        information-schema-style view instead of per-call scalar UDFs
+        (Spark UDFs run executor-side, the wrong place for driver/
+        metastore metadata). Everything is footer/stat reads — no data
+        scan; the result is a driver-built local DataFrame, trivially
+        small (one row per table)."""
+        rows = []
+        for name in self.list_tables():
+            meta = self._load_meta(name)
+            rows.append((name, self.table_size(name), self.row_count(name),
+                         meta.write_epoch, self._format(meta),
+                         len(self._visible_files(meta))))
+        schema = ("table_name string, size_bytes long, row_count long, "
+                  "write_epoch long, storage_format string, n_files long")
+        return self.spark.createDataFrame(rows, schema)
+
+    def register_metadata_view(self, view_name: str = "cstore_tables") -> str:
+        """Expose :meth:`metadata_df` as a temp view so metadata is plain
+        SQL: ``SELECT size_bytes FROM cstore_tables WHERE table_name =
+        't'`` is the engine's ``SELECT cstore_table_size('t')``. Re-call
+        after DDL/DML to refresh the snapshot."""
+        self.metadata_df().createOrReplaceTempView(view_name)
+        return view_name
+
     def register_table(self, name: str, spark_name: str | None = None) -> str:
         """A15: register the managed table in Spark's session catalog as an
         external table over its data location, so ``ANALYZE TABLE`` and the

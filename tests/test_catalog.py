@@ -71,6 +71,35 @@ def test_row_count_metadata_only(spark, catalog):
     assert catalog.row_count("t") == 2000
 
 
+def test_metadata_view_sql_queryable(spark, catalog):
+    """SQL twin of the reference's scalar metadata functions
+    (cstore_table_size, sql/functions.sql): per-table size/rows/epoch
+    through a plain SQL view, refreshed on demand."""
+    catalog.create_table("ma", "a int")
+    catalog.create_table("mb", "a int")
+    catalog.insert("ma", spark.range(100).selectExpr("cast(id as int) a"))
+    view = catalog.register_metadata_view()
+    row = spark.sql(
+        f"SELECT * FROM {view} WHERE table_name = 'ma'").collect()[0]
+    assert row.row_count == 100
+    assert row.size_bytes == catalog.table_size("ma")
+    assert row.write_epoch == catalog.current_epoch("ma") == 1
+    assert row.storage_format == "parquet"
+    assert row.n_files >= 1
+    empty = spark.sql(
+        f"SELECT row_count FROM {view} WHERE table_name = 'mb'").collect()[0]
+    assert empty.row_count == 0
+    # stale until re-registered, fresh after — documented contract
+    catalog.insert("ma", spark.range(50).selectExpr("cast(id as int) a"))
+    stale = spark.sql(f"SELECT row_count FROM {view} "
+                      "WHERE table_name = 'ma'").collect()[0]
+    assert stale.row_count == 100
+    catalog.register_metadata_view()
+    fresh = spark.sql(f"SELECT row_count FROM {view} "
+                      "WHERE table_name = 'ma'").collect()[0]
+    assert fresh.row_count == 150
+
+
 def test_truncate(spark, catalog):
     # parity: sql/truncate.sql — empties but keeps table queryable;
     # repeated names handled once
