@@ -321,6 +321,141 @@ def png_encode_rgb(width: int, height: int, raster: bytes,
 #: (one index byte per pixel, expanded through PLTE after unfiltering)
 _PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
+#: Adam7 pass geometry (RFC 2083 §8.2): (x_start, y_start, x_step,
+#: y_step) per pass — each pass is an independently-filtered sub-image
+_ADAM7 = [(0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2)]
+
+
+def _filter_scanlines(rows: list[bytes], bpp: int,
+                      filter_type: int) -> bytes:
+    """Apply one PNG scanline filter (RFC 2083 §6) to every row; returns
+    the concatenated (filter byte + filtered row) stream. Shared by the
+    sequential and the per-Adam7-pass encoders."""
+    prev = bytes(len(rows[0])) if rows else b""
+    out = []
+    for raw in rows:
+        f = filter_type
+        filt = bytearray()
+        for x in range(len(raw)):
+            a = raw[x - bpp] if x >= bpp else 0
+            b = prev[x]
+            c = prev[x - bpp] if x >= bpp else 0
+            if f == 0:
+                v = raw[x]
+            elif f == 1:
+                v = (raw[x] - a) % 256
+            elif f == 2:
+                v = (raw[x] - b) % 256
+            elif f == 3:
+                v = (raw[x] - (a + b) // 2) % 256
+            else:  # Paeth
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else \
+                    (b if pb <= pc else c)
+                v = (raw[x] - pred) % 256
+            filt.append(v)
+        out.append(bytes([f]) + bytes(filt))
+        prev = raw
+    return b"".join(out)
+
+
+def _unfilter_scanlines(raw: bytes, offset: int, stride: int, height: int,
+                        bpp: int) -> tuple[list[bytes], int]:
+    """Reverse the scanline filters for ``height`` rows of ``stride``
+    bytes starting at ``offset`` in the inflated stream; returns the
+    reconstructed rows and the new offset. Shared by the sequential
+    decode path and each Adam7 pass (every pass restarts with a zero
+    prior row, RFC 2083 §8.2)."""
+    rows: list[bytes] = []
+    prev = bytes(stride)
+    for _y in range(height):
+        f = raw[offset]
+        row = raw[offset + 1:offset + 1 + stride]
+        offset += 1 + stride
+        cur = bytearray()
+        for x in range(stride):
+            a = cur[x - bpp] if x >= bpp else 0
+            b = prev[x]
+            c = prev[x - bpp] if x >= bpp else 0
+            if f == 0:
+                pred = 0
+            elif f == 1:
+                pred = a
+            elif f == 2:
+                pred = b
+            elif f == 3:
+                pred = (a + b) // 2
+            elif f == 4:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else \
+                    (b if pb <= pc else c)
+            else:
+                raise ValueError(f"bad PNG filter {f}")
+            cur.append((row[x] + pred) % 256)
+        prev = bytes(cur)
+        rows.append(prev)
+    return rows, offset
+
+
+def _adam7_pass_dims(width: int, height: int) -> list[tuple[int, int]]:
+    """(pass_width, pass_height) per Adam7 pass; zero-sized passes (small
+    images touch only some passes) contribute no scanlines at all."""
+    return [((width - x0 + dx - 1) // dx, (height - y0 + dy - 1) // dy)
+            for x0, y0, dx, dy in _ADAM7]
+
+
+def _adam7_deinterlace(raw: bytes, width: int, height: int,
+                       bpp: int) -> bytes:
+    """Reassemble the full raster from the 7 concatenated, independently
+    filtered Adam7 passes (RFC 2083 §8.2)."""
+    full = bytearray(width * height * bpp)
+    offset = 0
+    for (x0, y0, dx, dy), (pw, ph) in zip(_ADAM7,
+                                          _adam7_pass_dims(width, height)):
+        if pw == 0 or ph == 0:
+            continue
+        rows, offset = _unfilter_scanlines(raw, offset, pw * bpp, ph, bpp)
+        for ry, row in enumerate(rows):
+            y = y0 + ry * dy
+            for rx in range(pw):
+                pos = (y * width + x0 + rx * dx) * bpp
+                full[pos:pos + bpp] = row[rx * bpp:(rx + 1) * bpp]
+    return bytes(full)
+
+
+def png_encode_rgb_interlaced(width: int, height: int,
+                              raster: bytes) -> bytes:
+    """REAL Adam7-interlaced PNG writer (stdlib): the 7 passes are
+    extracted from the raster, each filtered independently (filter type
+    varies by pass so the unfilter paths are exercised under interlace
+    too), then compressed as one IDAT stream. Used to fabricate genuine
+    interlaced payloads for the decoder's round-trip tests."""
+    import struct
+    import zlib
+
+    bpp = 3
+    out = []
+    for p, ((x0, y0, dx, dy), (pw, ph)) in enumerate(
+            zip(_ADAM7, _adam7_pass_dims(width, height))):
+        if pw == 0 or ph == 0:
+            continue
+        rows = []
+        for ry in range(ph):
+            y = y0 + ry * dy
+            row = bytearray()
+            for rx in range(pw):
+                pos = (y * width + x0 + rx * dx) * bpp
+                row.extend(raster[pos:pos + bpp])
+            rows.append(bytes(row))
+        out.append(_filter_scanlines(rows, bpp, p % 5))
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 1)
+    return (b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(b"".join(out)))
+            + _png_chunk(b"IEND", b""))
+
 
 def png_encode_palette(width: int, height: int, indices: bytes,
                        palette: list[tuple[int, int, int]],
@@ -368,17 +503,17 @@ def png_encode_palette(width: int, height: int, indices: bytes,
 
 
 def _pil_decode(payload: bytes) -> tuple[int, int, int, bytes]:
-    """Codec-library fallback for image shapes the stdlib decoder
-    doesn't cover (Adam7-interlaced PNG, JPEG): decode via PIL when it
-    is installed, else raise the honest scope error. The Spark-side
-    plumbing (mapInPandas schema, batching) is identical either way."""
+    """Codec-library fallback for the one image shape the stdlib
+    decoder genuinely cannot cover (JPEG — DCT entropy decode): via PIL
+    when installed, else the honest scope error. The Spark-side plumbing
+    (mapInPandas schema, batching) is identical either way."""
     try:
         from PIL import Image
     except ImportError:
         raise ValueError(
             "unsupported image shape for the stdlib decoder and PIL is "
-            "not installed — pip install pillow enables interlaced-PNG "
-            "and JPEG pixel decode") from None
+            "not installed — pip install pillow enables "
+            "JPEG pixel decode") from None
     import io
     img = Image.open(io.BytesIO(payload)).convert("RGB")
     return (img.width, img.height, 3, img.tobytes())
@@ -388,9 +523,11 @@ def png_decode_pixels(payload: bytes) -> tuple[int, int, int, bytes]:
     """REAL PNG pixel decode (stdlib struct+zlib — no codec dependency):
     chunk walk → IHDR → concatenated-IDAT inflate → per-scanline
     unfilter (all five filters). Covers bit depths 8 and 16, color
-    types 0/2/3/4/6 (palette via PLTE expansion), non-interlaced.
-    Adam7-interlaced images fall back to PIL when installed
-    (:func:`_pil_decode`) and raise a clear scope error otherwise.
+    types 0/2/3/4/6 (palette via PLTE expansion), both sequential AND
+    Adam7-interlaced layouts (each pass unfiltered independently and
+    scattered back per RFC 2083 §8.2). JPEG (DCT — genuine codec
+    territory) goes through PIL when installed (:func:`_pil_decode`)
+    and raises a clear scope error otherwise.
     Returns (width, height, channels, raster bytes) — for depth 16 the
     raster is big-endian 16-bit samples; palette images return the
     EXPANDED 3-channel RGB raster."""
@@ -404,6 +541,7 @@ def png_decode_pixels(payload: bytes) -> tuple[int, int, int, bytes]:
     channels = None
     depth = 8
     ctype = None
+    interlace = 0
     plte: bytes = b""
     idat = bytearray()
     while i + 8 <= n:
@@ -413,8 +551,6 @@ def png_decode_pixels(payload: bytes) -> tuple[int, int, int, bytes]:
         if tag == b"IHDR":
             width, height, depth, ctype, _comp, _filt, interlace = \
                 struct.unpack(">IIBBBBB", data)
-            if interlace:
-                return _pil_decode(payload)  # Adam7 — codec territory
             if depth not in (8, 16) or ctype not in _PNG_CHANNELS \
                     or (ctype == 3 and depth != 8):
                 raise ValueError(
@@ -431,34 +567,11 @@ def png_decode_pixels(payload: bytes) -> tuple[int, int, int, bytes]:
     raw = zlib.decompress(bytes(idat))
     bpp = channels * (depth // 8)   # filter distance in BYTES (RFC 2083
     stride = width * bpp            # §6.2: 16-bit samples filter bytewise)
-    recon = bytearray()
-    prev = bytes(stride)
-    for y in range(height):
-        row = raw[y * (stride + 1):(y + 1) * (stride + 1)]
-        f, row = row[0], row[1:]
-        cur = bytearray()
-        for x in range(stride):
-            a = cur[x - bpp] if x >= bpp else 0
-            b = prev[x]
-            c = prev[x - bpp] if x >= bpp else 0
-            if f == 0:
-                pred = 0
-            elif f == 1:
-                pred = a
-            elif f == 2:
-                pred = b
-            elif f == 3:
-                pred = (a + b) // 2
-            elif f == 4:
-                p = a + b - c
-                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                pred = a if (pa <= pb and pa <= pc) else \
-                    (b if pb <= pc else c)
-            else:
-                raise ValueError(f"bad PNG filter {f}")
-            cur.append((row[x] + pred) % 256)
-        recon.extend(cur)
-        prev = bytes(cur)
+    if interlace:
+        recon = bytearray(_adam7_deinterlace(raw, width, height, bpp))
+    else:
+        rows, _off = _unfilter_scanlines(raw, 0, stride, height, bpp)
+        recon = bytearray(b"".join(rows))
     if ctype == 3:
         # palette expansion: each index byte → its PLTE RGB triple
         if not plte:
@@ -494,8 +607,10 @@ def multimodal_pixel_decode(spark, sf_dir):
     closed-form pixel function — it never sees the PNG — so encode,
     decode, and every filter path are value-checked end-to-end. This
     closes the round-3 'pixel decode is a stub' gap for the
-    8-bit/non-interlaced case; palette/16-bit/interlaced formats remain
-    codec-library territory and raise a clear error."""
+    8-bit sequential case; palette, 16-bit, and Adam7-interlaced layouts
+    are covered by their own stdlib paths (multimodal_palette_decode,
+    test_multimodal round-trips); only JPEG stays codec-library
+    territory."""
     d = (table(spark, sf_dir, "documents")
          .filter(F.col("doc_id") % 5 == 0).select("doc_id"))
 
@@ -560,8 +675,9 @@ def multimodal_palette_decode(spark, sf_dir):
     walk, inflate, unfilter at bpp=1, PLTE expansion to RGB. The DuckDB
     oracle recomputes the expanded pixel statistics from the closed
     form — it never sees the PNG — so the palette path is value-checked
-    end-to-end. Interlaced PNG/JPEG remain behind the optional-PIL
-    fallback (:func:`_pil_decode`)."""
+    end-to-end. Adam7-interlaced PNG decodes in stdlib too
+    (:func:`_adam7_deinterlace`); only JPEG remains behind the
+    optional-PIL fallback (:func:`_pil_decode`)."""
     d = (table(spark, sf_dir, "documents")
          .filter(F.col("doc_id") % 11 == 0).select("doc_id"))
 
@@ -592,6 +708,66 @@ def multimodal_palette_decode(spark, sf_dir):
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 w, h, ch, raster = png_decode_pixels(bytes(payload))
                 assert ch == 3  # palette expands to RGB
+                rows.append((int(doc_id), w, h, len(raster), sum(raster)))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "width", "height",
+                               "n_bytes", "px_sum"])
+
+    return media.mapInPandas(
+        decode, "doc_id long, width long, height long, n_bytes long, "
+                "px_sum long")
+
+
+@register(
+    "multimodal_interlaced_decode",
+    category="multimodal",
+    oracle="""
+    SELECT doc_id,
+           CAST(3 + doc_id % 7 AS BIGINT) AS width,
+           CAST(2 + doc_id % 5 AS BIGINT) AS height,
+           CAST((3 + doc_id % 7) * (2 + doc_id % 5) * 3 AS BIGINT)
+             AS n_bytes,
+           CAST(LIST_SUM(LIST_TRANSFORM(
+                RANGE(0, (3 + doc_id % 7) * (2 + doc_id % 5) * 3),
+                k -> (doc_id * 17 + k * 5) % 256)) AS BIGINT) AS px_sum
+    FROM documents WHERE doc_id % 13 = 0
+    """)
+def multimodal_interlaced_decode(spark, sf_dir):
+    """Adam7-interlaced PNG pixel decode in pure stdlib — the last PNG
+    layout gap closed without a codec library: every 13th document gets
+    a genuine interlaced PNG (real Adam7 writer — per-pass sub-image
+    extraction, per-pass filtering with the filter varying by pass),
+    and a second ``mapInPandas`` stage decodes it back: chunk walk,
+    inflate, per-pass unfilter, pixel scatter per RFC 2083 §8.2. Widths
+    3-9 and heights 2-6 sweep the pass-geometry edge cases (images
+    touching 4-7 of the 7 passes). The DuckDB oracle recomputes the
+    pixel statistics from the closed-form raster — it never sees the
+    PNG — so the interlaced encode+decode path is value-checked
+    end-to-end. JPEG remains the one codec-library shape."""
+    d = (table(spark, sf_dir, "documents")
+         .filter(F.col("doc_id") % 13 == 0).select("doc_id"))
+
+    def encode(batches):
+        import pandas as pd
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                w, h = 3 + doc_id % 7, 2 + doc_id % 5
+                raster = bytes((doc_id * 17 + k * 5) % 256
+                               for k in range(w * h * 3))
+                payloads.append(png_encode_rgb_interlaced(w, h, raster))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"],
+                                "payload": payloads})
+
+    media = d.mapInPandas(encode, "doc_id long, payload binary")
+
+    def decode(batches):
+        import pandas as pd
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, _ch, raster = png_decode_pixels(bytes(payload))
                 rows.append((int(doc_id), w, h, len(raster), sum(raster)))
             yield pd.DataFrame(
                 rows, columns=["doc_id", "width", "height",

@@ -141,16 +141,45 @@ def test_png_pixel_decode_round_trip():
     with pytest.raises(ValueError, match="unsupported PNG"):
         png_decode_pixels(shallow)
 
-    # Adam7-interlaced: PIL fallback when installed, honest scope error
-    # when not (this container has no PIL — both paths stay covered)
+    # Adam7-interlaced grayscale, 1x1: only pass 1 is non-empty —
+    # decodes in pure stdlib (no PIL in this container)
     ihdr_i = struct.pack(">IIBBBBB", 1, 1, 8, 0, 0, 0, 1)
     inter = (b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr_i)
              + _png_chunk(b"IDAT", zlib.compress(b"\x00\x05"))
              + _png_chunk(b"IEND", b""))
+    assert png_decode_pixels(inter) == (1, 1, 1, b"\x05")
+
+    # JPEG pixel decode is the one genuinely codec-bound shape: PIL
+    # when installed, honest scope error when not
+    from cstore_fdw_spark.operators.multimodal import _pil_decode
     try:
         import PIL  # noqa: F401
-        w, h, ch, rec = png_decode_pixels(inter)
-        assert (w, h, ch) == (1, 1, 3)
     except ImportError:
         with pytest.raises(ValueError, match="PIL is not installed"):
-            png_decode_pixels(inter)
+            _pil_decode(b"\xff\xd8\xff\xe0 not-really-a-jpeg")
+
+
+def test_png_adam7_interlaced_round_trip():
+    """Full Adam7 deinterlacing in pure stdlib: odd dimensions exercise
+    every pass-geometry edge (partial passes, empty passes), and each
+    non-empty pass carries a different scanline filter."""
+    from cstore_fdw_spark.operators.multimodal import (
+        _adam7_pass_dims, png_decode_pixels, png_encode_rgb,
+        png_encode_rgb_interlaced)
+
+    for w, h in [(1, 1), (2, 2), (3, 3), (5, 4), (8, 8), (9, 7), (16, 5)]:
+        raster = bytes((11 * k + w + h) % 256 for k in range(w * h * 3))
+        dw, dh, ch, rec = png_decode_pixels(
+            png_encode_rgb_interlaced(w, h, raster))
+        assert (dw, dh, ch) == (w, h, 3), (w, h)
+        assert rec == raster, f"interlace corrupted pixels at {w}x{h}"
+        # interlaced and sequential encodings of the same raster decode
+        # to identical pixels
+        assert rec == png_decode_pixels(png_encode_rgb(w, h, raster))[3]
+
+    # pass geometry: 8x8 touches all 7 passes with the RFC pixel counts
+    dims = _adam7_pass_dims(8, 8)
+    assert [pw * ph for pw, ph in dims] == [1, 1, 2, 4, 8, 16, 32]
+    # 1x1 touches only pass 1
+    assert [pw * ph for pw, ph in _adam7_pass_dims(1, 1)] == \
+        [1, 0, 0, 0, 0, 0, 0]
