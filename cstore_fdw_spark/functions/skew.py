@@ -38,6 +38,24 @@ def salted_count(df: DataFrame, keys: Sequence[str],
             .agg(F.sum("__partial").alias("count")))
 
 
+def salted_sum_count(df: DataFrame, keys: Sequence[str], value: Column,
+                     n_salts: int = DEFAULT_SALTS) -> DataFrame:
+    """Two-phase salted count+sum per key group: partial on (keys, salt),
+    final on keys. Identical rows to
+    ``df.groupBy(keys).agg(count(*), sum(value))`` (columns ``n``,
+    ``total_value``), but the widest reducer holds 1/n_salts of the
+    hottest key — the manual lever for aggregations whose group key is
+    too skewed for even AQE's split thresholds (AQE splits skewed JOIN
+    partitions, not aggregate hash buckets)."""
+    partial = (df.withColumn("__salt", _salt(n_salts))
+               .groupBy(*keys, "__salt")
+               .agg(F.count(F.lit(1)).alias("__c"),
+                    F.sum(value).alias("__s")))
+    return (partial.groupBy(*keys)
+            .agg(F.sum("__c").alias("n"),
+                 F.sum("__s").alias("total_value")))
+
+
 def salted_join_small(big: DataFrame, small: DataFrame, key: str,
                       n_salts: int = DEFAULT_SALTS) -> DataFrame:
     """Inner equi-join where ``big`` has skewed keys: replicate ``small``

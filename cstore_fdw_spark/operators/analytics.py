@@ -502,3 +502,37 @@ def unpivot_status_counts(spark, sf_dir):
         .select("o_orderpriority",
                 F.upper(F.substring("status_col", 1, 1)).alias("status"),
                 "cnt"))
+
+
+@register(
+    "agg_salted_hot_key",
+    category="agg",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n,
+           CAST(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DECIMAL(18,6))
+                AS DOUBLE) AS total_value
+    FROM events GROUP BY event_type ORDER BY event_type
+    """)
+def agg_salted_hot_key(spark, sf_dir):
+    """Skew-mitigated aggregation: ``events`` has a handful of event
+    types over hundreds of thousands of rows — the textbook hot-key
+    aggregate. The engine runs it through
+    :func:`cstore_fdw_spark.functions.salted_sum_count`: partial
+    count+sum on (event_type, salt), final merge on event_type, so the
+    hottest key's rows spread over 16 reducers instead of one. Result
+    rows are IDENTICAL to the naive groupBy (the oracle is the naive
+    SQL); the salt changes the physical distribution only. At 100 TB
+    this is the manual lever for group keys whose skew outruns AQE
+    (AQE splits skewed join partitions, not aggregate hash buckets);
+    Spark's own partial aggregation already map-side-combines, so the
+    salted form matters when the PARTIAL results themselves are
+    reducer-skewed (high-cardinality payloads per key: collect_list,
+    distinct counting)."""
+    from cstore_fdw_spark.functions import salted_sum_count
+    from cstore_fdw_spark.operators.relational import dec, to_dbl
+
+    e = table(spark, sf_dir, "events")
+    out = salted_sum_count(e, ["event_type"], dec("value"))
+    return (out.select("event_type", "n",
+                       to_dbl(F.col("total_value")).alias("total_value"))
+            .orderBy("event_type"))

@@ -155,3 +155,37 @@ def to_json_row(spark, sf_dir):
         F.concat(F.lit('{"key":'), F.col("n_nationkey").cast("string"),
                  F.lit(',"name":"'), F.col("n_name"), F.lit('"}'))
         .alias("row_json"))
+
+
+@register(
+    "map_props_access",
+    category="nested",
+    oracle="""
+    SELECT event_id,
+           CAST(props->>'$.k' AS BIGINT) AS k_val,
+           CAST(LEN(json_keys(props)) + 1 AS BIGINT) AS n_keys,
+           CAST(2 * (CAST(props->>'$.k' AS BIGINT) + LENGTH(event_type))
+                AS BIGINT) AS sum_doubled
+    FROM events WHERE event_id % 5 = 0
+    """)
+def map_props_access(spark, sf_dir):
+    """MAP-typed column surface (the one nested type array/struct/json
+    queries don't touch): ``props`` parsed as ``map<string,bigint>``
+    via from_json, then the map-function family end-to-end —
+    ``element_at`` lookup, ``map_concat`` enrichment with a computed
+    entry, ``transform_values`` (higher-order map rewrite),
+    ``map_values`` + ``aggregate`` fold, ``size``. All JVM built-ins in
+    whole-stage codegen; zero shuffle (pure projection). The oracle
+    recomputes each result through DuckDB's JSON functions."""
+    e = table(spark, sf_dir, "events").filter(F.col("event_id") % 5 == 0)
+    m = F.from_json("props", "map<string,bigint>")
+    enriched = F.map_concat(
+        m, F.create_map(F.lit("etype_len"),
+                        F.length("event_type").cast("long")))
+    doubled = F.transform_values(enriched, lambda _k, v: v * 2)
+    return e.select(
+        "event_id",
+        F.element_at(m, "k").alias("k_val"),
+        F.size(enriched).cast("long").alias("n_keys"),
+        F.aggregate(F.map_values(doubled), F.lit(0).cast("long"),
+                    lambda acc, v: acc + v).alias("sum_doubled"))

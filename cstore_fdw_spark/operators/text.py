@@ -733,3 +733,71 @@ def text_chunk_overlap(spark, sf_dir):
                     F.col("pos").cast("long").alias("chunk_idx"),
                     F.size("col").cast("long").alias("n_chunk_tokens"),
                     F.concat_ws(" ", "col").alias("chunk_text")))
+
+
+# ------------------------------------------------------------------- PII
+
+#: Java-regex patterns for the scrub pass (the real thing — the oracle
+#: never sees them; it recomputes the redacted text from the closed form)
+PII_EMAIL_RE = r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}"
+PII_PHONE_RE = r"\b\d{3}-\d{3}-\d{4}\b"
+
+
+@register(
+    "text_pii_redact",
+    category="text",
+    oracle="""
+    WITH clean AS (
+      SELECT doc_id,
+             text
+               || CASE WHEN doc_id % 3 = 0 THEN ' contact <EMAIL>'
+                       ELSE '' END
+               || CASE WHEN doc_id % 4 = 0 THEN ' call <PHONE>'
+                       ELSE '' END AS redacted
+      FROM documents)
+    SELECT doc_id,
+           CAST(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS BIGINT)
+             AS n_emails,
+           CAST(CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END AS BIGINT)
+             AS n_phones,
+           CAST(LENGTH(redacted) AS BIGINT) AS n_chars_clean,
+           MD5(redacted) AS fingerprint
+    FROM clean
+    """)
+def text_pii_redact(spark, sf_dir):
+    """PII scrubbing (the Dolma/FineWeb pre-training rule: mask emails
+    and phone numbers before anything else sees the text). The corpus is
+    synthetic word soup with no PII, so — exactly like the multimodal
+    family fabricates real PNGs — a first projection APPENDS closed-form
+    PII (every 3rd doc an email derived from doc_id, every 4th a
+    NNN-NNN-NNNN phone), and the scrub stage then has real work: Java
+    ``regexp_replace``/``regexp_count`` in whole-stage codegen masks
+    them to ``<EMAIL>``/``<PHONE>`` placeholders. The DuckDB oracle
+    recomputes the redacted text (and its md5 fingerprint) from the
+    closed form — it never runs a regex — so the regex pipeline is
+    value-checked end-to-end: one missed or over-matched character
+    anywhere in any document breaks the hash.
+
+    Scale: pure per-row projection — no shuffle, no Python; regex cost
+    is linear in bytes scanned and runs where the data sits."""
+    d = table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    email = F.when(did % 3 == 0, F.concat(
+        F.lit(" contact user"), did.cast("string"),
+        F.lit("@ex"), (did % 7).cast("string"),
+        F.lit(".example.com"))).otherwise(F.lit(""))
+    phone = F.when(did % 4 == 0, F.concat(
+        F.lit(" call 555-"), (did % 900 + 100).cast("string"),
+        F.lit("-"), (did % 9000 + 1000).cast("string"))).otherwise(F.lit(""))
+    dirty = F.concat("text", email, phone)
+    redacted = F.regexp_replace(
+        F.regexp_replace(dirty, PII_EMAIL_RE, "<EMAIL>"),
+        PII_PHONE_RE, "<PHONE>")
+    return d.select(
+        "doc_id",
+        F.regexp_count(dirty, F.lit(PII_EMAIL_RE)).cast("long")
+            .alias("n_emails"),
+        F.regexp_count(dirty, F.lit(PII_PHONE_RE)).cast("long")
+            .alias("n_phones"),
+        F.length(redacted).cast("long").alias("n_chars_clean"),
+        F.md5(redacted.cast("binary")).alias("fingerprint"))

@@ -43,3 +43,15 @@ def test_salted_count_spreads_partitions(spark):
         .groupBy("k", "__salt").count())
     hot_shards = partial.filter(F.col("k") == "hot").count()
     assert hot_shards > 1
+
+
+def test_salted_sum_count_equivalence(spark):
+    from cstore_fdw_spark.functions import salted_sum_count
+
+    df = _skewed(spark)
+    naive = {(r.k, r.n, r.total_value) for r in
+             df.groupBy("k").agg(F.count(F.lit(1)).alias("n"),
+                                 F.sum("v").alias("total_value")).collect()}
+    salted = {(r.k, r.n, r.total_value)
+              for r in salted_sum_count(df, ["k"], F.col("v")).collect()}
+    assert naive == salted
