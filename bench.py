@@ -9,17 +9,19 @@ Runs every REGISTRY entry marked ``bench=True`` against
 
 Each query executes through a ``noop``-format write — every output column
 is fully materialized (a bare ``count()`` lets Catalyst prune the very
-projections being benchmarked). Each query runs three times with ALL
+projections being benchmarked). Each query runs four times with ALL
 caches cleared between runs (builder-tracked persists, table caches,
 localCheckpoint RDDs — every run re-executes the full pipeline from the
 parquet scan; nothing warm is a data-cache hit). The headline
-``queries``/``value`` numbers are the best of the two post-cold runs:
+``queries``/``value`` numbers are the best of the three post-cold runs:
 stage-timeline profiling showed the SECOND run still pays one-time JVM
 costs (C2-compiling freshly generated wholestage code inflated its
 task CPU ~2x, and new AQE plan shapes Janino-compile on the driver
-between stages), so two measured runs after the cold run is the minimum
-that reliably reaches steady state — the JMH convention. The cold first
-runs are reported alongside as ``queries_cold``/``value_cold`` so
+between stages), so at least two measured runs after the cold run are
+needed to reach steady state — the JMH convention — and a third guards
+the min against shared-host neighbor noise (±25% between identical
+whole-bench invocations was measured; SCALE.md). The cold first runs
+are reported alongside as ``queries_cold``/``value_cold`` so
 round-over-round comparisons can see both.
 """
 
@@ -52,7 +54,7 @@ def main() -> None:
     cold: dict[str, float] = {}
     for name, spec in bench_specs.items():
         runs = []
-        for _ in range(3):
+        for _ in range(4):
             # cache hygiene between executions: builder-tracked persists,
             # table caches, and straggler localCheckpoint RDDs all die
             # here, so heap residency never accumulates across the run
@@ -63,10 +65,14 @@ def main() -> None:
             df.write.format("noop").mode("overwrite").save()
             runs.append(time.perf_counter() - t0)
         cold[name] = round(runs[0], 3)
-        # best of the two post-cold runs: run 2 still C2-compiles the
+        # best of the three post-cold runs: run 2 still C2-compiles the
         # generated code (see module docstring); every run re-executed
-        # the full pipeline, so this is JIT steady state, not cache hits
-        warm[name] = round(min(runs[1], runs[2]), 3)
+        # the full pipeline, so this is JIT steady state, not cache hits.
+        # Three measured runs (not two) because this host is SHARED —
+        # back-to-back full-bench invocations measured ±25% wall-clock on
+        # identical code; min-of-three keeps the artifact representative
+        # of the engine rather than of neighbor load (SCALE.md).
+        warm[name] = round(min(runs[1:]), 3)
     clear_caches(spark)
 
     print(json.dumps({

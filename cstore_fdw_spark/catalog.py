@@ -80,7 +80,8 @@ def validate_options(options: dict[str, Any]) -> dict[str, Any]:
     """Validate table options; unknown keys and out-of-range values error
     (parity with cstore_fdw_validator, reference cstore_fdw.c:1273-1340)."""
     known = {"filename", "compression", "stripe_row_count", "block_row_count",
-             "sort_by", "partition_by", "storage_format"}
+             "sort_by", "partition_by", "storage_format",
+             "zorder_by", "zorder_bits"}
     for key in options:
         if key not in known:
             raise CStoreError(
@@ -117,6 +118,27 @@ def validate_options(options: dict[str, Any]) -> dict[str, Any]:
         raise CStoreError(f'invalid storage format "{fmt}"; '
                           "supported: parquet, orc")
     out["storage_format"] = fmt
+    if out.get("zorder_by"):
+        # z-order is a competing layout declaration: sort_by imposes a
+        # one-dimensional order a later re-sort would destroy, and the
+        # per-partition writer would split the global z-ranges
+        if out.get("sort_by"):
+            raise CStoreError(
+                "zorder_by and sort_by are competing layout declarations; "
+                "a table is clustered on one order")
+        if out.get("partition_by"):
+            raise CStoreError(
+                "zorder_by on a partitioned table is not supported; "
+                "partition pruning already covers the partition column — "
+                "z-order the remaining dimensions of an unpartitioned "
+                "layout instead")
+        zb = int(out.get("zorder_bits", 16))
+        ncols = len(str(out["zorder_by"]).split(","))
+        if not (1 <= zb and ncols * zb <= 63):
+            raise CStoreError(
+                f"invalid zorder_bits {zb}: {ncols} column(s) x {zb} bits "
+                "must stay within int64 (<= 63 interleaved bits)")
+        out["zorder_bits"] = zb
     return out
 
 
@@ -443,7 +465,8 @@ class CStoreCatalog:
         finally:
             shutil.rmtree(staged, ignore_errors=True)
 
-    def compact(self, name: str) -> int:
+    def compact(self, name: str, zorder_by: list[str] | None = None,
+                zorder_bits: int | None = None) -> int:
         """Rewrite the table's data files into stripe-sized files and
         return the new file count.
 
@@ -462,7 +485,38 @@ class CStoreCatalog:
         rows parked in ``data.compact.old``, which :meth:`_recover_compact`
         (run by both read() and compact()) rolls back or cleans up —
         readers never silently see an empty table.
-        Partitioned tables compact within each partition."""
+        Partitioned tables compact within each partition.
+
+        ``zorder_by=[cols]`` additionally CLUSTERS the rewrite on the
+        Morton code of the given columns (the lakehouse ``OPTIMIZE
+        ZORDER BY``): files become axis-aligned rectangles in value
+        space, so parquet row-group min/max stats prune scans filtered
+        on ANY of the z columns (``sources/zorder.py``; layout payoff
+        proven in ``tests/test_zorder.py``). The choice is persisted in
+        the table options, so later ``compact()``/``vacuum()``/
+        copy-on-write rewrites re-cluster automatically; appended
+        batches land unclustered until the next compact — the standard
+        lakehouse contract. Incompatible with ``sort_by``/
+        ``partition_by`` (competing layout declarations — the option
+        validator refuses)."""
+        if zorder_by is not None:
+            meta = self._load_meta(name)
+            merged = dict(meta.options)
+            merged.pop("zorder_by", None)
+            merged.pop("zorder_bits", None)
+            merged["zorder_by"] = ",".join(zorder_by)
+            if zorder_bits is not None:
+                merged["zorder_bits"] = zorder_bits
+            validated = validate_options(merged)
+            missing = [c for c in zorder_by
+                       if c not in [f.name for f in meta.schema().fields]]
+            if missing:
+                raise CStoreError(
+                    f"z-order column(s) {missing} not in table "
+                    f'"{name}" schema')
+            set_opts = {"zorder_by": validated["zorder_by"],
+                        "zorder_bits": validated["zorder_bits"]}
+            return self._rewrite(name, set_opts=set_opts)
         return self._rewrite(name)
 
     def vacuum(self, name: str, keep_epochs: int = 0) -> int:
@@ -503,8 +557,16 @@ class CStoreCatalog:
         rows_per_file = stripe_rows * 10
         total = df.count()
         part = meta.options.get("partition_by")
+        zspec = meta.options.get("zorder_by")
         if part:
             df = df.repartition(*part.split(","))
+        elif zspec and total:
+            # re-cluster the consolidated cold window on the persisted
+            # Morton order (same contract as compact)
+            from cstore_fdw_spark.sources.zorder import zorder_by as _zorder
+            df = _zorder(df, zspec.split(","),
+                         max(1, -(-total // rows_per_file)),
+                         bits=int(meta.options.get("zorder_bits", 16)))
         elif total:
             df = df.repartition(max(1, -(-total // rows_per_file)))
         sort_by = meta.options.get("sort_by")
@@ -901,7 +963,7 @@ class CStoreCatalog:
                 "inserted": int(stats.n_inserted or 0),
                 "removed_unmatched": int(stats.n_removed or 0)}
 
-    def _rewrite(self, name: str, keep=None) -> int:
+    def _rewrite(self, name: str, keep=None, set_opts=None) -> int:
         # optimistic-concurrency loop: the distributed rewrite runs
         # unlocked; if another writer committed meanwhile the lock-held
         # commit refuses and we redo from a fresh read (which then
@@ -910,14 +972,14 @@ class CStoreCatalog:
         # the caller should schedule the rewrite differently.
         for _ in range(3):
             try:
-                return self._rewrite_once(name, keep)
+                return self._rewrite_once(name, keep, set_opts)
             except CStoreConcurrentWriteError:
                 continue
         raise CStoreConcurrentWriteError(
             f'rewrite of "{name}" lost the commit race 3 times to '
             "concurrent writers; retry when ingest quiesces")
 
-    def _rewrite_once(self, name: str, keep=None) -> int:
+    def _rewrite_once(self, name: str, keep=None, set_opts=None) -> int:
         meta = self._load_meta(name)
         fmt = self._format(meta)
         self._recover_compact(meta, fmt)
@@ -937,12 +999,23 @@ class CStoreCatalog:
                                        DEFAULT_STRIPE_ROW_COUNT)
         rows_per_file = stripe_rows * 10
         part = meta.options.get("partition_by")
+        # explicit compact(zorder_by=..) wins; else a previously
+        # persisted zorder_by re-clusters every rewrite (the validator
+        # guarantees z-order never coexists with sort_by/partition_by)
+        zspec = ((set_opts or {}).get("zorder_by")
+                 or meta.options.get("zorder_by"))
+        n_files = max(1, -(-total // rows_per_file))
         if part:
             # co-locate each partition's rows so the writer emits few
             # files per partition directory
             df = df.repartition(*part.split(","))
+        elif zspec:
+            from cstore_fdw_spark.sources.zorder import zorder_by as _zorder
+            zbits = int((set_opts or {}).get(
+                "zorder_bits", meta.options.get("zorder_bits", 16)))
+            df = _zorder(df, zspec.split(","), n_files, bits=zbits)
         else:
-            df = df.repartition(max(1, -(-total // rows_per_file)))
+            df = df.repartition(n_files)
         sort_by = meta.options.get("sort_by")
         if sort_by:
             df = df.sortWithinPartitions(*sort_by.split(","))
@@ -956,7 +1029,11 @@ class CStoreCatalog:
         if part:
             writer = writer.partitionBy(*part.split(","))
         getattr(writer, fmt)(tmp_path)
-        fresh = self._commit_swap(name, base_epoch, tmp_path)
+        mutate = None
+        if set_opts:
+            def mutate(fresh_meta):
+                fresh_meta.options.update(set_opts)
+        fresh = self._commit_swap(name, base_epoch, tmp_path, mutate)
         self._refresh_registered(fresh)
         return sum(1 for _ in _data_files(data_path, fmt))
 

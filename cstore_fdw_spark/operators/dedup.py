@@ -921,3 +921,55 @@ def dedup_connected_components(spark, sf_dir):
             break
     track_cache(prev)  # the converged labels the caller is about to read
     return labels.select("vec_id", F.col("comp").alias("component"))
+
+
+# ------------------------------------------------------------ URL dedup
+
+@register(
+    "dedup_url_canonical",
+    category="dedup",
+    oracle="""
+    WITH canon AS (
+      SELECT doc_id,
+             'site' || CAST(doc_id % 50 AS VARCHAR) || '.example.com'
+               || '/path' || CAST(doc_id % 13 AS VARCHAR)
+               || '?id=' || CAST(doc_id % 20 AS VARCHAR) AS canonical_url
+      FROM documents WHERE doc_id % 2 = 0)
+    SELECT canonical_url, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           MIN(doc_id) AS keeper_doc_id
+    FROM canon GROUP BY canonical_url HAVING COUNT(*) > 1
+    """)
+def dedup_url_canonical(spark, sf_dir):
+    """URL-canonicalization dedup — the CommonCrawl-pipeline staple:
+    pages fetched under URLs differing only in host case, tracking
+    parameters, or fragments are one document. Every 2nd doc gets a
+    closed-form dirty URL (mixed-case host, a ``utm_source`` tracking
+    param, a fragment); the engine then does the REAL work with
+    ``parse_url`` (Spark's Hive-parity URL parser, JVM codegen):
+    HOST lowercased, PATH kept, the one meaningful query param
+    re-extracted via ``parse_url(.., 'QUERY', 'id')`` — tracking params
+    and fragment dropped by construction of the rebuild. Groups with
+    >1 doc per canonical URL are the duplicate sets (keeper = min
+    doc_id, same convention as the other dedup families). The oracle
+    recomputes the canonical form arithmetically — it never parses a
+    URL — so the parse/canonicalize path is value-checked end-to-end.
+
+    Scale: projection + one count aggregate on the canonical key —
+    map-side combined, one shuffle, no Python."""
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") % 2 == 0)
+    did = F.col("doc_id")
+    url = F.concat(
+        F.lit("https://Site"), (did % 50).cast("string"),
+        F.lit(".Example.COM/path"), (did % 13).cast("string"),
+        F.lit("?utm_source=feed"), (did % 5).cast("string"),
+        F.lit("&id="), (did % 20).cast("string"),
+        F.lit("#sec"), (did % 7).cast("string"))
+    canonical = F.concat(
+        F.lower(F.parse_url(url, F.lit("HOST"))),
+        F.parse_url(url, F.lit("PATH")),
+        F.lit("?id="), F.parse_url(url, F.lit("QUERY"), F.lit("id")))
+    return (d.select(canonical.alias("canonical_url"), "doc_id")
+            .groupBy("canonical_url")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.min("doc_id").alias("keeper_doc_id"))
+            .filter(F.col("n_docs") > 1))

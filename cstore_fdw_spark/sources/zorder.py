@@ -88,7 +88,18 @@ def zorder_by(df: DataFrame, cols: list[str], n_files: int,
         scaled.append(((F.col(c).cast("long") - F.lit(mn))
                        * F.lit(top) / F.lit(span)).cast("long"))
     z = z_value(scaled, bits)
-    return (df.withColumn("__z", z)
-            .repartitionByRange(n_files, "__z")
+    # Grid-aligned file cuts: partition on the TOP ceil(log2 n_files)
+    # z-bits rather than sample-based ranges over raw z. A sampled range
+    # boundary can fall mid-quadrant, leaving one file straddling a high
+    # bit — its span on one dimension degenerates to the full domain.
+    # Quantizing to the bit grid makes every file an EXACT axis-aligned
+    # rectangle (one z-grid cell; at worst two ADJACENT cells when the
+    # range partitioner merges sparse buckets), and removes the sampling
+    # nondeterminism from the layout.
+    k = len(cols)
+    nb = min(k * bits, max(1, (n_files - 1).bit_length()))
+    zb = F.shiftright(z, k * bits - nb)
+    return (df.withColumn("__z", z).withColumn("__zb", zb)
+            .repartitionByRange(1 << nb, "__zb")
             .sortWithinPartitions("__z")
-            .drop("__z"))
+            .drop("__z", "__zb"))

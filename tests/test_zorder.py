@@ -106,3 +106,82 @@ def test_zorder_validation(spark):
         zorder_by(df, [], 2)
     with pytest.raises(CStoreError, match="exceeds int64"):
         z_value([F.lit(1)] * 5, bits=16)
+
+
+def test_compact_zorder_clusters_and_persists(spark, catalog):
+    """OPTIMIZE ZORDER BY as a lifecycle op: compact(zorder_by=[a, b])
+    rewrites the table clustered on the Morton code, persists the choice
+    in the table options (later rewrites re-cluster automatically), and
+    the resulting files carry narrow per-file min/max spans on BOTH
+    z columns — the multi-column skipping payoff, from the catalog API."""
+    import glob
+
+    catalog.create_table("zt", "a int, b int, payload bigint",
+                         stripe_row_count=1000)
+    # 160k rows / (stripe 1000 x 10 rows-per-file) = 16 files = 4x4 grid
+    # in (a, b) value space: per-file span ~ dom/4 on BOTH dimensions
+    n, dom = 160_000, 1 << 12
+    df = (spark.range(n).select(
+        (F.xxhash64(F.col("id")).bitwiseAND(F.lit(dom - 1)))
+        .cast("int").alias("a"),
+        (F.xxhash64(F.col("id"), F.lit(1)).bitwiseAND(F.lit(dom - 1)))
+        .cast("int").alias("b"),
+        F.col("id").alias("payload")))
+    catalog.insert("zt", df)
+    before = catalog.read("zt").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("payload").alias("s"),
+        F.sum("a").alias("sa"), F.sum("b").alias("sb")).collect()[0]
+
+    catalog.compact("zt", zorder_by=["a", "b"])
+
+    meta = catalog._load_meta("zt")
+    assert meta.options["zorder_by"] == "a,b"
+    assert meta.options["zorder_bits"] == 16
+    after = catalog.read("zt").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("payload").alias("s"),
+        F.sum("a").alias("sa"), F.sum("b").alias("sb")).collect()[0]
+    assert tuple(before) == tuple(after)
+
+    files = glob.glob(catalog.table_path("zt") + "/data/*.parquet")
+    assert len(files) > 1, "need multiple files to observe clustering"
+    for col_idx, col in ((0, "a"), (1, "b")):
+        spans = []
+        for f in files:
+            md = pq.ParquetFile(f).metadata
+            mns, mxs = [], []
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(col_idx).statistics
+                mns.append(st.min)
+                mxs.append(st.max)
+            spans.append(max(mxs) - min(mns))
+        # every file is an axis-aligned z-grid cell (~dom/4 edges for a
+        # 4x4 grid); the range partitioner may merge one pair of ADJACENT
+        # cells, doubling one file's span on one dimension — never more
+        assert max(spans) <= dom * 0.55, (col, spans)
+        assert sorted(spans)[len(spans) // 2] < dom * 0.3, (col, spans)
+
+    # the persisted layout re-applies on a later plain compact
+    catalog.insert("zt", df.limit(5000))
+    catalog.compact("zt")
+    files2 = glob.glob(catalog.table_path("zt") + "/data/*.parquet")
+    spans_a = []
+    for f in files2:
+        md = pq.ParquetFile(f).metadata
+        st = [md.row_group(rg).column(0).statistics
+              for rg in range(md.num_row_groups)]
+        spans_a.append(max(s.max for s in st) - min(s.min for s in st))
+    assert max(spans_a) < dom * 0.6
+
+
+def test_compact_zorder_option_conflicts(spark, catalog):
+    from cstore_fdw_spark.catalog import validate_options
+
+    with pytest.raises(CStoreError, match="competing layout"):
+        validate_options({"zorder_by": "a,b", "sort_by": "a"})
+    with pytest.raises(CStoreError, match="partitioned"):
+        validate_options({"zorder_by": "a", "partition_by": "p"})
+    with pytest.raises(CStoreError, match="int64"):
+        validate_options({"zorder_by": "a,b,c,d", "zorder_bits": 16})
+    catalog.create_table("zc", "a int, b int")
+    with pytest.raises(CStoreError, match="not in table"):
+        catalog.compact("zc", zorder_by=["a", "nope"])
