@@ -119,6 +119,9 @@ def validate_options(options: dict[str, Any]) -> dict[str, Any]:
                           "supported: parquet, orc")
     out["storage_format"] = fmt
     if out.get("zorder_by"):
+        zo = out["zorder_by"]
+        out["zorder_by"] = (",".join(zo) if isinstance(zo, (list, tuple))
+                            else str(zo))
         # z-order is a competing layout declaration: sort_by imposes a
         # one-dimensional order a later re-sort would destroy, and the
         # per-partition writer would split the global z-ranges
