@@ -801,3 +801,94 @@ def text_pii_redact(spark, sf_dir):
             .alias("n_phones"),
         F.length(redacted).cast("long").alias("n_chars_clean"),
         F.md5(redacted.cast("binary")).alias("fingerprint"))
+
+
+# -------------------------------------------------------- curation recipe
+
+@register(
+    "text_curation_pipeline", bench=True,
+    category="text",
+    oracle="""
+    WITH scored AS (
+      SELECT doc_id, lang, source, text,
+             CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_tokens,
+             CAST(LEN(LIST_FILTER(STRING_SPLIT(text, ' '),
+                  w -> w IN ('the', 'a', 'of', 'and'))) AS BIGINT) AS n_stop
+      FROM documents),
+    quality AS (
+      SELECT * FROM scored
+      WHERE n_tokens >= 20 AND n_tokens <= 1000
+        AND CAST(n_stop AS DOUBLE) / n_tokens >= 0.01),
+    keepers AS (
+      SELECT doc_id, lang, source, n_tokens,
+             doc_id = MIN(doc_id) OVER (
+               PARTITION BY MD5(LOWER(text))) AS is_keeper
+      FROM quality),
+    redacted AS (
+      SELECT lang, source, n_tokens,
+             CAST(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END
+                + CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END AS BIGINT)
+               AS n_pii
+      FROM keepers WHERE is_keeper)
+    SELECT lang, source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(SUM(n_pii) AS BIGINT) AS pii_redactions
+    FROM redacted GROUP BY lang, source
+    """)
+def text_curation_pipeline(spark, sf_dir):
+    """The whole curation recipe as ONE composed query — the shape a
+    real pre-training data pipeline runs nightly: quality gate
+    (C4/Gopher length + stopword-ratio filters) → exact dedup (md5 of
+    normalized text, keeper = min doc_id) → PII scrub (the
+    text_pii_redact closed-form injection + Java-regex masking) →
+    per-(lang, source) survivorship accounting (docs kept, token
+    budget, redaction counts). Every stage is the same logic as its
+    standalone operator; composing them proves the stages CHAIN —
+    filters stay pushed down through the projections, and the plan has
+    exactly two shuffles (the dedup window on the digest, the final
+    accounting aggregate), which is the minimum the semantics admit.
+
+    Scale: stage 1 and 3 are pure projections; stage 2 shuffles once on
+    the 128-bit digest (uniform by construction — no skew); the final
+    aggregate map-side-combines onto a (lang, source) key space of
+    ~100 rows. No Python, no broadcast, no N² anywhere."""
+    from pyspark.sql.window import Window
+
+    d = table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n_tokens = F.size(toks).cast("long")
+    n_stop = F.size(F.filter(
+        toks, lambda w: w.isin("the", "a", "of", "and"))).cast("long")
+    quality = (d.select("doc_id", "lang", "source", "text",
+                        n_tokens.alias("n_tokens"),
+                        n_stop.alias("n_stop"))
+               .filter((F.col("n_tokens") >= 20)
+                       & (F.col("n_tokens") <= 1000)
+                       & (F.col("n_stop").cast("double")
+                          / F.col("n_tokens") >= 0.01)))
+    w = Window.partitionBy(F.md5(F.lower("text").cast("binary")))
+    keepers = (quality
+               .withColumn("is_keeper",
+                           F.col("doc_id") == F.min("doc_id").over(w))
+               .filter("is_keeper"))
+    # the REAL scrub pass from text_pii_redact: inject the closed-form
+    # PII, count with the Java regexes (the oracle counts in closed
+    # form, so the regex path stays value-checked inside the chain too)
+    did = F.col("doc_id")
+    email = F.when(did % 3 == 0, F.concat(
+        F.lit(" contact user"), did.cast("string"),
+        F.lit("@ex"), (did % 7).cast("string"),
+        F.lit(".example.com"))).otherwise(F.lit(""))
+    phone = F.when(did % 4 == 0, F.concat(
+        F.lit(" call 555-"), (did % 900 + 100).cast("string"),
+        F.lit("-"), (did % 9000 + 1000).cast("string"))).otherwise(F.lit(""))
+    dirty = F.concat("text", email, phone)
+    n_pii = (F.regexp_count(dirty, F.lit(PII_EMAIL_RE)).cast("long")
+             + F.regexp_count(dirty, F.lit(PII_PHONE_RE)).cast("long"))
+    return (keepers
+            .select("lang", "source", "n_tokens", n_pii.alias("n_pii"))
+            .groupBy("lang", "source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_tokens").alias("total_tokens"),
+                 F.sum("n_pii").alias("pii_redactions")))
