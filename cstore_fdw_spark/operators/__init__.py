@@ -96,6 +96,16 @@ def register(name: str, oracle: str | None = None, category: str = "general",
         @functools.wraps(fn)
         def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
             release_build_caches()  # previous query's caches die here
+            # per-query conf hygiene: a prior builder's fine-coalescing
+            # opt-in (session.set_fine_coalescing) must not leak into
+            # queries that are faster at the default floor
+            from cstore_fdw_spark.session import (
+                DEFAULT_MIN_PARTITION_SIZE, MIN_PARTITION_SIZE_CONF)
+            try:
+                spark.conf.set(MIN_PARTITION_SIZE_CONF,
+                               DEFAULT_MIN_PARTITION_SIZE)
+            except Exception:  # noqa: BLE001 — read-only conf surface
+                pass
             return fn(spark, sf_dir)
 
         REGISTRY[name] = QuerySpec(name, wrapped, oracle, category,

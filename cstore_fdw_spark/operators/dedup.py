@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.window import Window
 
 from cstore_fdw_spark.operators import register, spread, table, track_cache
+from cstore_fdw_spark.session import set_fine_coalescing
 
 #: the duplicated corpus used by exact-dedup demos: documents ∪ documents
 #: with shifted ids, so every text has exactly one duplicate. (The driver's
@@ -107,6 +108,11 @@ def ppjoin_jaccard_pairs(item_sets: DataFrame, tau: float) -> DataFrame:
     Callers pass ``item_sets`` already ``spread()`` (repartition before
     the item projection), so the set build runs at cluster parallelism
     even when the source scan is one split."""
+    # CPU-dense-per-byte shuffles (digest self-join + verify): opt into
+    # the fine AQE coalescing floor — measured 2x at sf0.1 (token
+    # pipeline 6.4 s vs 11.5 s); the registry resets the conf before the
+    # next query builds (session.set_fine_coalescing)
+    set_fine_coalescing(item_sets.sparkSession)
     # The per-doc sorted hash set is built as ONE projection — hash each
     # item inside transform(), no explode, no collect_set shuffle (the
     # earlier exploded-rows form materialized every (doc, item) string
@@ -822,6 +828,9 @@ def dedup_simhash(spark, sf_dir):
         "doc_id",
         F.explode(F.expr("array_distinct(filter(split(text, ' '),"
                          " t -> t <> ''))")).alias("token"))
+    # chunk-block self-join over 4x16-bit keys: CPU-dense per byte, same
+    # fine-coalescing rationale as ppjoin_jaccard_pairs
+    set_fine_coalescing(spark)
     sig = simhash_signatures(tokens)
     chunk_cols = [
         F.struct(F.lit(c).alias("chunk"), F.col(f"c{c}").alias("ck"))

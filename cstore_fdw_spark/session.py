@@ -22,6 +22,13 @@ from pyspark.sql import SparkSession
 DEFAULT_PAGE_ROW_LIMIT = 10_000        # block analog: page-level stats granularity
 DEFAULT_ROW_GROUP_BYTES = 128 * 1024 * 1024  # stripe analog: row-group size
 
+#: AQE reducer-size floor (Spark default). Individual queries opt into a
+#: finer floor via :func:`set_fine_coalescing`.
+MIN_PARTITION_SIZE_CONF = \
+    "spark.sql.adaptive.coalescePartitions.minPartitionSize"
+DEFAULT_MIN_PARTITION_SIZE = "1m"
+FINE_MIN_PARTITION_SIZE = "256k"
+
 ENGINE_CONFS: dict[str, str] = {
     # --- Adaptive execution: runtime re-planning, skew-join handling,
     # shuffle-partition coalescing. Essential at 100 TB.
@@ -37,14 +44,17 @@ ENGINE_CONFS: dict[str, str] = {
     # advisory target instead of the static count.
     "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning": "true",
     # AQE's parallelism-first coalescing floors reducer sizes at
-    # minPartitionSize (default 1m). CPU-dense-per-byte stages — hash
-    # self-joins and window ranks over 8-byte token digests — carry only
-    # a few MB at sf0.1, so the 1m floor squeezed them to ~6 reducers on
-    # 32 cores (measured: the PPJoin verify stage ran 6 tasks x 2-4 s).
-    # A 256k floor restores ~full parallelism for those stages while
-    # remaining a no-op at scale: reducers at 100 TB are sized by
-    # bytes/parallelism, far above any sane floor.
-    "spark.sql.adaptive.coalescePartitions.minPartitionSize": "256k",
+    # minPartitionSize. The session default stays at Spark's 1m: an
+    # earlier session-wide 256k floor helped CPU-dense-per-byte stages
+    # but taxed every broadcast-heavy query with extra tiny-task
+    # scheduling (A/B at sf0.1: q3 1.18 s @ 1m vs 1.46 s @ 256k).
+    # Queries that NEED fine coalescing — hash self-joins over 8-byte
+    # token digests carrying a few MB but seconds of CPU — opt in per
+    # query via :func:`set_fine_coalescing` (see the PPJoin pipeline);
+    # the operator registry resets this conf to the default before each
+    # build so the override never leaks across queries.
+    "spark.sql.adaptive.coalescePartitions.minPartitionSize":
+        DEFAULT_MIN_PARTITION_SIZE,
     # --- Columnar scan: pushdown + pruning (zone-map parity, SURVEY §4).
     "spark.sql.parquet.filterPushdown": "true",
     "spark.sql.parquet.aggregatePushdown": "true",
@@ -159,3 +169,19 @@ def apply_engine_confs(spark: SparkSession) -> SparkSession:
             pass  # static conf on a live session — builder default applies
     ship_package(spark)
     return spark
+
+
+def set_fine_coalescing(spark: SparkSession) -> None:
+    """Opt THIS query into a fine AQE reducer-size floor (256k).
+
+    For CPU-dense-per-byte shuffle stages — hash self-joins and window
+    ranks over 8-byte token digests that carry a few MB at sf0.1 but
+    seconds of CPU — the default 1m floor coalesces to ~6 reducers on 32
+    cores; 256k restores full width (measured 2x on the PPJoin token
+    pipeline). Broadcast-heavy queries are FASTER at the default floor
+    (q3: 1.18 s vs 1.46 s), so this is per-query, not session-wide: the
+    operator registry resets the conf to DEFAULT_MIN_PARTITION_SIZE
+    before every build, and pipelines that want the fine floor call this
+    at build time. At 100 TB both floors are no-ops — reducers are sized
+    by bytes/parallelism, far above either value."""
+    spark.conf.set(MIN_PARTITION_SIZE_CONF, FINE_MIN_PARTITION_SIZE)
