@@ -485,3 +485,104 @@ def dedup_semantic_clustered(spark, sf_dir):
             .filter(F.col("rn") == 1)
             .select(F.col("vb").alias("dup_id"),
                     F.col("va").alias("keeper_id"), "cell", "cos"))
+
+
+# --------------------------------------------------- vector compression
+
+#: Johnson-Lindenstrauss sign matrix (Achlioptas '01: ±1 entries preserve
+#: pairwise distances in expectation with k projections). Deterministic
+#: md5-seeded signs so Spark and the DuckDB oracle share the literal
+#: matrix; 64 -> 8 projected dims.
+RP_OUT_DIMS = 8
+RP_IN_DIMS = 64
+RP_SIGNS: list[list[int]] = [
+    [1 if int(hashlib.md5(f"rp:{j}:{i}".encode()).hexdigest(), 16) & 1
+     else -1 for i in range(RP_IN_DIMS)]
+    for j in range(RP_OUT_DIMS)]
+
+
+def _rp_oracle() -> str:
+    cols = ",\n           ".join(
+        "list_dot_product(embedding::DOUBLE[], "
+        f"[{', '.join(f'{s}.0' for s in RP_SIGNS[j])}]::DOUBLE[]) AS p{j}"
+        for j in range(RP_OUT_DIMS))
+    return f"SELECT vec_id, label,\n           {cols}\n    FROM embeddings"
+
+
+@register("embedding_dim_reduce", category="similarity",
+          oracle=_rp_oracle())
+def embedding_dim_reduce(spark, sf_dir):
+    """Random-projection dimensionality reduction (Johnson-Lindenstrauss
+    with an Achlioptas ±1 sign matrix): 64-dim float embeddings down to
+    8 projected doubles — the standard pre-ANN compression when index
+    memory, not recall, is the constraint. Each projection is the
+    ordered-fold :func:`dot` against a broadcast-literal sign row, so
+    the result is BIT-exact vs DuckDB's ``list_dot_product`` (both fold
+    in index order — the same convention that makes ann_cosine_topk
+    hash-match). Pure projection: no shuffle, no Python, the sign
+    matrix is 512 int literals folded into the codegen plan.
+
+    Scale: O(rows x 64 x 8) fused multiply-adds inside whole-stage
+    codegen; at 100 TB this is scan-bound, exactly what a projection
+    should be."""
+    e = table(spark, sf_dir, "embeddings")
+    signs = [F.array(*[F.lit(float(s)) for s in row]) for row in RP_SIGNS]
+    return e.select(
+        "vec_id", "label",
+        *[dot(F.col("embedding"), signs[j]).alias(f"p{j}")
+          for j in range(RP_OUT_DIMS)])
+
+
+@register(
+    "embedding_quantize_int8",
+    category="similarity",
+    oracle="""
+    WITH ex AS (
+      SELECT vec_id, UNNEST(embedding) AS v,
+             generate_subscripts(embedding, 1) AS i
+      FROM embeddings),
+    stats AS (
+      SELECT i, MIN(v) AS mn, MAX(v) AS mx FROM ex GROUP BY i),
+    coded AS (
+      SELECT vec_id, i,
+             CAST(CASE WHEN mx = mn THEN 0 ELSE
+               FLOOR((CAST(v AS DOUBLE) - CAST(mn AS DOUBLE)) * 254
+                     / (CAST(mx AS DOUBLE) - CAST(mn AS DOUBLE)) + 0.5)
+               - 127 END AS INT) AS code
+      FROM ex JOIN stats USING (i))
+    SELECT vec_id,
+           ARRAY_TO_STRING(LIST(code ORDER BY i), ',') AS codes_csv,
+           CAST(SUM(ABS(code)) AS BIGINT) AS l1
+    FROM coded GROUP BY vec_id
+    """)
+def embedding_quantize_int8(spark, sf_dir):
+    """Scalar int8 quantization — the vector-database memory lever (4x
+    smaller than float32, the form FAISS/pgvector store for SQ8): each
+    dimension min-max-scaled to [-127, 127] with a per-dimension global
+    range. Two tiny aggregates (64 (min, max) pairs) broadcast back onto
+    an explode/rebuild; the quantized code arithmetic is the identical
+    double expression on both engines, so codes hash-match bit-for-bit
+    (FLOOR(x + 0.5) fixed-point rounding — no banker's-rounding
+    divergence).
+
+    Scale: stats are a 64-row broadcast; the code build is one explode +
+    map-side broadcast join + one groupBy(vec_id) rebuild — a single
+    shuffle of integer rows. The flat-dim explode form (not a 64-literal
+    struct) keeps the plan independent of dimensionality."""
+    e = table(spark, sf_dir, "embeddings")
+    ex = e.select("vec_id", F.posexplode("embedding").alias("i0", "v")) \
+          .select("vec_id", (F.col("i0") + 1).alias("i"), "v")
+    stats = ex.groupBy("i").agg(F.min("v").alias("mn"), F.max("v").alias("mx"))
+    code = F.when(F.col("mx") == F.col("mn"), F.lit(0)).otherwise(
+        F.floor((F.col("v").cast("double") - F.col("mn").cast("double"))
+                * 254 / (F.col("mx").cast("double")
+                         - F.col("mn").cast("double")) + 0.5)
+        - 127).cast("int")
+    coded = ex.join(F.broadcast(stats), "i").select("vec_id", "i",
+                                                    code.alias("code"))
+    codes = (F.array_sort(F.collect_list(F.struct("i", "code")))
+             .getField("code"))
+    return (coded.groupBy("vec_id")
+            .agg(F.concat_ws(",", codes.cast("array<string>"))
+                 .alias("codes_csv"),
+                 F.sum(F.abs("code")).cast("long").alias("l1")))

@@ -163,3 +163,18 @@ def test_dynamic_partition_pruning_fires(spark, sf_dir, tmp_path):
                 .filter((F.col("o_orderkey") % 10) < 2).count())
     assert rows == expected
     assert "dynamicpruning" in executed.lower(), executed
+
+
+def test_curation_pipeline_two_shuffles(spark, sf_dir):
+    """The composed curation recipe must keep its minimum shuffle count:
+    one exchange for the dedup digest window, one for the final
+    (lang, source) aggregate. A regression that re-partitions between
+    stages (e.g. a projection breaking partial aggregation) shows up as
+    a third Exchange."""
+    from cstore_fdw_spark.operators import load_all
+    from cstore_fdw_spark.plans.verify import explain_str
+
+    df = load_all()["text_curation_pipeline"].builder(spark, sf_dir)
+    plan = explain_str(df, "simple")
+    n_exchanges = plan.count("Exchange")
+    assert n_exchanges == 2, f"expected 2 shuffles, saw {n_exchanges}"
