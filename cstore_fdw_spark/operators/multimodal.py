@@ -2,11 +2,17 @@
 processed with Arrow-batched ``mapInPandas`` — the Spark-side plumbing for
 image/audio/video pipelines.
 
-The container has no image/audio codecs, so the *decode* step is a
-deterministic fake over the payload bytes (clearly marked); everything
-around it — binary schema, metadata struct, batch iteration, UDF
-signatures, partition-parallel execution — is real and tested. Swapping
-the fake for PIL/ffmpeg is a one-function change.
+The container has no codec libraries, so the codecs implemented here are
+REAL stdlib ones: PNG pixel decode (all five filters, 8/16-bit, color
+types 0/2/3/4/6, sequential and Adam7-interlaced — struct+zlib), image
+header parsing (PNG/JPEG SOFn/GIF), and WAV/PCM audio decode (RIFF chunk
+walk, 16-bit energy). The deterministic-fake decode survives only in the
+generic ``decode_meta``/``frame_sample`` plumbing demos (clearly
+marked); JPEG pixels and compressed audio (MP3/AAC) are the genuinely
+library-bound shapes — optional-PIL fallback / honest scope errors.
+Everything around the codecs — binary schema, metadata struct, Arrow
+batch iteration, UDF signatures, partition-parallel execution — is real
+and tested.
 
 Scale notes: mapInPandas streams Arrow batches (no per-row Python), binary
 payloads never shuffle (all derivations are per-partition projections),
@@ -776,3 +782,123 @@ def multimodal_interlaced_decode(spark, sf_dir):
     return media.mapInPandas(
         decode, "doc_id long, width long, height long, n_bytes long, "
                 "px_sum long")
+
+
+# ------------------------------------------------------------- audio/WAV
+
+def wav_encode_pcm16(sample_rate: int, samples: list[int]) -> bytes:
+    """REAL RIFF/WAVE writer (stdlib struct): canonical 44-byte header —
+    RIFF size, fmt chunk (PCM, mono, 16-bit), data chunk of little-endian
+    int16 samples. Fabricates genuine audio payloads the decoder and the
+    closed-form oracle both understand."""
+    import struct
+
+    data = struct.pack(f"<{len(samples)}h", *samples)
+    byte_rate = sample_rate * 2
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, byte_rate, 2, 16)
+    return (b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+            + b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
+
+
+def wav_decode_pcm16(payload: bytes) -> tuple[int, int, int]:
+    """REAL WAV/PCM decode (stdlib struct — no codec dependency): RIFF
+    chunk walk (tolerates extra chunks like LIST/INFO, respects odd-size
+    padding per the RIFF spec), fmt validation (PCM mono 16-bit), then
+    the integer energy sum over the int16 samples. Returns
+    (sample_rate, n_samples, sum_sq)."""
+    import struct
+
+    if len(payload) < 12 or payload[:4] != b"RIFF" \
+            or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    i, n = 12, len(payload)
+    sample_rate = None
+    sum_sq = n_samples = 0
+    seen_data = False
+    while i + 8 <= n:
+        tag = payload[i:i + 4]
+        (size,) = struct.unpack("<I", payload[i + 4:i + 8])
+        body = payload[i + 8:i + 8 + size]
+        if tag == b"fmt ":
+            fmt_code, channels, sample_rate, _br, _ba, depth = \
+                struct.unpack("<HHIIHH", body[:16])
+            if (fmt_code, channels, depth) != (1, 1, 16):
+                raise ValueError(
+                    f"unsupported WAV shape (fmt={fmt_code}, "
+                    f"ch={channels}, depth={depth}); this decoder covers "
+                    "PCM mono 16-bit")
+        elif tag == b"data":
+            if sample_rate is None:
+                raise ValueError("WAV data chunk before fmt chunk")
+            n_samples = len(body) // 2
+            samples = struct.unpack(f"<{n_samples}h", body[:n_samples * 2])
+            sum_sq = sum(s * s for s in samples)
+            seen_data = True
+        i += 8 + size + (size & 1)  # RIFF chunks pad to even offsets
+    if not seen_data:
+        raise ValueError("WAV payload has no data chunk")
+    return sample_rate, n_samples, sum_sq
+
+
+@register(
+    "multimodal_wav_energy",
+    category="multimodal",
+    oracle="""
+    SELECT doc_id,
+           CAST(8000 AS BIGINT) AS sample_rate,
+           CAST(200 + doc_id % 700 AS BIGINT) AS n_samples,
+           CAST(LIST_SUM(LIST_TRANSFORM(
+                RANGE(0, 200 + doc_id % 700),
+                k -> POWER((doc_id * 31 + k * 7) % 65536 - 32768, 2)))
+             AS BIGINT) AS sum_sq
+    FROM documents WHERE doc_id % 9 = 0
+    """)
+def multimodal_wav_energy(spark, sf_dir):
+    """Audio-column pipeline with a REAL stdlib PCM codec — the audio
+    analog of multimodal_pixel_decode: every 9th document gets a genuine
+    RIFF/WAVE payload (canonical header, mono 16-bit PCM, 200-899
+    samples in closed form), and a second ``mapInPandas`` stage decodes
+    it back — chunk walk with RIFF even-offset padding, fmt validation,
+    integer energy (sum of squared samples, exact in int64). The DuckDB
+    oracle recomputes sample count and energy from the closed form — it
+    never sees a WAV byte — so header layout, chunk walk, and sample
+    unpacking are value-checked end-to-end. Compressed codecs
+    (MP3/AAC/Opus) are the one genuinely library-bound audio shape, the
+    same honest boundary as JPEG on the image side.
+
+    Scale: payload fabrication and decode are per-row projections inside
+    Arrow batches — binary columns never shuffle."""
+    d = (table(spark, sf_dir, "documents")
+         .filter(F.col("doc_id") % 9 == 0).select("doc_id"))
+
+    def encode(batches):
+        import pandas as pd
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                n = 200 + doc_id % 700
+                samples = [(doc_id * 31 + k * 7) % 65536 - 32768
+                           for k in range(n)]
+                payloads.append(wav_encode_pcm16(8000, samples))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"],
+                                "payload": payloads})
+
+    media = d.mapInPandas(encode, "doc_id long, payload binary")
+
+    def decode(batches):
+        import pandas as pd
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                sr, ns, ss = wav_decode_pcm16(bytes(payload))
+                rows.append((int(doc_id), sr, ns, ss))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "sample_rate", "n_samples",
+                               "sum_sq"])
+
+    return media.mapInPandas(
+        decode, "doc_id long, sample_rate long, n_samples long, "
+                "sum_sq long")

@@ -93,9 +93,11 @@ def zorder_by(df: DataFrame, cols: list[str], n_files: int,
     # boundary can fall mid-quadrant, leaving one file straddling a high
     # bit — its span on one dimension degenerates to the full domain.
     # Quantizing to the bit grid makes every file an EXACT axis-aligned
-    # rectangle (one z-grid cell; at worst two ADJACENT cells when the
-    # range partitioner merges sparse buckets), and removes the sampling
-    # nondeterminism from the layout.
+    # rectangle (one z-grid cell). The range partitioner may still merge
+    # a pair of Z-CONSECUTIVE cells when its sample under-resolves a
+    # boundary — rare, and bounded at one extra cell per file; note a
+    # z-consecutive pair can straddle a quadrant boundary, so such a
+    # merged file's span on one dimension can exceed two cell edges.
     k = len(cols)
     nb = min(k * bits, max(1, (n_files - 1).bit_length()))
     zb = F.shiftright(z, k * bits - nb)

@@ -183,3 +183,35 @@ def test_png_adam7_interlaced_round_trip():
     # 1x1 touches only pass 1
     assert [pw * ph for pw, ph in _adam7_pass_dims(1, 1)] == \
         [1, 0, 0, 0, 0, 0, 0]
+
+
+def test_wav_pcm_round_trip():
+    """Real RIFF/WAVE codec: canonical round trip, extra-chunk tolerance
+    with odd-size padding, and honest rejection of unsupported shapes."""
+    import struct
+
+    import pytest
+
+    from cstore_fdw_spark.operators.multimodal import (
+        wav_decode_pcm16, wav_encode_pcm16)
+
+    samples = [(k * 1234 - 5000) % 65536 - 32768 for k in range(321)]
+    payload = wav_encode_pcm16(16000, samples)
+    assert wav_decode_pcm16(payload) == \
+        (16000, 321, sum(s * s for s in samples))
+
+    # RIFF allows unknown chunks anywhere; odd sizes pad to even offsets
+    inject = b"LIST" + struct.pack("<I", 3) + b"abc\x00"
+    assert wav_decode_pcm16(payload[:12] + inject + payload[12:]) == \
+        (16000, 321, sum(s * s for s in samples))
+
+    with pytest.raises(ValueError, match="RIFF/WAVE"):
+        wav_decode_pcm16(b"OggS not a wav")
+    # stereo rejected with the honest scope error
+    stereo_fmt = struct.pack("<HHIIHH", 1, 2, 8000, 32000, 4, 16)
+    bad = (b"RIFF" + struct.pack("<I", 4 + 8 + 16) + b"WAVE"
+           + b"fmt " + struct.pack("<I", 16) + stereo_fmt)
+    with pytest.raises(ValueError, match="PCM mono 16-bit"):
+        wav_decode_pcm16(bad)
+    with pytest.raises(ValueError, match="no data chunk"):
+        wav_decode_pcm16(b"RIFF" + struct.pack("<I", 4) + b"WAVE")

@@ -155,9 +155,11 @@ def test_compact_zorder_clusters_and_persists(spark, catalog):
                 mxs.append(st.max)
             spans.append(max(mxs) - min(mns))
         # every file is an axis-aligned z-grid cell (~dom/4 edges for a
-        # 4x4 grid); the range partitioner may merge one pair of ADJACENT
-        # cells, doubling one file's span on one dimension — never more
-        assert max(spans) <= dom * 0.55, (col, spans)
+        # 4x4 grid); the range partitioner may merge one pair of
+        # Z-CONSECUTIVE cells (possibly straddling a quadrant boundary),
+        # widening AT MOST ONE file per dimension — the rest stay cells
+        wide = [s for s in spans if s > dom * 0.3]
+        assert len(wide) <= 1, (col, spans)
         assert sorted(spans)[len(spans) // 2] < dom * 0.3, (col, spans)
 
     # the persisted layout re-applies on a later plain compact
@@ -170,7 +172,8 @@ def test_compact_zorder_clusters_and_persists(spark, catalog):
         st = [md.row_group(rg).column(0).statistics
               for rg in range(md.num_row_groups)]
         spans_a.append(max(s.max for s in st) - min(s.min for s in st))
-    assert max(spans_a) < dom * 0.6
+    assert len([s for s in spans_a if s > dom * 0.5]) <= 1, spans_a
+    assert sorted(spans_a)[len(spans_a) // 2] < dom * 0.35, spans_a
 
 
 def test_compact_zorder_option_conflicts(spark, catalog):
