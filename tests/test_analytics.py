@@ -215,3 +215,34 @@ def test_wav_pcm_round_trip():
         wav_decode_pcm16(bad)
     with pytest.raises(ValueError, match="no data chunk"):
         wav_decode_pcm16(b"RIFF" + struct.pack("<I", 4) + b"WAVE")
+
+
+def test_y4m_round_trip():
+    """Real YUV4MPEG2 codec: round trip across frame counts and odd
+    header orders, plus honest rejection of unsupported shapes."""
+    import pytest
+
+    from cstore_fdw_spark.operators.multimodal import y4m_decode, y4m_encode
+
+    for w, h, nf in [(2, 2, 1), (6, 4, 3), (8, 2, 5)]:
+        frames = []
+        for f in range(nf):
+            y = bytes((f * 17 + p) % 256 for p in range(w * h))
+            c = bytes((w // 2) * (h // 2))
+            frames.append((y, c, c))
+        expect = sum(sum(fr[0]) for fr in frames)
+        assert y4m_decode(y4m_encode(w, h, frames)) == (w, h, nf, expect)
+
+    # header tags in any order; unknown tags ignored
+    reordered = (b"YUV4MPEG2 C420jpeg F25:1 H2 W2 Xcustom\n"
+                 b"FRAME\n" + bytes(range(4)) + bytes(2))
+    assert y4m_decode(reordered) == (2, 2, 1, 0 + 1 + 2 + 3)
+
+    with pytest.raises(ValueError, match="not a YUV4MPEG2"):
+        y4m_decode(b"RIFF....WAVE")
+    with pytest.raises(ValueError, match="unsupported Y4M colorspace"):
+        y4m_decode(b"YUV4MPEG2 W2 H2 C444\nFRAME\n" + bytes(12))
+    with pytest.raises(ValueError, match="missing W/H"):
+        y4m_decode(b"YUV4MPEG2 F25:1\n")
+    with pytest.raises(ValueError, match="bad FRAME marker"):
+        y4m_decode(b"YUV4MPEG2 W2 H2\nJUNK\n" + bytes(6))
