@@ -174,3 +174,27 @@ def test_ivf_nlist_scales_with_corpus(spark):
     assert stats[5000].mx < 5000 / 16          # beats the fixed-16 bound
     # 10x the rows grew the max cell sublinearly (~sqrt, with slack)
     assert stats[5000].mx / stats[500].mx < 5
+
+
+def test_minhash_candidates_scale_subquadratically(spark):
+    """The 100 TB claim, measured: LSH banding must keep the candidate
+    set near-linear in corpus size. minhash_lsh_pairs returns EVERY
+    band-collision candidate (verified jaccard attached), so its row
+    count is the exact size of the verify stage's input. Growing the
+    corpus 10x (sf0.001 -> sf0.01) may grow candidates ~10x (the dup
+    structure is proportional by construction); all-pairs would grow
+    them ~100x. The 25x bound leaves room for corpus-structure drift
+    while still refuting any quadratic regression of the band join."""
+    from cstore_fdw_spark.operators import table
+    from cstore_fdw_spark.operators.dedup import minhash_lsh_pairs
+
+    counts = {}
+    for sf in ("sf0.001", "sf0.01"):
+        docs = table(spark, f"/root/testdata/{sf}", "documents") \
+            .select("doc_id", "text")
+        counts[sf] = minhash_lsh_pairs(docs).count()
+    assert counts["sf0.001"] > 0, "no candidates at sf0.001 — degenerate"
+    growth = counts["sf0.01"] / counts["sf0.001"]
+    assert growth < 25, (
+        f"candidate pairs grew {growth:.1f}x for 10x rows "
+        f"({counts}) — the band join is drifting quadratic")
