@@ -1497,6 +1497,12 @@ class CStoreCatalog:
             schema = meta.schema()
             if column not in schema.fieldNames():
                 raise CStoreError(f'column "{column}" does not exist')
+            for opt in ("partition_by", "sort_by", "zorder_by"):
+                if column in str(meta.options.get(opt, "")).split(","):
+                    raise CStoreError(
+                        f'cannot drop column "{column}": it is part of '
+                        f'the table\'s {opt} layout declaration — change '
+                        "the layout first (e.g. compact(zorder_by=[...]))")
             new = T.StructType(
                 [f_ for f_ in schema.fields if f_.name != column])
             meta.schema_json = json.dumps(new.jsonValue())
@@ -1571,7 +1577,7 @@ class CStoreCatalog:
                       m.backfill_files):
                 if column in d:
                     d[new_column] = d.pop(column)
-            for opt in ("partition_by", "sort_by"):
+            for opt in ("partition_by", "sort_by", "zorder_by"):
                 if opt in m.options:
                     m.options[opt] = ",".join(
                         new_column if c == column else c

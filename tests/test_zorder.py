@@ -188,3 +188,22 @@ def test_compact_zorder_option_conflicts(spark, catalog):
     catalog.create_table("zc", "a int, b int")
     with pytest.raises(CStoreError, match="not in table"):
         catalog.compact("zc", zorder_by=["a", "nope"])
+
+
+def test_layout_columns_follow_schema_evolution(spark, catalog):
+    """Layout declarations track schema evolution: renaming a z-order
+    column updates the persisted option; dropping a layout column is
+    refused with a clear error instead of silently breaking the next
+    rewrite."""
+    catalog.create_table("ze", "a int, b int, v double")
+    catalog.insert("ze", spark.createDataFrame(
+        [(1, 2, 0.5), (3, 4, 1.5)], "a int, b int, v double"))
+    catalog.compact("ze", zorder_by=["a", "b"])
+
+    catalog.rename_column("ze", "b", "bb")
+    assert catalog._load_meta("ze").options["zorder_by"] == "a,bb"
+    catalog.compact("ze")  # re-clusters against the renamed column
+
+    with pytest.raises(CStoreError, match="zorder_by layout"):
+        catalog.drop_column("ze", "a")
+    catalog.drop_column("ze", "v")  # non-layout columns still droppable
