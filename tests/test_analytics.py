@@ -246,3 +246,53 @@ def test_y4m_round_trip():
         y4m_decode(b"YUV4MPEG2 F25:1\n")
     with pytest.raises(ValueError, match="bad FRAME marker"):
         y4m_decode(b"YUV4MPEG2 W2 H2\nJUNK\n" + bytes(6))
+
+
+def test_gif_lzw_round_trip():
+    """Real GIF89a codec: palette round trip, a hand-packed LZW stream
+    exercising dictionary growth and the KwK special case (which the
+    clear-per-literal encoder never emits), and honest rejections."""
+    import struct
+
+    import pytest
+
+    from cstore_fdw_spark.operators.multimodal import (
+        _lzw_decode, gif_decode, gif_encode)
+
+    pal = [(0, 10, 20), (1, 11, 21), (2, 12, 22), (3, 13, 23)]
+    for w, h in [(1, 1), (5, 3), (16, 16)]:
+        idx = bytes((p * 5 + 1) % 4 for p in range(w * h))
+        assert gif_decode(gif_encode(w, h, idx, pal)) == (
+            w, h, 3, bytes(b for px in idx for b in pal[px]))
+
+    # hand-packed stream: clear(4),1,6(KwK->'11'),6('11'),end(5);
+    # the second 6 pushes the table to 8 entries so END reads at width 4
+    def pack(code_widths):
+        acc = nbits = 0
+        out = bytearray()
+        for code, width in code_widths:
+            acc |= code << nbits
+            nbits += width
+            while nbits >= 8:
+                out.append(acc & 0xFF)
+                acc >>= 8
+                nbits -= 8
+        if nbits:
+            out.append(acc & 0xFF)
+        return bytes(out)
+
+    stream = pack([(4, 3), (1, 3), (6, 3), (6, 3), (5, 4)])
+    assert _lzw_decode(stream, 2, 5) == b"\x01\x01\x01\x01\x01"
+
+    with pytest.raises(ValueError, match="not a GIF"):
+        gif_decode(b"PNG????")
+    with pytest.raises(ValueError, match="interlaced GIF"):
+        # flip the interlace bit in a valid payload's image descriptor
+        good = bytearray(gif_encode(2, 2, b"\x00\x01\x02\x03", pal))
+        desc = good.index(0x2C, 13)
+        good[desc + 9] |= 0x40
+        gif_decode(bytes(good))
+    with pytest.raises(ValueError, match="truncated"):
+        _lzw_decode(pack([(4, 3), (1, 3)]), 2, 99)
+    with pytest.raises(ValueError, match="corrupt LZW"):
+        _lzw_decode(pack([(4, 3), (7, 3)]), 2, 2)
