@@ -1266,3 +1266,109 @@ def multimodal_gif_decode(spark, sf_dir):
     return media.mapInPandas(
         decode, "doc_id long, width long, height long, n_bytes long, "
                 "px_sum long")
+
+
+def png_encode_gray16(width: int, height: int,
+                      samples: list[int]) -> bytes:
+    """REAL 16-bit grayscale PNG writer (stdlib): depth-16 color type 0,
+    big-endian samples per RFC 2083. Every row carries a different
+    scanline filter (cycling all five against the TRUE previous row),
+    so the bytewise-filter-at-depth-16 semantics (§6.2: filtering acts
+    on BYTES, not samples — filter distance bpp=2) are exercised end to
+    end by the decoder."""
+    import struct
+    import zlib
+
+    bpp = 2
+    rows = [b"".join(bytes([s >> 8, s & 0xFF])
+                     for s in samples[y * width:(y + 1) * width])
+            for y in range(height)]
+    out = []
+    prev = bytes(width * bpp)
+    for y, raw in enumerate(rows):
+        f = y % 5
+        filt = bytearray()
+        for x in range(len(raw)):
+            a = raw[x - bpp] if x >= bpp else 0
+            b = prev[x]
+            c = prev[x - bpp] if x >= bpp else 0
+            if f == 0:
+                v = raw[x]
+            elif f == 1:
+                v = (raw[x] - a) % 256
+            elif f == 2:
+                v = (raw[x] - b) % 256
+            elif f == 3:
+                v = (raw[x] - (a + b) // 2) % 256
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else \
+                    (b if pb <= pc else c)
+                v = (raw[x] - pred) % 256
+            filt.append(v)
+        out.append(bytes([f]) + bytes(filt))
+        prev = raw
+    ihdr = struct.pack(">IIBBBBB", width, height, 16, 0, 0, 0, 0)
+    return (b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(b"".join(out)))
+            + _png_chunk(b"IEND", b""))
+
+
+@register(
+    "multimodal_png16_decode",
+    category="multimodal",
+    oracle="""
+    SELECT doc_id,
+           CAST(3 + doc_id % 6 AS BIGINT) AS width,
+           CAST(2 + doc_id % 4 AS BIGINT) AS height,
+           CAST((3 + doc_id % 6) * (2 + doc_id % 4) * 2 AS BIGINT)
+             AS n_bytes,
+           CAST(LIST_SUM(LIST_TRANSFORM(
+                RANGE(0, (3 + doc_id % 6) * (2 + doc_id % 4)),
+                p -> ((doc_id * 97 + p * 13) % 65536) // 256
+                   + ((doc_id * 97 + p * 13) % 65536) % 256))
+             AS BIGINT) AS byte_sum
+    FROM documents WHERE doc_id % 23 = 0
+    """)
+def multimodal_png16_decode(spark, sf_dir):
+    """16-bit PNG pixel decode, driver-visible like the palette and
+    Adam7 paths: every 23rd document gets a genuine depth-16 grayscale
+    PNG (closed-form big-endian samples, the scanline filter cycling
+    all five types against the true prior row), and the decode stage
+    reverses it — at depth 16 the filters operate on BYTES with filter
+    distance bpp=2 (RFC 2083 §6.2), which is exactly the subtle path
+    this query locks. The DuckDB oracle recomputes the byte statistics
+    from the closed form without seeing a PNG byte."""
+    d = (table(spark, sf_dir, "documents")
+         .filter(F.col("doc_id") % 23 == 0).select("doc_id"))
+
+    def encode(batches):
+        import pandas as pd
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                w, h = 3 + doc_id % 6, 2 + doc_id % 4
+                samples = [(doc_id * 97 + p * 13) % 65536
+                           for p in range(w * h)]
+                payloads.append(png_encode_gray16(w, h, samples))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"],
+                                "payload": payloads})
+
+    media = d.mapInPandas(encode, "doc_id long, payload binary")
+
+    def decode(batches):
+        import pandas as pd
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, _ch, raster = png_decode_pixels(bytes(payload))
+                rows.append((int(doc_id), w, h, len(raster), sum(raster)))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "width", "height", "n_bytes",
+                               "byte_sum"])
+
+    return media.mapInPandas(
+        decode, "doc_id long, width long, height long, n_bytes long, "
+                "byte_sum long")

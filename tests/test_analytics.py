@@ -296,3 +296,18 @@ def test_gif_lzw_round_trip():
         _lzw_decode(pack([(4, 3), (1, 3)]), 2, 99)
     with pytest.raises(ValueError, match="corrupt LZW"):
         _lzw_decode(pack([(4, 3), (7, 3)]), 2, 2)
+
+
+def test_png_gray16_round_trip():
+    """Depth-16 PNG: filters act on BYTES with bpp=2 (RFC 2083 §6.2);
+    the writer cycles all five filters against the true previous row."""
+    from cstore_fdw_spark.operators.multimodal import (
+        png_decode_pixels, png_encode_gray16)
+
+    for w, h, seed in [(1, 1, 0), (3, 7, 23), (8, 6, 46), (5, 5, 99)]:
+        samples = [(seed * 97 + p * 13) % 65536 for p in range(w * h)]
+        dw, dh, ch, raster = png_decode_pixels(
+            png_encode_gray16(w, h, samples))
+        assert (dw, dh, ch) == (w, h, 1)
+        assert raster == b"".join(
+            bytes([s >> 8, s & 255]) for s in samples), (w, h)
