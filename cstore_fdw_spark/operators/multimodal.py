@@ -1372,3 +1372,118 @@ def multimodal_png16_decode(spark, sf_dir):
     return media.mapInPandas(
         decode, "doc_id long, width long, height long, n_bytes long, "
                 "byte_sum long")
+
+
+# ------------------------------------------------------------- image/BMP
+
+def bmp_encode_rgb(width: int, height: int, raster: bytes) -> bytes:
+    """REAL BMP writer (stdlib struct): BITMAPFILEHEADER +
+    BITMAPINFOHEADER, 24-bit BGR rows padded to 4-byte boundaries,
+    bottom-up row order — the uncompressed DIB layout every tool
+    produces by default. ``raster`` is top-down RGB (the decoder's
+    output convention, shared with PNG/GIF)."""
+    import struct
+
+    pad = (-(width * 3)) % 4
+    rows = []
+    for y in range(height - 1, -1, -1):  # bottom-up storage
+        row = bytearray()
+        for x in range(width):
+            r, g, b = raster[(y * width + x) * 3:(y * width + x) * 3 + 3]
+            row += bytes([b, g, r])  # BGR on disk
+        rows.append(bytes(row) + bytes(pad))
+    data = b"".join(rows)
+    info = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0,
+                       len(data), 2835, 2835, 0, 0)
+    file_hdr = struct.pack("<2sIHHI", b"BM", 14 + 40 + len(data), 0, 0,
+                           14 + 40)
+    return file_hdr + info + data
+
+
+def bmp_decode(payload: bytes) -> tuple[int, int, int, bytes]:
+    """REAL BMP decode (stdlib struct): file + info headers, 24-bit
+    uncompressed BI_RGB, row padding, bottom-up (negative-height
+    top-down BMPs handled too). Returns (width, height, 3, top-down RGB
+    raster) — same contract as the PNG/GIF decoders. Compressed or
+    paletted BMP variants raise the honest scope error."""
+    import struct
+
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    (data_off,) = struct.unpack("<I", payload[10:14])
+    hdr_size, width, height = struct.unpack("<Iii", payload[14:26])
+    planes, depth, compression = struct.unpack("<HHI", payload[26:34])
+    if hdr_size < 40 or depth != 24 or compression != 0:
+        raise ValueError(
+            f"unsupported BMP shape (header {hdr_size}, depth {depth}, "
+            f"compression {compression}); this decoder covers 24-bit "
+            "uncompressed BI_RGB")
+    top_down = height < 0
+    height = abs(height)
+    stride = width * 3 + ((-(width * 3)) % 4)
+    out = bytearray(width * height * 3)
+    for row_i in range(height):
+        y = row_i if top_down else height - 1 - row_i
+        base = data_off + row_i * stride
+        for x in range(width):
+            b, g, r = payload[base + 3 * x:base + 3 * x + 3]
+            pos = (y * width + x) * 3
+            out[pos:pos + 3] = bytes([r, g, b])
+    return width, height, 3, bytes(out)
+
+
+@register(
+    "multimodal_bmp_decode",
+    category="multimodal",
+    oracle="""
+    SELECT doc_id,
+           CAST(1 + doc_id % 7 AS BIGINT) AS width,
+           CAST(1 + doc_id % 6 AS BIGINT) AS height,
+           CAST((1 + doc_id % 7) * (1 + doc_id % 6) * 3 AS BIGINT)
+             AS n_bytes,
+           CAST(LIST_SUM(LIST_TRANSFORM(
+                RANGE(0, (1 + doc_id % 7) * (1 + doc_id % 6) * 3),
+                k -> (doc_id * 19 + k * 7) % 256)) AS BIGINT) AS px_sum
+    FROM documents WHERE doc_id % 27 = 0
+    """)
+def multimodal_bmp_decode(spark, sf_dir):
+    """BMP pixel decode in pure stdlib — the uncompressed-DIB container
+    round-tripped like the PNG/GIF/WAV/Y4M family: every 27th document
+    gets a genuine 24-bit BMP (closed-form RGB raster; width 1-7 sweeps
+    every row-padding case 0-3, bottom-up BGR storage), decoded back via
+    header parse + padding/flip/channel-swap arithmetic. The DuckDB
+    oracle recomputes the pixel statistics from the closed form — it
+    never sees a BMP byte — so the layout arithmetic is value-checked
+    end-to-end."""
+    d = (table(spark, sf_dir, "documents")
+         .filter(F.col("doc_id") % 27 == 0).select("doc_id"))
+
+    def encode(batches):
+        import pandas as pd
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                w, h = 1 + doc_id % 7, 1 + doc_id % 6
+                raster = bytes((doc_id * 19 + k * 7) % 256
+                               for k in range(w * h * 3))
+                payloads.append(bmp_encode_rgb(w, h, raster))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"],
+                                "payload": payloads})
+
+    media = d.mapInPandas(encode, "doc_id long, payload binary")
+
+    def decode(batches):
+        import pandas as pd
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, _ch, raster = bmp_decode(bytes(payload))
+                rows.append((int(doc_id), w, h, len(raster), sum(raster)))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "width", "height", "n_bytes",
+                               "px_sum"])
+
+    return media.mapInPandas(
+        decode, "doc_id long, width long, height long, n_bytes long, "
+                "px_sum long")

@@ -311,3 +311,35 @@ def test_png_gray16_round_trip():
         assert (dw, dh, ch) == (w, h, 1)
         assert raster == b"".join(
             bytes([s >> 8, s & 255]) for s in samples), (w, h)
+
+
+def test_bmp_round_trip():
+    """Real BMP codec: padding (widths 1-7 cover pads 0-3), bottom-up
+    flip, BGR swap, top-down negative-height variant, rejections."""
+    import struct
+
+    import pytest
+
+    from cstore_fdw_spark.operators.multimodal import (
+        bmp_decode, bmp_encode_rgb)
+
+    for w, h in [(1, 1), (2, 3), (3, 2), (4, 4), (5, 1), (7, 6)]:
+        raster = bytes((w * 31 + h * 7 + k) % 256 for k in range(w * h * 3))
+        assert bmp_decode(bmp_encode_rgb(w, h, raster)) == \
+            (w, h, 3, raster), (w, h)
+
+    # top-down (negative height) variant decodes to the same raster
+    raster = bytes(range(2 * 2 * 3))
+    payload = bytearray(bmp_encode_rgb(2, 2, raster))
+    payload[18:26] = struct.pack("<ii", 2, -2)
+    # rows were stored bottom-up; a top-down flag means they now read in
+    # file order, so the expected raster is the row-flip of the original
+    flipped = raster[6:12] + raster[0:6]
+    assert bmp_decode(bytes(payload)) == (2, 2, 3, flipped)
+
+    with pytest.raises(ValueError, match="not a BMP"):
+        bmp_decode(b"PNG x")
+    bad = bytearray(bmp_encode_rgb(2, 2, bytes(12)))
+    bad[28:30] = struct.pack("<H", 8)  # 8-bit paletted
+    with pytest.raises(ValueError, match="24-bit uncompressed"):
+        bmp_decode(bytes(bad))
