@@ -503,6 +503,10 @@ class CStoreCatalog:
         ``partition_by`` (competing layout declarations — the option
         validator refuses)."""
         if zorder_by is not None:
+            if not zorder_by:
+                raise CStoreError(
+                    "compact(zorder_by=[...]) needs at least one column; "
+                    "call compact(name) for a plain (unclustered) rewrite")
             meta = self._load_meta(name)
             merged = dict(meta.options)
             merged.pop("zorder_by", None)
@@ -992,6 +996,14 @@ class CStoreCatalog:
             df = df.filter(keep)
         total = df.count()
         if total == 0 and keep is None:
+            if set_opts:
+                # an option mutation (e.g. compact(zorder_by=...) on a
+                # still-empty table) must commit even with no rows to
+                # rewrite — later appends + compacts pick the layout up
+                with self._writer_lock(name):
+                    fresh = self._load_meta(name)
+                    fresh.options.update(set_opts)
+                    self._save_meta(fresh)
             return 0
         if total == 0:
             # DELETE of every row: truncate keeps the table valid+empty

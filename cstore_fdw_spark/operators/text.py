@@ -711,17 +711,18 @@ CHUNK_S = 48
     """)
 def text_chunk_overlap(spark, sf_dir):
     """Overlapping context-window chunking: split each document into
-    windows of {W} tokens with stride {S} ({W}-{S} tokens of overlap) —
-    the step that turns curated documents into training-context rows.
-    Chunk count is 1 + ceil(max(n_tokens - W, 0) / S) in exact integer
-    arithmetic, so the final (possibly short) window is always emitted
-    and every token lands in at least one chunk.
+    windows of CHUNK_W=64 tokens with stride CHUNK_S=48 (16 tokens of
+    overlap) — the step that turns curated documents into
+    training-context rows. Chunk count is
+    1 + ceil(max(n_tokens - W, 0) / S) in exact integer arithmetic, so
+    the final (possibly short) window is always emitted and every token
+    lands in at least one chunk.
 
     Scale: pure projection + explode — no shuffle at all; chunks inherit
     the scan's partitioning, and downstream per-chunk ops (tokenize,
     pack, dedup) pipeline in the same stage. The window math is a
     sequence()+slice() composition in whole-stage codegen, never a UDF.
-    """.format(W=CHUNK_W, S=CHUNK_S)
+    """
     d = table(spark, sf_dir, "documents").filter(F.col("text") != "")
     nc = (f"1 + (greatest(size(toks) - {CHUNK_W}, 0) + {CHUNK_S - 1})"
           f" div {CHUNK_S}")

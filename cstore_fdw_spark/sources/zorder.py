@@ -82,11 +82,26 @@ def zorder_by(df: DataFrame, cols: list[str], n_files: int,
         mn, mx = stats[f"mn_{c}"], stats[f"mx_{c}"]
         if mn is None:
             raise CStoreError(f"z-order column {c} is all NULL")
-        span = max(mx - mn, 1)
-        # rank = (v - mn) * top / span, exact in int64 for 47-bit spans;
-        # wider domains should pre-bucket (documented in module docs)
-        scaled.append(((F.col(c).cast("long") - F.lit(mn))
-                       * F.lit(top) / F.lit(span)).cast("long"))
+        span = max(int(mx) - int(mn), 1)  # Python int: exact, no overflow
+        if span > (1 << 63) - 1:
+            raise CStoreError(
+                f"z-order column {c} spans more than half the int64 "
+                f"domain ({span}); (v - min) itself overflows long "
+                "arithmetic — pre-bucket the column (shift/scale it "
+                "into a narrower range) before z-ordering")
+        v = F.col(c).cast("long") - F.lit(mn)
+        if span * top < (1 << 53):
+            # rank = (v - mn) * top / span: the product stays < 2^53 so
+            # Spark's double division is EXACT, and cast("long") floors
+            # the non-negative result
+            scaled.append((v * F.lit(top) / F.lit(span)).cast("long"))
+        else:
+            # wide domain: a long*long product would overflow int64 and
+            # double division would lose precision — rescale by a
+            # power-of-two shift instead (pure integer, exact). Ranks
+            # land in [0, 2^bits) filling at least the top half of the
+            # range, which is all the clustering resolution needs.
+            scaled.append(F.shiftright(v, max(0, span.bit_length() - bits)))
     z = z_value(scaled, bits)
     # Grid-aligned file cuts: partition on the TOP ceil(log2 n_files)
     # z-bits rather than sample-based ranges over raw z. A sampled range

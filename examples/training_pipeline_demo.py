@@ -4,7 +4,9 @@
 
 Flow, at sf0.001 so it runs in seconds:
 1. load ``documents`` into a managed columnar table (zstd, epoch commits);
-2. OPTIMIZE ZORDER BY (lang, n_chars) — multi-column skipping layout;
+2. OPTIMIZE ZORDER BY (doc_id, n_chars) — multi-column skipping layout
+   (z-order columns must be integer-castable, so the string column
+   ``lang`` can't participate);
 3. run the composed curation recipe (quality gate → exact dedup → PII
    scrub → per-(lang, source) accounting);
 4. near-dup survey via MinHash LSH;
@@ -45,7 +47,7 @@ def main() -> None:
         print(f"corpus rows: {cat.row_count('corpus')}, "
               f"bytes: {cat.table_size('corpus')}")
 
-        # 2. cluster the layout for (lang, n_chars) zone-map pruning
+        # 2. cluster the layout for (doc_id, n_chars) zone-map pruning
         n_files = cat.compact("corpus", zorder_by=["doc_id", "n_chars"])
         print(f"z-ordered into {n_files} file(s); the zorder_by choice is "
               "persisted in the table options — every later compact/"
