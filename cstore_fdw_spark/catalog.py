@@ -204,6 +204,25 @@ class TableMeta:
     # next locked writer's :meth:`CStoreCatalog._recover_orphans`.
     # The Iceberg analog is the DELETED entry in a manifest.
     dropped_files: list[str] = field(default_factory=list)
+    # data-file relative path -> {column: [min, max]} zone maps, captured
+    # from each file's parquet footer ONCE at commit time (data files are
+    # immutable after commit, so an entry never goes stale). Selective
+    # MERGE planning prunes from this metadata with ZERO per-file footer
+    # reads — the analog of the reference keeping all stripe skip data in
+    # the one footer it reads (cstore_reader.c:164-225). Values are
+    # JSON-encoded via ``_stats_encode``; a missing COLUMN means "no
+    # usable stats" (the file stays a merge candidate); a missing FILE
+    # entry means a legacy/pre-stats meta — planning falls back to a
+    # footer read for that file only and the next commit backfills it.
+    file_stats: dict[str, dict[str, list]] = field(default_factory=dict)
+    # column -> write-epoch at which the column was DROPPED. A later
+    # re-ADD of the same name must NOT resurface the dead physical bytes
+    # still sitting in pre-drop files (PG marks the slot attisdropped and
+    # never reads it again): files with epoch <= this read the column as
+    # NULL, and the default backfill applies on top. Cleared by full
+    # rewrites (compact bakes the projected values); file-pruned commits
+    # keep it (untouched files still carry the dead bytes).
+    column_reset_epoch: dict[str, int] = field(default_factory=dict)
     version: str = "1.0"
     created_at: float = 0.0
 
@@ -241,6 +260,29 @@ class CStoreCatalog:
         except FileNotFoundError:
             raise CStoreError(f'relation "{name}" does not exist') from None
         return TableMeta(**d)
+
+    def _reconcile_file_stats(self, meta: TableMeta) -> None:
+        """Bring ``meta.file_stats`` in sync with the data files now on
+        disk: drop entries for files that are gone, footer-read ONLY
+        files that have no entry yet. Called at every commit point right
+        before the metadata save, so the cost is O(files in this batch)
+        footer reads per commit — never O(#table files) at merge
+        planning time. At 10^6 files (100 TB) the planning step reads
+        zero footers; on an object store this loop would be a
+        distributed footer-read job over the new files instead."""
+        fmt = self._format(meta)
+        data_path = self._data_path(meta)
+        if fmt != "parquet" or not os.path.isdir(data_path):
+            meta.file_stats = {}
+            return
+        current = {os.path.relpath(p, data_path)
+                   for p in _data_files(data_path, fmt)}
+        stats = {rel: v for rel, v in meta.file_stats.items()
+                 if rel in current}
+        for rel in current.difference(stats):
+            stats[rel] = _file_stats_from_footer(
+                os.path.join(data_path, rel))
+        meta.file_stats = stats
 
     def _save_meta(self, meta: TableMeta) -> None:
         # atomic replace — parity with the reference's footer.tmp + rename
@@ -323,6 +365,7 @@ class CStoreCatalog:
                 shutil.rmtree(data + ".compact.tmp", ignore_errors=True)
                 shutil.rmtree(data + ".compact.old", ignore_errors=True)
             meta.history_floor = meta.write_epoch  # history is gone
+            meta.file_stats = {}
             self._save_meta(meta)
 
     def _data_path(self, meta: TableMeta) -> str:
@@ -441,6 +484,11 @@ class CStoreCatalog:
                         os.rename(data_path, old_path)
                     os.rename(staged, data_path)  # commit point
                     shutil.rmtree(old_path, ignore_errors=True)
+                    # zone maps for the new files land in a second save;
+                    # a crash in between just means footer-fallback for
+                    # this batch until the next commit reconciles
+                    self._reconcile_file_stats(meta)
+                    self._save_meta(meta)
                 else:
                     moved: list[tuple[str, str]] = []
                     try:
@@ -464,6 +512,7 @@ class CStoreCatalog:
                                 pass
                         raise
                     meta.write_epoch = epoch
+                    self._reconcile_file_stats(meta)
                     self._save_meta(meta)  # visibility commit
         finally:
             shutil.rmtree(staged, ignore_errors=True)
@@ -545,9 +594,13 @@ class CStoreCatalog:
         meta = self._load_meta(name)
         fmt = self._format(meta)
         self._recover_compact(meta, fmt)
-        if any(meta.backfill_files.get(c) for c in meta.backfill_files):
+        if any(meta.backfill_files.get(c) for c in meta.backfill_files) \
+                or meta.column_reset_epoch:
             # legacy file-name backfill lists can't survive a partial
-            # consolidation — bake everything via the full rewrite
+            # consolidation — bake everything via the full rewrite.
+            # Same for an active column reset epoch: vacuum stamps its
+            # consolidated output AT the cutoff epoch, which could fall
+            # at/below the reset and null the freshly baked values.
             self._rewrite(name)
             return 0
         # never vacuum below an existing floor (the files are gone)
@@ -635,6 +688,7 @@ class CStoreCatalog:
             shutil.rmtree(old_path)
             fresh.dropped_files = []
             fresh.history_floor = cutoff
+            self._reconcile_file_stats(fresh)
             self._save_meta(fresh)
             meta = fresh
         self._refresh_registered(meta)
@@ -845,14 +899,17 @@ class CStoreCatalog:
             raise CStoreError("unknown when_not_matched_by_source: "
                               f"{when_not_matched_by_source!r}")
 
-        # FILE PRUNING: a file whose footer [min,max] range on the first
+        # FILE PRUNING: a file whose zone map [min,max] on the first
         # merge key cannot overlap the source's key range holds only
         # rows the merge leaves unchanged — it never enters the join and
         # stays byte-identical on disk (a selective 100-row upsert into
         # a 100 TB table rewrites O(touched files), not the table).
         # Inapplicable with WHEN NOT MATCHED BY SOURCE clauses (those
-        # touch every target row). Zone-map data comes from parquet
-        # footers only; files without stats stay candidates.
+        # touch every target row). Zone maps come from the table
+        # METADATA (``meta.file_stats``, captured per file at commit
+        # time) — planning reads ZERO parquet footers; only legacy
+        # pre-stats metas fall back to a per-file footer read. Files
+        # without usable stats stay candidates.
         data_path = self._data_path(meta)
         visible = self._visible_files(meta)
         pruned = False
@@ -863,9 +920,31 @@ class CStoreCatalog:
             lohi = src.agg(F.min(keys[0]).alias("lo"),
                            F.max(keys[0]).alias("hi")).collect()[0]
             if lohi.lo is not None:
+                # a key column with an ACTIVE backfill watermark (or a
+                # drop/re-add reset epoch) reads the DEFAULT (or NULL)
+                # from files at/below it — their physical stats describe
+                # bytes the reader never returns, so those files are
+                # always candidates
+                wm = meta.backfill_watermark.get(keys[0])
+                rs = meta.column_reset_epoch.get(keys[0])
+                horizon = max((e for e in (wm, rs) if e is not None),
+                              default=None)
+                legacy_bf = set(meta.backfill_files.get(keys[0]) or [])
                 cand = []
                 for p in visible:
-                    rng = _parquet_minmax(p, keys[0])
+                    if ((horizon is not None
+                         and _file_epoch(p) <= horizon)
+                            or os.path.basename(p) in legacy_bf):
+                        cand.append(p)
+                        continue
+                    rel = os.path.relpath(p, data_path)
+                    if rel in meta.file_stats:
+                        ent = meta.file_stats[rel].get(keys[0])
+                        rng = (None if ent is None
+                               else (_stats_decode(ent[0]),
+                                     _stats_decode(ent[1])))
+                    else:  # legacy meta — no commit-time zone map yet
+                        rng = _parquet_minmax(p, keys[0])
                     try:
                         untouched = (rng is not None
                                      and (rng[1] < lohi.lo
@@ -1098,11 +1177,17 @@ class CStoreCatalog:
                 fresh.backfill_files = {c: [] for c in fresh.backfill_files}
                 fresh.backfill_watermark = {
                     c: None for c in fresh.column_defaults}
+            # rewritten files carry the PROJECTED values — no dead
+            # physical bytes from dropped-then-re-added columns remain
+            # (and the unstamped rewrite output must not fall under a
+            # reset epoch the way it must not fall under a watermark)
+            fresh.column_reset_epoch = {}
             # the whole dir was replaced from a read that excluded
             # logically dropped files — their bytes are gone now
             fresh.dropped_files = []
             fresh.write_epoch += 1  # rewrite commits are real commits
             fresh.history_floor = fresh.write_epoch  # prior snapshots die
+            self._reconcile_file_stats(fresh)
             self._save_meta(fresh)
         return fresh
 
@@ -1173,6 +1258,10 @@ class CStoreCatalog:
             fresh.history_floor = epoch
             fresh.dropped_files = sorted(
                 set(fresh.dropped_files) | set(dropped))
+            # reconcile BEFORE the commit save so the staged files'
+            # zone maps become visible atomically with the files; the
+            # dropped files' entries linger until the post-unlink save
+            self._reconcile_file_stats(fresh)
             self._save_meta(fresh)  # COMMIT
             for rel in fresh.dropped_files:
                 try:
@@ -1180,6 +1269,7 @@ class CStoreCatalog:
                 except OSError:
                     pass
             fresh.dropped_files = []
+            self._reconcile_file_stats(fresh)
             self._save_meta(fresh)
         return fresh
 
@@ -1334,6 +1424,15 @@ class CStoreCatalog:
         for f_ in target.fields:
             if f_.name in df.columns:
                 col = F.col(f_.name).cast(f_.dataType)
+                reset = meta.column_reset_epoch.get(f_.name)
+                if reset is not None:
+                    # the column was DROPPED at this epoch and later
+                    # re-added: physical bytes in files at/below it are
+                    # the DEAD column's — read them as NULL (the default
+                    # backfill below then applies on top)
+                    col = F.when(_epoch_expr() <= F.lit(reset),
+                                 F.lit(None).cast(f_.dataType)
+                                 ).otherwise(col)
                 if f_.name in meta.column_defaults:
                     # rows from files that pre-date the column read as
                     # NULL; backfill the constant default for THOSE files
@@ -1352,11 +1451,7 @@ class CStoreCatalog:
                         # epoch watermark: files stamped e{epoch}- with
                         # epoch <= wm (or unstamped = epoch 0) pre-date
                         # the column
-                        raw = F.regexp_extract(
-                            F.input_file_name(), r"/e(\d{12})-[^/]*$", 1)
-                        epoch = (F.when(raw == "", F.lit(0))
-                                 .otherwise(raw.cast("bigint")))
-                        col = F.when(epoch <= F.lit(wm),
+                        col = F.when(_epoch_expr() <= F.lit(wm),
                                      F.coalesce(col, default_lit)
                                      ).otherwise(col)
                     elif old_files is None:
@@ -1519,6 +1614,12 @@ class CStoreCatalog:
                 [f_ for f_ in schema.fields if f_.name != column])
             meta.schema_json = json.dumps(new.jsonValue())
             meta.column_defaults.pop(column, None)
+            meta.backfill_watermark.pop(column, None)
+            meta.backfill_files.pop(column, None)
+            # the dead physical bytes stay in existing files; a future
+            # re-ADD of this name must read them as NULL (PG never reads
+            # an attisdropped slot again)
+            meta.column_reset_epoch[column] = meta.write_epoch
             self._save_meta(meta)
 
     def alter_column_type(self, name: str, column: str, new_type: str) -> None:
@@ -1840,6 +1941,84 @@ def _parquet_minmax(path: str, column: str):
     if not mins:
         return None
     return min(mins), max(maxs)
+
+
+def _stats_encode(v):
+    """JSON-safe encoding of a parquet footer min/max value; ``None``
+    when the type can't round-trip losslessly (bytes and exotic logical
+    types) — those columns are simply omitted from the persisted zone
+    map and their files stay unpruned candidates."""
+    import datetime
+    from decimal import Decimal
+    if isinstance(v, bool) or type(v) in (int, float, str):
+        return v
+    if isinstance(v, datetime.datetime):
+        return ["ts", v.isoformat()]
+    if isinstance(v, datetime.date):
+        return ["date", v.isoformat()]
+    if isinstance(v, Decimal):
+        return ["dec", str(v)]
+    return None
+
+
+def _stats_decode(v):
+    """Inverse of :func:`_stats_encode` — returns the same Python type
+    the raw footer statistic had, so pruning comparisons behave exactly
+    like the legacy direct-footer path."""
+    if isinstance(v, list) and len(v) == 2:
+        import datetime
+        from decimal import Decimal
+        kind, s = v
+        if kind == "date":
+            return datetime.date.fromisoformat(s)
+        if kind == "ts":
+            return datetime.datetime.fromisoformat(s)
+        if kind == "dec":
+            return Decimal(s)
+    return v
+
+
+def _file_stats_from_footer(path: str) -> dict[str, list]:
+    """Per-column ``[min, max]`` of one parquet file from FOOTER
+    statistics only (no data pages), encoded JSON-safe for the table
+    metadata. Computed once per file at commit time; columns missing
+    stats in any row group, nested leaves, and non-round-trippable
+    types are omitted."""
+    try:
+        md = pq.ParquetFile(path).metadata
+    except Exception:
+        return {}
+    out: dict[str, list] = {}
+    names = [md.schema.column(i).name for i in range(md.num_columns)]
+    for ci, col in enumerate(names):
+        if "." in col:  # nested leaf, not a prunable top-level column
+            continue
+        mins: list = []
+        maxs: list = []
+        try:
+            for g in range(md.num_row_groups):
+                st = md.row_group(g).column(ci).statistics
+                if st is None or not st.has_min_max:
+                    mins = []
+                    break
+                mins.append(st.min)
+                maxs.append(st.max)
+            if not mins:
+                continue
+            lo, hi = _stats_encode(min(mins)), _stats_encode(max(maxs))
+        except Exception:  # unextractable/incomparable stats: omit column
+            continue
+        if lo is not None and hi is not None:
+            out[col] = [lo, hi]
+    return out
+
+
+def _epoch_expr():
+    """Column expression for a row's source-file write epoch: files
+    stamped ``e{epoch:012d}-`` carry it in the name; unstamped
+    (rewritten/legacy) files read as epoch 0."""
+    raw = F.regexp_extract(F.input_file_name(), r"/e(\d{12})-[^/]*$", 1)
+    return F.when(raw == "", F.lit(0)).otherwise(raw.cast("bigint"))
 
 
 def _file_epoch(path: str) -> int:

@@ -1166,3 +1166,49 @@ def test_merge_narrower_source_schema_evolution(spark, catalog):
     with pytest.raises(CStoreError, match="merge key"):
         catalog.merge_into(
             "mn", spark.createDataFrame([("x",)], "v string"), on="k")
+
+
+def test_vacuum_after_pruned_merge(spark, catalog):
+    """Retention across a FILE-PRUNED merge: _commit_partial supersedes
+    files outside the epoch chain that vacuum's arithmetic was designed
+    around — time travel, the snapshot-below-floor error contract, and
+    post-vacuum reads must all stay exact."""
+    catalog.create_table("vpm", "k long, v long")
+    for lo in (0, 100, 200):  # epochs 1..3, one file each
+        catalog.insert("vpm", spark.range(lo, lo + 100).coalesce(1)
+                       .selectExpr("id as k", "id as v"))
+    # pruned merge: only the [100,199] file is rewritten (epoch 4);
+    # the partial commit raises the history floor to 4
+    src = spark.createDataFrame([(150, -1)], "k long, v long")
+    res = catalog.merge_into("vpm", src, on="k")
+    assert res == {"matched": 1, "inserted": 0, "removed_unmatched": 0}
+    meta = catalog._load_meta("vpm")
+    assert meta.write_epoch == 4 and meta.history_floor == 4
+    # snapshots below the floor die with the contract error, the current
+    # snapshot reads exactly
+    with pytest.raises(CStoreError, match="history floor"):
+        catalog.read("vpm", as_of_epoch=3)
+    expect = {(k, k) for k in range(300) if k != 150} | {(150, -1)}
+    assert {(r.k, r.v) for r in catalog.read("vpm").collect()} == expect
+
+    # append one more epoch, then vacuum keeping it: the pruned-merge
+    # output (epoch-4 file) and the untouched epoch-1..3 files
+    # consolidate at the cutoff; the kept epoch stays time-travelable
+    catalog.insert("vpm", spark.createDataFrame(
+        [(500, 555)], "k long, v long"))
+    reclaimed = catalog.vacuum("vpm", keep_epochs=1)  # cutoff = epoch 4
+    assert reclaimed >= 1
+    meta = catalog._load_meta("vpm")
+    assert meta.history_floor == 4 and meta.dropped_files == []
+    assert {(r.k, r.v)
+            for r in catalog.read("vpm", as_of_epoch=4).collect()} \
+        == expect
+    assert {(r.k, r.v) for r in catalog.read("vpm").collect()} \
+        == expect | {(500, 555)}
+    with pytest.raises(CStoreError, match="history floor"):
+        catalog.read("vpm", as_of_epoch=3)
+    # zone maps stayed in sync through the whole sequence
+    data = os.path.join(catalog.table_path("vpm"), "data")
+    files = {os.path.relpath(p, data)
+             for p in catalog._visible_files(meta)}
+    assert files <= set(meta.file_stats)
