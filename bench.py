@@ -51,6 +51,7 @@ def main() -> None:
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").limit(1).count()
 
     warm: dict[str, float] = {}
+    median: dict[str, float] = {}
     cold: dict[str, float] = {}
     for name, spec in bench_specs.items():
         runs = []
@@ -73,6 +74,10 @@ def main() -> None:
         # identical code; min-of-three keeps the artifact representative
         # of the engine rather than of neighbor load (SCALE.md).
         warm[name] = round(min(runs[1:]), 3)
+        # the median of the same three runs, free of extra executions:
+        # min is the engine's floor, median shows how noisy the host was
+        # — a min/median gap >25% flags a neighbor-load round (SCALE.md)
+        median[name] = round(sorted(runs[1:])[1], 3)
     clear_caches(spark)
 
     print(json.dumps({
@@ -80,6 +85,8 @@ def main() -> None:
         "value": round(sum(warm.values()), 3),
         "unit": "sec",
         "queries": warm,
+        "queries_median": median,
+        "value_median": round(sum(median.values()), 3),
         "value_cold": round(sum(cold.values()), 3),
         "queries_cold": cold,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,

@@ -118,7 +118,8 @@ def load_all() -> dict[str, QuerySpec]:
     """Import every operator module (each registers its queries)."""
     from cstore_fdw_spark.operators import (  # noqa: F401
         relational, joins, windows, scalars, nested, subqueries, tpch_extra,
-        analytics, udfs, dedup, similarity, text, multimodal, events,
+        analytics, udfs, dedup, similarity, text, multimodal, jpeg_codec,
+        events,
     )
     return REGISTRY
 

@@ -343,3 +343,270 @@ def test_bmp_round_trip():
     bad[28:30] = struct.pack("<H", 8)  # 8-bit paletted
     with pytest.raises(ValueError, match="24-bit uncompressed"):
         bmp_decode(bytes(bad))
+
+
+def test_jpeg_dc_only_round_trip_exact():
+    """Constant 8x8 blocks survive JPEG exactly (DC-only, q=1): the
+    encoder's category-coded DC deltas and the decoder's full entropy
+    pipeline must agree pixel-for-pixel."""
+    from cstore_fdw_spark.operators.jpeg_codec import (
+        jpeg_decode_baseline, jpeg_encode_gray_blocks)
+
+    def bv(bx, by):
+        return (bx * 91 + by * 57) % 256
+
+    payload = jpeg_encode_gray_blocks(24, 16, bv)
+    w, h, ch, raster = jpeg_decode_baseline(payload)
+    assert (w, h, ch) == (24, 16, 1)
+    for y in range(16):
+        for x in range(24):
+            assert raster[y * 24 + x] == bv(x // 8, y // 8)
+
+
+def test_jpeg_zigzag_is_the_standard_walk():
+    from cstore_fdw_spark.operators.jpeg_codec import _ZZ
+
+    assert _ZZ[:16] == [0, 1, 8, 16, 9, 2, 3, 10,
+                        17, 24, 32, 25, 18, 11, 4, 5]
+    assert _ZZ[-4:] == [47, 55, 62, 63]
+    assert sorted(_ZZ) == list(range(64))
+
+
+def _jpeg_stream(blocks, *, w, h, dri=0, q=1):
+    """Hand-rolled single-component baseline stream for decoder tests:
+    ``blocks`` is a list of (dc, {zigzag_index: ac_value}) per 8x8 block.
+    Uses a DHT with enough AC run/size symbols for small coefficients."""
+    import struct as st
+
+    from cstore_fdw_spark.operators.jpeg_codec import (
+        _DC_BITS, _DC_VALS, _canonical_encode_table)
+
+    ac_bits = [0, 2, 2, 2, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+    ac_vals = [0x00, 0x02, 0x22, 0x41, 0xF0, 0x01]  # EOB + runs + ZRL
+    enc_dc = _canonical_encode_table(_DC_BITS, _DC_VALS)
+    enc_ac = _canonical_encode_table(ac_bits, ac_vals)
+    segs = [b"\xff\xd8",
+            b"\xff\xdb" + st.pack(">H", 67) + bytes([0]) + bytes([q] * 64)]
+    sof = st.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0])
+    segs.append(b"\xff\xc0" + st.pack(">H", 2 + len(sof)) + sof)
+    dht = (bytes([0x00]) + bytes(_DC_BITS) + bytes(_DC_VALS)
+           + bytes([0x10]) + bytes(ac_bits) + bytes(ac_vals))
+    segs.append(b"\xff\xc4" + st.pack(">H", 2 + len(dht)) + dht)
+    if dri:
+        segs.append(b"\xff\xdd" + st.pack(">HH", 4, dri))
+    segs.append(b"\xff\xda" + st.pack(">H", 8) + bytes([1, 1, 0, 0, 63, 0]))
+
+    def emit(bits, val, n):
+        bits.append((val, n))
+
+    def flush(bits):
+        out, acc, nacc = bytearray(), 0, 0
+        for val, n in bits:
+            acc = (acc << n) | val
+            nacc += n
+            while nacc >= 8:
+                nacc -= 8
+                b = (acc >> nacc) & 0xFF
+                acc &= (1 << nacc) - 1
+                out.append(b)
+                if b == 0xFF:
+                    out.append(0)
+        if nacc:
+            b = ((acc << (8 - nacc)) | ((1 << (8 - nacc)) - 1)) & 0xFF
+            out.append(b)
+            if b == 0xFF:
+                out.append(0)
+        return bytes(out)
+
+    pred = 0
+    body = []
+    bits = []
+    for i, (dc, acs) in enumerate(blocks):
+        if dri and i and i % dri == 0:
+            body.append(flush(bits))
+            body.append(bytes([0xFF, 0xD0 + (i // dri - 1) % 8]))
+            bits = []
+            pred = 0
+        diff = dc - pred
+        pred = dc
+        s = abs(diff).bit_length()
+        emit(bits, *enc_dc[s])
+        if s:
+            mag = diff if diff >= 0 else diff + (1 << s) - 1
+            emit(bits, mag & ((1 << s) - 1), s)
+        k = 1
+        last = max(acs) if acs else 0
+        while k <= last:
+            if k in acs:
+                v = acs[k]
+                sz = abs(v).bit_length()
+                emit(bits, *enc_ac[(0 << 4) | sz])
+                mag = v if v >= 0 else v + (1 << sz) - 1
+                emit(bits, mag & ((1 << sz) - 1), sz)
+                k += 1
+            else:
+                # encode a single zero via run-length on the next coeff
+                nxt = min(kk for kk in acs if kk > k)
+                run = nxt - k
+                while run > 15:
+                    emit(bits, *enc_ac[0xF0])
+                    run -= 16
+                v = acs[nxt]
+                sz = abs(v).bit_length()
+                emit(bits, *enc_ac[(run << 4) | sz])
+                mag = v if v >= 0 else v + (1 << sz) - 1
+                emit(bits, mag & ((1 << sz) - 1), sz)
+                k = nxt + 1
+        if last < 63:
+            emit(bits, *enc_ac[0x00])
+    body.append(flush(bits))
+    segs.append(b"".join(body))
+    segs.append(b"\xff\xd9")
+    return b"".join(segs)
+
+
+def _reference_idct(coefs):
+    """Independent direct IDCT (separate implementation from the module:
+    no shared tables) for value-checking the AC path."""
+    import math
+    out = []
+    for y in range(8):
+        for x in range(8):
+            s = 0.0
+            for v in range(8):
+                for u in range(8):
+                    c = coefs[v * 8 + u]
+                    if not c:
+                        continue
+                    cu = math.sqrt(0.5) if u == 0 else 1.0
+                    cv = math.sqrt(0.5) if v == 0 else 1.0
+                    s += (cu * cv * c
+                          * math.cos((2 * x + 1) * u * math.pi / 16)
+                          * math.cos((2 * y + 1) * v * math.pi / 16))
+            px = round(s / 4) + 128
+            out.append(min(255, max(0, px)))
+    return out
+
+
+def test_jpeg_ac_coefficients_and_runs():
+    """Nonzero AC coefficients (with zero-runs and category coding)
+    decode to exactly the reference IDCT's pixels — the lossy path is
+    deterministic even though it isn't closed-form."""
+    from cstore_fdw_spark.operators.jpeg_codec import (
+        _ZZ, jpeg_decode_baseline)
+
+    # zigzag indices -> values (q=1); exercises run/size coding AND a
+    # ZRL sixteen-zero skip (k=10 -> 30 is a 20-coefficient gap)
+    acs = {1: 3, 4: -2, 9: 1, 30: 1}
+    payload = _jpeg_stream([(40, acs), (-24, {})], w=16, h=8)
+    w, h, ch, raster = jpeg_decode_baseline(payload)
+    assert (w, h, ch) == (16, 8, 1)
+    coefs = [0] * 64
+    coefs[0] = 40
+    for zk, v in acs.items():
+        coefs[_ZZ[zk]] = v
+    expect0 = _reference_idct(coefs)
+    expect1 = _reference_idct([-24] + [0] * 63)
+    for y in range(8):
+        assert list(raster[y * 16:y * 16 + 8]) == expect0[y * 8:y * 8 + 8]
+        assert list(raster[y * 16 + 8:y * 16 + 16]) \
+            == expect1[y * 8:y * 8 + 8]
+
+
+def test_jpeg_restart_markers_reset_dc_prediction():
+    from cstore_fdw_spark.operators.jpeg_codec import jpeg_decode_baseline
+
+    blocks = [(8 * (50 - 128), {}), (8 * (60 - 128), {}),
+              (8 * (70 - 128), {}), (8 * (80 - 128), {})]
+    payload = _jpeg_stream(blocks, w=32, h=8, dri=2)
+    w, h, ch, raster = jpeg_decode_baseline(payload)
+    assert (w, h, ch) == (32, 8, 1)
+    assert [raster[b * 8] for b in range(4)] == [50, 60, 70, 80]
+
+
+def test_jpeg_quant_table_applies():
+    from cstore_fdw_spark.operators.jpeg_codec import jpeg_decode_baseline
+
+    # DC quantized value 8*(v-128)/q with q=4: store 8*(200-128)/4 = 144
+    payload = _jpeg_stream([(144, {})], w=8, h=8, q=4)
+    _w, _h, _ch, raster = jpeg_decode_baseline(payload)
+    assert set(raster) == {200}
+
+
+def test_jpeg_color_ycbcr_to_rgb():
+    """3-component 4:4:4 stream with constant planes: every pixel is the
+    BT.601 conversion of (Y, Cb, Cr)."""
+    import struct as st
+
+    from cstore_fdw_spark.operators.jpeg_codec import (
+        _DC_BITS, _DC_VALS, _canonical_encode_table, jpeg_decode_baseline)
+
+    yv, cb, cr = 150, 120, 140
+    enc_dc = _canonical_encode_table(_DC_BITS, _DC_VALS)
+    ac_bits = [1] + [0] * 15
+    enc_ac = _canonical_encode_table(ac_bits, [0x00])
+    segs = [b"\xff\xd8",
+            b"\xff\xdb" + st.pack(">H", 67) + bytes([0]) + bytes([1] * 64)]
+    sof = (st.pack(">BHHB", 8, 8, 8, 3)
+           + bytes([1, 0x11, 0, 2, 0x11, 0, 3, 0x11, 0]))
+    segs.append(b"\xff\xc0" + st.pack(">H", 2 + len(sof)) + sof)
+    dht = (bytes([0x00]) + bytes(_DC_BITS) + bytes(_DC_VALS)
+           + bytes([0x10]) + bytes(ac_bits) + bytes([0x00]))
+    segs.append(b"\xff\xc4" + st.pack(">H", 2 + len(dht)) + dht)
+    segs.append(b"\xff\xda" + st.pack(">H", 12)
+                + bytes([3, 1, 0, 2, 0, 3, 0, 0, 63, 0]))
+    bits = []
+    for val in (yv, cb, cr):
+        dc = 8 * (val - 128)
+        s = abs(dc).bit_length()
+        bits.append(enc_dc[s])
+        mag = dc if dc >= 0 else dc + (1 << s) - 1
+        bits.append((mag & ((1 << s) - 1), s))
+        bits.append(enc_ac[0x00])
+    out, acc, nacc = bytearray(), 0, 0
+    for val, n in bits:
+        acc = (acc << n) | val
+        nacc += n
+        while nacc >= 8:
+            nacc -= 8
+            b = (acc >> nacc) & 0xFF
+            acc &= (1 << nacc) - 1
+            out.append(b)
+            if b == 0xFF:
+                out.append(0)
+    if nacc:
+        b = ((acc << (8 - nacc)) | ((1 << (8 - nacc)) - 1)) & 0xFF
+        out.append(b)
+        if b == 0xFF:
+            out.append(0)
+    segs += [bytes(out), b"\xff\xd9"]
+    w, h, ch, raster = jpeg_decode_baseline(b"".join(segs))
+    assert (w, h, ch) == (8, 8, 3)
+    er = min(255, max(0, round(yv + 1.402 * (cr - 128))))
+    eg = min(255, max(0, round(yv - 0.344136 * (cb - 128)
+                               - 0.714136 * (cr - 128))))
+    eb = min(255, max(0, round(yv + 1.772 * (cb - 128))))
+    assert raster[:3] == bytes([er, eg, eb])
+    assert set(raster[i::3][j] for i in range(3) for j in range(64)) \
+        == {er, eg, eb}
+
+
+def test_jpeg_scope_errors():
+    import struct as st
+
+    import pytest
+
+    from cstore_fdw_spark.operators.jpeg_codec import jpeg_decode_baseline
+
+    with pytest.raises(ValueError, match="SOI"):
+        jpeg_decode_baseline(b"junk")
+    # progressive SOF2 refused with the honest scope error
+    sof2 = (b"\xff\xd8" + b"\xff\xc2" + st.pack(">H", 11)
+            + st.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0]))
+    with pytest.raises(ValueError, match="progressive"):
+        jpeg_decode_baseline(sof2)
+    # 16-bit DQT refused
+    dqt16 = (b"\xff\xd8" + b"\xff\xdb" + st.pack(">H", 131)
+             + bytes([0x10]) + bytes(128))
+    with pytest.raises(ValueError, match="16-bit"):
+        jpeg_decode_baseline(dqt16)
