@@ -893,3 +893,212 @@ def text_curation_pipeline(spark, sf_dir):
             .agg(F.count(F.lit(1)).alias("n_docs"),
                  F.sum("n_tokens").alias("total_tokens"),
                  F.sum("n_pii").alias("pii_redactions")))
+
+
+# -------------------------------------------------- training mix recipe
+
+def _training_mix_oracle() -> str:
+    from cstore_fdw_spark.functions.portable_hash import duck_h60
+    from cstore_fdw_spark.operators.analytics import (
+        _MIXTURE_BUDGET_DIV, _MIXTURE_WEIGHTS)
+    h = duck_h60("CAST(c.doc_id AS VARCHAR)")
+    weights = ", ".join(f"('{l}', {w})" for l, w in _MIXTURE_WEIGHTS)
+    k = DECON_K
+    return f"""
+    WITH bench AS (
+      SELECT DISTINCT UNNEST(list_distinct(list_filter(list_transform(
+          generate_series(1, GREATEST(len(string_split(text, ' '))
+                                      - {k - 1}, 1)),
+          i -> array_to_string(list_slice(string_split(text, ' '),
+                                          i, i + {k - 1}), ' ')),
+        s -> s <> ''))) AS s
+      FROM documents WHERE doc_id % {DECON_MOD} = 0 AND text <> ''),
+    scored AS (
+      SELECT doc_id, lang, source, text,
+             CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_tokens,
+             CAST(LEN(LIST_FILTER(STRING_SPLIT(text, ' '),
+                  w -> w IN ('the', 'a', 'of', 'and'))) AS BIGINT) AS n_stop
+      FROM documents WHERE doc_id % {DECON_MOD} <> 0),
+    quality AS (
+      SELECT * FROM scored
+      WHERE n_tokens >= 20 AND n_tokens <= 1000
+        AND CAST(n_stop AS DOUBLE) / n_tokens >= 0.01),
+    keepers AS (
+      SELECT doc_id, lang, source, text, n_tokens FROM (
+        SELECT *, doc_id = MIN(doc_id) OVER (
+                    PARTITION BY MD5(LOWER(text))) AS is_keeper
+        FROM quality) WHERE is_keeper),
+    sh AS (
+      SELECT doc_id, lang, source, n_tokens,
+             list_distinct(list_filter(list_transform(
+               generate_series(1, GREATEST(len(string_split(text, ' '))
+                                           - {k - 1}, 1)),
+               i -> array_to_string(list_slice(string_split(text, ' '),
+                                               i, i + {k - 1}), ' ')),
+             s -> s <> '')) AS shingles
+      FROM keepers),
+    ex AS (SELECT doc_id, UNNEST(shingles) AS s FROM sh),
+    shared AS (
+      SELECT e.doc_id, COUNT(*) AS n_shared
+      FROM ex e JOIN bench b ON e.s = b.s GROUP BY e.doc_id),
+    clean AS (
+      SELECT z.doc_id, z.lang, z.source, z.n_tokens
+      FROM (SELECT doc_id, lang, source, n_tokens,
+                   CAST(len(shingles) AS BIGINT) AS n_shingles FROM sh) z
+      LEFT JOIN shared s ON z.doc_id = s.doc_id
+      WHERE NOT (COALESCE(s.n_shared, 0) * 5 >= z.n_shingles
+                 OR COALESCE(s.n_shared, 0) >= 8)),
+    w(lang, permyriad) AS (VALUES {weights}),
+    n AS (SELECT lang, COUNT(*) AS n_lang FROM documents GROUP BY lang),
+    t AS (SELECT COUNT(*) // {_MIXTURE_BUDGET_DIV} AS budget
+          FROM documents),
+    rates AS (
+      SELECT n.lang,
+             LEAST(1000, (t.budget * w.permyriad // 10000) * 1000
+                          // n.n_lang) AS rate_permille
+      FROM n JOIN w ON w.lang = n.lang CROSS JOIN t),
+    sampled AS (
+      SELECT c.* FROM clean c JOIN rates r ON r.lang = c.lang
+      WHERE {h} % 1000 < r.rate_permille),
+    packed AS (
+      SELECT source, doc_id, n_tokens,
+             CAST((SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               - n_tokens) // {PACK_BUDGET} AS BIGINT) AS pack_id,
+             CAST(1 + (GREATEST(n_tokens - {CHUNK_W}, 0) + {CHUNK_S - 1})
+                  // {CHUNK_S} AS BIGINT) AS n_chunks
+      FROM sampled)
+    SELECT source, pack_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS tokens_total,
+           CAST(SUM(n_chunks) AS BIGINT) AS chunks_total,
+           MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+    FROM packed GROUP BY 1, 2
+    """
+
+
+@register(
+    "training_mix_pipeline", bench=True,
+    category="text",
+    oracle=_training_mix_oracle())
+def training_mix_pipeline(spark, sf_dir):
+    """The FLAGSHIP end-to-end training-data recipe as one composed
+    query: quality gate (C4/Gopher filters) -> exact dedup (md5 window,
+    keeper = min doc_id) -> benchmark decontamination (8-token shingle
+    overlap vs the held-out eval stand-in, GPT-3 rule) -> target-mixture
+    sampling (per-language rates computed from corpus counts toward the
+    en/de/fr/es/zh target mix, portable-hash membership) -> GPT-style
+    sequence packing (2048-token budget per source) with per-document
+    context-window chunk accounting. Every stage is the same logic as
+    its standalone operator (text_curation_pipeline,
+    text_decontaminate_ngram, sample_target_mixture,
+    text_pack_sequences, text_chunk_overlap); composing them proves the
+    stages CHAIN — and the plan's shuffle-exchange count is locked by
+    ``tests/test_pushdown.py::test_training_mix_pipeline_shuffles``.
+
+    Shuffle budget (each one argued minimal):
+      1. dedup digest window  — hashpartition(md5) of the quality
+         survivors (uniform 128-bit key, no skew);
+      2. decontamination      — ONE hashpartition(doc_id) aggregate:
+         shingles explode WITH (lang, source, n_tokens) carried, join
+         the broadcast benchmark set map-side, and fold shared/total
+         counts per doc — no join-back shuffle;
+      3. pack window          — hashpartition(source); the final
+         (source, pack_id) rollup reuses this partitioning (subset
+         clustering), so it adds NO exchange;
+      + three tiny side aggregates (benchmark shingle distinct,
+        per-language counts, global budget) over column-pruned scans
+        whose outputs broadcast.
+    At 100 TB: the corpus stream is shuffled exactly 3 times, stages 1/3
+    key on uniform values, the eval set is MB-scale by construction, and
+    nothing ever collects to the driver."""
+    from pyspark.sql.window import Window
+
+    from cstore_fdw_spark.functions.portable_hash import spark_h60
+    from cstore_fdw_spark.operators.analytics import (
+        _MIXTURE_BUDGET_DIV, _MIXTURE_WEIGHTS)
+
+    d = table(spark, sf_dir, "documents")
+
+    # held-out benchmark shingle set (external eval suite stand-in)
+    bench = (d.filter((F.col("doc_id") % DECON_MOD == 0)
+                      & (F.col("text") != ""))
+             .select(F.explode(F.expr(_shingle_expr(DECON_K))).alias("s"))
+             .distinct())
+
+    # 1. quality gate on the training side
+    toks = F.split("text", " ")
+    n_tokens = F.size(toks).cast("long")
+    n_stop = F.size(F.filter(
+        toks, lambda w: w.isin("the", "a", "of", "and"))).cast("long")
+    quality = (d.filter(F.col("doc_id") % DECON_MOD != 0)
+               .select("doc_id", "lang", "source", "text",
+                       n_tokens.alias("n_tokens"),
+                       n_stop.alias("n_stop"))
+               .filter((F.col("n_tokens") >= 20)
+                       & (F.col("n_tokens") <= 1000)
+                       & (F.col("n_stop").cast("double")
+                          / F.col("n_tokens") >= 0.01)))
+
+    # 2. exact dedup on the normalized-content digest
+    w = Window.partitionBy(F.md5(F.lower("text").cast("binary")))
+    keepers = (quality
+               .withColumn("is_keeper",
+                           F.col("doc_id") == F.min("doc_id").over(w))
+               .filter("is_keeper"))
+
+    # 3. decontamination: one aggregate, fields carried through the
+    # explode so no join-back is needed
+    ex = keepers.select(
+        "doc_id", "lang", "source", "n_tokens",
+        F.explode(F.expr(_shingle_expr(DECON_K))).alias("s"))
+    marked = ex.join(F.broadcast(bench.withColumn("hit", F.lit(1))),
+                     "s", "left")
+    per_doc = (marked.groupBy("doc_id")
+               .agg(F.first("lang").alias("lang"),
+                    F.first("source").alias("source"),
+                    F.first("n_tokens").alias("n_tokens"),
+                    F.count(F.lit(1)).alias("n_shingles"),
+                    F.count("hit").alias("n_shared")))
+    clean = per_doc.filter(
+        ~((F.col("n_shared") * 5 >= F.col("n_shingles"))
+          | (F.col("n_shared") >= 8)))
+
+    # 4. target-mixture sampling; rates derive from the RAW corpus
+    # counts (budget is defined on corpus size), so the rate subtree is
+    # a column-pruned scan, never a recompute of the expensive stages
+    wts = F.broadcast(spark.createDataFrame(
+        _MIXTURE_WEIGHTS, "lang string, permyriad long"))
+    n = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_lang"))
+    t = d.agg(F.expr(
+        f"count(1) div {_MIXTURE_BUDGET_DIV}").alias("budget"))
+    rates = (n.join(wts, "lang").join(F.broadcast(t))
+             .select("lang", F.least(
+                 F.lit(1000),
+                 F.expr("(budget * permyriad div 10000) * 1000"
+                        " div n_lang")).alias("rate_permille")))
+    sampled = (clean
+               .withColumn("bucket",
+                           F.expr(spark_h60("cast(doc_id as string)"))
+                           % 1000)
+               .join(F.broadcast(rates), "lang")
+               .filter(F.col("bucket") < F.col("rate_permille")))
+
+    # 5. pack (2048-token budget per source) + chunk accounting; the
+    # final rollup reuses the window's source-partitioning
+    pw = (Window.partitionBy("source").orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    packed = sampled.withColumn("cum", F.sum("n_tokens").over(pw))
+    n_chunks = F.expr(f"1 + (greatest(n_tokens - {CHUNK_W}, 0)"
+                      f" + {CHUNK_S - 1}) div {CHUNK_S}")
+    return (packed.select(
+                "source", "doc_id", "n_tokens",
+                F.expr(f"(cum - n_tokens) div {PACK_BUDGET}")
+                .cast("long").alias("pack_id"),
+                n_chunks.cast("long").alias("n_chunks"))
+            .groupBy("source", "pack_id")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_tokens").alias("tokens_total"),
+                 F.sum("n_chunks").alias("chunks_total"),
+                 F.min("doc_id").alias("first_doc"),
+                 F.max("doc_id").alias("last_doc")))

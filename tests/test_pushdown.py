@@ -116,7 +116,9 @@ def test_no_unbounded_nested_loop_joins(spark, sf_dir):
     allowed_bnlj = {"ann_cosine_topk", "ann_ivf_coarse", "join_cross",
                     "q11_important_stock", "q22_global_sales_opportunity",
                     # vectors × 16 broadcast IVF centroids (bounded side)
-                    "dedup_semantic_clustered"}
+                    "dedup_semantic_clustered",
+                    # |languages| rows × 1-row broadcast budget scalar
+                    "training_mix_pipeline"}
     reg = load_all()
     checked = 0
     for name, spec in sorted(reg.items()):
@@ -178,3 +180,25 @@ def test_curation_pipeline_two_shuffles(spark, sf_dir):
     plan = explain_str(df, "simple")
     n_exchanges = plan.count("Exchange")
     assert n_exchanges == 2, f"expected 2 shuffles, saw {n_exchanges}"
+
+
+def test_training_mix_pipeline_shuffles(spark, sf_dir):
+    """The composed training-mix recipe must keep its minimum shuffle
+    shape: the CORPUS STREAM is exchanged exactly 3 times (dedup digest
+    window, decontamination doc_id aggregate, pack window on source —
+    the final (source, pack_id) rollup must reuse the window's
+    partitioning), plus 3 tiny side aggregates (benchmark shingle
+    distinct, per-language counts, global budget). A 4th corpus
+    exchange (e.g. a join-back instead of carrying fields through the
+    decon aggregate, or the rollup re-partitioning) is a regression."""
+    import re
+
+    from cstore_fdw_spark.operators import load_all
+    from cstore_fdw_spark.plans.verify import explain_str
+
+    df = load_all()["training_mix_pipeline"].builder(spark, sf_dir)
+    plan = explain_str(df, "simple")
+    n_hash = len(re.findall(r"Exchange hashpartitioning", plan))
+    n_single = len(re.findall(r"Exchange SinglePartition", plan))
+    assert n_hash == 5, f"expected 5 hash exchanges, saw {n_hash}"
+    assert n_single == 1, f"expected 1 global-agg exchange, saw {n_single}"
