@@ -366,7 +366,8 @@ def dedup_embedding_cosine(spark, sf_dir):
                     (F.col("keeper_id") != F.col("vec_id")).alias("is_dup")))
 
 
-def lsh_verified_pairs(e: DataFrame, tau: float) -> DataFrame:
+def lsh_verified_pairs(e: DataFrame, tau: float,
+                       dedup: bool = True) -> DataFrame:
     """The scale-path candidate generator shared by the embedding-dedup
     family: sign-random-projection buckets (the deterministic multi-table
     planes from operators.similarity) REPLACE the all-pairs join inside
@@ -374,7 +375,15 @@ def lsh_verified_pairs(e: DataFrame, tau: float) -> DataFrame:
     occupancy per block is ~|group|/2^bits instead of |group|, which is
     what keeps a skewed or huge label group from going quadratic at
     100 TB. Candidates are then verified with the exact ordered-fold
-    cosine. Output: (vec_a, vec_b) with vec_a < vec_b, cosine ≥ tau."""
+    cosine. Output: (vec_a, vec_b) with vec_a < vec_b, cosine ≥ tau.
+
+    ``dedup=False`` skips the candidate ``distinct()`` (one whole
+    shuffle of the candidate set): a pair found in k of the LSH tables
+    then comes out k times. Callers whose downstream is a set-semantics
+    aggregate that shuffles anyway (connected components' min-label
+    propagation folds its own dropDuplicates into the edge-partitioning
+    exchange) get the same answer one exchange cheaper; callers that
+    COUNT pairs must keep the default."""
     from cstore_fdw_spark.operators.similarity import cosine, lsh_buckets
 
     sig = (e.select("vec_id", "label",
@@ -387,8 +396,9 @@ def lsh_verified_pairs(e: DataFrame, tau: float) -> DataFrame:
                    & (F.col("a.tb") == F.col("b.tb"))
                    & (F.col("a.vec_id") < F.col("b.vec_id")))
             .select(F.col("a.vec_id").alias("vec_a"),
-                    F.col("b.vec_id").alias("vec_b"))
-            .distinct())
+                    F.col("b.vec_id").alias("vec_b")))
+    if dedup:
+        cand = cand.distinct()
     va = e.select(F.col("vec_id").alias("vec_a"),
                   F.col("embedding").alias("avec"))
     vb = e.select(F.col("vec_id").alias("vec_b"),
@@ -582,11 +592,6 @@ def minhash_lsh_pairs(docs: DataFrame) -> DataFrame:
     shingled = (shingle_arrays(spread(docs))
                 .filter(F.size("shingles") > 0))
     ex = track_cache(shingle_hashes(shingled).persist())
-    # eager materialization before the plan fans out (bands self-join,
-    # sizes, both verification sides): parallel subquery threads racing a
-    # lazy persist recompute the shingle+md5 build — measured as sporadic
-    # 3-4x outlier runs (same rationale as ppjoin_jaccard_pairs)
-    ex.count()
     # persist(), not localCheckpoint(), for the signature table: both are
     # materialized once and reused by every consumer (bands self-join,
     # sizes), but localCheckpoint pays driver-side physical planning +
@@ -594,18 +599,29 @@ def minhash_lsh_pairs(docs: DataFrame) -> DataFrame:
     # while persist defers everything to the first action
     mins = [F.min((F.lit(a) * F.col("x") + F.lit(b)) % P31).alias(f"s{i}")
             for i, (a, b) in enumerate(_MH_COEFFS)]
-    sigs = track_cache(ex.groupBy("doc_id")
-                       .agg(F.count(F.lit(1)).alias("n_sh"), *mins)
-                       .persist())
-    sigs.count()  # same eager-materialization rationale as `ex`
     # band keys: pure integer arithmetic over each ROWS_PER_BAND-slice of
     # the signature (two Horner polynomials mod P31 packed to 62 bits —
-    # no VARCHAR render, no md5; identical expression in the oracle)
+    # no VARCHAR render, no md5; identical expression in the oracle).
+    # FUSED into the signature aggregate's output projection, so the
+    # cache holds (doc_id, n_sh, bands) — each self-join side explodes
+    # the cached array instead of re-deriving 8 Horner polynomials from
+    # 32 cached signature columns, and the cached rows are ~4x narrower
     band_cols = F.array(*[
         F.expr(band_key_sql([f"s{t * ROWS_PER_BAND + r}"
                              for r in range(ROWS_PER_BAND)]))
         for t in range(N_BANDS)])
-    bands = (sigs.select("doc_id", F.posexplode(band_cols))
+    sigs = track_cache(ex.groupBy("doc_id")
+                       .agg(F.count(F.lit(1)).alias("n_sh"), *mins)
+                       .select("doc_id", "n_sh",
+                               band_cols.alias("bands"))
+                       .persist())
+    # eager materialization before the plan fans out (bands self-join,
+    # sizes, both verification sides): parallel subquery threads racing a
+    # lazy persist recompute the shingle+md5 build — measured as sporadic
+    # 3-4x outlier runs (same rationale as ppjoin_jaccard_pairs). ONE
+    # count suffices: materializing sigs forces ex through the same job
+    sigs.count()
+    bands = (sigs.select("doc_id", F.posexplode("bands"))
              .select("doc_id", F.col("pos").alias("band"),
                      F.col("col").alias("bh")))
     a = bands.alias("a")
@@ -908,11 +924,19 @@ def dedup_connected_components(spark, sf_dir):
     observing zero changes certifies a fixed point regardless of what
     step 1 did."""
     e = table(spark, sf_dir, "embeddings")
-    pairs = lsh_verified_pairs(e, EMB_DEDUP_TAU).select(
+    # dedup=False: the candidate distinct's shuffle is FOLDED into the
+    # edge-partitioning exchange below — repartition("src") clusters the
+    # (multi-table-duplicated) edges, dropDuplicates then needs NO
+    # exchange of its own (hash(src) already co-locates every (src, dst)
+    # group), and the checkpoint keeps that partitioning, so the
+    # edges side of EVERY propagation round's join is exchange-free too
+    pairs = lsh_verified_pairs(e, EMB_DEDUP_TAU, dedup=False).select(
         F.col("vec_a").alias("src"), F.col("vec_b").alias("dst"))
     edges = track_cache(
         pairs.unionByName(pairs.select(F.col("dst").alias("src"),
                                        F.col("src").alias("dst")))
+        .repartition("src")
+        .dropDuplicates(["src", "dst"])
         .localCheckpoint(eager=True))
     labels = e.select("vec_id", F.col("vec_id").alias("comp"))
     prev = None  # superseded round checkpoints die inside the loop
