@@ -938,7 +938,16 @@ def dedup_connected_components(spark, sf_dir):
         .repartition("src")
         .dropDuplicates(["src", "dst"])
         .localCheckpoint(eager=True))
-    labels = e.select("vec_id", F.col("vec_id").alias("comp"))
+    # jump-start hop: with identity labels, "min neighbor comp" is just
+    # min(src) per dst — the first hop needs no labels join at all (it
+    # folds into the first double-round's job as a plain aggregate over
+    # the cached edges instead of an SMJ against the embeddings scan)
+    labels = (e.select("vec_id")
+              .join(edges.groupBy(F.col("dst").alias("vec_id"))
+                    .agg(F.min("src").alias("n0")), "vec_id", "left")
+              .select("vec_id",
+                      F.least("vec_id", F.coalesce("n0", "vec_id"))
+                      .alias("comp")))
     prev = None  # superseded round checkpoints die inside the loop
     while True:
         s1 = (labels.join(
