@@ -12,7 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from cstore_fdw_spark.operators import register, table
+from cstore_fdw_spark.operators import register, table, track_cache
 
 #: minimal per-language lexicons for the stopword-overlap language-ID
 #: heuristic (the engine ships these as a broadcast dimension; real
@@ -1102,3 +1102,119 @@ def training_mix_pipeline(spark, sf_dir):
                  F.sum("n_chunks").alias("chunks_total"),
                  F.min("doc_id").alias("first_doc"),
                  F.max("doc_id").alias("last_doc")))
+
+
+# ------------------------------------------------------------- BPE train
+
+#: merge rounds for the corpus-scale BPE trainer (enough to exercise
+#: multi-round dynamics — real runs use 30k+; the loop is round-count
+#: agnostic)
+BPE_MERGES = 6
+
+
+def _bpe_oracle(n: int = BPE_MERGES) -> str:
+    """Chained-CTE DuckDB replica of the iterative BPE trainer: each
+    round counts adjacent symbol pairs over the word table, picks the
+    (count DESC, pair ASC) argmax via scalar subqueries, and applies the
+    merge with the pure-string double-space convention (see
+    :func:`text_bpe_train` — identical `replace` semantics in both
+    engines, no regex)."""
+    ctes = ["""w0 AS (
+      SELECT array_to_string(string_split(token, ''), ' ') AS seq,
+             COUNT(*) AS freq
+      FROM (SELECT UNNEST(string_split(text, ' ')) AS token
+            FROM documents)
+      WHERE token <> '' GROUP BY 1)"""]
+    for r in range(n):
+        ctes.append(f"""p{r} AS (
+      SELECT pair, CAST(SUM(freq) AS BIGINT) AS cnt
+      FROM (SELECT freq,
+                   UNNEST(list_transform(
+                     generate_series(1, GREATEST(
+                       len(string_split(seq, ' ')) - 1, 0)),
+                     i -> string_split(seq, ' ')[i] || ' '
+                          || string_split(seq, ' ')[i + 1])) AS pair
+            FROM w{r})
+      GROUP BY pair)""")
+        ctes.append(f"""b{r} AS (
+      SELECT pair, cnt FROM p{r} ORDER BY cnt DESC, pair LIMIT 1)""")
+        ctes.append(f"""w{r + 1} AS (
+      SELECT trim(replace(replace(
+               ' ' || replace(seq, ' ', '  ') || ' ',
+               ' ' || (SELECT replace(pair, ' ', '  ') FROM b{r}) || ' ',
+               ' ' || (SELECT replace(pair, ' ', '') FROM b{r}) || ' '),
+             '  ', ' ')) AS seq,
+             freq
+      FROM w{r})""")
+    rows = "\n    UNION ALL ".join(
+        f"SELECT CAST({r} AS BIGINT) AS merge_idx, pair,"
+        f" replace(pair, ' ', '') AS merged, cnt AS pair_freq FROM b{r}"
+        for r in range(n))
+    return "WITH " + ",\n    ".join(ctes) + "\n    " + rows
+
+
+#: adjacent symbol pairs of a space-separated symbol string, as one
+#: bound projection (zip_with over two slices — empty for 1-symbol words)
+_BPE_PAIR_EXPR = (
+    "transform(array(split(seq, ' ')), t ->"
+    " zip_with(slice(t, 1, size(t) - 1), slice(t, 2, size(t) - 1),"
+    "          (x, y) -> concat(x, ' ', y)))[0]")
+
+
+@register(
+    "text_bpe_train",
+    category="text",
+    oracle=_bpe_oracle())
+def text_bpe_train(spark, sf_dir):
+    """Corpus-scale BPE tokenizer TRAINING (Sennrich et al. '16) — the
+    real thing behind the chars/4 heuristic in text_token_count_bpe_ish:
+    character-level symbol sequences per distinct word (weighted by word
+    frequency), then BPE_MERGES rounds of (count adjacent pairs) ->
+    (argmax with deterministic count-DESC/pair-ASC tie-break) -> (apply
+    the merge). Returns the learned merge table: (merge_idx, pair,
+    merged, pair_freq).
+
+    Merges apply with a PURE-STRING convention shared bit-for-bit with
+    the DuckDB oracle (no regex — RE2 has no lookarounds): double every
+    separator, replace ' a  b ' with ' ab ', collapse doubles. Plain
+    left-to-right non-overlapping replace() then IS greedy BPE ('a a a'
+    merges once, like the reference algorithm).
+
+    Scale: the iterate-over-rounds shape is the CC pattern — the corpus
+    touches only round 0 (one token-count shuffle); every later round
+    runs over the CACHED distinct-word table (vocabulary-bounded: ~10^6
+    rows at 100 TB, not corpus-bounded), and the driver sees exactly ONE
+    (pair, count) row per round. Real trainers run 30k rounds over this
+    same loop; pair counting stays map-side-combined throughout."""
+    d = table(spark, sf_dir, "documents")
+    words = (d.select(F.explode(F.split("text", " ")).alias("token"))
+             .filter(F.col("token") != "")
+             .groupBy("token").agg(F.count(F.lit(1)).alias("freq"))
+             .select(F.concat_ws(" ", F.split("token", "")).alias("seq"),
+                     "freq"))
+    words = track_cache(words.persist())
+    words.count()  # materialize once; every round re-reads the cache
+    rules = []
+    for r in range(BPE_MERGES):
+        pairs = (words.select("freq",
+                              F.explode(F.expr(_BPE_PAIR_EXPR))
+                              .alias("pair"))
+                 .groupBy("pair").agg(F.sum("freq").alias("cnt")))
+        best = (pairs.orderBy(F.col("cnt").desc(), "pair").limit(1)
+                .collect())
+        if not best:  # vocabulary fully merged — stop early
+            break
+        pair, cnt = best[0].pair, int(best[0].cnt)
+        merged = pair.replace(" ", "")
+        rules.append((r, pair, merged, cnt))
+        padded = F.concat(F.lit(" "),
+                          F.replace(F.col("seq"), F.lit(" "), F.lit("  ")),
+                          F.lit(" "))
+        applied = F.trim(F.replace(
+            F.replace(padded,
+                      F.lit(" " + pair.replace(" ", "  ") + " "),
+                      F.lit(" " + merged + " ")),
+            F.lit("  "), F.lit(" ")))
+        words = words.select(applied.alias("seq"), "freq")
+    return spark.createDataFrame(
+        rules, "merge_idx long, pair string, merged string, pair_freq long")

@@ -610,3 +610,47 @@ def test_jpeg_scope_errors():
              + bytes([0x10]) + bytes(128))
     with pytest.raises(ValueError, match="16-bit"):
         jpeg_decode_baseline(dqt16)
+
+
+def test_bpe_merge_convention_is_greedy_left():
+    """The double-space replace convention must implement greedy
+    left-to-right non-overlapping BPE: 'a a a' merges ONCE under rule
+    (a, a), and multiple disjoint occurrences all merge in one pass."""
+    from pyspark.sql import functions as F
+
+    def apply_merge(seq: str, pair: str) -> str:
+        merged = pair.replace(" ", "")
+        padded = " " + seq.replace(" ", "  ") + " "
+        out = padded.replace(" " + pair.replace(" ", "  ") + " ",
+                             " " + merged + " ")
+        return out.replace("  ", " ").strip()
+
+    assert apply_merge("a a a", "a a") == "aa a"
+    assert apply_merge("a a a a", "a a") == "aa aa"
+    assert apply_merge("x a b y a b", "a b") == "x ab y ab"
+    assert apply_merge("a b", "a b") == "ab"
+    assert apply_merge("c", "a b") == "c"
+    # merged symbols participate in later rounds
+    assert apply_merge(apply_merge("l o w", "l o"), "lo w") == "low"
+
+
+def test_bpe_train_learns_deterministic_rules(spark):
+    """End-to-end trainer on a controlled corpus: the pair counts and
+    the merge order follow the exact frequency arithmetic."""
+    import cstore_fdw_spark.operators.text as text_mod
+
+    docs = spark.createDataFrame(
+        [(1, "aab aab aab"), (2, "aab ab"), (3, "bb")],
+        "doc_id long, text string")
+    orig_table, orig_merges = text_mod.table, text_mod.BPE_MERGES
+    text_mod.table = lambda sp, sf, name: docs
+    text_mod.BPE_MERGES = 2
+    try:
+        out = {tuple(r) for r in
+               text_mod.text_bpe_train(spark, "unused").collect()}
+    finally:
+        text_mod.table, text_mod.BPE_MERGES = orig_table, orig_merges
+    # word freqs: aab x4, ab x1, bb x1
+    # round 0 pairs: ('a a', 4), ('a b', 4+1=5), ('b b', 1) -> merge 'a b'
+    # round 1 over {a ab x4, ab x1, b b x1}: ('a ab', 4), ('b b', 1)
+    assert out == {(0, "a b", "ab", 5), (1, "a ab", "aab", 4)}
