@@ -1218,3 +1218,83 @@ def text_bpe_train(spark, sf_dir):
         words = words.select(applied.alias("seq"), "freq")
     return spark.createDataFrame(
         rules, "merge_idx long, pair string, merged string, pair_freq long")
+
+
+def _bpe_encode_oracle(n: int = BPE_MERGES) -> str:
+    """Oracle for the ENCODE side: reuse the trainer's CTE chain for the
+    rules, then apply the same double-space replace convention to every
+    document's per-word symbol sequences and count resulting tokens."""
+    train = _bpe_oracle(n)
+    ctes = train[len("WITH "):train.rindex("SELECT CAST(0")]
+    # fold the n merges into one nested replace chain per word
+    applied = "' ' || replace(wseq, ' ', '  ') || ' '"
+    for r in range(n):
+        applied = (
+            f"replace({applied},"
+            f" ' ' || (SELECT replace(pair, ' ', '  ') FROM b{r}) || ' ',"
+            f" ' ' || (SELECT replace(pair, ' ', '') FROM b{r}) || ' ')")
+        if r < n - 1:
+            applied = f"' ' || replace(trim(replace({applied}, '  ', ' ')), ' ', '  ') || ' '"
+        else:
+            applied = f"trim(replace({applied}, '  ', ' '))"
+    return f"""WITH {ctes.rstrip().rstrip(',')},
+    words AS (
+      SELECT doc_id,
+             array_to_string(string_split(token, ''), ' ') AS wseq
+      FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS token
+            FROM documents)
+      WHERE token <> ''),
+    enc AS (
+      SELECT doc_id,
+             CAST(len(string_split({applied}, ' ')) AS BIGINT) AS n_sym
+      FROM words)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(n_sym) AS BIGINT) AS n_bpe_tokens
+    FROM enc GROUP BY doc_id
+    """
+
+
+@register(
+    "text_bpe_encode",
+    category="text",
+    oracle=_bpe_encode_oracle())
+def text_bpe_encode(spark, sf_dir):
+    """Distributed BPE TOKENIZATION with the merges just learned by
+    :func:`text_bpe_train`: every document's words are re-encoded by
+    applying the merge rules in training order (same pure-string
+    convention, so the oracle replays it bit-for-bit with scalar
+    subqueries), then per-document BPE token counts roll up — the real
+    version of the chars/4 budget heuristic.
+
+    Scale: training runs once (vocabulary-bounded rounds, see
+    text_bpe_train); the ENCODE pass is a single projection over the
+    corpus — the n merge rules arrive as literals folded into a nested
+    replace chain (broadcast-by-constant, no join) — followed by one
+    map-side-combined per-doc aggregate. This is the shape a 100 TB
+    tokenize-everything job wants: corpus scanned once, zero extra
+    shuffles beyond the final doc_id rollup."""
+    d = table(spark, sf_dir, "documents")
+    rules = [(r.pair, r.merged)
+             for r in text_bpe_train(spark, sf_dir).collect()]
+    words = (d.select("doc_id",
+                      F.explode(F.split("text", " ")).alias("token"))
+             .filter(F.col("token") != "")
+             .select("doc_id",
+                     F.concat_ws(" ", F.split("token", "")).alias("wseq")))
+    applied = F.col("wseq")
+    for pair, merged in rules:
+        padded = F.concat(F.lit(" "),
+                          F.replace(applied, F.lit(" "), F.lit("  ")),
+                          F.lit(" "))
+        applied = F.trim(F.replace(
+            F.replace(padded,
+                      F.lit(" " + pair.replace(" ", "  ") + " "),
+                      F.lit(" " + merged + " ")),
+            F.lit("  "), F.lit(" ")))
+    return (words.select("doc_id",
+                         F.size(F.split(applied, " ")).cast("long")
+                         .alias("n_sym"))
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_words"),
+                 F.sum("n_sym").alias("n_bpe_tokens")))
