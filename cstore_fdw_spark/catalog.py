@@ -1826,6 +1826,46 @@ class CStoreCatalog:
                 total += pq.ParquetFile(path).metadata.num_rows
         return total
 
+    def column_minmax(self, name: str, column: str):
+        """Metadata-only ``(min, max)`` of a column: folds the per-file
+        zone maps captured at commit time (``TableMeta.file_stats``) —
+        zero data reads, zero footer reads when stats are complete
+        (legacy files fall back to one footer read each). The companion
+        to :meth:`row_count` (A20) over the same stats the merge/delete
+        planner prunes with.
+
+        Returns ``None`` whenever a metadata answer could differ from
+        what a reader returns: a visible file without usable stats for
+        the column, an active backfill watermark / drop-re-add reset
+        (rows read a default the physical stats don't describe), or a
+        column carrying NULLs-only files. Callers fall back to a scan
+        (or :meth:`analyze`)."""
+        meta = self._load_meta(name)
+        if self._format(meta) != "parquet":
+            return None
+        if column not in meta.schema().fieldNames():
+            raise CStoreError(f'column "{column}" does not exist')
+        if meta.backfill_watermark.get(column) is not None \
+                or meta.backfill_files.get(column) \
+                or column in meta.column_reset_epoch:
+            return None
+        data_path = self._data_path(meta)
+        lo = hi = None
+        for p in self._visible_files(meta):
+            rel = os.path.relpath(p, data_path)
+            ent = meta.file_stats.get(rel)
+            if ent is None:  # legacy meta: one footer read for this file
+                rng = _parquet_minmax(p, column)
+            else:
+                pair = ent.get(column)
+                rng = (None if pair is None
+                       else (_stats_decode(pair[0]), _stats_decode(pair[1])))
+            if rng is None:
+                return None
+            lo = rng[0] if lo is None or rng[0] < lo else lo
+            hi = rng[1] if hi is None or rng[1] > hi else hi
+        return None if lo is None else (lo, hi)
+
     def analyze(self, name: str) -> dict[str, Any]:
         """A14 ANALYZE: column statistics for the optimizer. The reference
         reservoir-samples into pg_statistic for PostgreSQL's planner

@@ -586,3 +586,111 @@ def embedding_quantize_int8(spark, sf_dir):
             .agg(F.concat_ws(",", codes.cast("array<string>"))
                  .alias("codes_csv"),
                  F.sum(F.abs("code")).cast("long").alias("l1")))
+
+
+# ------------------------------------------------------- product quant
+
+PQ_M = 8        # subspaces (64-dim embedding -> 8 sub-vectors of 8 dims)
+PQ_SUBDIM = 8
+PQ_K = 16       # codebook entries per subspace (4-bit codes here; real
+                # deployments use 256 — a capacity knob, not a scale knob)
+
+
+def _pq_oracle() -> str:
+    """DuckDB replica of the PQ pipeline: same hash-seeded codebooks,
+    same squared-L2 expression shape ((v·v − 2·v·c) + c·c, left-assoc),
+    same (dist, k) argmin tie-break, same ordered error fold."""
+    from cstore_fdw_spark.functions.portable_hash import duck_h60
+    js = ", ".join(f"({j})" for j in range(PQ_M))
+    return f"""
+    WITH seeds AS (
+      SELECT rn - 1 AS k, embedding FROM (
+        SELECT vec_id, embedding,
+               ROW_NUMBER() OVER (
+                 ORDER BY {duck_h60("CAST(vec_id AS VARCHAR)")}, vec_id)
+                 AS rn
+        FROM embeddings) t
+      WHERE rn <= {PQ_K}),
+    cents AS (
+      SELECT k, j,
+             list_slice(embedding, j * {PQ_SUBDIM} + 1,
+                        j * {PQ_SUBDIM} + {PQ_SUBDIM})::DOUBLE[] AS cvec
+      FROM seeds, (VALUES {js}) sub(j)),
+    subs AS (
+      SELECT vec_id, j,
+             list_slice(embedding, j * {PQ_SUBDIM} + 1,
+                        j * {PQ_SUBDIM} + {PQ_SUBDIM})::DOUBLE[] AS sub
+      FROM embeddings, (VALUES {js}) sub(j)),
+    dists AS (
+      SELECT s.vec_id, s.j, c.k,
+             list_dot_product(s.sub, s.sub)
+               - 2 * list_dot_product(s.sub, c.cvec)
+               + list_dot_product(c.cvec, c.cvec) AS dist
+      FROM subs s JOIN cents c USING (j)),
+    best AS (
+      SELECT vec_id, j, k, dist,
+             ROW_NUMBER() OVER (PARTITION BY vec_id, j
+                                ORDER BY dist, k) AS rn
+      FROM dists)
+    SELECT vec_id,
+           ARRAY_TO_STRING(LIST(k ORDER BY j), ',') AS codes_csv,
+           list_reduce(LIST(dist ORDER BY j), (a, b) -> a + b) AS q_err
+    FROM best WHERE rn = 1 GROUP BY vec_id
+    """
+
+
+@register(
+    "vector_quantize_pq",
+    category="similarity",
+    oracle=_pq_oracle())
+def vector_quantize_pq(spark, sf_dir):
+    """Product quantization (Jégou et al. '11 — the FAISS ``PQ8``
+    family): each 64-dim embedding splits into 8 sub-vectors; each
+    sub-vector is assigned the nearest of 16 per-subspace codebook
+    entries by squared L2 (deterministic (dist, k) tie-break), giving an
+    8-code word per vector plus the exact quantization error —
+    completing the vector-compression ladder next to SQ8
+    (embedding_quantize_int8) and JL projection (embedding_dim_reduce).
+    Codebooks are hash-seeded sub-vectors of the corpus (the same
+    deterministic stand-in for k-means the IVF family uses, so the
+    oracle reproduces them bit-for-bit); distances use the ordered-fold
+    double convention shared with the whole similarity family.
+
+    Scale: ONE shuffle. The codebook is 8×16 tiny rows —
+    broadcast; sub-vector explode + distance scoring is a map-side
+    projection; the argmin AND the code assembly fold into a single
+    groupBy(vec_id) aggregate (the per-(vec, subspace) argmin is
+    extracted from one sorted (j, dist, k) array, so no separate
+    window-by-(vec, j) shuffle precedes the rollup)."""
+    from cstore_fdw_spark.functions.portable_hash import spark_h60
+
+    e = table(spark, sf_dir, "embeddings")
+    wc = Window.orderBy("h", "vec_id")
+    slices = F.array(*[F.slice("embedding", j * PQ_SUBDIM + 1, PQ_SUBDIM)
+                       for j in range(PQ_M)])
+    cents = (e.select("vec_id", "embedding",
+                      F.expr(spark_h60("cast(vec_id as string)")).alias("h"))
+             .withColumn("rn", F.row_number().over(wc))
+             .filter(F.col("rn") <= PQ_K)
+             .select((F.col("rn") - 1).alias("k"),
+                     F.posexplode(slices).alias("j", "cvec")))
+    subs = e.select("vec_id", F.posexplode(slices).alias("j", "sub"))
+    dist = (dot(F.col("sub"), F.col("sub"))
+            - 2 * dot(F.col("sub"), F.col("cvec"))
+            + dot(F.col("cvec"), F.col("cvec")))
+    scored = (subs.join(F.broadcast(cents), "j")
+              .select("vec_id", "j", "k", dist.alias("dist")))
+    agg = (scored.groupBy("vec_id")
+           .agg(F.array_sort(F.collect_list(F.struct("j", "dist", "k")))
+                .alias("arr")))
+    best = F.expr(
+        f"transform(sequence(0, {PQ_M - 1}),"
+        " jj -> filter(arr, s -> s.j = jj)[0])")
+    return agg.select(
+        "vec_id",
+        F.concat_ws(",", F.expr(
+            f"transform(sequence(0, {PQ_M - 1}),"
+            " jj -> cast(filter(arr, s -> s.j = jj)[0].k as string))"))
+        .alias("codes_csv"),
+        F.aggregate(best.getField("dist"), F.lit(0.0),
+                    lambda a, x: a + x).alias("q_err"))

@@ -247,3 +247,37 @@ def test_vacuum_with_active_reset_falls_back_to_rewrite(spark, catalog):
     got = {(r.k, r.v) for r in catalog.read("vr").collect()}
     assert got == {(k, -1) for k in range(10)} \
         | {(k, -1) for k in range(100, 110)} | {(500, 555)}
+
+
+def test_column_minmax_metadata_only(spark, catalog, footer_counter):
+    """(min, max) straight from the commit-time zone maps: zero footer
+    reads on a stats-complete table, exact values, and an honest None
+    whenever metadata could disagree with the reader."""
+    _three_file_table(spark, catalog, "cm")
+    footer_counter.clear()
+    assert catalog.column_minmax("cm", "k") == (0, 299)
+    assert catalog.column_minmax("cm", "v") == (0, 299)
+    assert footer_counter == []
+    with pytest.raises(Exception, match="does not exist"):
+        catalog.column_minmax("cm", "nope")
+
+    # active backfill watermark -> None (rows read the default)
+    catalog.add_column("cm", "w", "long", default=7)
+    assert catalog.column_minmax("cm", "w") is None
+    # baked by compact -> metadata answer valid again
+    catalog.compact("cm")
+    assert catalog.column_minmax("cm", "w") == (7, 7)
+    assert catalog.column_minmax("cm", "k") == (0, 299)
+
+    # drop/re-add reset -> None until the next rewrite
+    catalog.drop_column("cm", "v")
+    catalog.add_column("cm", "v", "long", default=-3)
+    assert catalog.column_minmax("cm", "v") is None
+
+    # legacy meta without stats: footer fallback still answers
+    meta = catalog._load_meta("cm")
+    meta.file_stats = {}
+    catalog._save_meta(meta)
+    footer_counter.clear()
+    assert catalog.column_minmax("cm", "k") == (0, 299)
+    assert len(footer_counter) >= 1
