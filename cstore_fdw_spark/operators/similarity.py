@@ -596,14 +596,14 @@ PQ_K = 16       # codebook entries per subspace (4-bit codes here; real
                 # deployments use 256 — a capacity knob, not a scale knob)
 
 
-def _pq_oracle() -> str:
-    """DuckDB replica of the PQ pipeline: same hash-seeded codebooks,
-    same squared-L2 expression shape ((v·v − 2·v·c) + c·c, left-assoc),
-    same (dist, k) argmin tie-break, same ordered error fold."""
+def _pq_ctes() -> str:
+    """Shared DuckDB CTE chain replicating the PQ assignment: same
+    hash-seeded codebooks, same squared-L2 expression shape
+    ((v·v − 2·v·c) + c·c, left-assoc), same (dist, k) argmin tie-break.
+    Ends with ``best(vec_id, j, k, dist, rn)``."""
     from cstore_fdw_spark.functions.portable_hash import duck_h60
     js = ", ".join(f"({j})" for j in range(PQ_M))
-    return f"""
-    WITH seeds AS (
+    return f"""seeds AS (
       SELECT rn - 1 AS k, embedding FROM (
         SELECT vec_id, embedding,
                ROW_NUMBER() OVER (
@@ -631,7 +631,12 @@ def _pq_oracle() -> str:
       SELECT vec_id, j, k, dist,
              ROW_NUMBER() OVER (PARTITION BY vec_id, j
                                 ORDER BY dist, k) AS rn
-      FROM dists)
+      FROM dists)"""
+
+
+def _pq_oracle() -> str:
+    return f"""
+    WITH {_pq_ctes()}
     SELECT vec_id,
            ARRAY_TO_STRING(LIST(k ORDER BY j), ',') AS codes_csv,
            list_reduce(LIST(dist ORDER BY j), (a, b) -> a + b) AS q_err
@@ -694,3 +699,95 @@ def vector_quantize_pq(spark, sf_dir):
         .alias("codes_csv"),
         F.aggregate(best.getField("dist"), F.lit(0.0),
                     lambda a, x: a + x).alias("q_err"))
+
+
+def _pq_adc_oracle() -> str:
+    js = ", ".join(f"({j})" for j in range(PQ_M))
+    return f"""
+    WITH {_pq_ctes()},
+    codes AS (SELECT vec_id, j, k FROM best WHERE rn = 1),
+    qsubs AS (
+      SELECT vec_id AS query_id, j,
+             list_slice(embedding, j * {PQ_SUBDIM} + 1,
+                        j * {PQ_SUBDIM} + {PQ_SUBDIM})::DOUBLE[] AS sub
+      FROM embeddings, (VALUES {js}) sub(j)
+      WHERE vec_id < {N_QUERIES}),
+    dtab AS (
+      SELECT q.query_id, q.j, c.k,
+             list_dot_product(q.sub, q.sub)
+               - 2 * list_dot_product(q.sub, c.cvec)
+               + list_dot_product(c.cvec, c.cvec) AS d
+      FROM qsubs q JOIN cents c USING (j)),
+    adc AS (
+      SELECT t.query_id, c.vec_id AS neighbor_id,
+             list_reduce(LIST(t.d ORDER BY t.j), (a, b) -> a + b) AS adc
+      FROM codes c JOIN dtab t ON t.j = c.j AND t.k = c.k
+      GROUP BY 1, 2),
+    ranked AS (
+      SELECT query_id, neighbor_id, adc,
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY adc, neighbor_id) AS BIGINT)
+               AS rank
+      FROM adc WHERE neighbor_id <> query_id)
+    SELECT query_id, neighbor_id, rank, adc
+    FROM ranked WHERE rank <= {TOP_K}
+    """
+
+
+@register(
+    "vector_pq_adc_topk",
+    category="similarity",
+    oracle=_pq_adc_oracle())
+def vector_pq_adc_topk(spark, sf_dir):
+    """ADC top-k over PQ codes (Jégou '11 §III.B — asymmetric distance
+    computation, the search half of the PQ story): each query
+    pre-computes a tiny per-subspace distance table against the
+    codebooks; a candidate's approximate distance is then just the SUM
+    of 8 table lookups selected by its stored code — no candidate
+    embedding is ever touched at query time, which is the entire point
+    of PQ at 100 TB (the index is 8 bytes/vector + one broadcast
+    table).
+
+    Scale: the distance tables are |queries|×8×16 rows — broadcast; the
+    code assignment reuses the PQ pipeline's single argmin aggregate
+    (min(struct(dist, k)) per (vec, subspace) — same (dist, k)
+    tie-break as the oracle's window); the lookup join is map-side and
+    the per-(query, candidate) sum folds in stored-j order so the
+    double ADC values hash-match DuckDB's list_reduce."""
+    from cstore_fdw_spark.functions.portable_hash import spark_h60
+
+    e = table(spark, sf_dir, "embeddings")
+    wc = Window.orderBy("h", "vec_id")
+    slices = F.array(*[F.slice("embedding", j * PQ_SUBDIM + 1, PQ_SUBDIM)
+                       for j in range(PQ_M)])
+    cents = (e.select("vec_id", "embedding",
+                      F.expr(spark_h60("cast(vec_id as string)")).alias("h"))
+             .withColumn("rn", F.row_number().over(wc))
+             .filter(F.col("rn") <= PQ_K)
+             .select((F.col("rn") - 1).alias("k"),
+                     F.posexplode(slices).alias("j", "cvec")))
+    dist = (dot(F.col("sub"), F.col("sub"))
+            - 2 * dot(F.col("sub"), F.col("cvec"))
+            + dot(F.col("cvec"), F.col("cvec")))
+    subs = e.select("vec_id", F.posexplode(slices).alias("j", "sub"))
+    codes = (subs.join(F.broadcast(cents), "j")
+             .select("vec_id", "j", "k", dist.alias("dist"))
+             .groupBy("vec_id", "j")
+             .agg(F.min(F.struct("dist", "k")).alias("m"))
+             .select("vec_id", "j", F.col("m.k").alias("k")))
+    qsubs = (e.filter(F.col("vec_id") < N_QUERIES)
+             .select(F.col("vec_id").alias("query_id"),
+                     F.posexplode(slices).alias("j", "sub")))
+    dtab = (qsubs.join(F.broadcast(cents), "j")
+            .select("query_id", "j", "k", dist.alias("d")))
+    adc_arr = F.array_sort(F.collect_list(F.struct("j", "d")))
+    adc = (codes.join(F.broadcast(dtab), ["j", "k"])
+           .groupBy("query_id", "vec_id")
+           .agg(F.aggregate(adc_arr.getField("d"), F.lit(0.0),
+                            lambda a, x: a + x).alias("adc"))
+           .filter(F.col("vec_id") != F.col("query_id")))
+    wr = Window.partitionBy("query_id").orderBy("adc", "vec_id")
+    return (adc.withColumn("rank", F.row_number().over(wr).cast("long"))
+            .filter(F.col("rank") <= TOP_K)
+            .select("query_id", F.col("vec_id").alias("neighbor_id"),
+                    "rank", "adc"))
