@@ -81,7 +81,7 @@ def validate_options(options: dict[str, Any]) -> dict[str, Any]:
     (parity with cstore_fdw_validator, reference cstore_fdw.c:1273-1340)."""
     known = {"filename", "compression", "stripe_row_count", "block_row_count",
              "sort_by", "partition_by", "storage_format",
-             "zorder_by", "zorder_bits"}
+             "zorder_by", "zorder_bits", "zorder_scale"}
     for key in options:
         if key not in known:
             raise CStoreError(
@@ -142,6 +142,11 @@ def validate_options(options: dict[str, Any]) -> dict[str, Any]:
                 f"invalid zorder_bits {zb}: {ncols} column(s) x {zb} bits "
                 "must stay within int64 (<= 63 interleaved bits)")
         out["zorder_bits"] = zb
+        zs = str(out.get("zorder_scale", "minmax")).lower()
+        if zs not in ("minmax", "quantile"):
+            raise CStoreError(
+                f'invalid zorder_scale "{zs}"; supported: minmax, quantile')
+        out["zorder_scale"] = zs
     return out
 
 
@@ -518,7 +523,8 @@ class CStoreCatalog:
             shutil.rmtree(staged, ignore_errors=True)
 
     def compact(self, name: str, zorder_by: list[str] | None = None,
-                zorder_bits: int | None = None) -> int:
+                zorder_bits: int | None = None,
+                zorder_scale: str | None = None) -> int:
         """Rewrite the table's data files into stripe-sized files and
         return the new file count.
 
@@ -560,9 +566,12 @@ class CStoreCatalog:
             merged = dict(meta.options)
             merged.pop("zorder_by", None)
             merged.pop("zorder_bits", None)
+            merged.pop("zorder_scale", None)
             merged["zorder_by"] = ",".join(zorder_by)
             if zorder_bits is not None:
                 merged["zorder_bits"] = zorder_bits
+            if zorder_scale is not None:
+                merged["zorder_scale"] = zorder_scale
             validated = validate_options(merged)
             missing = [c for c in zorder_by
                        if c not in [f.name for f in meta.schema().fields]]
@@ -571,7 +580,8 @@ class CStoreCatalog:
                     f"z-order column(s) {missing} not in table "
                     f'"{name}" schema')
             set_opts = {"zorder_by": validated["zorder_by"],
-                        "zorder_bits": validated["zorder_bits"]}
+                        "zorder_bits": validated["zorder_bits"],
+                        "zorder_scale": validated["zorder_scale"]}
             return self._rewrite(name, set_opts=set_opts)
         return self._rewrite(name)
 
@@ -1107,7 +1117,10 @@ class CStoreCatalog:
             from cstore_fdw_spark.sources.zorder import zorder_by as _zorder
             zbits = int((set_opts or {}).get(
                 "zorder_bits", meta.options.get("zorder_bits", 16)))
-            df = _zorder(df, zspec.split(","), n_files, bits=zbits)
+            zscale = str((set_opts or {}).get(
+                "zorder_scale", meta.options.get("zorder_scale", "minmax")))
+            df = _zorder(df, zspec.split(","), n_files, bits=zbits,
+                         scale=zscale)
         else:
             df = df.repartition(n_files)
         sort_by = meta.options.get("sort_by")

@@ -56,21 +56,45 @@ def z_value(cols: list[Column], bits: int = DEFAULT_BITS) -> Column:
     return z
 
 
-def zorder_by(df: DataFrame, cols: list[str], n_files: int,
-              bits: int = DEFAULT_BITS) -> DataFrame:
-    """Cluster ``df`` on the Morton code of ``cols``: normalize each
-    column to [0, 2^bits) by global min/max, interleave, range-partition
-    into ``n_files`` compact z-ranges and sort within each. Write the
-    result with any sink; row-group stats then prune on every z column.
+#: equi-depth resolution for quantile scaling: 2^8 cells per dimension —
+#: resolution only needs to exceed (rows / rows-per-rowgroup)^(1/k), and
+#: 256 boundaries stay a comfortably-sized literal array in codegen
+QUANTILE_BITS = 8
 
-    The min/max aggregate is one tiny job (2 longs per column); its
-    result is folded in as literals so the normalization stays a
-    scan-local projection."""
+
+def zorder_by(df: DataFrame, cols: list[str], n_files: int,
+              bits: int = DEFAULT_BITS,
+              scale: str = "minmax") -> DataFrame:
+    """Cluster ``df`` on the Morton code of ``cols``: normalize each
+    column to [0, 2^bits), interleave, range-partition into ``n_files``
+    compact z-ranges and sort within each. Write the result with any
+    sink; row-group stats then prune on every z column.
+
+    ``scale`` picks the per-column normalization:
+
+    - ``"minmax"`` (default): global min/max linear scaling — one tiny
+      aggregate (2 longs per column), folded in as literals so the
+      normalization stays a scan-local projection. Right for roughly
+      uniform domains.
+    - ``"quantile"``: equi-depth scaling — per-column approximate
+      quantile boundaries (2^8 cells) folded in as a literal array,
+      rank = #boundaries ≤ value, left-shifted to the ``bits`` grid.
+      A heavily skewed column (Zipfian ids, timestamps with hot days)
+      lands ~uniform cell occupancy, where min/max scaling would park
+      most rows in a handful of cells and per-file spans would stay
+      wide on that dimension. Costs one quantile-sketch job at write
+      time; boundaries are approximate (layout quality only — data is
+      never changed by layout)."""
     if not cols:
         raise CStoreError("zorder_by needs at least one column")
     missing = [c for c in cols if c not in df.columns]
     if missing:
         raise CStoreError(f"z-order column(s) {missing} not in {df.columns}")
+    if scale not in ("minmax", "quantile"):
+        raise CStoreError(f"unknown z-order scale {scale!r}: "
+                          "expected 'minmax' or 'quantile'")
+    if scale == "quantile":
+        return _zorder_quantile(df, cols, n_files, bits)
     aggs = []
     for c in cols:
         aggs += [F.min(F.col(c).cast("long")).alias(f"mn_{c}"),
@@ -113,6 +137,34 @@ def zorder_by(df: DataFrame, cols: list[str], n_files: int,
     # boundary — rare, and bounded at one extra cell per file; note a
     # z-consecutive pair can straddle a quadrant boundary, so such a
     # merged file's span on one dimension can exceed two cell edges.
+    k = len(cols)
+    nb = min(k * bits, max(1, (n_files - 1).bit_length()))
+    zb = F.shiftright(z, k * bits - nb)
+    return (df.withColumn("__z", z).withColumn("__zb", zb)
+            .repartitionByRange(1 << nb, "__zb")
+            .sortWithinPartitions("__z")
+            .drop("__z", "__zb"))
+
+
+def _zorder_quantile(df: DataFrame, cols: list[str], n_files: int,
+                     bits: int) -> DataFrame:
+    """Equi-depth variant of :func:`zorder_by` (``scale="quantile"``):
+    rank each column against its own approximate quantile boundaries so
+    cell occupancy is ~uniform regardless of the value distribution."""
+    qbits = min(bits, QUANTILE_BITS)
+    probs = [i / (1 << qbits) for i in range(1, 1 << qbits)]
+    # one sketch pass computes every column's boundaries together
+    bnds = df.stat.approxQuantile(
+        [c for c in cols], probs, 1.0 / (1 << (qbits + 2)))
+    scaled = []
+    for c, bs in zip(cols, bnds):
+        if not bs:
+            raise CStoreError(f"z-order column {c} is all NULL")
+        arr = F.array(*[F.lit(float(b)) for b in bs])
+        rank = F.size(F.filter(
+            arr, lambda b: b <= F.col(c).cast("double")))
+        scaled.append(F.shiftleft(rank.cast("long"), bits - qbits))
+    z = z_value(scaled, bits)
     k = len(cols)
     nb = min(k * bits, max(1, (n_files - 1).bit_length()))
     zb = F.shiftright(z, k * bits - nb)

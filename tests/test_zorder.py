@@ -265,3 +265,68 @@ def test_chunk_overlap_docstring_is_literal():
 
     assert text.text_chunk_overlap.__doc__
     assert "64" in text.text_chunk_overlap.__doc__
+
+
+def test_zorder_quantile_scale_handles_skew(spark, tmp_path):
+    """Equi-depth scaling on a heavily skewed column: min/max scaling
+    parks ~all rows in a few cells (one dominant value + a long tail),
+    so b-dimension pruning stays weak; quantile scaling spreads cell
+    occupancy, and per-file min/max spans on the SKEWED column become
+    narrow for most files."""
+    import glob
+
+    n = 120_000
+    # a ~ Zipf-ish: 90% of rows in [0, 100), the rest smeared to 10^9
+    df = (spark.range(n).select(
+        F.when(F.col("id") % 10 < 9,
+               F.xxhash64("id").bitwiseAND(F.lit(127)))
+        .otherwise(F.abs(F.xxhash64("id", F.lit(1)))
+                   % F.lit(1_000_000_000)).alias("a"),
+        (F.xxhash64(F.col("id"), F.lit(2)).bitwiseAND(F.lit((1 << 12) - 1)))
+        .alias("b"),
+        F.col("id").alias("payload")))
+
+    def spans(path, col_idx):
+        out = []
+        for f in glob.glob(path + "/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            st = [md.row_group(g).column(col_idx).statistics
+                  for g in range(md.num_row_groups)]
+            out.append(max(s.max for s in st) - min(s.min for s in st))
+        return sorted(out)
+
+    for scale, path in (("minmax", str(tmp_path / "mm")),
+                        ("quantile", str(tmp_path / "qt"))):
+        (zorder_by(df, ["a", "b"], 16, scale=scale)
+         .write.option("maxRecordsPerFile", 10_000).parquet(path))
+    # the tail value smears every file's span under minmax; quantile
+    # files mostly cover narrow equi-depth slices of a
+    q_spans = spans(str(tmp_path / "qt"), 0)
+    mm_spans = spans(str(tmp_path / "mm"), 0)
+    q_narrow = sum(1 for s in q_spans if s < 1_000_000)
+    mm_narrow = sum(1 for s in mm_spans if s < 1_000_000)
+    assert q_narrow > mm_narrow, (q_spans, mm_spans)
+    assert q_narrow >= len(q_spans) // 2, q_spans
+    # rows preserved bit-for-bit under both layouts
+    base = df.agg(F.sum("payload"), F.count(F.lit(1))).collect()[0]
+    for p in ("mm", "qt"):
+        got = (spark.read.parquet(str(tmp_path / p))
+               .agg(F.sum("payload"), F.count(F.lit(1))).collect()[0])
+        assert tuple(got) == tuple(base)
+
+
+def test_zorder_quantile_through_catalog(spark, catalog):
+    """zorder_scale persists in the table options and re-applies on
+    later rewrites, like the column list itself."""
+    catalog.create_table("zq", "a long, b long", stripe_row_count=1000)
+    catalog.insert("zq", spark.range(30_000).select(
+        (F.xxhash64("id") % 1000).alias("a"),
+        (F.xxhash64("id", F.lit(1)) % 1000).alias("b")))
+    catalog.compact("zq", zorder_by=["a", "b"], zorder_scale="quantile")
+    meta = catalog._load_meta("zq")
+    assert meta.options["zorder_scale"] == "quantile"
+    assert catalog.read("zq").count() == 30_000
+    catalog.compact("zq")  # re-clusters with the persisted scale
+    assert catalog.read("zq").count() == 30_000
+    with pytest.raises(CStoreError, match="zorder_scale"):
+        catalog.compact("zq", zorder_by=["a"], zorder_scale="nope")
