@@ -794,7 +794,8 @@ class CStoreCatalog:
                    on: str | list[str],
                    when_matched="update",
                    when_not_matched: str | None = "insert",
-                   when_not_matched_by_source=None) -> dict[str, int]:
+                   when_not_matched_by_source=None,
+                   evolve_schema: bool = False) -> dict[str, int]:
         """MERGE INTO (upsert) — extension beyond the reference's
         append-only surface, with PostgreSQL 15 MERGE semantics (plus
         PG 17's ``WHEN NOT MATCHED BY SOURCE``).
@@ -834,6 +835,15 @@ class CStoreCatalog:
         sync), or a list of ``(condition_sql, action)`` clauses over
         ``t.<col>`` with actions ``"delete"`` / ``"nothing"``.
 
+        ``evolve_schema=True`` (the Delta ``mergeSchema`` analog —
+        beyond PG, which has no automatic DDL) ADDs source columns the
+        target lacks before merging: each becomes an ALTER TABLE ADD
+        COLUMN with the source's type and no default, so pre-existing
+        target rows read NULL for it (the A22 read-repair contract) and
+        merged/inserted rows carry the source values. With the default
+        ``False``, extra source columns are silently ignored (PG
+        semantics: the column list names only known columns).
+
         Copy-on-write: the merged row set commits through the compact
         swap protocol (temp dir + two renames + crash recovery), so
         readers see the old or the new table, never a mix. The whole
@@ -853,6 +863,15 @@ class CStoreCatalog:
         """
         keys = [on] if isinstance(on, str) else list(on)
         meta = self._load_meta(name)
+        if evolve_schema:
+            known = set(meta.schema().fieldNames())
+            for f_ in source.schema.fields:
+                if f_.name not in known:
+                    # metadata-only DDL: write_epoch is untouched, so the
+                    # optimistic-commit snapshot below stays valid
+                    self.add_column(name, f_.name,
+                                    f_.dataType.simpleString())
+            meta = self._load_meta(name)
         base_epoch = meta.write_epoch  # optimistic-commit read snapshot
         target = meta.schema()
         for k in keys:

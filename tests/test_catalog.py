@@ -1212,3 +1212,27 @@ def test_vacuum_after_pruned_merge(spark, catalog):
     files = {os.path.relpath(p, data)
              for p in catalog._visible_files(meta)}
     assert files <= set(meta.file_stats)
+
+
+def test_merge_evolve_schema_adds_source_columns(spark, catalog):
+    """evolve_schema=True (the Delta mergeSchema analog): a source
+    column the target lacks becomes ADD COLUMN before the merge —
+    pre-existing rows read NULL, merged/inserted rows carry values."""
+    catalog.create_table("mev", "k int, v string")
+    catalog.insert("mev", spark.createDataFrame(
+        [(1, "a"), (2, "b")], "k int, v string"))
+    src = spark.createDataFrame(
+        [(2, "B", 9.5), (3, "C", 7.5)], "k int, v string, score double")
+    res = catalog.merge_into("mev", src, on="k", evolve_schema=True)
+    assert res == {"matched": 1, "inserted": 1, "removed_unmatched": 0}
+    assert [f.name for f in catalog._load_meta("mev").schema().fields] \
+        == ["k", "v", "score"]
+    rows = {(r.k, r.v, r.score) for r in catalog.read("mev").collect()}
+    assert rows == {(1, "a", None), (2, "B", 9.5), (3, "C", 7.5)}
+    # default (no evolve): extra source columns stay ignored
+    src2 = spark.createDataFrame(
+        [(3, "c3", 1.0, "x")], "k int, v string, score double, extra string")
+    catalog.merge_into("mev", src2, on="k")
+    assert "extra" not in catalog._load_meta("mev").schema().fieldNames()
+    assert {(r.k, r.v, r.score) for r in catalog.read("mev").collect()} \
+        == {(1, "a", None), (2, "B", 9.5), (3, "c3", 1.0)}
