@@ -53,10 +53,15 @@ def main() -> None:
               "persisted in the table options — every later compact/"
               "vacuum/rewrite re-clusters automatically")
 
-        # 3-5. the registry operators run against the raw sf dir (same
-        # data the managed table holds)
-        for name in ("text_curation_pipeline", "dedup_minhash_lsh",
-                     "embedding_quantize_int8"):
+        # 3-6. the registry operators run against the raw sf dir (same
+        # data the managed table holds): the composed end-to-end recipe
+        # (quality -> dedup -> decontaminate -> mixture -> pack), near-dup
+        # survey, BPE tokenizer training + encoding, and the vector side
+        # (SQ8 + PQ compression)
+        for name in ("training_mix_pipeline", "text_curation_pipeline",
+                     "dedup_minhash_lsh", "text_bpe_train",
+                     "text_bpe_encode", "embedding_quantize_int8",
+                     "vector_quantize_pq"):
             df = registry[name].builder(spark, SF_DIR)
             rows = df.limit(5).collect()
             print(f"{name}: {df.columns} — sample {len(rows)} rows OK")
