@@ -346,3 +346,17 @@ def test_cep_update_mode_corrects_late_earlier_signup(spark, tmp_path):
         .filter("purchase_us > signup_us").collect())
     assert sorted((r.user_id, r.purchase_us - r.signup_us)
                   for r in reduced) == batch
+
+
+def test_streaming_curation_accounting_matches_batch(spark, sf_dir):
+    """The curation recipe's projection stages stream unchanged: quality
+    gate + PII accounting per (lang, source) over the documents stream
+    equals the same stages computed in batch."""
+    from cstore_fdw_spark.streaming import text as st
+
+    out = st.run_available_now(spark, sf_dir, st.curation_accounting,
+                               "t_curation", "complete")
+    batch = st.curation_accounting(table(spark, sf_dir, "documents"))
+    srows = {tuple(r) for r in out.collect()}
+    brows = {tuple(r) for r in batch.collect()}
+    assert srows and srows == brows
