@@ -203,6 +203,8 @@ def jpeg_decode_baseline(payload: bytes):
     huff_ac: dict[int, dict] = {}
     restart_interval = 0
     frame = None
+    progressive = False
+    prog_coefs = None  # per-block accumulated coefficients (SOF2)
     while True:
         while pos + 1 < len(data) and data[pos] == 0xFF \
                 and data[pos + 1] == 0xFF:
@@ -212,6 +214,8 @@ def jpeg_decode_baseline(payload: bytes):
         m = data[pos + 1]
         pos += 2
         if m == 0xD9:
+            if progressive and prog_coefs is not None:
+                return _render_progressive(frame, prog_coefs, qt)
             raise ValueError("EOI before SOS — no image data")
         (seglen,) = struct.unpack(">H", data[pos:pos + 2])
         body = data[pos + 2:pos + seglen]
@@ -257,12 +261,30 @@ def jpeg_decode_baseline(payload: bytes):
                               "v": body[7 + 3 * c] & 15,
                               "tq": body[8 + 3 * c]})
             frame = (w, h, comps)
-        elif m in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+        elif m == 0xC2:  # SOF2 progressive DCT
+            prec = body[0]
+            (h,) = struct.unpack(">H", body[1:3])
+            (w,) = struct.unpack(">H", body[3:5])
+            nc = body[5]
+            if prec != 8:
+                raise ValueError("only 8-bit sample precision supported")
+            if nc != 1:
+                raise ValueError(
+                    "multi-component progressive JPEG is out of scope — "
+                    "this decoder covers single-component (grayscale) "
+                    "progressive and full baseline; install PIL for the "
+                    "rest")
+            comps = [{"id": body[6], "h": body[7] >> 4, "v": body[7] & 15,
+                      "tq": body[8]}]
+            frame = (w, h, comps)
+            progressive = True
+        elif m in (0xC3, 0xC5, 0xC6, 0xC7,
                    0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError(
-                "progressive/arithmetic/hierarchical JPEG is out of "
+                "arithmetic/hierarchical/lossless JPEG is out of "
                 "scope — this decoder covers baseline sequential "
-                "(SOF0/SOF1); install PIL for the rest")
+                "(SOF0/SOF1) and grayscale progressive (SOF2); install "
+                "PIL for the rest")
         elif m == 0xDA:  # SOS — entropy-coded data follows
             if frame is None:
                 raise ValueError("SOS before SOF")
@@ -271,9 +293,145 @@ def jpeg_decode_baseline(payload: bytes):
             for c in range(ns):
                 scan[body[1 + 2 * c]] = (body[2 + 2 * c] >> 4,
                                          body[2 + 2 * c] & 15)
-            return _decode_scan(data, pos + seglen, frame, scan, qt,
-                                huff_dc, huff_ac, restart_interval)
+            if not progressive:
+                return _decode_scan(data, pos + seglen, frame, scan, qt,
+                                    huff_dc, huff_ac, restart_interval)
+            ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+            ahal = body[3 + 2 * ns]
+            if prog_coefs is None:
+                w, h, _c = frame
+                nblocks = (-(-w // 8)) * (-(-h // 8))
+                prog_coefs = [[0] * 64 for _ in range(nblocks)]
+            pos = _decode_scan_progressive(
+                data, pos + seglen, frame, scan, prog_coefs,
+                huff_dc, huff_ac, restart_interval,
+                ss, se, ahal >> 4, ahal & 15)
+            continue
         pos += seglen  # APPn / COM / anything else: skip
+
+
+def _decode_scan_progressive(data, pos, frame, scan, coefs,
+                             huff_dc, huff_ac, ri, ss, se, ah, al):
+    """One progressive scan (T.81 Annex G, grayscale): accumulate
+    quantized coefficients for the spectral band [ss, se] at successive-
+    approximation precision (ah, al) into ``coefs`` (per-block natural-
+    order arrays). Returns the stream position after the entropy data.
+
+    Covers all four scan kinds: first DC (category-coded diffs of the
+    point-transformed DC), DC refinement (one raw bit per block), first
+    AC (run/size with EOB-run coding), and AC refinement (±1<<al
+    insertions threaded through correction bits for already-nonzero
+    coefficients — the G.1.2.3 algorithm)."""
+    w, h, comps = frame
+    c = comps[0]
+    (td, ta) = scan[c["id"]]
+    nblocks = len(coefs)
+    br = _BitReader(data, pos)
+    pred = 0
+    eobrun = 0
+    p1 = 1 << al
+
+    def refine_band(block, k_from):
+        """Correction bits for every already-nonzero coefficient in
+        [k_from, se] (the EOB-run / post-insertion sweep)."""
+        for kk in range(k_from, se + 1):
+            ci = _ZZ[kk]
+            if block[ci]:
+                if br.read_bit() and not (abs(block[ci]) & p1):
+                    block[ci] += p1 if block[ci] > 0 else -p1
+
+    for bi in range(nblocks):
+        if ri and bi and bi % ri == 0:
+            br.expect_restart(bi // ri - 1)
+            pred = 0
+            eobrun = 0
+        block = coefs[bi]
+        if ss == 0:  # DC scan (se must be 0)
+            if ah == 0:  # first DC scan
+                s = _decode_symbol(br, huff_dc[td])
+                diff = _extend(br.read_bits(s), s) if s else 0
+                pred += diff
+                block[0] = pred << al
+            else:        # DC refinement: one raw bit
+                if br.read_bit():
+                    block[0] |= p1
+            continue
+        if ah == 0:  # first AC scan for this band
+            if eobrun:
+                eobrun -= 1
+                continue
+            k = ss
+            while k <= se:
+                rs = _decode_symbol(br, huff_ac[ta])
+                r, s = rs >> 4, rs & 15
+                if s == 0:
+                    if r == 15:
+                        k += 16  # ZRL
+                        continue
+                    eobrun = (1 << r) - 1 + (br.read_bits(r) if r else 0)
+                    break
+                k += r
+                if k > se:
+                    raise ValueError("AC run past spectral band")
+                block[_ZZ[k]] = _extend(br.read_bits(s), s) << al
+                k += 1
+        else:        # AC refinement scan (G.1.2.3)
+            if eobrun:
+                eobrun -= 1
+                refine_band(block, ss)
+                continue
+            k = ss
+            while k <= se:
+                rs = _decode_symbol(br, huff_ac[ta])
+                r, s = rs >> 4, rs & 15
+                if s == 0:
+                    if r < 15:  # EOB run begins here
+                        eobrun = (1 << r) - 1 + \
+                            (br.read_bits(r) if r else 0)
+                        refine_band(block, k)
+                        k = se + 1
+                        break
+                    newval = 0  # ZRL: sixteen zero-history skips
+                elif s == 1:
+                    newval = p1 if br.read_bit() else -p1
+                else:
+                    raise ValueError("AC refinement size must be 1")
+                # advance past r ZERO-history coefficients, reading a
+                # correction bit at every nonzero one passed
+                while k <= se:
+                    ci = _ZZ[k]
+                    if block[ci]:
+                        if br.read_bit() and not (abs(block[ci]) & p1):
+                            block[ci] += p1 if block[ci] > 0 else -p1
+                    else:
+                        if r == 0:
+                            break
+                        r -= 1
+                    k += 1
+                if newval and k <= se:
+                    block[_ZZ[k]] = newval
+                k += 1
+    br.nbits = 0  # byte-align before the next marker
+    return br.pos
+
+
+def _render_progressive(frame, coefs, qt):
+    """Dequantize + IDCT the accumulated coefficient store and crop to
+    the frame size — the final step after all progressive scans."""
+    w, h, comps = frame
+    q = qt[comps[0]["tq"]]
+    bw = -(-w // 8)
+    stride = bw * 8
+    plane = bytearray(stride * (-(-h // 8)) * 8)
+    for bi, block in enumerate(coefs):
+        px = _idct_block([block[i] * q[i] for i in range(64)])
+        y0, x0 = (bi // bw) * 8, (bi % bw) * 8
+        for yy in range(8):
+            row = (y0 + yy) * stride + x0
+            plane[row:row + 8] = bytes(px[yy * 8:yy * 8 + 8])
+    raster = bytes(plane[y * stride + x]
+                   for y in range(h) for x in range(w))
+    return w, h, 1, raster
 
 
 def _decode_scan(data, pos, frame, scan, qt, huff_dc, huff_ac, ri):
