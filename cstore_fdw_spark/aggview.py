@@ -15,7 +15,36 @@ history — they raise the source's ``history_floor``, and the view
 cannot tell a byte-identical compact from a destructive delete, so any
 floor advance past the view's watermark triggers an honest FULL
 recompute (same contract as ``read(as_of_epoch)`` refusing vacuumed
-snapshots: never silently-wrong rows).
+snapshots: never silently-wrong rows). A drop+recreate of the source
+under the same name is detected the same way: the sidecar stores the
+source's ``created_at`` identity, and a mismatch forces a full
+recompute instead of serving state built from a dead table.
+
+Crash atomicity. The state commit (``insert(view, state,
+overwrite=True)``) and the watermark advance live in different files,
+so a crash between them could otherwise re-merge the same delta on the
+next refresh and silently double-count — violating this module's own
+contract. The refresh therefore runs a write-ahead pending record:
+
+1. the sidecar records ``pending = {to_epoch, view_epoch}`` where
+   ``view_epoch`` is the epoch the state commit WILL stamp;
+2. the state commits through the ordinary insert protocol;
+3. the sidecar finalizes ``last_epoch`` and clears ``pending``.
+
+Recovery on the next refresh inspects the pending record against the
+view's own epoch-stamped data files — the stamp IS the commit marker,
+no new machinery: a visible file stamped ``e{view_epoch}-`` proves step
+2's visibility commit happened (finalize the watermark, no re-merge); no
+such file proves it did not (discard pending, redo the delta against the
+still-intact old state). Either way exactly-once. Refreshes serialize on
+a per-view flock so two concurrent refreshes cannot interleave their
+pending records (the same discipline as the catalog's writer lock).
+
+Full recomputes pin their scan to the metadata snapshot taken at
+refresh start (explicit ``_read_files`` list, never a re-resolving
+``read()``): a source commit landing while the refresh executes is NOT
+folded into state stamped with the older watermark — it is picked up,
+exactly once, by the next incremental refresh.
 
 The view itself is an ordinary managed table — readable, SQL-exposable
 via ``register_table``, time-travelable — plus one JSON sidecar holding
@@ -24,9 +53,10 @@ the spec and the refresh watermark.
 
 from __future__ import annotations
 
+import contextlib
 import json
 import os
-from typing import Any
+from typing import Any, Iterator
 
 from pyspark.sql import DataFrame, functions as F
 
@@ -34,6 +64,7 @@ from cstore_fdw_spark.catalog import (
     CStoreCatalog, CStoreError, _file_epoch)
 
 SIDECAR = "_cstore_aggview.json"
+REFRESH_LOCK = "_cstore_aggview.refresh.lock"
 
 
 def _sidecar_path(catalog: CStoreCatalog, view: str) -> str:
@@ -56,6 +87,22 @@ def _save_spec(catalog: CStoreCatalog, view: str,
     with open(tmp, "w") as f:
         json.dump(spec, f)
     os.replace(tmp, path)
+
+
+@contextlib.contextmanager
+def _refresh_lock(catalog: CStoreCatalog, view: str) -> Iterator[None]:
+    """Per-view refresh mutex. A separate file from the catalog's writer
+    lock because ``insert()`` takes THAT lock internally — flock is not
+    reentrant across file descriptors, so holding it here would deadlock
+    the state commit."""
+    import fcntl
+    path = os.path.join(catalog.table_path(view), REFRESH_LOCK)
+    with open(path, "w") as f:
+        fcntl.flock(f, fcntl.LOCK_EX)
+        try:
+            yield
+        finally:
+            fcntl.flock(f, fcntl.LOCK_UN)
 
 
 def _agg_exprs(measures: list[str]) -> list:
@@ -109,7 +156,41 @@ def create_agg_view(catalog: CStoreCatalog, view: str, source: str,
     catalog.create_table(view, probe.schema)
     _save_spec(catalog, view, {
         "source": source, "keys": keys, "measures": measures,
-        "last_epoch": 0, "version": 1})
+        "last_epoch": 0, "source_created_at": smeta.created_at,
+        "pending": None, "version": 2})
+
+
+def _recover_pending(catalog: CStoreCatalog, view: str,
+                     spec: dict[str, Any]) -> bool:
+    """Resolve a refresh that crashed between its state commit and its
+    watermark finalize (or between the pending write and the commit).
+
+    The view's data-file epoch stamps decide which side of the commit
+    point the crash fell on: a visible file stamped with the pending
+    ``view_epoch`` can only exist if the state insert's visibility
+    commit happened (the stamp is baked under the writer lock right
+    before the metadata save — the same evidence ``_recover_orphans``
+    uses in the other direction). Note the view's ``write_epoch`` alone
+    is NOT sufficient evidence: an overwrite-insert saves the bumped
+    epoch before swapping the data directories, so a crash inside that
+    window advances the epoch while the old state files remain — the
+    stamp check reads as not-committed there, which is exactly right
+    (the old state is still what's on disk, so the delta re-merges
+    against it). Returns True if the watermark was finalized."""
+    pending = spec.get("pending")
+    if not pending:
+        return False
+    vmeta = catalog._load_meta(view)
+    want = int(pending["view_epoch"])
+    committed = any(_file_epoch(p) == want
+                    for p in catalog._visible_files(vmeta))
+    if committed:
+        spec["last_epoch"] = int(pending["to_epoch"])
+        if "source_created_at" in pending:
+            spec["source_created_at"] = pending["source_created_at"]
+    spec["pending"] = None
+    _save_spec(catalog, view, spec)
+    return committed
 
 
 def refresh_agg_view(catalog: CStoreCatalog, view: str) -> dict[str, Any]:
@@ -123,18 +204,41 @@ def refresh_agg_view(catalog: CStoreCatalog, view: str) -> dict[str, Any]:
       min/max via min/max) and the small state table is rewritten.
     - ``full``: the source's ``history_floor`` moved past the watermark
       (some rewrite collapsed history — the epochs the view was built
-      from no longer exist as files), so the state recomputes from a
-      full scan. Correct for every rewrite kind, including ones that
-      changed no data."""
+      from no longer exist as files), or the source table was dropped
+      and recreated under the same name (``created_at`` identity
+      changed — its epoch counter restarted, so the watermark is
+      meaningless). The state recomputes from a full scan pinned to the
+      refresh-start metadata snapshot. Correct for every rewrite kind,
+      including ones that changed no data.
+
+    Crash-safe and serialized: see the module docstring's write-ahead
+    pending protocol — a crash anywhere inside refresh never
+    double-counts and never loses committed source rows."""
+    with _refresh_lock(catalog, view):
+        return _refresh_locked(catalog, view)
+
+
+def _refresh_locked(catalog: CStoreCatalog, view: str) -> dict[str, Any]:
     spec = _load_spec(catalog, view)
+    _recover_pending(catalog, view, spec)
     smeta = catalog._load_meta(spec["source"])
     keys, measures = spec["keys"], spec["measures"]
     last = int(spec["last_epoch"])
     cur = smeta.write_epoch
-    if smeta.history_floor <= last and cur == last:
+    # drop+recreate under the same name restarts the epoch counter: the
+    # stored identity unmasks it (a fresh table can reuse watermark-low
+    # epochs for entirely different data)
+    same_source = spec.get("source_created_at",
+                           smeta.created_at) == smeta.created_at
+    if same_source and smeta.history_floor <= last and cur == last:
         return {"mode": "noop", "from_epoch": last, "to_epoch": cur}
-    if smeta.history_floor > last:
-        state = _aggregate(catalog.read(spec["source"]), keys, measures)
+    if not same_source or smeta.history_floor > last:
+        # full recompute, pinned to the snapshot captured above: a
+        # commit landing during execution stamps an epoch > cur and must
+        # wait for the NEXT refresh (last_epoch records cur)
+        state = _aggregate(
+            catalog._read_files(smeta, catalog._visible_files(smeta)),
+            keys, measures)
         mode = "full"
     else:
         delta_files = [p for p in catalog._visible_files(smeta)
@@ -144,7 +248,16 @@ def refresh_agg_view(catalog: CStoreCatalog, view: str) -> dict[str, Any]:
         state = (catalog.read(view).unionByName(partial)
                  .groupBy(*keys).agg(*_merge_exprs(measures)))
         mode = "incremental"
+    # write-ahead pending record: the state commit below will stamp the
+    # view's next epoch; recovery uses that stamp as the commit marker
+    vmeta = catalog._load_meta(view)
+    spec["pending"] = {"to_epoch": cur,
+                       "view_epoch": vmeta.write_epoch + 1,
+                       "source_created_at": smeta.created_at}
+    _save_spec(catalog, view, spec)
     catalog.insert(view, state, overwrite=True)
     spec["last_epoch"] = cur
+    spec["source_created_at"] = smeta.created_at
+    spec["pending"] = None
     _save_spec(catalog, view, spec)
     return {"mode": mode, "from_epoch": last, "to_epoch": cur}

@@ -10,9 +10,12 @@ Nothing here touches PIL; ``multimodal._pil_decode`` remains the
 optional fast path for arbitrary real-world files.
 
 Honest scope: baseline sequential DCT, 8-bit precision (SOF0/SOF1),
-grayscale or interleaved color. Progressive (SOF2), arithmetic coding,
-hierarchical modes, and 16-bit quant tables raise a clear scope error —
-those are the same boundaries early libjpeg shipped with.
+grayscale or interleaved color, plus single-component (grayscale)
+progressive DCT (SOF2) with full successive approximation and
+spectral selection (T.81 Annex G — all four scan kinds). What still
+raises a clear scope error: multi-component (color) progressive,
+arithmetic coding, hierarchical/lossless modes, and 16-bit quant
+tables — the same boundaries early libjpeg shipped with.
 
 Determinism note for the oracle: JPEG is lossy, so a closed-form SQL
 oracle can only check values that round-trip EXACTLY. A constant 8×8

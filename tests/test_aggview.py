@@ -7,6 +7,7 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import functions as F
 
+import cstore_fdw_spark.aggview as aggview_mod
 import cstore_fdw_spark.catalog as catalog_mod
 from cstore_fdw_spark.aggview import create_agg_view, refresh_agg_view
 from cstore_fdw_spark.catalog import CStoreError
@@ -112,6 +113,147 @@ def test_agg_view_validation(spark, catalog):
     with pytest.raises(CStoreError, match="not an aggregate view"):
         catalog.create_table("plain", "a int")
         refresh_agg_view(catalog, "plain")
+
+
+def test_refresh_crash_after_state_commit_never_double_counts(
+        spark, catalog, monkeypatch):
+    """Crash INJECTED between the state commit and the watermark
+    finalize — the exact window where the pre-r8 design re-merged the
+    delta on the next refresh and silently doubled n_rows/sums. The
+    pending-record recovery must see the committed view epoch stamp,
+    finalize the watermark, and NOT re-merge (mirror of the insert
+    protocol's test_insert_crash_batch_invisible_and_collected)."""
+    catalog.create_table("src", "g string, x long")
+    create_agg_view(catalog, "v", "src", keys=["g"], measures=["x"])
+    catalog.insert("src", spark.createDataFrame(
+        [("a", 1), ("b", 2)], "g string, x long"))
+    refresh_agg_view(catalog, "v")
+    catalog.insert("src", spark.createDataFrame(
+        [("a", 10)], "g string, x long"))
+
+    real_save = aggview_mod._save_spec
+
+    def crash_on_finalize(cat, view, spec):
+        if spec.get("pending") is None and spec.get("last_epoch", 0) == 2:
+            raise RuntimeError("injected crash before watermark finalize")
+        return real_save(cat, view, spec)
+
+    monkeypatch.setattr(aggview_mod, "_save_spec", crash_on_finalize)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        refresh_agg_view(catalog, "v")
+    monkeypatch.setattr(aggview_mod, "_save_spec", real_save)
+
+    # state committed but watermark is stale + pending: recovery must
+    # finalize (noop), not re-merge epoch 2's delta a second time
+    r = refresh_agg_view(catalog, "v")
+    assert r["mode"] == "noop"
+    assert _view(catalog) == _full(spark, catalog, "src", ["g"], ["x"])
+    [(_, n_a, s_a, _, _)] = [t for t in _view(catalog) if t[0] == "a"]
+    assert (n_a, s_a) == (2, 11)  # doubled would read (3, 21)
+
+
+def test_refresh_crash_before_state_commit_redoes_cleanly(
+        spark, catalog, monkeypatch):
+    """Crash between the pending write and the state commit: recovery
+    finds no view file stamped with the pending epoch, discards the
+    record, and the redo merges the delta against the intact old state
+    exactly once."""
+    catalog.create_table("src", "g string, x long")
+    create_agg_view(catalog, "v", "src", keys=["g"], measures=["x"])
+    catalog.insert("src", spark.createDataFrame(
+        [("a", 1)], "g string, x long"))
+    refresh_agg_view(catalog, "v")
+    catalog.insert("src", spark.createDataFrame(
+        [("a", 10)], "g string, x long"))
+
+    real_insert = catalog_mod.CStoreCatalog.insert
+
+    def crash_on_state_commit(self, name, df, overwrite=False):
+        if name == "v":
+            raise RuntimeError("injected crash before state commit")
+        return real_insert(self, name, df, overwrite)
+
+    monkeypatch.setattr(
+        catalog_mod.CStoreCatalog, "insert", crash_on_state_commit)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        refresh_agg_view(catalog, "v")
+    monkeypatch.setattr(catalog_mod.CStoreCatalog, "insert", real_insert)
+
+    r = refresh_agg_view(catalog, "v")
+    assert r["mode"] == "incremental" and r["from_epoch"] == 1
+    assert _view(catalog) == _full(spark, catalog, "src", ["g"], ["x"])
+    [(_, n_a, s_a, _, _)] = _view(catalog)
+    assert (n_a, s_a) == (2, 11)
+
+
+def test_full_recompute_pinned_to_snapshot_under_concurrent_insert(
+        spark, catalog, monkeypatch):
+    """A source commit landing between the refresh's metadata snapshot
+    and its execution must NOT be folded into state stamped with the
+    older watermark (it would then merge AGAIN on the next incremental
+    refresh = double count). The pinned ``_read_files`` list excludes
+    it; the next refresh picks it up exactly once."""
+    catalog.create_table("src", "g string, x long")
+    create_agg_view(catalog, "v", "src", keys=["g"], measures=["x"])
+    catalog.insert("src", spark.createDataFrame(
+        [("a", 1), ("a", 2), ("b", 5)], "g string, x long"))
+    refresh_agg_view(catalog, "v")
+    catalog.delete_where("src", "x = 2")  # floor up -> next refresh full
+    pre_race_epoch = catalog.current_epoch("src")
+
+    late = spark.createDataFrame([("a", 100)], "g string, x long")
+    real_insert = catalog_mod.CStoreCatalog.insert
+    fired = []
+
+    def racing(self, name, df, overwrite=False):
+        # land a source commit mid-refresh, right before the view's
+        # state commit executes the (lazy) full-recompute plan
+        if name == "v" and not fired:
+            fired.append(1)
+            real_insert(self, "src", late)
+        return real_insert(self, name, df, overwrite)
+
+    monkeypatch.setattr(catalog_mod.CStoreCatalog, "insert", racing)
+    r = refresh_agg_view(catalog, "v")
+    monkeypatch.setattr(catalog_mod.CStoreCatalog, "insert", real_insert)
+
+    assert fired and r["mode"] == "full"
+    assert r["to_epoch"] == pre_race_epoch  # watermark = the snapshot
+    # the late row is NOT in the committed state...
+    [(_, n_a, s_a, _, _)] = [t for t in _view(catalog) if t[0] == "a"]
+    assert (n_a, s_a) == (1, 1)
+    # ...and arrives exactly once on the next refresh
+    r2 = refresh_agg_view(catalog, "v")
+    assert r2["mode"] == "incremental" and r2["from_epoch"] == pre_race_epoch
+    assert _view(catalog) == _full(spark, catalog, "src", ["g"], ["x"])
+    [(_, n_a, s_a, _, _)] = [t for t in _view(catalog) if t[0] == "a"]
+    assert (n_a, s_a) == (2, 101)
+
+
+def test_drop_recreate_source_forces_full_recompute(spark, catalog):
+    """Same-name drop+recreate restarts the source's epoch counter, so
+    the old watermark would read as 'up to date' and serve state from
+    the DEAD table. The stored created_at identity unmasks it."""
+    catalog.create_table("src", "g string, x long")
+    create_agg_view(catalog, "v", "src", keys=["g"], measures=["x"])
+    catalog.insert("src", spark.createDataFrame(
+        [("a", 1), ("a", 2)], "g string, x long"))
+    refresh_agg_view(catalog, "v")
+    [(g, n, s, _, _)] = _view(catalog)
+    assert (g, n, s) == ("a", 2, 3)
+
+    catalog.drop_table("src")
+    catalog.create_table("src", "g string, x long")
+    catalog.insert("src", spark.createDataFrame(
+        [("b", 7)], "g string, x long"))  # epoch 1 again — same watermark
+
+    r = refresh_agg_view(catalog, "v")
+    assert r["mode"] == "full"
+    assert _view(catalog) == _full(spark, catalog, "src", ["g"], ["x"])
+    [(g, n, s, _, _)] = _view(catalog)
+    assert (g, n, s) == ("b", 1, 7)
+    # and the identity is re-pinned: next refresh is an ordinary noop
+    assert refresh_agg_view(catalog, "v")["mode"] == "noop"
 
 
 def test_agg_view_survives_source_schema_evolution(spark, catalog):

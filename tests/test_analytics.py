@@ -592,6 +592,11 @@ def test_jpeg_color_ycbcr_to_rgb():
 
 
 def test_jpeg_scope_errors():
+    """The decoder's honest scope boundary after the grayscale-
+    progressive addition: multi-component SOF2 still raises the scope
+    error, junk still raises SOI, 16-bit DQT still refused — while
+    single-component (grayscale) SOF2 now DECODES (positive case in
+    test_jpeg_progressive_grayscale_decodes below)."""
     import struct as st
 
     import pytest
@@ -600,16 +605,80 @@ def test_jpeg_scope_errors():
 
     with pytest.raises(ValueError, match="SOI"):
         jpeg_decode_baseline(b"junk")
-    # progressive SOF2 refused with the honest scope error
-    sof2 = (b"\xff\xd8" + b"\xff\xc2" + st.pack(">H", 11)
-            + st.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0]))
+    # multi-component (color) progressive SOF2 refused with the honest
+    # scope error; grayscale SOF2 is in scope since the Annex-G decoder
+    sof2_color = (b"\xff\xd8" + b"\xff\xc2" + st.pack(">H", 17)
+                  + st.pack(">BHHB", 8, 8, 8, 3)
+                  + bytes([1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1]))
     with pytest.raises(ValueError, match="progressive"):
-        jpeg_decode_baseline(sof2)
+        jpeg_decode_baseline(sof2_color)
     # 16-bit DQT refused
     dqt16 = (b"\xff\xd8" + b"\xff\xdb" + st.pack(">H", 131)
              + bytes([0x10]) + bytes(128))
     with pytest.raises(ValueError, match="16-bit"):
         jpeg_decode_baseline(dqt16)
+    # arithmetic-coded SOF9 refused
+    sof9 = (b"\xff\xd8" + b"\xff\xc9" + st.pack(">H", 11)
+            + st.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0]))
+    with pytest.raises(ValueError, match="arithmetic"):
+        jpeg_decode_baseline(sof9)
+
+
+def test_jpeg_progressive_grayscale_decodes():
+    """Positive contract for the Annex-G path: a handcrafted two-scan
+    grayscale progressive JPEG (first-DC scan at al=1, then a DC
+    refinement scan at ah=1/al=0) decodes through the real successive-
+    approximation machinery to the exact constant raster. DC = 576 with
+    q=1 ⇒ every pixel = 576/8 + 128 = 200."""
+    import struct as st
+
+    from cstore_fdw_spark.operators.jpeg_codec import (
+        _DC_BITS, _DC_VALS, _canonical_encode_table, jpeg_decode_baseline)
+
+    def entropy(bits):
+        bits = list(bits)
+        while len(bits) % 8:
+            bits.append(1)  # pad to byte with 1s, per T.81
+        out = bytearray()
+        for i in range(0, len(bits), 8):
+            b = 0
+            for bit in bits[i:i + 8]:
+                b = (b << 1) | bit
+            out.append(b)
+            if b == 0xFF:
+                out.append(0x00)  # byte stuffing
+        return bytes(out)
+
+    enc_dc = _canonical_encode_table(_DC_BITS, _DC_VALS)
+
+    def code_bits(sym):
+        code, length = enc_dc[sym]
+        return [(code >> (length - 1 - i)) & 1 for i in range(length)]
+
+    def value_bits(v, s):
+        return [(v >> (s - 1 - i)) & 1 for i in range(s)]
+
+    dqt = b"\xff\xdb" + st.pack(">H", 67) + b"\x00" + bytes([1] * 64)
+    sof2 = (b"\xff\xc2" + st.pack(">H", 11)
+            + st.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0]))
+    dht = (b"\xff\xc4" + st.pack(">H", 19 + len(_DC_VALS))
+           + b"\x00" + bytes(_DC_BITS) + bytes(_DC_VALS))
+    # scan 1: first DC scan at al=1 — point-transformed DC 576>>1 = 288,
+    # category 9, so the stream carries the cat-9 code + 9 magnitude bits
+    sos1 = (b"\xff\xda" + st.pack(">H", 8)
+            + bytes([1, 1, 0x00, 0, 0, 0x01]))
+    scan1 = entropy(code_bits(9) + value_bits(288, 9))
+    # scan 2: DC refinement (ah=1, al=0) — one raw bit per block; bit 0
+    # because 576 & 1 == 0
+    sos2 = (b"\xff\xda" + st.pack(">H", 8)
+            + bytes([1, 1, 0x00, 0, 0, 0x10]))
+    scan2 = entropy([0])
+    payload = (b"\xff\xd8" + dqt + sof2 + dht
+               + sos1 + scan1 + sos2 + scan2 + b"\xff\xd9")
+
+    w, h, ch, raster = jpeg_decode_baseline(payload)
+    assert (w, h, ch) == (8, 8, 1)
+    assert raster == bytes([200] * 64)
 
 
 def test_bpe_merge_convention_is_greedy_left():
