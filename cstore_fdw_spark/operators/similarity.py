@@ -282,7 +282,10 @@ def _ivf_scored_cells(e):
     cells by cosine per vector (rn=1 is the vector's home cell). Shared
     by IVF search and clustered semantic dedup. Centers are tiny
     (nlist×dim) → broadcast; the top-NLIST-by-portable-hash sample is a
-    cheap metadata-size top-k, not a full sort, at 100 TB. The one
+    cheap metadata-size top-k, not a full sort, at 100 TB — Spark
+    rewrites the rank filter into WindowGroupLimit/TakeOrdered
+    (plan-locked by test_pushdown.py::
+    test_seed_topk_never_globally_sorts_corpus). The one
     eager action here is the count() sizing nlist — a metadata-cheap
     columnar count, amortized across the whole pipeline."""
     from cstore_fdw_spark.functions.portable_hash import spark_h60

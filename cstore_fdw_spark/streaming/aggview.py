@@ -1,0 +1,142 @@
+"""Streaming twin of the incremental aggregate view: materialized-view
+maintenance driven by Structured Streaming micro-batches.
+
+The batch path (``cstore_fdw_spark.aggview.refresh_agg_view``) pulls:
+each refresh scans the epochs committed since its watermark. This twin
+pushes: a file-source stream over the source table's data directory
+delivers newly committed stripe files as micro-batches, and
+``foreachBatch`` merges each batch's partial aggregate into the stored
+state through the SAME ``_merge_exprs`` — proving the mergeable-state
+operator is identical under both drivers (the equality test in
+``tests/test_streaming.py`` runs both to completion and compares state
+bit-for-bit).
+
+Exactly-once: ``foreachBatch`` alone replays batches after a restart.
+The sink reuses the batch refresh's write-ahead-pending discipline
+rather than the weaker at-least-once ledger of ``streaming.ingest``: a
+pending record {batch_id, view_epoch} lands in the stream ledger BEFORE
+the state commit, and recovery decides which side of the commit the
+crash fell on from the view's own epoch-stamped data files (a visible
+file stamped ``e{view_epoch}-`` proves the overwrite-insert's
+visibility commit happened). Replayed or crash-recovered batches are
+then skipped or finalized — never re-merged.
+
+A view is maintained by ONE driver: either batch ``refresh_agg_view``
+or this stream. The stream ledger and the refresh watermark are
+independent bookkeeping; interleaving both against the same view would
+double-merge (the equality test maintains two views, one per driver).
+
+Demo caveat, documented not hidden: the file source treats file arrival
+in the data directory as the commit signal, while batch readers filter
+on the committed epoch. A writer that crashed after staging but before
+its visibility commit can therefore stream a batch the table never
+committed — on a real deployment the stream would tail the commit log
+(epoch metadata) instead of the directory. The append path's recovery
+GC makes this window rare; the exactly-once ledger above is unaffected.
+
+Scale: state size is |groups|, micro-batch work is one partial
+aggregate over the new files plus a |groups|-sized merge — the same
+O(delta + state) per step as the batch refresh, now amortized
+continuously instead of paid nightly.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming import StreamingQuery
+
+from cstore_fdw_spark.aggview import (
+    _aggregate, _load_spec, _merge_exprs, _refresh_lock)
+from cstore_fdw_spark.catalog import CStoreCatalog, _file_epoch
+
+STREAM_LEDGER = "_cstore_aggview_stream.json"
+
+
+def _ledger_path(catalog: CStoreCatalog, view: str) -> str:
+    return os.path.join(catalog.table_path(view), STREAM_LEDGER)
+
+
+def _load_ledger(path: str) -> dict:
+    try:
+        with open(path) as f:
+            return json.load(f)
+    except (FileNotFoundError, json.JSONDecodeError):
+        return {}
+
+
+def _save_ledger(path: str, ledger: dict) -> None:
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(ledger, f)
+    os.replace(tmp, path)
+
+
+def source_stream(catalog: CStoreCatalog, view: str) -> DataFrame:
+    """File-source stream over the view's source table data directory:
+    each committed insert's stripe files arrive as micro-batches."""
+    spec = _load_spec(catalog, view)
+    smeta = catalog._load_meta(spec["source"])
+    return (catalog.spark.readStream
+            .schema(smeta.schema())
+            .option("maxFilesPerTrigger", "1")
+            .parquet(catalog._data_path(smeta)))
+
+
+def view_maintainer(catalog: CStoreCatalog, view: str, checkpoint: str):
+    """The exactly-once ``foreachBatch`` sink maintaining ``view``."""
+    ledger_key = os.path.abspath(checkpoint)
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spec = _load_spec(catalog, view)
+        keys, measures = spec["keys"], spec["measures"]
+        with _refresh_lock(catalog, view):
+            path = _ledger_path(catalog, view)
+            ledger = _load_ledger(path)
+            entry = ledger.get(ledger_key, {"last_batch": -1,
+                                            "pending": None})
+            pending = entry.get("pending")
+            if pending:
+                # same commit-marker evidence as aggview._recover_pending:
+                # the stamped file proves the state insert became visible
+                vmeta = catalog._load_meta(view)
+                want = int(pending["view_epoch"])
+                if any(_file_epoch(p) == want
+                       for p in catalog._visible_files(vmeta)):
+                    entry["last_batch"] = int(pending["batch_id"])
+                entry["pending"] = None
+                ledger[ledger_key] = entry
+                _save_ledger(path, ledger)
+            if batch_id <= entry["last_batch"]:
+                return  # replay of an already-merged batch
+            partial = _aggregate(batch_df, keys, measures)
+            state = (catalog.read(view).unionByName(partial)
+                     .groupBy(*keys).agg(*_merge_exprs(measures)))
+            vmeta = catalog._load_meta(view)
+            entry["pending"] = {"batch_id": batch_id,
+                                "view_epoch": vmeta.write_epoch + 1}
+            ledger[ledger_key] = entry
+            _save_ledger(path, ledger)
+            catalog.insert(view, state, overwrite=True)
+            entry["last_batch"] = batch_id
+            entry["pending"] = None
+            ledger[ledger_key] = entry
+            _save_ledger(path, ledger)
+
+    return apply_batch
+
+
+def maintain_agg_view_stream(catalog: CStoreCatalog, view: str,
+                             checkpoint: str,
+                             available_now: bool = True) -> StreamingQuery:
+    """Continuously maintain an aggregate view from its source's file
+    stream. ``available_now=True`` drains the current source content and
+    stops (tests/backfills); the default False runs continuously."""
+    writer = (source_stream(catalog, view).writeStream
+              .foreachBatch(view_maintainer(catalog, view, checkpoint))
+              .option("checkpointLocation", checkpoint))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -202,3 +202,30 @@ def test_training_mix_pipeline_shuffles(spark, sf_dir):
     n_single = len(re.findall(r"Exchange SinglePartition", plan))
     assert n_hash == 5, f"expected 5 hash exchanges, saw {n_hash}"
     assert n_single == 1, f"expected 1 global-agg exchange, saw {n_single}"
+
+
+def test_seed_topk_never_globally_sorts_corpus(spark, sf_dir):
+    """The hash-seeded centroid/codebook selection (IVF coarse cells,
+    PQ codebooks, semantic-dedup cells) is an unpartitioned
+    ``row_number() <= K`` — textually a global sort. Spark ≥3.5 rewrites
+    it into a bounded top-k: either ``WindowGroupLimit`` (per-partition
+    rank limit before the single-partition tail, InferWindowGroupLimit)
+    or ``TakeOrderedAndProject`` (LimitPushDownThroughWindow). Both read
+    per-partition heaps of K rows, never a full corpus sort into one
+    partition. This locks that plan shape so a regression (or an engine
+    change) can't silently turn seeding into an O(corpus log corpus)
+    single-partition sort — the docstrings' "cheap metadata-size top-k"
+    claim, made assertable."""
+    from cstore_fdw_spark.operators import load_all
+    from cstore_fdw_spark.plans.verify import explain_str
+
+    qs = load_all()
+    for name in ("ann_ivf_coarse", "vector_quantize_pq",
+                 "vector_pq_adc_topk", "dedup_semantic_clustered"):
+        plan = explain_str(qs[name].builder(spark, sf_dir), "simple")
+        bounded = ("WindowGroupLimit" in plan
+                   or "TakeOrderedAndProject" in plan)
+        assert bounded, (
+            f"{name}: seeding top-k lost its rank-limit pushdown — "
+            f"plan has neither WindowGroupLimit nor "
+            f"TakeOrderedAndProject:\n{plan[:2000]}")

@@ -360,3 +360,80 @@ def test_streaming_curation_accounting_matches_batch(spark, sf_dir):
     srows = {tuple(r) for r in out.collect()}
     brows = {tuple(r) for r in batch.collect()}
     assert srows and srows == brows
+
+
+def test_streaming_aggview_matches_batch_refresh(spark, catalog, tmp_path):
+    """Materialized-view maintenance twin: the SAME source epochs applied
+    (a) by batch refresh_agg_view and (b) as streaming micro-batches
+    through foreachBatch must land bit-identical state — the mergeable
+    aggregate operator is driver-agnostic."""
+    from cstore_fdw_spark.aggview import create_agg_view, refresh_agg_view
+    from cstore_fdw_spark.streaming.aggview import maintain_agg_view_stream
+
+    catalog.create_table("src", "g string, x long")
+    create_agg_view(catalog, "vb", "src", keys=["g"], measures=["x"])
+    create_agg_view(catalog, "vs", "src", keys=["g"], measures=["x"])
+    for rows in ([("a", 1), ("b", 2)], [("a", 3), ("c", 4)], [("c", -5)]):
+        catalog.insert("src", spark.createDataFrame(
+            rows, "g string, x long"))
+
+    refresh_agg_view(catalog, "vb")
+    q = maintain_agg_view_stream(catalog, "vs",
+                                 str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+
+    vb = sorted(tuple(r) for r in catalog.read("vb").collect())
+    vs = sorted(tuple(r) for r in catalog.read("vs").collect())
+    assert vb == vs and len(vb) == 3
+
+    # another epoch: both drivers advance and agree again
+    catalog.insert("src", spark.createDataFrame(
+        [("a", 100)], "g string, x long"))
+    refresh_agg_view(catalog, "vb")
+    q = maintain_agg_view_stream(catalog, "vs", str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+    vb = sorted(tuple(r) for r in catalog.read("vb").collect())
+    vs = sorted(tuple(r) for r in catalog.read("vs").collect())
+    assert vb == vs
+    [(_, n_a, s_a, _, _)] = [t for t in vs if t[0] == "a"]
+    assert (n_a, s_a) == (3, 104)
+
+
+def test_streaming_aggview_crash_between_commit_and_ledger(
+        spark, catalog, tmp_path, monkeypatch):
+    """Crash injected between the stream sink's state commit and its
+    ledger finalize: the restarted stream replays the batch, recovery
+    sees the stamped view epoch, finalizes, and does NOT re-merge."""
+    import cstore_fdw_spark.streaming.aggview as sagg
+    from cstore_fdw_spark.aggview import create_agg_view
+    from cstore_fdw_spark.streaming.aggview import maintain_agg_view_stream
+
+    catalog.create_table("src", "g string, x long")
+    create_agg_view(catalog, "vs", "src", keys=["g"], measures=["x"])
+    catalog.insert("src", spark.createDataFrame(
+        [("a", 1), ("a", 10)], "g string, x long"))
+
+    real_save = sagg._save_ledger
+    calls = []
+
+    def crash_on_finalize(path, ledger):
+        entry = next(iter(ledger.values()))
+        if entry.get("pending") is None and entry.get("last_batch") == 0:
+            calls.append(1)
+            raise RuntimeError("injected ledger-finalize crash")
+        return real_save(path, ledger)
+
+    monkeypatch.setattr(sagg, "_save_ledger", crash_on_finalize)
+    q = maintain_agg_view_stream(catalog, "vs", str(tmp_path / "ck"))
+    try:
+        q.awaitTermination(120)
+    except Exception:
+        pass  # the injected crash fails the streaming query
+    assert calls, "injection never fired"
+    monkeypatch.setattr(sagg, "_save_ledger", real_save)
+
+    # restart replays batch 0; recovery must finalize, not re-merge
+    q = maintain_agg_view_stream(catalog, "vs", str(tmp_path / "ck"))
+    q.awaitTermination(120)
+    [(g, n, s, mn, mx)] = [tuple(r) for r in catalog.read("vs").collect()]
+    assert (g, n, s, mn, mx) == ("a", 2, 11, 1, 10)  # doubled = (4, 22)
