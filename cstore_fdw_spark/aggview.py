@@ -26,10 +26,11 @@ so a crash between them could otherwise re-merge the same delta on the
 next refresh and silently double-count — violating this module's own
 contract. The refresh therefore runs a write-ahead pending record:
 
-1. the sidecar records ``pending = {to_epoch, view_epoch}`` where
-   ``view_epoch`` is the epoch the state commit WILL stamp;
+1. the sidecar records ``pending = {view_epoch, finalize}`` where
+   ``view_epoch`` is the epoch the state commit WILL stamp and
+   ``finalize`` the watermark fields that advance applies;
 2. the state commits through the ordinary insert protocol;
-3. the sidecar finalizes ``last_epoch`` and clears ``pending``.
+3. the sidecar applies ``finalize`` and clears ``pending``.
 
 Recovery on the next refresh inspects the pending record against the
 view's own epoch-stamped data files — the stamp IS the commit marker,
@@ -185,9 +186,7 @@ def _recover_pending(catalog: CStoreCatalog, view: str,
     committed = any(_file_epoch(p) == want
                     for p in catalog._visible_files(vmeta))
     if committed:
-        spec["last_epoch"] = int(pending["to_epoch"])
-        if "source_created_at" in pending:
-            spec["source_created_at"] = pending["source_created_at"]
+        spec.update(pending["finalize"])
     spec["pending"] = None
     _save_spec(catalog, view, spec)
     return committed
@@ -250,14 +249,148 @@ def _refresh_locked(catalog: CStoreCatalog, view: str) -> dict[str, Any]:
         mode = "incremental"
     # write-ahead pending record: the state commit below will stamp the
     # view's next epoch; recovery uses that stamp as the commit marker
+    finalize = {"last_epoch": cur, "source_created_at": smeta.created_at}
+    _commit_state(catalog, view, spec, state, finalize)
+    return {"mode": mode, "from_epoch": last, "to_epoch": cur}
+
+
+def _commit_state(catalog: CStoreCatalog, view: str, spec: dict[str, Any],
+                  state: DataFrame, finalize: dict[str, Any]) -> None:
+    """The shared crash-atomic commit tail: pending record → state
+    insert → finalize. ``finalize`` holds exactly the spec fields the
+    watermark advance sets; recovery applies it verbatim when the view's
+    epoch stamp proves the insert committed."""
     vmeta = catalog._load_meta(view)
-    spec["pending"] = {"to_epoch": cur,
-                       "view_epoch": vmeta.write_epoch + 1,
-                       "source_created_at": smeta.created_at}
+    spec["pending"] = {"view_epoch": vmeta.write_epoch + 1,
+                       "finalize": finalize}
     _save_spec(catalog, view, spec)
     catalog.insert(view, state, overwrite=True)
-    spec["last_epoch"] = cur
-    spec["source_created_at"] = smeta.created_at
+    spec.update(finalize)
     spec["pending"] = None
     _save_spec(catalog, view, spec)
-    return {"mode": mode, "from_epoch": last, "to_epoch": cur}
+
+
+# ------------------------------------------------------- join agg views
+
+def create_join_agg_view(catalog: CStoreCatalog, view: str, fact: str,
+                         dim: str, on: list[str], keys: list[str],
+                         measures: list[str]) -> None:
+    """Declare an aggregate view over ``fact ⋈ dim`` (equi-join on
+    ``on``): per-``keys`` group, ``n_rows`` plus ``{m}_sum/_min/_max``
+    per measure — keys and measures may come from either side (the
+    classic star-schema rollup: group fact measures by dim attributes).
+    Non-join column names must not collide across the two tables (the
+    delta algebra below re-joins slices of both; ambiguity would make
+    the rollup ill-defined)."""
+    fmeta = catalog._load_meta(fact)
+    dmeta = catalog._load_meta(dim)
+    ffields = set(fmeta.schema().fieldNames())
+    dfields = set(dmeta.schema().fieldNames())
+    overlap = (ffields & dfields) - set(on)
+    if overlap:
+        raise CStoreError(
+            f"non-join columns {sorted(overlap)} exist in both "
+            f'"{fact}" and "{dim}" — rename or project them first')
+    for c in on:
+        if c not in ffields or c not in dfields:
+            raise CStoreError(f'join column "{c}" must exist in both tables')
+    avail = (ffields | dfields)
+    for c in keys + measures:
+        if c not in avail:
+            raise CStoreError(f'column "{c}" not in "{fact}" or "{dim}"')
+    if not keys or not measures:
+        raise CStoreError("agg view needs at least one key and one measure")
+    mschema = {f.name: f.dataType.simpleString()
+               for f in list(fmeta.schema().fields)
+               + list(dmeta.schema().fields)}
+    for m in measures:
+        if mschema[m] not in ("tinyint", "smallint", "int", "bigint",
+                              "float", "double"):
+            raise CStoreError(
+                f'measure "{m}" has non-numeric type {mschema[m]}')
+    probe = _aggregate(catalog.read(fact).join(catalog.read(dim), on),
+                       keys, measures)
+    catalog.create_table(view, probe.schema)
+    _save_spec(catalog, view, {
+        "kind": "join", "fact": fact, "dim": dim, "on": on,
+        "keys": keys, "measures": measures,
+        "last_fact_epoch": 0, "last_dim_epoch": 0,
+        "fact_created_at": fmeta.created_at,
+        "dim_created_at": dmeta.created_at,
+        "pending": None, "version": 2})
+
+
+def refresh_join_agg_view(catalog: CStoreCatalog,
+                          view: str) -> dict[str, Any]:
+    """Bring a join view up to both sources' current epochs using the
+    append-only delta-join algebra:
+
+        F_new ⋈ D_new  =  F_old ⋈ D_old   (the stored state)
+                        ⊎ ΔF ⋈ D_new      (new fact rows, full dim)
+                        ⊎ F_old ⋈ ΔD      (old fact rows × new dim rows)
+
+    The three terms partition the joined bag exactly (each (f, d) pair
+    falls in one term by which side is new), so the two delta terms'
+    partial aggregates merge into the stored state with the same
+    mergeable-state arithmetic as single-table views. Cost honesty at
+    100 TB: ΔF ⋈ D_new is delta-sized; F_old ⋈ ΔD scans old fact data
+    pruned only by the join key (zone maps / dynamic pruning on ``on``
+    help; a deployment appending to BOTH sides constantly should
+    instead key the view on the fact side and treat the dim as slowly
+    changing). Rewrites or drop+recreate on EITHER side force the same
+    honest full recompute, pinned to both metadata snapshots, as the
+    single-table path; the crash-atomic pending commit is shared."""
+    with _refresh_lock(catalog, view):
+        return _refresh_join_locked(catalog, view)
+
+
+def _refresh_join_locked(catalog: CStoreCatalog,
+                         view: str) -> dict[str, Any]:
+    spec = _load_spec(catalog, view)
+    if spec.get("kind") != "join":
+        raise CStoreError(
+            f'"{view}" is a single-table aggregate view — use '
+            "refresh_agg_view")
+    _recover_pending(catalog, view, spec)
+    fmeta = catalog._load_meta(spec["fact"])
+    dmeta = catalog._load_meta(spec["dim"])
+    on, keys, measures = spec["on"], spec["keys"], spec["measures"]
+    lastf = int(spec["last_fact_epoch"])
+    lastd = int(spec["last_dim_epoch"])
+    curf, curd = fmeta.write_epoch, dmeta.write_epoch
+    same = (spec.get("fact_created_at") == fmeta.created_at
+            and spec.get("dim_created_at") == dmeta.created_at)
+    result = {"from_fact_epoch": lastf, "to_fact_epoch": curf,
+              "from_dim_epoch": lastd, "to_dim_epoch": curd}
+    if (same and fmeta.history_floor <= lastf and curf == lastf
+            and dmeta.history_floor <= lastd and curd == lastd):
+        return {"mode": "noop", **result}
+    fact_all = catalog._visible_files(fmeta)
+    dim_all = catalog._visible_files(dmeta)
+    if (not same or fmeta.history_floor > lastf
+            or dmeta.history_floor > lastd):
+        state = _aggregate(
+            catalog._read_files(fmeta, fact_all)
+            .join(catalog._read_files(dmeta, dim_all), on),
+            keys, measures)
+        mode = "full"
+    else:
+        f_delta = [p for p in fact_all if _file_epoch(p) > lastf]
+        f_old = [p for p in fact_all if _file_epoch(p) <= lastf]
+        d_delta = [p for p in dim_all if _file_epoch(p) > lastd]
+        new_fact = (catalog._read_files(fmeta, f_delta)
+                    .join(catalog._read_files(dmeta, dim_all), on))
+        old_x_newdim = (catalog._read_files(fmeta, f_old)
+                        .join(catalog._read_files(dmeta, d_delta), on))
+        cols = keys + measures
+        partial = _aggregate(
+            new_fact.select(*cols).unionByName(old_x_newdim.select(*cols)),
+            keys, measures)
+        state = (catalog.read(view).unionByName(partial)
+                 .groupBy(*keys).agg(*_merge_exprs(measures)))
+        mode = "incremental"
+    finalize = {"last_fact_epoch": curf, "last_dim_epoch": curd,
+                "fact_created_at": fmeta.created_at,
+                "dim_created_at": dmeta.created_at}
+    _commit_state(catalog, view, spec, state, finalize)
+    return {"mode": mode, **result}

@@ -1298,3 +1298,171 @@ def text_bpe_encode(spark, sf_dir):
             .groupBy("doc_id")
             .agg(F.count(F.lit(1)).alias("n_words"),
                  F.sum("n_sym").alias("n_bpe_tokens")))
+
+
+#: fixed-point scale for exact bigram-probability arithmetic (the same
+#: integer-surrogate trick as the tf-idf weight: float log-likelihoods
+#: are not cross-engine deterministic, floor-divided fixed-point is)
+_LM_SCALE = 1_000_000
+
+
+@register(
+    "text_ngram_lm_score",
+    category="text",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, STRING_SPLIT(text, ' ') AS arr FROM documents),
+    bg AS (
+      SELECT doc_id, w1, w2, COUNT(*) AS m FROM (
+        SELECT doc_id, arr[i] AS w1, arr[i + 1] AS w2
+        FROM tok, LATERAL UNNEST(generate_series(1, len(arr) - 1)) u(i))
+      GROUP BY doc_id, w1, w2),
+    c12 AS (SELECT w1, w2, SUM(m) AS c12 FROM bg GROUP BY w1, w2),
+    c1 AS (SELECT w1, SUM(c12) AS c1 FROM c12 GROUP BY w1),
+    scored AS (
+      SELECT bg.doc_id, bg.m,
+             c12.c12 * {_LM_SCALE} // c1.c1 AS p_fx
+      FROM bg JOIN c12 ON bg.w1 = c12.w1 AND bg.w2 = c12.w2
+      JOIN c1 ON bg.w1 = c1.w1)
+    SELECT doc_id, CAST(SUM(m) AS BIGINT) AS n_bigrams,
+           CAST(SUM(m * p_fx) // SUM(m) AS BIGINT) AS avg_p_fx,
+           CAST(MIN(p_fx) AS BIGINT) AS min_p_fx
+    FROM scored GROUP BY doc_id
+    """)
+def text_ngram_lm_score(spark, sf_dir):
+    """Corpus bigram language-model quality score: train the MLE bigram
+    model p(w2|w1) = c(w1,w2)/c(w1·) over the whole corpus, then score
+    every document by its average and minimum conditional bigram
+    probability — the classic perplexity-style quality filter (high avg
+    = predictable/boilerplate text, low min = a garbled transition the
+    corpus never supports). Probabilities are fixed-point bigints
+    (c12·10^6 DIV c1) because float log-sums are not cross-engine
+    deterministic; the floor-divided surrogate ranks identically and
+    hash-matches DuckDB exactly.
+
+    Scale: the corpus is touched ONCE (per-doc bigram multiset via one
+    array transform — no token explode join); model tables are
+    vocabulary²-bounded aggregates of that multiset, re-joined on the
+    bigram key. Three keyed shuffles total (doc-bigram rollup feeds
+    model counts AND scoring), no driver materialization, no Python.
+    Docs with fewer than two tokens have no bigram and drop out.
+    Output: (doc_id, n_bigrams, avg_p_fx, min_p_fx)."""
+    d = table(spark, sf_dir, "documents")
+    bg_structs = F.expr(
+        "transform(sequence(1, size(arr) - 1),"
+        " i -> struct(arr[i - 1] AS w1, arr[i] AS w2))")
+    bg = (d.select("doc_id", F.split("text", " ").alias("arr"))
+          .select("doc_id", F.explode(bg_structs).alias("b"))
+          .groupBy("doc_id", F.col("b.w1").alias("w1"),
+                   F.col("b.w2").alias("w2"))
+          .agg(F.count(F.lit(1)).alias("m")))
+    c12 = bg.groupBy("w1", "w2").agg(F.sum("m").alias("c12"))
+    c1 = c12.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    model = (c12.join(c1, "w1")
+             .select("w1", "w2",
+                     F.expr(f"c12 * {_LM_SCALE} DIV c1").alias("p_fx")))
+    return (bg.join(model, ["w1", "w2"])
+            .groupBy("doc_id")
+            .agg(F.sum("m").cast("long").alias("n_bigrams"),
+                 F.expr("sum(m * p_fx) DIV sum(m)").cast("long")
+                 .alias("avg_p_fx"),
+                 F.min("p_fx").cast("long").alias("min_p_fx")))
+
+
+#: token n-gram width for span-level duplication accounting
+SPAN_G = 5
+
+
+def _span_dedup_oracle() -> str:
+    from cstore_fdw_spark.functions.portable_hash import duck_h60
+
+    g = SPAN_G
+    gram_h = duck_h60(
+        f"ARRAY_TO_STRING(list_slice(arr, i, i + {g - 1}), ' ')")
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, STRING_SPLIT(text, ' ') AS arr FROM documents),
+    occ AS (
+      SELECT doc_id, {gram_h} AS gh, i AS pos
+      FROM tok, LATERAL UNNEST(generate_series(1, len(arr) - {g - 1})) u(i)
+      WHERE len(arr) >= {g}),
+    dup AS (
+      SELECT gh FROM occ GROUP BY gh
+      HAVING COUNT(DISTINCT doc_id) >= 2),
+    perdoc AS (
+      SELECT o.doc_id, COUNT(*) AS n_dup_grams,
+             LIST(o.pos ORDER BY o.pos) AS ps
+      FROM occ o JOIN dup USING (gh) GROUP BY o.doc_id),
+    cov AS (
+      SELECT doc_id, n_dup_grams,
+             list_sum(list_transform(
+               generate_series(1, len(ps)),
+               i -> CASE WHEN i = len(ps) THEN {g}
+                    ELSE LEAST({g}, ps[i + 1] - ps[i]) END)) AS dup_tokens
+      FROM perdoc)
+    SELECT t.doc_id,
+           CAST(LEN(t.arr) AS BIGINT) AS n_tokens,
+           CAST(COALESCE(c.n_dup_grams, 0) AS BIGINT) AS n_dup_grams,
+           CAST(COALESCE(c.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+           CAST(COALESCE(c.dup_tokens, 0) AS DOUBLE) / LEN(t.arr)
+             AS dup_frac
+    FROM tok t LEFT JOIN cov c ON c.doc_id = t.doc_id
+    """
+
+
+@register(
+    "text_span_dedup_coverage",
+    category="text",
+    oracle=_span_dedup_oracle())
+def text_span_dedup_coverage(spark, sf_dir):
+    """Span-level duplication accounting (Lee et al. '22, 'Deduplicating
+    Training Data Makes Language Models Better'): a token {SPAN_G}-gram
+    occurring in ≥2 distinct documents is a duplicated span; each doc
+    reports how many of its tokens are covered by the UNION of its
+    duplicated spans (overlap-merged interval length — the exact
+    fraction span-dedup would delete). Complements the doc-level dedup
+    family: doc-level finds near-identical documents, this quantifies
+    cross-document boilerplate inside otherwise-unique ones.
+
+    Scale: grams travel as portable 60-bit hashes, never strings (the
+    shuffle key is 8 bytes/occurrence); the duplicated-gram set is a
+    HAVING over one keyed count; coverage is a per-doc sorted-positions
+    fold in one collect_list aggregate (positions per doc are bounded
+    by doc length — no cross-doc state). Three keyed shuffles, all
+    integer arithmetic until the final single division.
+    Output: (doc_id, n_tokens, n_dup_grams, dup_tokens, dup_frac)."""
+    from cstore_fdw_spark.functions.portable_hash import spark_h60
+
+    g = SPAN_G
+    d = table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.split("text", " ").alias("arr"))
+    gram_h = spark_h60(f"concat_ws(' ', slice(arr, i, {g}))")
+    occ = (tok.filter(F.size("arr") >= g)
+           .select("doc_id", F.explode(F.expr(
+               f"transform(sequence(1, size(arr) - {g - 1}),"
+               f" i -> struct({gram_h} AS gh, i AS pos))")).alias("o"))
+           .select("doc_id", "o.gh", "o.pos"))
+    dup = (occ.groupBy("gh")
+           .agg(F.countDistinct("doc_id").alias("nd"))
+           .filter(F.col("nd") >= 2)
+           .select("gh"))
+    cov_expr = F.expr(
+        f"aggregate(transform(sequence(1, size(ps)),"
+        f" i -> IF(i = size(ps), {g},"
+        f"         least({g}, ps[i] - ps[i - 1]))),"
+        f" 0L, (a, x) -> a + bigint(x))")
+    perdoc = (occ.join(dup, "gh")
+              .groupBy("doc_id")
+              .agg(F.count(F.lit(1)).alias("n_dup_grams"),
+                   F.sort_array(F.collect_list("pos")).alias("ps"))
+              .select("doc_id", "n_dup_grams",
+                      cov_expr.alias("dup_tokens")))
+    return (tok.join(perdoc, "doc_id", "left")
+            .select("doc_id",
+                    F.size("arr").cast("long").alias("n_tokens"),
+                    F.coalesce("n_dup_grams", F.lit(0)).cast("long")
+                    .alias("n_dup_grams"),
+                    F.coalesce("dup_tokens", F.lit(0)).cast("long")
+                    .alias("dup_tokens"),
+                    (F.coalesce("dup_tokens", F.lit(0)).cast("double")
+                     / F.size("arr")).alias("dup_frac")))

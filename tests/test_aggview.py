@@ -270,3 +270,176 @@ def test_agg_view_survives_source_schema_evolution(spark, catalog):
     assert _view(catalog) == _full(spark, catalog, "src", ["g"], ["w"])
     [(g, n, s, mn, mx)] = _view(catalog)
     assert (g, n, s, mn, mx) == ("a", 2, 12, 5, 7)
+
+
+def _jfull(spark, catalog, keys, measures):
+    df = (catalog.read("f").join(catalog.read("d"), ["dk"])
+          .groupBy(*keys).agg(
+              F.count(F.lit(1)).alias("n_rows"),
+              *[e for m in measures for e in
+                (F.sum(m).alias(f"{m}_sum"), F.min(m).alias(f"{m}_min"),
+                 F.max(m).alias(f"{m}_max"))]))
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_join_agg_view_incremental_both_sides(spark, catalog):
+    """Delta-join maintenance: fact-only appends (ΔF ⋈ D), dim-only
+    appends retroactively joining OLD fact rows (F_old ⋈ ΔD), and
+    both-sides appends in one interval all merge to exactly the full
+    recompute."""
+    from cstore_fdw_spark.aggview import (
+        create_join_agg_view, refresh_join_agg_view)
+
+    catalog.create_table("f", "dk long, x long")
+    catalog.create_table("d", "dk long, region string")
+    create_join_agg_view(catalog, "jv", "f", "d", on=["dk"],
+                         keys=["region"], measures=["x"])
+    catalog.insert("d", spark.createDataFrame(
+        [(1, "eu"), (2, "us")], "dk long, region string"))
+    catalog.insert("f", spark.createDataFrame(
+        [(1, 10), (1, 20), (2, 5), (3, 99)], "dk long, x long"))
+    r = refresh_join_agg_view(catalog, "jv")
+    assert r["mode"] == "incremental"
+    assert _view2(catalog, "jv") == _jfull(spark, catalog,
+                                           ["region"], ["x"])
+
+    # fact-only append
+    catalog.insert("f", spark.createDataFrame(
+        [(2, 7)], "dk long, x long"))
+    r = refresh_join_agg_view(catalog, "jv")
+    assert r["mode"] == "incremental" and r["to_fact_epoch"] == 2
+    assert _view2(catalog, "jv") == _jfull(spark, catalog,
+                                           ["region"], ["x"])
+
+    # dim-only append: dk=3's fact row (x=99) retroactively joins
+    catalog.insert("d", spark.createDataFrame(
+        [(3, "eu")], "dk long, region string"))
+    r = refresh_join_agg_view(catalog, "jv")
+    assert r["mode"] == "incremental" and r["to_dim_epoch"] == 2
+    assert _view2(catalog, "jv") == _jfull(spark, catalog,
+                                           ["region"], ["x"])
+    [(_, n_eu, s_eu, _, _)] = [t for t in _view2(catalog, "jv")
+                               if t[0] == "eu"]
+    assert (n_eu, s_eu) == (3, 129)
+
+    # both sides in one interval, then noop
+    catalog.insert("f", spark.createDataFrame(
+        [(4, 1)], "dk long, x long"))
+    catalog.insert("d", spark.createDataFrame(
+        [(4, "ap")], "dk long, region string"))
+    r = refresh_join_agg_view(catalog, "jv")
+    assert r["mode"] == "incremental"
+    assert _view2(catalog, "jv") == _jfull(spark, catalog,
+                                           ["region"], ["x"])
+    assert refresh_join_agg_view(catalog, "jv")["mode"] == "noop"
+
+
+def _view2(catalog, name):
+    return sorted(tuple(r) for r in catalog.read(name).collect())
+
+
+def test_join_agg_view_rewrite_and_crash(spark, catalog, monkeypatch):
+    """A rewrite on EITHER side forces full recompute; the shared
+    crash-atomic commit protocol protects join views identically."""
+    from cstore_fdw_spark.aggview import (
+        create_join_agg_view, refresh_join_agg_view)
+
+    catalog.create_table("f", "dk long, x long")
+    catalog.create_table("d", "dk long, region string")
+    create_join_agg_view(catalog, "jv", "f", "d", on=["dk"],
+                         keys=["region"], measures=["x"])
+    catalog.insert("d", spark.createDataFrame(
+        [(1, "eu"), (2, "us")], "dk long, region string"))
+    catalog.insert("f", spark.createDataFrame(
+        [(1, 10), (2, 5), (2, 2)], "dk long, x long"))
+    refresh_join_agg_view(catalog, "jv")
+
+    catalog.delete_where("f", "x = 2")  # fact history collapses
+    r = refresh_join_agg_view(catalog, "jv")
+    assert r["mode"] == "full"
+    assert _view2(catalog, "jv") == _jfull(spark, catalog,
+                                           ["region"], ["x"])
+
+    # crash between state commit and finalize: recovery must not
+    # re-merge the delta
+    catalog.insert("f", spark.createDataFrame(
+        [(1, 100)], "dk long, x long"))
+    real_save = aggview_mod._save_spec
+    fired = []
+
+    def crash_on_finalize(cat, view, spec):
+        if spec.get("pending") is None and fired == []:
+            fired.append(1)
+            raise RuntimeError("injected crash")
+        return real_save(cat, view, spec)
+
+    monkeypatch.setattr(aggview_mod, "_save_spec", crash_on_finalize)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        refresh_join_agg_view(catalog, "jv")
+    monkeypatch.setattr(aggview_mod, "_save_spec", real_save)
+    r = refresh_join_agg_view(catalog, "jv")
+    assert r["mode"] == "noop"
+    assert _view2(catalog, "jv") == _jfull(spark, catalog,
+                                           ["region"], ["x"])
+    [(_, n_eu, s_eu, _, _)] = [t for t in _view2(catalog, "jv")
+                               if t[0] == "eu"]
+    assert (n_eu, s_eu) == (2, 110)  # doubled would read (3, 210)
+
+
+def test_join_agg_view_validation(spark, catalog):
+    from cstore_fdw_spark.aggview import create_join_agg_view
+
+    catalog.create_table("f", "dk long, x long, shared string")
+    catalog.create_table("d", "dk long, region string, shared string")
+    with pytest.raises(CStoreError, match="both"):
+        create_join_agg_view(catalog, "jv", "f", "d", on=["dk"],
+                             keys=["region"], measures=["x"])
+    catalog.create_table("d2", "dk long, region string")
+    with pytest.raises(CStoreError, match="non-numeric"):
+        create_join_agg_view(catalog, "jv", "f", "d2", on=["dk"],
+                             keys=["region"], measures=["region"])
+    with pytest.raises(CStoreError, match="not in"):
+        create_join_agg_view(catalog, "jv", "f", "d2", on=["dk"],
+                             keys=["nope"], measures=["x"])
+
+
+def test_join_refresh_reads_only_delta_fact_files(spark, catalog,
+                                                  monkeypatch):
+    """The fact side of ΔF ⋈ D must hand _read_files ONLY the fact files
+    stamped after the fact watermark — a fact-only append never rescans
+    old fact data (the 100 TB contract for star-schema views)."""
+    from cstore_fdw_spark.aggview import (
+        create_join_agg_view, refresh_join_agg_view)
+
+    catalog.create_table("f", "dk long, x long")
+    catalog.create_table("d", "dk long, region string")
+    create_join_agg_view(catalog, "jv", "f", "d", on=["dk"],
+                         keys=["region"], measures=["x"])
+    catalog.insert("d", spark.createDataFrame(
+        [(1, "eu")], "dk long, region string"))
+    for i in range(3):
+        catalog.insert("f", spark.createDataFrame(
+            [(1, i)], "dk long, x long"))
+    refresh_join_agg_view(catalog, "jv")  # fact watermark -> 3
+
+    seen: list[list[str]] = []
+    orig = catalog_mod.CStoreCatalog._read_files
+
+    def spy(self, meta, paths):
+        seen.append(sorted(paths))
+        return orig(self, meta, paths)
+
+    monkeypatch.setattr(catalog_mod.CStoreCatalog, "_read_files", spy)
+    catalog.insert("f", spark.createDataFrame(
+        [(1, 999)], "dk long, x long"))
+    r = refresh_join_agg_view(catalog, "jv")
+    assert r["mode"] == "incremental"
+    fact_reads = [ps for ps in seen if ps and all("/f/" in p for p in ps)]
+    # exactly two fact-side reads: the delta (epoch 4 only) and the
+    # old-fact side of F_old x ΔD (empty dim delta -> join prunes it,
+    # but the file list is still the <= watermark set)
+    delta_reads = [ps for ps in fact_reads
+                   if all("e000000000004-" in p for p in ps)]
+    assert delta_reads, f"no delta-only fact read in {fact_reads}"
+    assert _view2(catalog, "jv") == _jfull(spark, catalog,
+                                           ["region"], ["x"])
