@@ -536,3 +536,97 @@ def agg_salted_hot_key(spark, sf_dir):
     return (out.select("event_type", "n",
                        to_dbl(F.col("total_value")).alias("total_value"))
             .orderBy("event_type"))
+
+
+#: count-min geometry: d hash rows x w buckets (tiny on purpose so the
+#: demo corpus actually collides and the overcount bound is exercised)
+CMS_D, CMS_W = 4, 64
+#: heavy-hitter threshold as a fraction of the token stream (1/64)
+CMS_PHI_DEN = 64
+
+
+def _cms_oracle() -> str:
+    from cstore_fdw_spark.functions.portable_hash import duck_h60
+
+    bucket = [duck_h60(f"({i} || ':' || token)") + f" % {CMS_W}"
+              for i in range(CMS_D)]
+    est_cells = ", ".join(
+        f"(SELECT cnt FROM counters c WHERE c.i = {i} "
+        f"AND c.bucket = {bucket[i]})" for i in range(CMS_D))
+    return f"""
+    WITH tok AS (
+      SELECT UNNEST(STRING_SPLIT(text, ' ')) AS token FROM documents),
+    exact_c AS (
+      SELECT token, COUNT(*) AS cnt FROM tok GROUP BY token),
+    cells AS (
+      SELECT i, {duck_h60("(i || ':' || token)")} % {CMS_W} AS bucket,
+             cnt
+      FROM exact_c, (VALUES (0), (1), (2), (3)) d(i)),
+    counters AS (
+      SELECT i, bucket, SUM(cnt) AS cnt
+      FROM cells GROUP BY i, bucket),
+    total AS (SELECT SUM(cnt) AS n FROM exact_c),
+    est AS (
+      SELECT e.token, e.cnt AS exact_count,
+             LEAST({est_cells}) AS est_count
+      FROM exact_c e)
+    SELECT token,
+           CAST(est_count AS BIGINT) AS est_count,
+           CAST(exact_count AS BIGINT) AS exact_count,
+           CAST(est_count - exact_count AS BIGINT) AS overcount
+    FROM est, total
+    WHERE est_count >= n // {CMS_PHI_DEN}
+    """
+
+
+@register(
+    "stats_countmin_heavy_hitters",
+    category="analytics",
+    oracle=_cms_oracle())
+def stats_countmin_heavy_hitters(spark, sf_dir):
+    """Count-min sketch heavy hitters over the corpus token stream
+    (Cormode & Muthukrishnan '05): d=4 portable-hash rows x w=64
+    counters; a token's estimate is the MIN of its d cells, never an
+    undercount (each cell over-counts by its colliders); heavy hitters
+    are tokens whose ESTIMATE clears phi = 1/64 of the stream — the
+    sketch answers the query from d·w = 256 counters no matter the
+    corpus size. Counters are sums, so sketches MERGE across partitions,
+    epochs, or streams (the same mergeable-state criterion as the
+    aggview family); the deliberately tiny width forces real collisions,
+    and the emitted overcount column (est − exact, provably ≥ 0) makes
+    the CM error bound part of the checked contract rather than a
+    docstring claim.
+
+    Scale: one token-count shuffle (the same rollup any frequency op
+    pays), then ALL sketch work is bounded: counters are a 256-row
+    aggregate, broadcast back for the d-cell min lookup. The exact
+    count joins in only as the bound's audit column — a production
+    heavy-hitter pass would drop it and never shuffle full frequencies.
+    Output: (token, est_count, exact_count, overcount)."""
+    from cstore_fdw_spark.functions.portable_hash import spark_h60
+
+    d = table(spark, sf_dir, "documents")
+    exact = (d.select(F.explode(F.split("text", " ")).alias("token"))
+             .groupBy("token").agg(F.count(F.lit(1)).alias("cnt")))
+    cells_arr = F.array(*[
+        F.struct(F.lit(i).alias("i"),
+                 (F.expr(spark_h60(f"concat('{i}:', token)"))
+                  % CMS_W).alias("bucket"))
+        for i in range(CMS_D)])
+    cells = (exact.select("token", "cnt",
+                          F.explode(cells_arr).alias("c"))
+             .select("token", "cnt", "c.i", "c.bucket"))
+    counters = (cells.groupBy("i", "bucket")
+                .agg(F.sum("cnt").alias("bucket_cnt")))
+    total = exact.agg(F.sum("cnt").alias("n"))
+    est = (cells.join(F.broadcast(counters), ["i", "bucket"])
+           .groupBy("token")
+           .agg(F.min("bucket_cnt").alias("est_count"),
+                F.first("cnt").alias("exact_count")))
+    return (est.crossJoin(F.broadcast(total))
+            .filter(F.col("est_count") >= F.expr(f"n DIV {CMS_PHI_DEN}"))
+            .select("token",
+                    F.col("est_count").cast("long").alias("est_count"),
+                    F.col("exact_count").cast("long").alias("exact_count"),
+                    (F.col("est_count") - F.col("exact_count"))
+                    .cast("long").alias("overcount")))

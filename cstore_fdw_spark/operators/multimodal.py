@@ -1487,3 +1487,122 @@ def multimodal_bmp_decode(spark, sf_dir):
     return media.mapInPandas(
         decode, "doc_id long, width long, height long, n_bytes long, "
                 "px_sum long")
+
+
+# ------------------------------------------------------- dHash dedup
+
+#: dHash geometry: 18x16 source image -> 9x8 grid of 2x2 block sums ->
+#: 8x8 adjacent-column comparisons = a 64-bit perceptual fingerprint
+DHASH_W, DHASH_H = 18, 16
+
+
+def _dhash_fields(bx: str, by: str, doc: str = "doc_id") -> str:
+    """Closed-form 2x2 block sum at grid cell (bx, by) as a DuckDB
+    expression — the base pattern (constant per doc-group g = doc_id%7,
+    adjacent column cells ALWAYS >= 70 apart) plus the per-doc {0,1}
+    pixel noise (block contribution 0..4, too small to flip any
+    comparison — that inequality is what makes same-group images
+    provable near-dups)."""
+    terms = []
+    for dx in (0, 1):
+        for dy in (0, 1):
+            x = f"(2 * ({bx}) + {dx})"
+            y = f"(2 * ({by}) + {dy})"
+            terms.append(
+                f"(10 * ((({doc} % 7) * 31 + ({bx}) * 7 + ({by}) * 13)"
+                f" % 20) + ({doc} * 13 + {x} * 7 + {y} * 11) % 2)")
+    return "(" + " + ".join(terms) + ")"
+
+
+def _dhash_oracle() -> str:
+    s_l = _dhash_fields("i % 8", "i // 8")
+    s_r = _dhash_fields("i % 8 + 1", "i // 8")
+    return f"""
+    WITH hashed AS (
+      SELECT doc_id,
+             ARRAY_TO_STRING(LIST_TRANSFORM(RANGE(0, 64),
+               i -> CASE WHEN {s_l} > {s_r} THEN '1' ELSE '0' END), '')
+               AS dhash
+      FROM documents WHERE doc_id % 6 = 0)
+    SELECT doc_id, dhash,
+           MIN(doc_id) OVER (PARTITION BY dhash) AS keeper_id,
+           doc_id <> MIN(doc_id) OVER (PARTITION BY dhash) AS is_dup
+    FROM hashed
+    """
+
+
+@register(
+    "multimodal_image_dhash_dedup",
+    category="multimodal",
+    oracle=_dhash_oracle())
+def multimodal_image_dhash_dedup(spark, sf_dir):
+    """Image near-duplicate detection via difference hash (dHash — the
+    classic perceptual fingerprint): every 6th document gets a genuine
+    24-bit BMP (real stdlib writer) whose pixels are a per-group base
+    pattern plus per-document ±1 noise; a second Arrow ``mapInPandas``
+    stage DECODES the binary column (real BMP reader: header walk,
+    bottom-up rows, BGR swap, padding) and computes the hash from
+    pixels — 2×2 block sums on the 9×8 grid, one bit per
+    adjacent-column comparison. Same-group images differ only by noise
+    the comparisons provably ignore (base cells are ≥70 apart, noise
+    moves a block sum by ≤4), so they collide into one fingerprint and
+    dedup as near-duplicates — the image analog of the text
+    fingerprint family, joining the multimodal and dedup stories. The
+    DuckDB oracle recomputes hash, keeper, and dup flags from the
+    closed pixel form; it never sees the BMP, so encode → decode →
+    hash → cluster is value-checked end-to-end.
+
+    Scale: payloads live only inside the Arrow batch (binary never
+    shuffles); the cluster step shuffles 8-byte-scale (doc_id, dhash)
+    pairs once for the keeper window. A real corpus would feed stored
+    image bytes straight into the decode stage unchanged.
+    Output: (doc_id, dhash, keeper_id, is_dup)."""
+    from pyspark.sql.window import Window
+
+    d = (table(spark, sf_dir, "documents")
+         .filter(F.col("doc_id") % 6 == 0).select("doc_id"))
+
+    def encode(batches):
+        import pandas as pd
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                g = doc_id % 7
+                raster = bytearray()
+                for y in range(DHASH_H):
+                    for x in range(DHASH_W):
+                        base = 10 * ((g * 31 + (x // 2) * 7
+                                      + (y // 2) * 13) % 20)
+                        noise = (doc_id * 13 + x * 7 + y * 11) % 2
+                        v = base + noise
+                        raster += bytes((v, v, v))
+                payloads.append(bmp_encode_rgb(DHASH_W, DHASH_H,
+                                               bytes(raster)))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"],
+                                "payload": payloads})
+
+    media = d.mapInPandas(encode, "doc_id long, payload binary")
+
+    def to_hash(batches):
+        import pandas as pd
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, _ch, raster = bmp_decode(bytes(payload))
+                def gray(x, y):
+                    return raster[(y * w + x) * 3]
+                def bsum(bx, by):
+                    return sum(gray(2 * bx + dx, 2 * by + dy)
+                               for dx in (0, 1) for dy in (0, 1))
+                bits = "".join(
+                    "1" if bsum(i % 8, i // 8) > bsum(i % 8 + 1, i // 8)
+                    else "0" for i in range(64))
+                rows.append((int(doc_id), bits))
+            yield pd.DataFrame(rows, columns=["doc_id", "dhash"])
+
+    hashed = media.mapInPandas(to_hash, "doc_id long, dhash string")
+    wk = Window.partitionBy("dhash")
+    return (hashed
+            .withColumn("keeper_id", F.min("doc_id").over(wk))
+            .withColumn("is_dup", F.col("doc_id") != F.col("keeper_id")))

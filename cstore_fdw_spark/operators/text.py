@@ -1466,3 +1466,99 @@ def text_span_dedup_coverage(spark, sf_dir):
                     .alias("dup_tokens"),
                     (F.coalesce("dup_tokens", F.lit(0)).cast("double")
                      / F.size("arr")).alias("dup_frac")))
+
+
+#: BM25 constants (exact decimal literals — identical doubles in both
+#: engines) and the demo query-term set
+BM25_K1, BM25_B = 1.2, 0.75
+BM25_TERMS = ("table", "spark", "merge")
+BM25_TOP = 10
+
+
+def _bm25_oracle() -> str:
+    terms = ", ".join(f"('{t}')" for t in BM25_TERMS)
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS token
+      FROM documents),
+    dl AS (
+      SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
+    stats AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             SUM(dl) AS total_dl FROM dl),
+    tf AS (
+      SELECT t.doc_id, t.token AS term, COUNT(*) AS tf
+      FROM tok t JOIN (VALUES {terms}) q(term) ON t.token = q.term
+      GROUP BY t.doc_id, t.token),
+    df AS (
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+    scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf, dl.dl,
+             (stats.n_docs - df.df) * {_TFIDF_SCALE} // df.df AS idf_fx,
+             ((stats.n_docs - df.df) * {_TFIDF_SCALE} // df.df)
+               * (CAST(tf.tf AS DOUBLE) * ({BM25_K1} + 1.0))
+               / (CAST(tf.tf AS DOUBLE) + {BM25_K1}
+                  * (1.0 - {BM25_B} + {BM25_B}
+                     * (CAST(dl.dl AS DOUBLE)
+                        / (CAST(stats.total_dl AS DOUBLE)
+                           / CAST(stats.n_docs AS DOUBLE)))))
+               AS score
+      FROM tf JOIN dl ON dl.doc_id = tf.doc_id
+      JOIN df ON df.term = tf.term, stats)
+    SELECT term, doc_id, tf, score, rank FROM (
+      SELECT term, doc_id, tf, score,
+             CAST(ROW_NUMBER() OVER (PARTITION BY term
+               ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+      FROM scored) t
+    WHERE rank <= {BM25_TOP}
+    """
+
+
+@register(
+    "text_bm25_rank",
+    category="text",
+    oracle=_bm25_oracle())
+def text_bm25_rank(spark, sf_dir):
+    """BM25 ranking (Robertson-Spärck Jones) of the corpus against a
+    fixed term set — the retrieval op behind decontamination lookups
+    and retrieval-based data mixing. The idf uses the repo's exact
+    fixed-point surrogate ((N − df)·10^6 // df — float log is not
+    cross-engine deterministic, the monotone integer surrogate ranks
+    identically); the tf saturation / length-normalization factor is a
+    fixed IEEE expression tree (k1 = 1.2, b = 0.75 — decimal literals
+    parse to identical doubles everywhere), so even the raw scores
+    hash-match DuckDB.
+
+    Scale: one token rollup per (doc, matched term) — the term join is
+    a broadcast against a literal values list, so only matching tokens
+    survive the map side; dl/df/avgdl are that rollup's tiny
+    aggregates, broadcast back; the final per-term top-k is a rank
+    window over |terms| partitions. Output: (term, doc_id, tf, score,
+    rank)."""
+    from pyspark.sql.window import Window
+
+    d = table(spark, sf_dir, "documents")
+    terms_df = spark.createDataFrame([(t,) for t in BM25_TERMS],
+                                     "term string")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(F.count(F.lit(1)).alias("n_docs"),
+                   F.sum("dl").alias("total_dl"))
+    tf = (tok.join(F.broadcast(terms_df), tok.token == terms_df.term)
+          .groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf")))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    avgdl = (F.col("total_dl").cast("double")
+             / F.col("n_docs").cast("double"))
+    idf_fx = F.expr(f"(n_docs - df) * {_TFIDF_SCALE} DIV df")
+    score = (idf_fx
+             * (F.col("tf").cast("double") * (BM25_K1 + 1.0))
+             / (F.col("tf").cast("double") + BM25_K1
+                * (1.0 - BM25_B + BM25_B
+                   * (F.col("dl").cast("double") / avgdl))))
+    w = Window.partitionBy("term").orderBy(F.col("score").desc(), "doc_id")
+    return (tf.join(dl, "doc_id")
+            .join(F.broadcast(df_), "term")
+            .crossJoin(F.broadcast(stats))
+            .select("term", "doc_id", "tf", score.alias("score"))
+            .withColumn("rank", F.row_number().over(w).cast("long"))
+            .filter(F.col("rank") <= BM25_TOP))
