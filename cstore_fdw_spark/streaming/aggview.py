@@ -74,19 +74,24 @@ def _save_ledger(path: str, ledger: dict) -> None:
     os.replace(tmp, path)
 
 
-def source_stream(catalog: CStoreCatalog, view: str) -> DataFrame:
+def source_stream(catalog: CStoreCatalog, view: str,
+                  source_key: str = "source") -> DataFrame:
     """File-source stream over the view's source table data directory:
     each committed insert's stripe files arrive as micro-batches."""
     spec = _load_spec(catalog, view)
-    smeta = catalog._load_meta(spec["source"])
+    smeta = catalog._load_meta(spec[source_key])
     return (catalog.spark.readStream
             .schema(smeta.schema())
             .option("maxFilesPerTrigger", "1")
             .parquet(catalog._data_path(smeta)))
 
 
-def view_maintainer(catalog: CStoreCatalog, view: str, checkpoint: str):
-    """The exactly-once ``foreachBatch`` sink maintaining ``view``."""
+def view_maintainer(catalog: CStoreCatalog, view: str, checkpoint: str,
+                    partial_of=None):
+    """The exactly-once ``foreachBatch`` sink maintaining ``view``.
+    ``partial_of(batch_df, spec)`` builds the micro-batch's partial
+    aggregate (default: the single-table groupBy — the join twin plugs
+    in its stream-static enrichment here)."""
     ledger_key = os.path.abspath(checkpoint)
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -111,7 +116,9 @@ def view_maintainer(catalog: CStoreCatalog, view: str, checkpoint: str):
                 _save_ledger(path, ledger)
             if batch_id <= entry["last_batch"]:
                 return  # replay of an already-merged batch
-            partial = _aggregate(batch_df, keys, measures)
+            partial = (_aggregate(batch_df, keys, measures)
+                       if partial_of is None
+                       else partial_of(batch_df, spec))
             state = (catalog.read(view).unionByName(partial)
                      .groupBy(*keys).agg(*_merge_exprs(measures)))
             vmeta = catalog._load_meta(view)
@@ -136,6 +143,36 @@ def maintain_agg_view_stream(catalog: CStoreCatalog, view: str,
     stops (tests/backfills); the default False runs continuously."""
     writer = (source_stream(catalog, view).writeStream
               .foreachBatch(view_maintainer(catalog, view, checkpoint))
+              .option("checkpointLocation", checkpoint))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def maintain_join_agg_view_stream(catalog: CStoreCatalog, view: str,
+                                  checkpoint: str,
+                                  available_now: bool = True
+                                  ) -> StreamingQuery:
+    """Streaming twin for JOIN aggregate views: the FACT side streams,
+    each micro-batch enriches against the dimension read AT BATCH TIME
+    (classic stream-static join), aggregates, and merges through the
+    same exactly-once ledger as the single-table twin.
+
+    Honest contract — the stream maintains only the ΔF ⋈ D term of the
+    delta algebra: a dim row that arrives AFTER a fact batch was
+    processed does not retroactively join that batch (stream-static
+    semantics). Deployments with appending dims run the batch
+    ``refresh_join_agg_view`` (which carries the F_old ⋈ ΔD term) as
+    the reconciler; with a static dim the stream alone is provably
+    equal to the batch refresh (``tests/test_streaming.py``)."""
+    def join_partial(batch_df: DataFrame, spec: dict) -> DataFrame:
+        dim = catalog.read(spec["dim"])
+        keys, measures = spec["keys"], spec["measures"]
+        return _aggregate(batch_df.join(dim, spec["on"]), keys, measures)
+
+    writer = (source_stream(catalog, view, source_key="fact").writeStream
+              .foreachBatch(view_maintainer(catalog, view, checkpoint,
+                                            partial_of=join_partial))
               .option("checkpointLocation", checkpoint))
     if available_now:
         writer = writer.trigger(availableNow=True)

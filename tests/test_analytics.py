@@ -723,3 +723,72 @@ def test_bpe_train_learns_deterministic_rules(spark):
     # round 0 pairs: ('a a', 4), ('a b', 4+1=5), ('b b', 1) -> merge 'a b'
     # round 1 over {a ab x4, ab x1, b b x1}: ('a ab', 4), ('b b', 1)
     assert out == {(0, "a b", "ab", 5), (1, "a ab", "aab", 4)}
+
+
+def test_countmin_bound_and_no_false_negatives(spark, sf_dir):
+    """The count-min contract, asserted on real data: estimates NEVER
+    undercount (overcount >= 0 row-wise), and therefore every truly
+    heavy token survives the estimate-side threshold (no false
+    negatives — the sketch's one-sided guarantee)."""
+    from cstore_fdw_spark.operators import load_all
+    from cstore_fdw_spark.operators.analytics import CMS_PHI_DEN
+
+    out = load_all()["stats_countmin_heavy_hitters"].builder(
+        spark, sf_dir).collect()
+    assert out, "no heavy hitters found at all"
+    assert all(r.overcount >= 0 for r in out)
+    assert all(r.est_count >= r.exact_count for r in out)
+
+    # independent exact heavy-hitter set: every one must be reported
+    from pyspark.sql import functions as F
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    exact = (docs.select(F.explode(F.split("text", " ")).alias("token"))
+             .groupBy("token").count())
+    total = exact.agg(F.sum("count")).collect()[0][0]
+    truly_heavy = {r.token for r in
+                   exact.filter(F.col("count") >= total // CMS_PHI_DEN)
+                   .collect()}
+    reported = {r.token for r in out}
+    assert truly_heavy <= reported, truly_heavy - reported
+
+
+def test_dhash_clusters_follow_image_groups(spark, sf_dir):
+    """dHash dedup must collapse EXACTLY along the constructed image
+    groups: every cluster holds one doc_id % 7 class, every keeper is
+    its cluster's min doc_id, and the noise never splits a group."""
+    from collections import defaultdict
+
+    from cstore_fdw_spark.operators import load_all
+
+    rows = load_all()["multimodal_image_dhash_dedup"].builder(
+        spark, sf_dir).collect()
+    assert rows
+    by_hash = defaultdict(list)
+    for r in rows:
+        by_hash[r.dhash].append(r)
+    groups_seen = {r.doc_id % 7 for r in rows}
+    assert len(by_hash) == len(groups_seen)  # no group split or merged
+    for members in by_hash.values():
+        assert len({m.doc_id % 7 for m in members}) == 1
+        keeper = min(m.doc_id for m in members)
+        assert all(m.keeper_id == keeper for m in members)
+        assert all(m.is_dup == (m.doc_id != keeper) for m in members)
+
+
+def test_bm25_scores_rank_consistently(spark, sf_dir):
+    """Per term: scores non-increasing with rank, ranks dense from 1,
+    and a higher tf at equal length never ranks below a lower tf."""
+    from collections import defaultdict
+
+    from cstore_fdw_spark.operators import load_all
+
+    rows = load_all()["text_bm25_rank"].builder(spark, sf_dir).collect()
+    assert rows
+    by_term = defaultdict(list)
+    for r in rows:
+        by_term[r.term].append(r)
+    for term, rs in by_term.items():
+        rs.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rs] == list(range(1, len(rs) + 1))
+        scores = [r.score for r in rs]
+        assert scores == sorted(scores, reverse=True), term

@@ -437,3 +437,37 @@ def test_streaming_aggview_crash_between_commit_and_ledger(
     q.awaitTermination(120)
     [(g, n, s, mn, mx)] = [tuple(r) for r in catalog.read("vs").collect()]
     assert (g, n, s, mn, mx) == ("a", 2, 11, 1, 10)  # doubled = (4, 22)
+
+
+def test_streaming_join_aggview_matches_batch_refresh(spark, catalog,
+                                                      tmp_path):
+    """Join-view streaming twin under a static dimension: fact epochs
+    applied as stream-static micro-batches land state identical to the
+    batch delta-join refresh."""
+    from cstore_fdw_spark.aggview import (
+        create_join_agg_view, refresh_join_agg_view)
+    from cstore_fdw_spark.streaming.aggview import (
+        maintain_join_agg_view_stream)
+
+    catalog.create_table("f", "dk long, x long")
+    catalog.create_table("d", "dk long, region string")
+    create_join_agg_view(catalog, "jb", "f", "d", on=["dk"],
+                         keys=["region"], measures=["x"])
+    create_join_agg_view(catalog, "js", "f", "d", on=["dk"],
+                         keys=["region"], measures=["x"])
+    catalog.insert("d", spark.createDataFrame(
+        [(1, "eu"), (2, "us")], "dk long, region string"))
+    for rows in ([(1, 10), (2, 5)], [(1, 20)], [(2, 1), (1, 3)]):
+        catalog.insert("f", spark.createDataFrame(
+            rows, "dk long, x long"))
+
+    refresh_join_agg_view(catalog, "jb")
+    q = maintain_join_agg_view_stream(catalog, "js",
+                                      str(tmp_path / "jck"))
+    q.awaitTermination(120)
+
+    jb = sorted(tuple(r) for r in catalog.read("jb").collect())
+    js = sorted(tuple(r) for r in catalog.read("js").collect())
+    assert jb == js and len(jb) == 2
+    [(_, n_eu, s_eu, _, _)] = [t for t in jb if t[0] == "eu"]
+    assert (n_eu, s_eu) == (3, 33)
