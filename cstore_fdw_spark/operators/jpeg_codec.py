@@ -10,12 +10,13 @@ Nothing here touches PIL; ``multimodal._pil_decode`` remains the
 optional fast path for arbitrary real-world files.
 
 Honest scope: baseline sequential DCT, 8-bit precision (SOF0/SOF1),
-grayscale or interleaved color, plus single-component (grayscale)
-progressive DCT (SOF2) with full successive approximation and
-spectral selection (T.81 Annex G — all four scan kinds). What still
-raises a clear scope error: multi-component (color) progressive,
-arithmetic coding, hierarchical/lossless modes, and 16-bit quant
-tables — the same boundaries early libjpeg shipped with.
+grayscale or interleaved color, plus progressive DCT (SOF2) with full
+successive approximation and spectral selection (T.81 Annex G — all
+four scan kinds, interleaved DC scans, per-component AC scans) for
+grayscale and 4:4:4 (1x1-sampled) color. What still raises a clear
+scope error: subsampled color progressive, arithmetic coding,
+hierarchical/lossless modes, and 16-bit quant tables — the same
+boundaries early libjpeg shipped with.
 
 Determinism note for the oracle: JPEG is lossy, so a closed-form SQL
 oracle can only check values that round-trip EXACTLY. A constant 8×8
@@ -271,14 +272,19 @@ def jpeg_decode_baseline(payload: bytes):
             nc = body[5]
             if prec != 8:
                 raise ValueError("only 8-bit sample precision supported")
-            if nc != 1:
+            comps = []
+            for c in range(nc):
+                comps.append({"id": body[6 + 3 * c],
+                              "h": body[7 + 3 * c] >> 4,
+                              "v": body[7 + 3 * c] & 15,
+                              "tq": body[8 + 3 * c]})
+            if nc not in (1, 3) or any(
+                    c["h"] != 1 or c["v"] != 1 for c in comps if nc == 3):
                 raise ValueError(
-                    "multi-component progressive JPEG is out of scope — "
-                    "this decoder covers single-component (grayscale) "
-                    "progressive and full baseline; install PIL for the "
-                    "rest")
-            comps = [{"id": body[6], "h": body[7] >> 4, "v": body[7] & 15,
-                      "tq": body[8]}]
+                    "subsampled / non-3-component color progressive "
+                    "JPEG is out of scope — this decoder covers "
+                    "grayscale progressive and 4:4:4 (1x1-sampled) "
+                    "color progressive; install PIL for the rest")
             frame = (w, h, comps)
             progressive = True
         elif m in (0xC3, 0xC5, 0xC6, 0xC7,
@@ -286,7 +292,8 @@ def jpeg_decode_baseline(payload: bytes):
             raise ValueError(
                 "arithmetic/hierarchical/lossless JPEG is out of "
                 "scope — this decoder covers baseline sequential "
-                "(SOF0/SOF1) and grayscale progressive (SOF2); install "
+                "(SOF0/SOF1) and grayscale / 4:4:4 progressive (SOF2); "
+                "install "
                 "PIL for the rest")
         elif m == 0xDA:  # SOS — entropy-coded data follows
             if frame is None:
@@ -302,9 +309,10 @@ def jpeg_decode_baseline(payload: bytes):
             ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
             ahal = body[3 + 2 * ns]
             if prog_coefs is None:
-                w, h, _c = frame
+                w, h, fcomps = frame
                 nblocks = (-(-w // 8)) * (-(-h // 8))
-                prog_coefs = [[0] * 64 for _ in range(nblocks)]
+                prog_coefs = {c["id"]: [[0] * 64 for _ in range(nblocks)]
+                              for c in fcomps}
             pos = _decode_scan_progressive(
                 data, pos + seglen, frame, scan, prog_coefs,
                 huff_dc, huff_ac, restart_interval,
@@ -313,26 +321,54 @@ def jpeg_decode_baseline(payload: bytes):
         pos += seglen  # APPn / COM / anything else: skip
 
 
-def _decode_scan_progressive(data, pos, frame, scan, coefs,
+def _decode_scan_progressive(data, pos, frame, scan, coefs_by_comp,
                              huff_dc, huff_ac, ri, ss, se, ah, al):
-    """One progressive scan (T.81 Annex G, grayscale): accumulate
-    quantized coefficients for the spectral band [ss, se] at successive-
-    approximation precision (ah, al) into ``coefs`` (per-block natural-
-    order arrays). Returns the stream position after the entropy data.
+    """One progressive scan (T.81 Annex G): accumulate quantized
+    coefficients for the spectral band [ss, se] at successive-
+    approximation precision (ah, al) into ``coefs_by_comp`` (comp id →
+    per-block natural-order arrays). Returns the stream position after
+    the entropy data.
 
     Covers all four scan kinds: first DC (category-coded diffs of the
-    point-transformed DC), DC refinement (one raw bit per block), first
-    AC (run/size with EOB-run coding), and AC refinement (±1<<al
-    insertions threaded through correction bits for already-nonzero
-    coefficients — the G.1.2.3 algorithm)."""
+    point-transformed DC — possibly INTERLEAVED across components, each
+    with its own predictor; at the supported 1x1 sampling an MCU is one
+    block per component in scan order), DC refinement (one raw bit per
+    block per component), first AC (run/size with EOB-run coding), and
+    AC refinement (±1<<al insertions threaded through correction bits
+    for already-nonzero coefficients — the G.1.2.3 algorithm). AC scans
+    are always non-interleaved per G.1.1.1.1."""
     w, h, comps = frame
-    c = comps[0]
-    (td, ta) = scan[c["id"]]
-    nblocks = len(coefs)
     br = _BitReader(data, pos)
-    pred = 0
-    eobrun = 0
     p1 = 1 << al
+    scan_comps = [c for c in comps if c["id"] in scan]
+    if ss == 0:  # DC scan (se must be 0), possibly interleaved
+        nblocks = len(coefs_by_comp[scan_comps[0]["id"]])
+        pred = {c["id"]: 0 for c in scan_comps}
+        for bi in range(nblocks):
+            if ri and bi and bi % ri == 0:
+                br.expect_restart(bi // ri - 1)
+                pred = {c["id"]: 0 for c in scan_comps}
+            for c in scan_comps:
+                block = coefs_by_comp[c["id"]][bi]
+                td, _ta = scan[c["id"]]
+                if ah == 0:  # first DC scan
+                    s = _decode_symbol(br, huff_dc[td])
+                    diff = _extend(br.read_bits(s), s) if s else 0
+                    pred[c["id"]] += diff
+                    block[0] = pred[c["id"]] << al
+                else:        # DC refinement: one raw bit
+                    if br.read_bit():
+                        block[0] |= p1
+        br.nbits = 0
+        return br.pos
+    if len(scan_comps) != 1:
+        raise ValueError(
+            "progressive AC scan must be non-interleaved (T.81 G.1.1.1.1)")
+    c = scan_comps[0]
+    (td, ta) = scan[c["id"]]
+    coefs = coefs_by_comp[c["id"]]
+    nblocks = len(coefs)
+    eobrun = 0
 
     def refine_band(block, k_from):
         """Correction bits for every already-nonzero coefficient in
@@ -346,19 +382,8 @@ def _decode_scan_progressive(data, pos, frame, scan, coefs,
     for bi in range(nblocks):
         if ri and bi and bi % ri == 0:
             br.expect_restart(bi // ri - 1)
-            pred = 0
             eobrun = 0
         block = coefs[bi]
-        if ss == 0:  # DC scan (se must be 0)
-            if ah == 0:  # first DC scan
-                s = _decode_symbol(br, huff_dc[td])
-                diff = _extend(br.read_bits(s), s) if s else 0
-                pred += diff
-                block[0] = pred << al
-            else:        # DC refinement: one raw bit
-                if br.read_bit():
-                    block[0] |= p1
-            continue
         if ah == 0:  # first AC scan for this band
             if eobrun:
                 eobrun -= 1
@@ -418,23 +443,60 @@ def _decode_scan_progressive(data, pos, frame, scan, coefs,
     return br.pos
 
 
-def _render_progressive(frame, coefs, qt):
-    """Dequantize + IDCT the accumulated coefficient store and crop to
-    the frame size — the final step after all progressive scans."""
+def _render_progressive(frame, coefs_by_comp, qt):
+    """Dequantize + IDCT the accumulated coefficient stores into
+    per-component planes, crop/convert to the output raster — the final
+    step after all progressive scans (grayscale or 4:4:4 color)."""
     w, h, comps = frame
-    q = qt[comps[0]["tq"]]
     bw = -(-w // 8)
     stride = bw * 8
-    plane = bytearray(stride * (-(-h // 8)) * 8)
-    for bi, block in enumerate(coefs):
-        px = _idct_block([block[i] * q[i] for i in range(64)])
-        y0, x0 = (bi // bw) * 8, (bi % bw) * 8
-        for yy in range(8):
-            row = (y0 + yy) * stride + x0
-            plane[row:row + 8] = bytes(px[yy * 8:yy * 8 + 8])
-    raster = bytes(plane[y * stride + x]
-                   for y in range(h) for x in range(w))
-    return w, h, 1, raster
+    for c in comps:
+        q = qt[c["tq"]]
+        plane = bytearray(stride * (-(-h // 8)) * 8)
+        for bi, block in enumerate(coefs_by_comp[c["id"]]):
+            px = _idct_block([block[i] * q[i] for i in range(64)])
+            y0, x0 = (bi // bw) * 8, (bi % bw) * 8
+            for yy in range(8):
+                row = (y0 + yy) * stride + x0
+                plane[row:row + 8] = bytes(px[yy * 8:yy * 8 + 8])
+        c["plane"], c["stride"] = plane, stride
+    return _planes_to_raster(w, h, comps)
+
+
+def _planes_to_raster(w, h, comps):
+    """Shared plane → raster conversion (baseline and progressive):
+    grayscale passthrough for one component, nearest-neighbor chroma
+    upsampling + BT.601 YCbCr → RGB for three — the deterministic
+    choice this decoder DEFINES; bit parity with libjpeg's fancy
+    upsampler is a non-goal."""
+    if len(comps) == 1:
+        c = comps[0]
+        stride = c["stride"]
+        raster = bytes(c["plane"][y * stride + x]
+                       for y in range(h) for x in range(w))
+        return w, h, 1, raster
+    if len(comps) != 3:
+        raise ValueError("only 1- or 3-component JPEG supported")
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    out = bytearray(w * h * 3)
+    planes = [(c["plane"], c["stride"], c["h"], c["v"]) for c in comps]
+    for y in range(h):
+        for x in range(w):
+            vals = []
+            for plane, stride, ch, cv in planes:
+                sx = x * ch // hmax
+                sy = y * cv // vmax
+                vals.append(plane[sy * stride + sx])
+            yy, cb, cr = vals
+            r = round(yy + 1.402 * (cr - 128))
+            g = round(yy - 0.344136 * (cb - 128) - 0.714136 * (cr - 128))
+            b = round(yy + 1.772 * (cb - 128))
+            p = (y * w + x) * 3
+            out[p] = 0 if r < 0 else 255 if r > 255 else r
+            out[p + 1] = 0 if g < 0 else 255 if g > 255 else g
+            out[p + 2] = 0 if b < 0 else 255 if b > 255 else b
+    return w, h, 3, bytes(out)
 
 
 def _decode_scan(data, pos, frame, scan, qt, huff_dc, huff_ac, ri):
@@ -488,38 +550,7 @@ def _decode_scan(data, pos, frame, scan, qt, huff_dc, huff_ac, ri):
                         row = (y0 + yy) * stride + x0
                         c["plane"][row:row + 8] = bytes(px[yy * 8:
                                                            yy * 8 + 8])
-    if len(comps) == 1:
-        c = comps[0]
-        stride = c["stride"]
-        raster = bytes(c["plane"][y * stride + x]
-                       for y in range(h) for x in range(w))
-        return w, h, 1, raster
-    if len(comps) != 3:
-        raise ValueError("only 1- or 3-component JPEG supported")
-    # nearest-neighbor chroma upsampling + BT.601 YCbCr -> RGB (the
-    # deterministic choice this decoder DEFINES; bit parity with
-    # libjpeg's fancy upsampler is a non-goal)
-    out = bytearray(w * h * 3)
-    planes = []
-    for c in comps:
-        planes.append((c["plane"], c["stride"],
-                       c["h"], c["v"]))
-    for y in range(h):
-        for x in range(w):
-            vals = []
-            for plane, stride, ch, cv in planes:
-                sx = x * ch // hmax
-                sy = y * cv // vmax
-                vals.append(plane[sy * stride + sx])
-            yy, cb, cr = vals
-            r = round(yy + 1.402 * (cr - 128))
-            g = round(yy - 0.344136 * (cb - 128) - 0.714136 * (cr - 128))
-            b = round(yy + 1.772 * (cb - 128))
-            p = (y * w + x) * 3
-            out[p] = 0 if r < 0 else 255 if r > 255 else r
-            out[p + 1] = 0 if g < 0 else 255 if g > 255 else g
-            out[p + 2] = 0 if b < 0 else 255 if b > 255 else b
-    return w, h, 3, bytes(out)
+    return _planes_to_raster(w, h, comps)
 
 
 # --------------------------------------------------------------- encode

@@ -792,3 +792,72 @@ def test_bm25_scores_rank_consistently(spark, sf_dir):
         assert [r.rank for r in rs] == list(range(1, len(rs) + 1))
         scores = [r.score for r in rs]
         assert scores == sorted(scores, reverse=True), term
+
+
+def test_jpeg_progressive_color_decodes():
+    """4:4:4 color progressive (round-8 extension): one INTERLEAVED
+    first-DC scan carrying all three components (each with its own
+    predictor) decodes through the per-component coefficient stores and
+    the shared YCbCr->RGB render. DC_Y = 576 (y=200), DC_Cb = 0
+    (cb=128), DC_Cr = 80 (cr=138) => every pixel (214, 193, 200)."""
+    import struct as st
+
+    from cstore_fdw_spark.operators.jpeg_codec import (
+        _DC_BITS, _DC_VALS, _canonical_encode_table, jpeg_decode_baseline)
+
+    enc_dc = _canonical_encode_table(_DC_BITS, _DC_VALS)
+
+    def code_bits(sym):
+        code, length = enc_dc[sym]
+        return [(code >> (length - 1 - i)) & 1 for i in range(length)]
+
+    def value_bits(v, s):
+        return [(v >> (s - 1 - i)) & 1 for i in range(s)]
+
+    def entropy(bits):
+        bits = list(bits)
+        while len(bits) % 8:
+            bits.append(1)
+        out = bytearray()
+        for i in range(0, len(bits), 8):
+            b = 0
+            for bit in bits[i:i + 8]:
+                b = (b << 1) | bit
+            out.append(b)
+            if b == 0xFF:
+                out.append(0x00)
+        return bytes(out)
+
+    dqt = b"\xff\xdb" + st.pack(">H", 67) + b"\x00" + bytes([1] * 64)
+    sof2 = (b"\xff\xc2" + st.pack(">H", 17)
+            + st.pack(">BHHB", 8, 8, 8, 3)
+            + bytes([1, 0x11, 0, 2, 0x11, 0, 3, 0x11, 0]))
+    dht = (b"\xff\xc4" + st.pack(">H", 19 + len(_DC_VALS))
+           + b"\x00" + bytes(_DC_BITS) + bytes(_DC_VALS))
+    # one interleaved DC-first scan (al=0): Y diff 576 (cat 10),
+    # Cb diff 0 (cat 0), Cr diff 80 (cat 7)
+    sos = (b"\xff\xda" + st.pack(">H", 12)
+           + bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 0, 0x00]))
+    scan = entropy(code_bits(10) + value_bits(576, 10)
+                   + code_bits(0)
+                   + code_bits(7) + value_bits(80, 7))
+    payload = (b"\xff\xd8" + dqt + sof2 + dht + sos + scan + b"\xff\xd9")
+
+    w, h, ch, raster = jpeg_decode_baseline(payload)
+    assert (w, h, ch) == (8, 8, 3)
+    assert raster == bytes([214, 193, 200] * 64)
+
+
+def test_jpeg_progressive_subsampled_color_refused():
+    """Subsampled color progressive stays an honest scope error."""
+    import struct as st
+
+    import pytest
+
+    from cstore_fdw_spark.operators.jpeg_codec import jpeg_decode_baseline
+
+    sof2 = (b"\xff\xd8" + b"\xff\xc2" + st.pack(">H", 17)
+            + st.pack(">BHHB", 8, 8, 8, 3)
+            + bytes([1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1]))
+    with pytest.raises(ValueError, match="progressive"):
+        jpeg_decode_baseline(sof2)
