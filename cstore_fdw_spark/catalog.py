@@ -81,7 +81,8 @@ def validate_options(options: dict[str, Any]) -> dict[str, Any]:
     (parity with cstore_fdw_validator, reference cstore_fdw.c:1273-1340)."""
     known = {"filename", "compression", "stripe_row_count", "block_row_count",
              "sort_by", "partition_by", "storage_format",
-             "zorder_by", "zorder_bits", "zorder_scale"}
+             "zorder_by", "zorder_bits", "zorder_scale",
+             "bloom_filter_columns", "bloom_filter_ndv"}
     for key in options:
         if key not in known:
             raise CStoreError(
@@ -147,6 +148,17 @@ def validate_options(options: dict[str, Any]) -> dict[str, Any]:
             raise CStoreError(
                 f'invalid zorder_scale "{zs}"; supported: minmax, quantile')
         out["zorder_scale"] = zs
+    if out.get("bloom_filter_columns"):
+        bf = out["bloom_filter_columns"]
+        out["bloom_filter_columns"] = (
+            ",".join(bf) if isinstance(bf, (list, tuple)) else str(bf))
+        if out["storage_format"] != "parquet":
+            raise CStoreError(
+                "bloom_filter_columns requires parquet storage")
+        ndv = int(out.get("bloom_filter_ndv", 100_000))
+        if ndv < 1:
+            raise CStoreError(f"invalid bloom_filter_ndv {ndv}; must be >= 1")
+        out["bloom_filter_ndv"] = ndv
     return out
 
 
@@ -397,13 +409,26 @@ class CStoreCatalog:
                     str(meta.options.get("block_row_count",
                                          DEFAULT_BLOCK_ROW_COUNT)),
             }
-        return {
+        opts = {
             "compression": codec,
             # block analog: page-level stats every block_row_count rows
             "parquet.page.row.count.limit":
                 str(meta.options.get("block_row_count",
                                      DEFAULT_BLOCK_ROW_COUNT)),
         }
+        # point-lookup skipping beyond zone maps: per-row-group bloom
+        # filters on declared columns (the skip-index kind the reference
+        # lacks — its min/max blocks can't prune equality probes on
+        # unsorted high-cardinality columns, blooms can; the reader
+        # drops whole row groups on a bloom miss, asserted in
+        # tests/test_pushdown.py::test_bloom_filter_point_lookup_skips)
+        bf = meta.options.get("bloom_filter_columns")
+        if bf:
+            ndv = str(meta.options.get("bloom_filter_ndv", 100_000))
+            for col in str(bf).split(","):
+                opts[f"parquet.bloom.filter.enabled#{col}"] = "true"
+                opts[f"parquet.bloom.filter.expected.ndv#{col}"] = ndv
+        return opts
 
     def insert(self, name: str, df: DataFrame, overwrite: bool = False) -> None:
         """A7/A8: append a batch (INSERT INTO ... SELECT parity). Each append

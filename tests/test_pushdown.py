@@ -229,3 +229,53 @@ def test_seed_topk_never_globally_sorts_corpus(spark, sf_dir):
             f"{name}: seeding top-k lost its rank-limit pushdown — "
             f"plan has neither WindowGroupLimit nor "
             f"TakeOrderedAndProject:\n{plan[:2000]}")
+
+
+def test_bloom_filter_point_lookup_skips(spark, catalog):
+    """The bloom_filter_columns table option: an equality probe for an
+    ABSENT in-range key on an unsorted high-cardinality column reads
+    ZERO rows (every row group's min/max spans the range, so only the
+    bloom filter can prune) — the skip-index kind beyond the
+    reference's min/max blocks. The bloom-less control table scans."""
+    from pyspark.sql import functions as F
+
+    from cstore_fdw_spark.plans import scan_metrics
+
+    df = (spark.range(0, 60_000)
+          .select((F.col("id") * 2654435761 % 1000003).alias("k"),
+                  F.col("id").alias("v")))
+    catalog.create_table("bloomed", "k long, v long",
+                         bloom_filter_columns="k",
+                         bloom_filter_ndv=60_000,
+                         block_row_count=1000)
+    catalog.create_table("plain_t", "k long, v long",
+                         block_row_count=1000)
+    catalog.insert("bloomed", df)
+    catalog.insert("plain_t", df)
+
+    present = {r.k for r in catalog.read("bloomed").select("k").collect()}
+    probe = next(x for x in range(500, 1000003) if x not in present)
+    m_bloom = scan_metrics(catalog.read("bloomed")
+                           .filter(F.col("k") == probe))
+    m_plain = scan_metrics(catalog.read("plain_t")
+                           .filter(F.col("k") == probe))
+    assert m_bloom["scan_rows"] == 0, m_bloom
+    assert m_plain["scan_rows"] > 0, m_plain
+    # present keys still found through the bloomed layout
+    some = sorted(present)[123]
+    assert catalog.read("bloomed").filter(F.col("k") == some).count() >= 1
+
+
+def test_bloom_filter_option_validation(spark, catalog):
+    import pytest
+
+    from cstore_fdw_spark.catalog import CStoreError, validate_options
+
+    out = validate_options({"bloom_filter_columns": ["a", "b"]})
+    assert out["bloom_filter_columns"] == "a,b"
+    with pytest.raises(CStoreError, match="parquet"):
+        validate_options({"bloom_filter_columns": "a",
+                          "storage_format": "orc"})
+    with pytest.raises(CStoreError, match="bloom_filter_ndv"):
+        validate_options({"bloom_filter_columns": "a",
+                          "bloom_filter_ndv": 0})
