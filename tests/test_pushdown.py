@@ -264,6 +264,12 @@ def test_bloom_filter_point_lookup_skips(spark, catalog):
     # present keys still found through the bloomed layout
     some = sorted(present)[123]
     assert catalog.read("bloomed").filter(F.col("k") == some).count() >= 1
+    # compaction rewrites files through the same writer options, so the
+    # bloom layout survives every lifecycle rewrite
+    catalog.compact("bloomed")
+    m_after = scan_metrics(catalog.read("bloomed")
+                           .filter(F.col("k") == probe))
+    assert m_after["scan_rows"] == 0, m_after
 
 
 def test_bloom_filter_option_validation(spark, catalog):
