@@ -630,3 +630,49 @@ def stats_countmin_heavy_hitters(spark, sf_dir):
                     F.col("exact_count").cast("long").alias("exact_count"),
                     (F.col("est_count") - F.col("exact_count"))
                     .cast("long").alias("overcount")))
+
+
+@register(
+    "timeseries_ohlc_resample",
+    category="analytics",
+    oracle="""
+    WITH h AS (
+      SELECT event_type, date_trunc('hour', ts) AS hour_start,
+             ts, event_id, value
+      FROM events),
+    r AS (
+      SELECT *,
+             ROW_NUMBER() OVER (PARTITION BY event_type, hour_start
+                                ORDER BY ts, event_id) AS rn_a,
+             ROW_NUMBER() OVER (PARTITION BY event_type, hour_start
+                                ORDER BY ts DESC, event_id DESC) AS rn_d
+      FROM h)
+    SELECT event_type, hour_start,
+           MAX(CASE WHEN rn_a = 1 THEN value END) AS open,
+           MAX(value) AS high,
+           MIN(value) AS low,
+           MAX(CASE WHEN rn_d = 1 THEN value END) AS close,
+           CAST(COUNT(*) AS BIGINT) AS volume
+    FROM r GROUP BY event_type, hour_start
+    """)
+def timeseries_ohlc_resample(spark, sf_dir):
+    """OHLC resampling (the finance/time-series downsample every metrics
+    store ships): per (event_type, hour) — open = value at the earliest
+    event, close at the latest (both tie-broken on the unique event_id),
+    high/low/volume. ONE map-side-combinable groupBy: open/close ride
+    min/max over (ts, event_id, value) structs, so there is no window
+    pass and no second shuffle — at 100 TB this is a single partial-agg
+    scan, strictly cheaper than the oracle's two ROW_NUMBER windows.
+    Output: (event_type, hour_start, open, high, low, close, volume)."""
+    e = table(spark, sf_dir, "events")
+    return (e.select("event_type",
+                     F.date_trunc("hour", "ts").alias("hour_start"),
+                     "ts", "event_id", "value")
+            .groupBy("event_type", "hour_start")
+            .agg(F.min(F.struct("ts", "event_id", "value"))["value"]
+                 .alias("open"),
+                 F.max("value").alias("high"),
+                 F.min("value").alias("low"),
+                 F.max(F.struct("ts", "event_id", "value"))["value"]
+                 .alias("close"),
+                 F.count(F.lit(1)).alias("volume")))

@@ -373,3 +373,47 @@ def join_range_bucketed(spark, sf_dir):
                     (F.expr("unix_micros(b_ts) div 1000000")
                      - F.expr("unix_micros(a_ts) div 1000000"))
                     .alias("secs_after")))
+
+
+@register(
+    "join_asof_tolerance",
+    category="join",
+    oracle="""
+    SELECT p.event_id, p.user_id, p.ts,
+           (SELECT MAX(c.ts) FROM events c
+            WHERE c.user_id = p.user_id AND c.event_type = 'click'
+              AND c.ts <= p.ts
+              AND c.ts >= p.ts - INTERVAL 30 MINUTE) AS last_click_ts
+    FROM events p WHERE p.event_type = 'purchase'
+    """)
+def join_asof_tolerance(spark, sf_dir):
+    """As-of join WITH TOLERANCE (the pandas ``merge_asof(tolerance=...)``
+    / Polars ``join_asof(tolerance=...)`` shape): each purchase picks up
+    the last click at most 30 minutes before it, NULL when the nearest
+    click is staler. Same single window pass per user as the plain as-of
+    join — the tolerance is a post-carry filter on the carried
+    timestamp, so the plan stays one shuffle on user_id with no
+    nested-loop; at 100 TB this is O(n log n) per user partition
+    exactly like the untolerated form."""
+    ev = table(spark, sf_dir, "events")
+    clicks = (ev.filter(F.col("event_type") == "click")
+              .select("user_id", "ts",
+                      F.lit(None).cast("long").alias("event_id"),
+                      F.lit(0).alias("is_purchase")))
+    purchases = (ev.filter(F.col("event_type") == "purchase")
+                 .select("user_id", "ts", "event_id",
+                         F.lit(1).alias("is_purchase")))
+    tagged = clicks.unionByName(purchases)
+    w = (Window.partitionBy("user_id")
+         .orderBy("ts", "is_purchase")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    click_ts = F.when(F.col("is_purchase") == 0, F.col("ts"))
+    carried = F.last(click_ts, ignorenulls=True).over(w)
+    within = (F.col("carried") >=
+              F.col("ts") - F.expr("INTERVAL 30 MINUTE"))
+    return (tagged
+            .withColumn("carried", carried)
+            .filter(F.col("is_purchase") == 1)
+            .select("event_id", "user_id", "ts",
+                    F.when(within, F.col("carried"))
+                    .alias("last_click_ts")))

@@ -279,3 +279,31 @@ def q14_promo_effect(spark, sf_dir):
     return (li.join(p, li.l_partkey == p.p_partkey)
             .agg(to_dbl(F.sum(promo)).alias("promo_revenue"),
                  to_dbl(F.sum(rev)).alias("total_revenue")))
+
+
+@register(
+    "subquery_any_all_acctbal",
+    category="subquery",
+    oracle="""
+    SELECT s_suppkey, s_name, s_nationkey, s_acctbal
+    FROM supplier s
+    WHERE s_acctbal > ALL (SELECT c_acctbal FROM customer c
+                           WHERE c.c_nationkey = s.s_nationkey)
+    """)
+def subquery_any_all_acctbal(spark, sf_dir):
+    """Quantified comparison (``> ALL`` over a correlated subquery — the
+    PG idiom next to EXISTS/IN): suppliers whose account balance beats
+    EVERY customer of their nation. Decorrelated the way a planner
+    would: ``> ALL S`` ≡ ``> max(S)`` when S is NULL-free, and an empty
+    S is vacuously true — so the plan is one per-nation max aggregate
+    (25 rows, broadcast) left-joined to suppliers; no per-row subquery
+    execution anywhere. The same rewrite holds at 100 TB: the inner
+    aggregate is keyed on the correlation column, one shuffle."""
+    s = table(spark, sf_dir, "supplier")
+    c = table(spark, sf_dir, "customer")
+    nmax = (c.groupBy(F.col("c_nationkey").alias("s_nationkey"))
+            .agg(F.max("c_acctbal").alias("max_bal")))
+    return (s.join(F.broadcast(nmax), "s_nationkey", "left")
+            .filter(F.col("max_bal").isNull()
+                    | (F.col("s_acctbal") > F.col("max_bal")))
+            .select("s_suppkey", "s_name", "s_nationkey", "s_acctbal"))

@@ -1562,3 +1562,40 @@ def text_bm25_rank(spark, sf_dir):
             .select("term", "doc_id", "tf", score.alias("score"))
             .withColumn("rank", F.row_number().over(w).cast("long"))
             .filter(F.col("rank") <= BM25_TOP))
+
+
+@register(
+    "text_levenshtein_entity_pairs",
+    category="text",
+    oracle="""
+    SELECT a.s_suppkey AS key_a, b.s_suppkey AS key_b,
+           a.s_name AS name_a, b.s_name AS name_b,
+           CAST(levenshtein(a.s_name, b.s_name) AS BIGINT) AS edit_dist
+    FROM supplier a JOIN supplier b
+      ON a.s_nationkey = b.s_nationkey AND a.s_suppkey < b.s_suppkey
+    WHERE levenshtein(a.s_name, b.s_name) <= 4
+    """)
+def text_levenshtein_entity_pairs(spark, sf_dir):
+    """Fuzzy entity matching via edit distance (the dedup primitive for
+    NAMES — MinHash/SimHash block on content shingles, entity
+    resolution blocks on a key and compares short strings exactly):
+    supplier-name pairs within a nation at Levenshtein distance ≤ 4.
+    The nation is the blocking key, so the pair space is
+    Σ|nation-group|², never |table|² — the same blocking discipline as
+    the embedding-cosine dedup family; at 100 TB a higher-cardinality
+    block key (name prefix, phonetic bucket) drops in without changing
+    the plan shape. Distance runs JVM-side (``F.levenshtein`` codegen,
+    no Python). Output: (key_a, key_b, name_a, name_b, edit_dist)."""
+    s = table(spark, sf_dir, "supplier")
+    a = s.select(F.col("s_suppkey").alias("key_a"),
+                 F.col("s_name").alias("name_a"),
+                 F.col("s_nationkey").alias("nk"))
+    b = s.select(F.col("s_suppkey").alias("key_b"),
+                 F.col("s_name").alias("name_b"),
+                 F.col("s_nationkey").alias("nk"))
+    dist = F.levenshtein("name_a", "name_b")
+    return (a.join(b, "nk")
+            .filter(F.col("key_a") < F.col("key_b"))
+            .select("key_a", "key_b", "name_a", "name_b",
+                    dist.cast("long").alias("edit_dist"))
+            .filter(F.col("edit_dist") <= 4))
