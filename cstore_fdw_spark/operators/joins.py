@@ -417,3 +417,32 @@ def join_asof_tolerance(spark, sf_dir):
             .select("event_id", "user_id", "ts",
                     F.when(within, F.col("carried"))
                     .alias("last_click_ts")))
+
+
+@register(
+    "join_skew_salted_enrich",
+    category="join",
+    oracle="""
+    SELECT e.event_id, e.user_id, c.c_mktsegment AS segment
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    """)
+def join_skew_salted_enrich(spark, sf_dir):
+    """Salted replicated join (the manual skew lever next to the salted
+    aggregation already registered): the dimension is replicated once
+    per salt and the fact's key is salted, so a key holding 30% of the
+    fact spreads across n_salts reducers instead of melting one. Row
+    set PROVABLY identical to the plain join (that is the oracle). When
+    the dim fits in memory a broadcast is strictly better (see
+    events_enrich_segment — no shuffle at all); salting is for the case
+    where the join MUST shuffle (dim too large to broadcast) and the
+    fact key is skewed beyond what AQE's skew-join splitting handles.
+    Output: (event_id, user_id, segment)."""
+    from cstore_fdw_spark.functions import salted_join_small
+
+    e = (table(spark, sf_dir, "events")
+         .select("event_id", "user_id"))
+    c = (table(spark, sf_dir, "customer")
+         .select(F.col("c_custkey").alias("user_id"),
+                 F.col("c_mktsegment").alias("segment")))
+    return (salted_join_small(e, c, "user_id")
+            .select("event_id", "user_id", "segment"))

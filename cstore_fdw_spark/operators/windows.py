@@ -163,3 +163,45 @@ def window_first_last_value(spark, sf_dir):
             .select("o_custkey", "o_orderkey",
                     F.first("o_orderdate").over(w).alias("first_order"),
                     F.last("o_orderdate").over(wfull).alias("last_order")))
+
+
+@register(
+    "window_gaps_islands",
+    category="window",
+    oracle="""
+    WITH days AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS d
+      FROM events),
+    tagged AS (
+      SELECT user_id, d,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d) AS rn
+      FROM days),
+    isl AS (
+      SELECT user_id, d, d - CAST(rn AS INTEGER) AS island_key
+      FROM tagged)
+    SELECT user_id,
+           MIN(d) AS streak_start, MAX(d) AS streak_end,
+           CAST(COUNT(*) AS BIGINT) AS streak_days
+    FROM isl GROUP BY user_id, island_key
+    """)
+def window_gaps_islands(spark, sf_dir):
+    """Gaps-and-islands (the classic SQL archetype for consecutive-run
+    detection — session streaks, uptime windows, inventory runs): each
+    user's runs of CONSECUTIVE active days, found by the row_number
+    difference trick (day − rn is constant within a run). One distinct
+    + one window + one aggregate, all partitioned by user_id — a single
+    key's work never leaves its partition, so the plan is one shuffle
+    at any scale. Output: (user_id, streak_start, streak_end,
+    streak_days)."""
+    e = table(spark, sf_dir, "events")
+    days = (e.select("user_id",
+                     F.to_date(F.date_trunc("day", "ts")).alias("d"))
+            .distinct())
+    w = Window.partitionBy("user_id").orderBy("d")
+    isl = (days.withColumn("rn", F.row_number().over(w))
+           .withColumn("island_key", F.date_sub("d", F.col("rn"))))
+    return (isl.groupBy("user_id", "island_key")
+            .agg(F.min("d").alias("streak_start"),
+                 F.max("d").alias("streak_end"),
+                 F.count(F.lit(1)).alias("streak_days"))
+            .drop("island_key"))
