@@ -361,6 +361,61 @@ class CStoreCatalog:
             shutil.rmtree(data + ".compact.old", ignore_errors=True)
         shutil.rmtree(self.table_path(name))
 
+    def clone_table(self, src: str, dst: str) -> None:
+        """Zero-copy snapshot clone (the lakehouse SHALLOW CLONE idiom):
+        hardlink every COMMITTED data file of ``src`` into a new table
+        ``dst`` and copy the metadata. Safe because the commit protocol
+        makes data files immutable once visible — rewrites on either
+        table create NEW files and unlink old ones, which only drops a
+        link count, so the two tables diverge without ever sharing
+        mutable bytes (the reference has no analog; its one-file-per-
+        table layout would need a data copy). Cross-device locations
+        fall back to a real copy per file. Cost: O(#files) metadata ops,
+        zero data bytes moved on one filesystem.
+
+        The clone keeps ``write_epoch``/``history_floor``, so time
+        travel works on the clone for every epoch the source retained
+        at clone time; uncommitted/orphan batches and logically-dropped
+        files are excluded (only ``_visible_files`` are linked). The
+        clone is a NEW table identity (fresh ``created_at``): aggregate
+        views and projections over the source do not adopt it."""
+        if self.exists(dst):
+            raise CStoreError(f'relation "{dst}" already exists')
+        if "filename" in self._load_meta(src).options:
+            raise CStoreError(
+                "cannot clone a table with a custom filename location")
+        with self._writer_lock(src):
+            smeta = self._load_meta(src)
+            fmt = self._format(smeta)
+            self._recover_orphans(smeta, fmt)
+            src_data = self._data_path(smeta)
+            files = self._visible_files(smeta)
+            dst_dir = self.table_path(dst)
+            # a crashed earlier clone left a meta-less dir: clear it
+            if os.path.isdir(dst_dir) and not os.path.exists(
+                    self._meta_path(dst)):
+                shutil.rmtree(dst_dir)
+            dst_data = os.path.join(dst_dir, "data")
+            os.makedirs(dst_data, exist_ok=True)
+            kept = set()
+            for p_ in files:
+                rel = os.path.relpath(p_, src_data)
+                kept.add(rel)
+                target = os.path.join(dst_data, rel)
+                os.makedirs(os.path.dirname(target), exist_ok=True)
+                try:
+                    os.link(p_, target)
+                except OSError:  # cross-device: degrade to a real copy
+                    shutil.copy2(p_, target)
+            meta = TableMeta(**{**smeta.__dict__})
+            meta.name = dst
+            meta.registered_names = []
+            meta.dropped_files = []
+            meta.file_stats = {rel: v for rel, v in smeta.file_stats.items()
+                               if rel in kept}
+            meta.created_at = time.time()
+            self._save_meta(meta)  # the commit point — last step
+
     def truncate(self, *names: str) -> None:
         """A12: delete data files, keep table valid and empty. Handles
         repeated names in one statement once (cstore_fdw.c:856-868)."""

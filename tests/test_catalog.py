@@ -1236,3 +1236,53 @@ def test_merge_evolve_schema_adds_source_columns(spark, catalog):
     assert "extra" not in catalog._load_meta("mev").schema().fieldNames()
     assert {(r.k, r.v, r.score) for r in catalog.read("mev").collect()} \
         == {(1, "a", None), (2, "B", 9.5), (3, "c3", 1.0)}
+
+
+def test_clone_table_zero_copy_snapshot(spark, catalog):
+    """SHALLOW-CLONE semantics: the clone shares immutable data files
+    (hardlinks), sees exactly the source's committed rows at clone time,
+    and the two tables diverge independently afterward — source
+    appends, deletes, even DROP leave the clone intact."""
+    import os
+
+    import pytest
+
+    from cstore_fdw_spark.catalog import CStoreError
+
+    catalog.create_table("src", "k long, v string")
+    catalog.insert("src", spark.createDataFrame(
+        [(1, "a"), (2, "b")], "k long, v string"))
+    catalog.insert("src", spark.createDataFrame(
+        [(3, "c")], "k long, v string"))
+
+    catalog.clone_table("src", "snap")
+    rows = lambda t: sorted(tuple(r) for r in catalog.read(t).collect())
+    assert rows("snap") == rows("src") == [(1, "a"), (2, "b"), (3, "c")]
+    # hardlinked, not copied: link count 2 on shared files
+    smeta = catalog._load_meta("snap")
+    shared = catalog._visible_files(smeta)
+    assert shared and all(os.stat(p).st_nlink >= 2 for p in shared)
+
+    # divergence: source mutations never leak into the clone
+    catalog.insert("src", spark.createDataFrame(
+        [(4, "d")], "k long, v string"))
+    catalog.delete_where("src", "k = 1")
+    assert rows("snap") == [(1, "a"), (2, "b"), (3, "c")]
+    assert rows("src") == [(2, "b"), (3, "c"), (4, "d")]
+    # clone mutations never leak into the source
+    catalog.insert("snap", spark.createDataFrame(
+        [(9, "z")], "k long, v string"))
+    assert (9, "z") not in set(rows("src"))
+
+    # time travel works on the clone for retained epochs
+    assert sorted(tuple(r) for r in
+                  catalog.read("snap", as_of_epoch=1).collect()) \
+        == [(1, "a"), (2, "b")]
+
+    # dropping the source leaves the clone fully readable (hardlinks)
+    catalog.drop_table("src")
+    assert rows("snap")[:3] == [(1, "a"), (2, "b"), (3, "c")]
+
+    with pytest.raises(CStoreError, match="already exists"):
+        catalog.create_table("snap2", "k long")
+        catalog.clone_table("snap", "snap2")
