@@ -361,7 +361,8 @@ class CStoreCatalog:
             shutil.rmtree(data + ".compact.old", ignore_errors=True)
         shutil.rmtree(self.table_path(name))
 
-    def clone_table(self, src: str, dst: str) -> None:
+    def clone_table(self, src: str, dst: str,
+                    as_of_epoch: int | None = None) -> None:
         """Zero-copy snapshot clone (the lakehouse SHALLOW CLONE idiom):
         hardlink every COMMITTED data file of ``src`` into a new table
         ``dst`` and copy the metadata. Safe because the commit protocol
@@ -378,7 +379,13 @@ class CStoreCatalog:
         at clone time; uncommitted/orphan batches and logically-dropped
         files are excluded (only ``_visible_files`` are linked). The
         clone is a NEW table identity (fresh ``created_at``): aggregate
-        views and projections over the source do not adopt it."""
+        views and projections over the source do not adopt it.
+
+        ``as_of_epoch`` clones a HISTORICAL snapshot instead of the
+        current state — the restore idiom: ``clone_table(t, t_restored,
+        as_of_epoch=N)`` materializes epoch N as a live table without
+        copying data. Refused below the ``history_floor`` with the same
+        vacuumed-snapshot error as ``read(as_of_epoch=...)``."""
         if self.exists(dst):
             raise CStoreError(f'relation "{dst}" already exists')
         if "filename" in self._load_meta(src).options:
@@ -389,7 +396,14 @@ class CStoreCatalog:
             fmt = self._format(smeta)
             self._recover_orphans(smeta, fmt)
             src_data = self._data_path(smeta)
-            files = self._visible_files(smeta)
+            if (as_of_epoch is not None
+                    and as_of_epoch < smeta.history_floor):
+                raise CStoreError(
+                    f'snapshot epoch {as_of_epoch} of "{src}" predates '
+                    f"the last file rewrite (history floor "
+                    f"{smeta.history_floor}): the files backing it were "
+                    "vacuumed")
+            files = self._visible_files(smeta, as_of_epoch=as_of_epoch)
             dst_dir = self.table_path(dst)
             # a crashed earlier clone left a meta-less dir: clear it
             if os.path.isdir(dst_dir) and not os.path.exists(
@@ -414,6 +428,11 @@ class CStoreCatalog:
             meta.file_stats = {rel: v for rel, v in smeta.file_stats.items()
                                if rel in kept}
             meta.created_at = time.time()
+            if as_of_epoch is not None:
+                # the clone IS that snapshot: its epoch counter resumes
+                # from the restored point
+                meta.write_epoch = as_of_epoch
+                meta.history_floor = min(smeta.history_floor, as_of_epoch)
             self._save_meta(meta)  # the commit point — last step
 
     def truncate(self, *names: str) -> None:

@@ -1286,3 +1286,32 @@ def test_clone_table_zero_copy_snapshot(spark, catalog):
     with pytest.raises(CStoreError, match="already exists"):
         catalog.create_table("snap2", "k long")
         catalog.clone_table("snap", "snap2")
+
+
+def test_clone_table_as_of_epoch_restores_snapshot(spark, catalog):
+    """Restore idiom: clone a historical epoch as a live table —
+    zero-copy — with the epoch counter resumed from the restored point
+    and vacuumed snapshots refused."""
+    import pytest
+
+    from cstore_fdw_spark.catalog import CStoreError
+
+    catalog.create_table("src", "k long")
+    for i in range(3):
+        catalog.insert("src", spark.createDataFrame(
+            [(i,)], "k long"))  # epochs 1..3
+
+    catalog.clone_table("src", "restored", as_of_epoch=2)
+    assert sorted(r.k for r in catalog.read("restored").collect()) == [0, 1]
+    assert catalog.current_epoch("restored") == 2
+    # the restored table continues its own history from epoch 2
+    catalog.insert("restored", spark.createDataFrame([(9,)], "k long"))
+    assert catalog.current_epoch("restored") == 3
+    assert sorted(r.k for r in catalog.read("restored").collect()) \
+        == [0, 1, 9]
+    # original untouched
+    assert sorted(r.k for r in catalog.read("src").collect()) == [0, 1, 2]
+
+    catalog.compact("src")  # floor rises past old epochs
+    with pytest.raises(CStoreError, match="vacuumed"):
+        catalog.clone_table("src", "too_old", as_of_epoch=1)
