@@ -240,6 +240,11 @@ class TableMeta:
     # rewrites (compact bakes the projected values); file-pruned commits
     # keep it (untouched files still carry the dead bytes).
     column_reset_epoch: dict[str, int] = field(default_factory=dict)
+    # column -> equi-depth histogram bounds from analyze_histograms()
+    # (the pg_statistic histogram_bounds analog), plus the row count the
+    # histogram was built at — planner inputs, never correctness inputs
+    histograms: dict[str, list] = field(default_factory=dict)
+    histogram_rows: int = 0
     version: str = "1.0"
     created_at: float = 0.0
 
@@ -2032,6 +2037,65 @@ class CStoreCatalog:
             col, stat = key.rsplit("__", 1)
             stats.setdefault(col, {})[stat] = val
         return stats
+
+    def analyze_histograms(self, name: str,
+                           bins: int = 16) -> dict[str, list[float]]:
+        """Equi-depth histograms per numeric column (the pg_statistic
+        ``histogram_bounds`` analog — the reference's ANALYZE fills the
+        same slot via PostgreSQL's sampler, cstore_fdw.c:2061-2260):
+        ``bins+1`` approx-percentile boundaries per column, computed in
+        ONE distributed aggregate over all columns and persisted in the
+        table metadata for planner-side use. Approximate on purpose
+        (t-digest under ``approx_percentile``) — histograms inform
+        estimates, they never gate correctness."""
+        meta = self._load_meta(name)
+        df = self.read(name)
+        num_cols = [f_.name for f_ in df.schema.fields
+                    if isinstance(f_.dataType, T.NumericType)]
+        if not num_cols:
+            return {}
+        qs = F.array(*[F.lit(i / bins) for i in range(bins + 1)])
+        row = df.agg(*[
+            F.percentile_approx(F.col(c).cast("double"), qs)
+            .alias(c) for c in num_cols]).collect()[0].asDict()
+        hists = {c: [float(v) for v in bounds]
+                 for c, bounds in row.items() if bounds is not None}
+        meta.histograms = hists
+        meta.histogram_rows = int(self.row_count(name) or df.count())
+        self._save_meta(meta)
+        return hists
+
+    def estimate_rows(self, name: str, column: str,
+                      lo: float | None = None,
+                      hi: float | None = None) -> int | None:
+        """Selectivity estimate for ``lo <= column < hi`` from the
+        persisted equi-depth histogram — each bucket holds rows/bins
+        rows, partial buckets interpolate linearly (the textbook
+        estimator every CBO runs). Returns None when no histogram was
+        analyzed; estimates NEVER replace execution, they order join
+        sides and size shuffles."""
+        meta = self._load_meta(name)
+        if column not in meta.histograms:
+            return None
+        bounds = meta.histograms[column]
+        rows = int(meta.histogram_rows)
+        bins = len(bounds) - 1
+        if bins <= 0 or rows <= 0:
+            return None
+        per_bucket = rows / bins
+        lo = bounds[0] if lo is None else lo
+        hi = bounds[-1] if hi is None else hi
+        total = 0.0
+        for i in range(bins):
+            b_lo, b_hi = bounds[i], bounds[i + 1]
+            if b_hi <= lo or b_lo >= hi:
+                continue
+            if b_hi == b_lo:
+                total += per_bucket  # zero-width (heavy value) bucket
+                continue
+            frac = ((min(hi, b_hi) - max(lo, b_lo)) / (b_hi - b_lo))
+            total += per_bucket * max(0.0, min(1.0, frac))
+        return int(round(total))
 
 
 def _data_files(path: str, fmt: str):
