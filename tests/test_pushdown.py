@@ -117,6 +117,8 @@ def test_no_unbounded_nested_loop_joins(spark, sf_dir):
                     "q11_important_stock", "q22_global_sales_opportunity",
                     # vectors × 16 broadcast IVF centroids (bounded side)
                     "dedup_semantic_clustered",
+                    # same bounded centroid broadcast via _ivf_scored_cells
+                    "vector_ivf_pq_topk",
                     # |languages| rows × 1-row broadcast budget scalar
                     "training_mix_pipeline"}
     reg = load_all()
