@@ -1182,6 +1182,62 @@ class CStoreCatalog:
                 "inserted": int(stats.n_inserted or 0),
                 "removed_unmatched": int(stats.n_removed or 0)}
 
+    def alter_table_layout(self, name: str, **options: Any) -> None:
+        """ALTER TABLE ... SET layout: re-declare physical layout options
+        (``sort_by``, ``partition_by``, ``compression``,
+        ``block_row_count``, ``stripe_row_count``, ``storage_format``,
+        ``bloom_filter_columns``/``_ndv``) and REWRITE the data into the
+        new shape in one crash-safe operation (the compact swap
+        protocol: staged write → lock-validated two-rename commit;
+        readers always see the old or the new layout, never a window).
+        Pass ``option=None`` to remove a layout option. The merged
+        option set re-validates as a whole, so invalid combinations
+        (e.g. adding sort_by to a z-ordered table) fail before any
+        data moves. Like every rewrite, the commit raises the
+        ``history_floor`` — pre-rewrite snapshots are gone. Z-order
+        changes go through ``compact(zorder_by=...)`` (they need the
+        clustering writer); ``filename`` relocation is not a layout
+        change.
+
+        The reference's only layout levers are fixed at CREATE time
+        (options validated once, cstore_fdw.c:1273-1340; changing them
+        meant dump/recreate) — this is the managed-table upgrade."""
+        banned = {k for k in options
+                  if k.startswith("zorder") or k == "filename"}
+        if banned:
+            raise CStoreError(
+                f"{sorted(banned)} cannot change via alter_table_layout "
+                "(use compact(zorder_by=...) for clustering; filename "
+                "is a location, not a layout)")
+        meta = self._load_meta(name)
+        merged = dict(meta.options)
+        for k, v in options.items():
+            if v is None:
+                merged.pop(k, None)
+            else:
+                merged[k] = v
+        validated = validate_options(merged)
+        base_epoch = meta.write_epoch
+        work = TableMeta(**{**meta.__dict__})
+        work.options = validated
+        df = self.read(name)
+        part = validated.get("partition_by")
+        if part:
+            # co-locate each partition's rows → few files per directory
+            df = df.repartition(*part.split(","))
+        sort = validated.get("sort_by")
+        if sort:
+            df = df.sortWithinPartitions(*sort.split(","))
+
+        def mutate(fresh: TableMeta) -> None:
+            fresh.options = validated
+
+        # _rewrite_df stages with ``work``'s (new) options — writer
+        # codecs, page limits, blooms, partitionBy — and commits the
+        # option swap together with the data swap under the writer lock
+        self._rewrite_df(work, df, base_epoch=base_epoch, mutate=mutate)
+        self._refresh_registered(meta)
+
     def _rewrite(self, name: str, keep=None, set_opts=None) -> int:
         # optimistic-concurrency loop: the distributed rewrite runs
         # unlocked; if another writer committed meanwhile the lock-held

@@ -1356,3 +1356,54 @@ def test_analyze_histograms_and_selectivity(spark, catalog):
     catalog.insert("t", spark.createDataFrame([(1, 1.0, "q")],
                                               "x long, y double, s string"))
     assert catalog.estimate_rows("t", "x", 0, 100) == est
+
+
+def test_alter_table_layout_rewrites_in_place(spark, catalog):
+    """ALTER layout: add a sort order (zone maps start pruning), then a
+    partitioning (hive dirs appear), then remove it — rows identical
+    throughout, every step crash-safe via the compact swap; snapshots
+    below the rewrite are honestly refused."""
+    import os
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from cstore_fdw_spark.catalog import CStoreError
+    from cstore_fdw_spark.plans import scan_metrics
+
+    catalog.create_table("t", "k long, tag string, v long",
+                         block_row_count=1000)
+    df = (spark.range(0, 30_000)
+          .select((F.col("id") * 2654435761 % 50_000).alias("k"),
+                  (F.col("id") % 3).cast("string").alias("tag"),
+                  F.col("id").alias("v")))
+    catalog.insert("t", df)
+    before = sorted(tuple(r) for r in catalog.read("t").collect())
+    pred = (F.col("k") >= 10) & (F.col("k") < 60)
+    m0 = scan_metrics(catalog.read("t").filter(pred))
+
+    catalog.alter_table_layout("t", sort_by="k")
+    assert sorted(tuple(r) for r in catalog.read("t").collect()) == before
+    m1 = scan_metrics(catalog.read("t").filter(pred))
+    assert m1["result_rows"] == m0["result_rows"]
+    assert m1["scan_rows"] < m0["scan_rows"], (m1, m0)
+
+    catalog.alter_table_layout("t", sort_by=None, partition_by="tag")
+    assert sorted(tuple(r) for r in catalog.read("t").collect()) == before
+    meta = catalog._load_meta("t")
+    assert meta.options.get("partition_by") == "tag"
+    assert "sort_by" not in meta.options
+    assert os.path.isdir(os.path.join(catalog._data_path(meta), "tag=0"))
+
+    catalog.alter_table_layout("t", partition_by=None)
+    assert sorted(tuple(r) for r in catalog.read("t").collect()) == before
+
+    # rewrites collapse history
+    with pytest.raises(CStoreError, match="history floor"):
+        catalog.read("t", as_of_epoch=1)
+    # invalid combos and banned keys fail BEFORE data moves
+    with pytest.raises(CStoreError, match="alter_table_layout"):
+        catalog.alter_table_layout("t", zorder_by="k")
+    catalog.compact("t", zorder_by=["k"])  # persist a z-order layout
+    with pytest.raises(CStoreError, match="competing"):
+        catalog.alter_table_layout("t", sort_by="k")
