@@ -676,3 +676,82 @@ def timeseries_ohlc_resample(spark, sf_dir):
                  F.max(F.struct("ts", "event_id", "value"))["value"]
                  .alias("close"),
                  F.count(F.lit(1)).alias("volume")))
+
+
+@register(
+    "stats_ks_two_sample",
+    category="analytics",
+    oracle="""
+    WITH pts AS (
+      SELECT value,
+             COUNT(*) FILTER (WHERE event_type = 'click') AS c1,
+             COUNT(*) FILTER (WHERE event_type = 'purchase') AS c2
+      FROM events WHERE event_type IN ('click', 'purchase')
+      GROUP BY value),
+    tot AS (
+      SELECT SUM(c1) AS n1, SUM(c2) AS n2 FROM pts),
+    cum AS (
+      SELECT value,
+             SUM(c1) OVER (ORDER BY value) AS cum1,
+             SUM(c2) OVER (ORDER BY value) AS cum2
+      FROM pts)
+    SELECT CAST(MAX(ABS(cum1 * tot.n2 - cum2 * tot.n1)) AS BIGINT)
+             AS ks_numerator,
+           CAST(tot.n1 * tot.n2 AS BIGINT) AS ks_denominator,
+           CAST(MAX(ABS(cum1 * tot.n2 - cum2 * tot.n1)) AS DOUBLE)
+             / (tot.n1 * tot.n2) AS ks_stat
+    FROM cum, tot GROUP BY tot.n1, tot.n2
+    """)
+def stats_ks_two_sample(spark, sf_dir):
+    """Exact two-sample Kolmogorov-Smirnov statistic (click vs purchase
+    value distributions): D = max over pooled points of |F1 − F2|,
+    computed in EXACT integer arithmetic (|cum1·n2 − cum2·n1| over the
+    common denominator n1·n2 — no float CDFs, so the statistic itself
+    hash-matches DuckDB bit for bit).
+
+    Scale — the distributed prefix sum: a naive cumulative sum windows
+    over an UNPARTITIONED order, which Spark executes as a
+    single-partition sort of every distinct value. This operator runs
+    the textbook two-pass scan instead: range-repartition by value,
+    per-partition local cumsums (parallel), then each partition adds
+    the broadcast total of all partitions before it — the driver never
+    sees data, and the only global object is the #partitions-sized
+    offset table. The KS max then folds map-side. Output:
+    (ks_numerator, ks_denominator, ks_stat)."""
+    e = table(spark, sf_dir, "events")
+    pts = (e.filter(F.col("event_type").isin("click", "purchase"))
+           .groupBy("value")
+           .agg(F.sum(F.when(F.col("event_type") == "click", 1)
+                      .otherwise(0)).alias("c1"),
+                F.sum(F.when(F.col("event_type") == "purchase", 1)
+                      .otherwise(0)).alias("c2")))
+    parts = pts.repartitionByRange(16, "value").sortWithinPartitions("value")
+    parts = parts.withColumn("pid", F.spark_partition_id())
+    wloc = (Window.partitionBy("pid").orderBy("value")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    local = (parts.withColumn("l1", F.sum("c1").over(wloc))
+             .withColumn("l2", F.sum("c2").over(wloc)))
+    # per-partition totals: a #partitions-sized table -> running offsets
+    ptot = (parts.groupBy("pid")
+            .agg(F.sum("c1").alias("t1"), F.sum("c2").alias("t2")))
+    woff = (Window.orderBy("pid")
+            .rowsBetween(Window.unboundedPreceding, -1))
+    offs = (ptot.withColumn("o1", F.coalesce(F.sum("t1").over(woff),
+                                             F.lit(0)))
+            .withColumn("o2", F.coalesce(F.sum("t2").over(woff),
+                                         F.lit(0)))
+            .select("pid", "o1", "o2"))
+    cum = (local.join(F.broadcast(offs), "pid")
+           .select("value",
+                   (F.col("l1") + F.col("o1")).alias("cum1"),
+                   (F.col("l2") + F.col("o2")).alias("cum2")))
+    tot = (pts.agg(F.sum("c1").alias("n1"), F.sum("c2").alias("n2")))
+    diff = F.abs(F.col("cum1") * F.col("n2")
+                 - F.col("cum2") * F.col("n1"))
+    return (cum.crossJoin(F.broadcast(tot))
+            .agg(F.max(diff).cast("long").alias("ks_numerator"),
+                 F.first(F.col("n1") * F.col("n2")).cast("long")
+                 .alias("ks_denominator"),
+                 (F.max(diff).cast("double")
+                  / F.first(F.col("n1") * F.col("n2")))
+                 .alias("ks_stat")))
