@@ -198,3 +198,38 @@ def test_minhash_candidates_scale_subquadratically(spark):
     assert growth < 25, (
         f"candidate pairs grew {growth:.1f}x for 10x rows "
         f"({counts}) — the band join is drifting quadratic")
+
+
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(
+    st.lists(st.tuples(st.sampled_from("abc"),
+                       st.integers(min_value=-1000, max_value=1000)),
+             min_size=1, max_size=5),
+    min_size=1, max_size=4))
+def test_aggview_incremental_equals_full_property(spark, tmp_path_factory,
+                                                  batches):
+    """Algebraic invariant of the mergeable-state refresh: for ANY
+    sequence of insert batches, refreshing after every batch yields
+    exactly the one-shot full aggregate of everything inserted so far —
+    the merge is associative over arbitrary batch boundaries."""
+    from cstore_fdw_spark.aggview import create_agg_view, refresh_agg_view
+    from cstore_fdw_spark.catalog import CStoreCatalog
+
+    wh = tmp_path_factory.mktemp("aggprop")
+    catalog = CStoreCatalog(spark, warehouse=str(wh))
+    catalog.create_table("s", "g string, x long")
+    create_agg_view(catalog, "v", "s", keys=["g"], measures=["x"])
+    inserted = []
+    for batch in batches:
+        catalog.insert("s", spark.createDataFrame(
+            batch, "g string, x long"))
+        inserted.extend(batch)
+        refresh_agg_view(catalog, "v")
+        got = {r.g: (r.n_rows, r.x_sum, r.x_min, r.x_max)
+               for r in catalog.read("v").collect()}
+        want = {}
+        for g, x in inserted:
+            n, s_, mn, mx = want.get(g, (0, 0, x, x))
+            want[g] = (n + 1, s_ + x, min(mn, x), max(mx, x))
+        assert got == want
