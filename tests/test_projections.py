@@ -159,3 +159,31 @@ def test_best_projection_freshness_guard(spark, catalog):
         refresh_projection(catalog, "b")
     with pytest.raises(CStoreError, match="not in"):
         create_projection(catalog, "b", "bad", sort_by=["zz"])
+
+
+def test_streaming_projection_matches_batch_refresh(spark, catalog,
+                                                    tmp_path):
+    """The projection streaming twin: base epochs applied as sorted
+    micro-batch appends land the same ROWS as the batch refresh (order
+    differs — content equality is the contract)."""
+    from cstore_fdw_spark.streaming.projections import (
+        maintain_projection_stream)
+
+    catalog.create_table("b", "k long, v long")
+    create_projection(catalog, "b", "pb", sort_by=["k"])
+    create_projection(catalog, "b", "ps", sort_by=["k"])
+    for rows in ([(5, 1), (1, 2)], [(3, 3)], [(9, 4), (2, 5)]):
+        catalog.insert("b", spark.createDataFrame(rows, "k long, v long"))
+
+    refresh_projection(catalog, "pb")
+    q = maintain_projection_stream(catalog, "ps", str(tmp_path / "pck"))
+    q.awaitTermination(120)
+
+    rows = lambda t: sorted(tuple(r) for r in catalog.read(t).collect())
+    assert rows("ps") == rows("pb") == rows("b")
+    # another epoch: both twins advance and agree again
+    catalog.insert("b", spark.createDataFrame([(0, 6)], "k long, v long"))
+    refresh_projection(catalog, "pb")
+    q = maintain_projection_stream(catalog, "ps", str(tmp_path / "pck"))
+    q.awaitTermination(120)
+    assert rows("ps") == rows("pb") == rows("b")
