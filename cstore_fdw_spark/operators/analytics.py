@@ -711,13 +711,13 @@ def stats_ks_two_sample(spark, sf_dir):
 
     Scale — the distributed prefix sum: a naive cumulative sum windows
     over an UNPARTITIONED order, which Spark executes as a
-    single-partition sort of every distinct value. This operator runs
-    the textbook two-pass scan instead: range-repartition by value,
-    per-partition local cumsums (parallel), then each partition adds
-    the broadcast total of all partitions before it — the driver never
-    sees data, and the only global object is the #partitions-sized
-    offset table. The KS max then folds map-side. Output:
+    single-partition sort of every distinct value. The CDFs instead run
+    through ``functions.prefix.distributed_cumsum`` — range-partitioned
+    local cumsums plus a broadcast #partitions-sized offset table; the
+    driver never sees data. The KS max then folds map-side. Output:
     (ks_numerator, ks_denominator, ks_stat)."""
+    from cstore_fdw_spark.functions import distributed_cumsum
+
     e = table(spark, sf_dir, "events")
     pts = (e.filter(F.col("event_type").isin("click", "purchase"))
            .groupBy("value")
@@ -725,26 +725,9 @@ def stats_ks_two_sample(spark, sf_dir):
                       .otherwise(0)).alias("c1"),
                 F.sum(F.when(F.col("event_type") == "purchase", 1)
                       .otherwise(0)).alias("c2")))
-    parts = pts.repartitionByRange(16, "value").sortWithinPartitions("value")
-    parts = parts.withColumn("pid", F.spark_partition_id())
-    wloc = (Window.partitionBy("pid").orderBy("value")
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    local = (parts.withColumn("l1", F.sum("c1").over(wloc))
-             .withColumn("l2", F.sum("c2").over(wloc)))
-    # per-partition totals: a #partitions-sized table -> running offsets
-    ptot = (parts.groupBy("pid")
-            .agg(F.sum("c1").alias("t1"), F.sum("c2").alias("t2")))
-    woff = (Window.orderBy("pid")
-            .rowsBetween(Window.unboundedPreceding, -1))
-    offs = (ptot.withColumn("o1", F.coalesce(F.sum("t1").over(woff),
-                                             F.lit(0)))
-            .withColumn("o2", F.coalesce(F.sum("t2").over(woff),
-                                         F.lit(0)))
-            .select("pid", "o1", "o2"))
-    cum = (local.join(F.broadcast(offs), "pid")
-           .select("value",
-                   (F.col("l1") + F.col("o1")).alias("cum1"),
-                   (F.col("l2") + F.col("o2")).alias("cum2")))
+    cum = (distributed_cumsum(pts, "value", ["c1", "c2"])
+           .select("value", F.col("c1_cum").alias("cum1"),
+                   F.col("c2_cum").alias("cum2")))
     tot = (pts.agg(F.sum("c1").alias("n1"), F.sum("c2").alias("n2")))
     diff = F.abs(F.col("cum1") * F.col("n2")
                  - F.col("cum2") * F.col("n1"))

@@ -1606,3 +1606,130 @@ def multimodal_image_dhash_dedup(spark, sf_dir):
     return (hashed
             .withColumn("keeper_id", F.min("doc_id").over(wk))
             .withColumn("is_dup", F.col("doc_id") != F.col("keeper_id")))
+
+
+# ---------------------------------------------------- video scene cuts
+
+def y4m_frame_lumas(payload: bytes) -> tuple[int, int, list[int]]:
+    """Per-frame luma sums from a YUV4MPEG2 stream — the same header
+    parse and FRAME walk as :func:`y4m_decode`, keeping the per-frame
+    granularity a temporal analysis needs instead of collapsing to one
+    stream total."""
+    nl = payload.find(b"\n")
+    if nl < 0 or not payload.startswith(b"YUV4MPEG2"):
+        raise ValueError("not a YUV4MPEG2 stream")
+    width = height = None
+    for tag in payload[:nl].split(b" ")[1:]:
+        t = tag.decode("ascii", "replace")
+        if t.startswith("W"):
+            width = int(t[1:])
+        elif t.startswith("H"):
+            height = int(t[1:])
+    if width is None or height is None:
+        raise ValueError("Y4M header missing W/H")
+    y_len = width * height
+    c_len = (width // 2) * (height // 2)
+    i, n = nl + 1, len(payload)
+    sums: list[int] = []
+    while i < n:
+        fe = payload.find(b"\n", i)
+        if fe < 0 or not payload[i:fe].startswith(b"FRAME"):
+            raise ValueError(f"bad FRAME marker at offset {i}")
+        i = fe + 1
+        sums.append(sum(payload[i:i + y_len]))
+        i += y_len + 2 * c_len
+    return width, height, sums
+
+
+def _scene_cut_oracle() -> str:
+    w = "(4 + 2 * (doc_id % 3))"
+    h = "(2 + 2 * (doc_id % 2))"
+    nf = "(3 + doc_id % 5)"
+    base = f"CASE WHEN (f // 2) % 2 = 0 THEN 30 ELSE 200 END"
+    fsum = (f"{base} * ({w} * {h}) + LIST_SUM(LIST_TRANSFORM("
+            f"RANGE(0, {w} * {h}), p -> p % 3))")
+    return f"""
+    WITH p AS (
+      SELECT doc_id, f, {fsum} AS fsum
+      FROM documents, LATERAL UNNEST(RANGE(0, {nf})) t(f)
+      WHERE doc_id % 8 = 0),
+    d AS (
+      SELECT doc_id, f, fsum,
+             fsum - LAG(fsum) OVER (PARTITION BY doc_id ORDER BY f)
+               AS diff
+      FROM p)
+    SELECT doc_id,
+           CAST({nf} AS BIGINT) AS n_frames,
+           CAST(COUNT(*) FILTER (
+             WHERE ABS(diff) > 100 * {w} * {h}) AS BIGINT) AS n_cuts,
+           CAST(MIN(CASE WHEN ABS(diff) > 100 * {w} * {h} THEN f END)
+                AS BIGINT) AS first_cut_frame
+    FROM d GROUP BY doc_id
+    """
+
+
+@register(
+    "multimodal_video_scene_cuts",
+    category="multimodal",
+    oracle=_scene_cut_oracle())
+def multimodal_video_scene_cuts(spark, sf_dir):
+    """Scene-cut detection over a video column (the frame-sampling
+    primitive a multimodal curation pipeline runs before captioning —
+    sample one frame per SCENE, not per second): every 8th document
+    gets a genuine multi-frame Y4M stream whose luma level jumps at
+    designed cut points; the decode stage extracts PER-FRAME luma sums
+    (real container walk, Arrow-batched), and the temporal analysis —
+    lag diff, threshold, first-cut argmin — runs JVM-side as an
+    ordinary window over the (doc, frame) feature rows. That split is
+    the 100 TB shape: Python touches bytes once per frame, all
+    cross-frame logic is Catalyst. The DuckDB oracle recomputes frame
+    sums from the closed pixel form and never sees a Y4M byte.
+    Output: (doc_id, n_frames, n_cuts, first_cut_frame)."""
+    from pyspark.sql.window import Window
+
+    d = (table(spark, sf_dir, "documents")
+         .filter(F.col("doc_id") % 8 == 0).select("doc_id"))
+
+    def encode(batches):
+        import pandas as pd
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                w, h = 4 + 2 * (doc_id % 3), 2 + 2 * (doc_id % 2)
+                nf = 3 + doc_id % 5
+                frames = []
+                for f in range(nf):
+                    c = 30 if (f // 2) % 2 == 0 else 200
+                    y = bytes(c + (p % 3) for p in range(w * h))
+                    u = bytes(128 for _ in range((w // 2) * (h // 2)))
+                    v = bytes(128 for _ in range((w // 2) * (h // 2)))
+                    frames.append((y, u, v))
+                payloads.append(y4m_encode(w, h, frames))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"],
+                                "payload": payloads})
+
+    media = d.mapInPandas(encode, "doc_id long, payload binary")
+
+    def frame_features(batches):
+        import pandas as pd
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, sums = y4m_frame_lumas(bytes(payload))
+                for f, s in enumerate(sums):
+                    rows.append((int(doc_id), w * h, f, s))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "px", "f", "fsum"])
+
+    feats = media.mapInPandas(
+        frame_features, "doc_id long, px long, f long, fsum long")
+    w_lag = Window.partitionBy("doc_id").orderBy("f")
+    cut = (F.abs(F.col("fsum") - F.lag("fsum").over(w_lag))
+           > 100 * F.col("px"))
+    return (feats.withColumn("is_cut", cut)
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_frames"),
+                 F.sum(F.col("is_cut").cast("long")).alias("n_cuts"),
+                 F.min(F.when(F.col("is_cut"), F.col("f")))
+                 .alias("first_cut_frame")))

@@ -55,3 +55,29 @@ def test_salted_sum_count_equivalence(spark):
     salted = {(r.k, r.n, r.total_value)
               for r in salted_sum_count(df, ["k"], F.col("v")).collect()}
     assert naive == salted
+
+
+def test_distributed_cumsum_equals_global_window(spark):
+    """The two-pass distributed prefix sum must equal the naive
+    unpartitioned-window cumsum exactly — including with duplicate
+    order keys collapsed first (the contract callers rely on) — while
+    never windowing the full dataset in one partition."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from cstore_fdw_spark.functions import distributed_cumsum
+
+    df = (spark.range(0, 5_000)
+          .select((F.col("id") * 37 % 1009).alias("k"),
+                  (F.col("id") % 7).alias("a"),
+                  (F.col("id") % 3).alias("b"))
+          .groupBy("k").agg(F.sum("a").alias("a"), F.sum("b").alias("b")))
+    got = {r.k: (r.a_cum, r.b_cum)
+           for r in distributed_cumsum(df, "k", ["a", "b"],
+                                       num_partitions=8).collect()}
+    w = (Window.orderBy("k")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    want = {r.k: (r.a_cum, r.b_cum)
+            for r in df.withColumn("a_cum", F.sum("a").over(w))
+            .withColumn("b_cum", F.sum("b").over(w)).collect()}
+    assert got == want
