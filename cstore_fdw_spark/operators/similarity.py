@@ -946,3 +946,66 @@ def vector_ivf_pq_topk(spark, sf_dir):
     return (adc.withColumn("rank", F.row_number().over(wr).cast("long"))
             .filter(F.col("rank") <= TOP_K)
             .select("query_id", "neighbor_id", "rank", "adc"))
+
+
+KNN_K = 5
+
+
+@register(
+    "vector_knn_label_vote",
+    category="similarity",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, b.label,
+             CAST(ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                    ORDER BY {_ORACLE_COS} DESC, b.vec_id) AS BIGINT)
+               AS rank
+      FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
+      WHERE a.vec_id < {N_QUERIES}),
+    votes AS (
+      SELECT query_id, label, CAST(COUNT(*) AS BIGINT) AS votes
+      FROM ranked WHERE rank <= {KNN_K}
+      GROUP BY query_id, label)
+    SELECT query_id, label AS predicted_label, votes FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY votes DESC, label) AS rn
+      FROM votes) t
+    WHERE rn = 1
+    """)
+def vector_knn_label_vote(spark, sf_dir):
+    """k-NN label voting (the evaluation primitive behind every
+    embedding-quality probe — 'do my vectors cluster by label?'): each
+    query vector takes the majority label of its {KNN_K} nearest
+    neighbors by exact cosine, ties broken deterministically (vote
+    count, then lexicographic label). Composes the brute-force rank
+    stage with a second bounded aggregate — at scale the rank stage
+    swaps for any of the registered ANN paths (LSH / IVF / IVFADC)
+    without touching the vote; the vote itself handles k·|queries|
+    rows. Output: (query_id, predicted_label, votes)."""
+    e = table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qvec"),
+        F.sqrt(dot(F.col("embedding"), F.col("embedding"))).alias("qnorm"))
+    c = e.select(F.col("vec_id").alias("neighbor_id"), "label",
+                 F.col("embedding").alias("cvec"),
+                 F.sqrt(dot(F.col("embedding"), F.col("embedding")))
+                 .alias("cnorm"))
+    cos = (dot(F.col("qvec"), F.col("cvec"))
+           / (F.col("qnorm") * F.col("cnorm")))
+    wr = Window.partitionBy("query_id").orderBy(F.col("cos").desc(),
+                                                "neighbor_id")
+    ranked = (c.join(F.broadcast(q),
+                     F.col("neighbor_id") != F.col("query_id"))
+              .select("query_id", "neighbor_id", "label",
+                      cos.alias("cos"))
+              .withColumn("rank", F.row_number().over(wr))
+              .filter(F.col("rank") <= KNN_K))
+    wv = Window.partitionBy("query_id").orderBy(F.col("votes").desc(),
+                                                "label")
+    return (ranked.groupBy("query_id", "label")
+            .agg(F.count(F.lit(1)).alias("votes"))
+            .withColumn("rn", F.row_number().over(wv))
+            .filter(F.col("rn") == 1)
+            .select("query_id", F.col("label").alias("predicted_label"),
+                    "votes"))

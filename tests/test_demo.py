@@ -33,7 +33,7 @@ def test_driver_contract_registry_integrity():
     m = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(m)
     qs, oracles = m.queries(), m.oracle_sql()
-    assert len(qs) >= 171
+    assert len(qs) >= 172
     assert set(oracles) == set(qs), (
         set(oracles) ^ set(qs))  # every query oracle-checked, none dangle
     window = sorted(qs)[:50]
