@@ -399,6 +399,12 @@ class CStoreCatalog:
         with self._writer_lock(src):
             smeta = self._load_meta(src)
             fmt = self._format(smeta)
+            # repair a crashed compact FIRST: between compact's two swap
+            # renames all rows live in data.compact.old and _visible_files
+            # would return [] — the clone would silently commit empty
+            # (read() does the same repair before listing, catalog read
+            # path below)
+            self._recover_compact(smeta, fmt)
             self._recover_orphans(smeta, fmt)
             src_data = self._data_path(smeta)
             if (as_of_epoch is not None
@@ -2104,21 +2110,30 @@ class CStoreCatalog:
         table metadata for planner-side use. Approximate on purpose
         (t-digest under ``approx_percentile``) — histograms inform
         estimates, they never gate correctness."""
-        meta = self._load_meta(name)
         df = self.read(name)
         num_cols = [f_.name for f_ in df.schema.fields
                     if isinstance(f_.dataType, T.NumericType)]
         if not num_cols:
             return {}
+        # Run the (long) distributed aggregate FIRST, outside any lock;
+        # only then take the writer lock and re-load a FRESH meta to
+        # mutate. Saving a meta snapshot taken before the aggregate
+        # would clobber any insert/compact that committed meanwhile
+        # (rolled-back write_epoch → its epoch-stamped files look
+        # uncommitted → the next writer's _recover_orphans deletes
+        # committed data).
         qs = F.array(*[F.lit(i / bins) for i in range(bins + 1)])
         row = df.agg(*[
             F.percentile_approx(F.col(c).cast("double"), qs)
             .alias(c) for c in num_cols]).collect()[0].asDict()
         hists = {c: [float(v) for v in bounds]
                  for c, bounds in row.items() if bounds is not None}
-        meta.histograms = hists
-        meta.histogram_rows = int(self.row_count(name) or df.count())
-        self._save_meta(meta)
+        n_rows = int(self.row_count(name) or df.count())
+        with self._writer_lock(name):
+            meta = self._load_meta(name)
+            meta.histograms = hists
+            meta.histogram_rows = n_rows
+            self._save_meta(meta)
         return hists
 
     def estimate_rows(self, name: str, column: str,

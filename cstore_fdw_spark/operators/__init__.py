@@ -34,6 +34,15 @@ class QuerySpec:
     doc: str = ""
     #: queries worth timing at bench scale
     bench: bool = False
+    #: plan-shape declaration: this query deliberately plans a
+    #: BroadcastNestedLoopJoin whose broadcast side is BOUNDED (a query
+    #: set, a centroid table, a 1-row scalar) — never O(corpus). The
+    #: plan-audit test (tests/test_pushdown.py::
+    #: test_no_unbounded_nested_loop_joins) derives its whitelist from
+    #: this flag, so the declaration lives in the same diff that defines
+    #: the operator. Flag it in the @register call with a comment naming
+    #: the bounded side.
+    allow_bnlj: bool = False
 
 
 REGISTRY: dict[str, QuerySpec] = {}
@@ -89,7 +98,7 @@ def clear_caches(spark: SparkSession) -> None:
 
 
 def register(name: str, oracle: str | None = None, category: str = "general",
-             bench: bool = False):
+             bench: bool = False, allow_bnlj: bool = False):
     def deco(fn):
         import functools
 
@@ -109,7 +118,8 @@ def register(name: str, oracle: str | None = None, category: str = "general",
             return fn(spark, sf_dir)
 
         REGISTRY[name] = QuerySpec(name, wrapped, oracle, category,
-                                   (fn.__doc__ or "").strip(), bench)
+                                   (fn.__doc__ or "").strip(), bench,
+                                   allow_bnlj)
         return fn
     return deco
 

@@ -141,6 +141,7 @@ def join_anti_not_exists(spark, sf_dir):
 @register(
     "join_cross",
     category="join",
+    allow_bnlj=True,  # the cross-join operator itself (5 × distinct statuses)
     oracle="""
     SELECT r.r_name, s.o_orderstatus
     FROM region r CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders) s

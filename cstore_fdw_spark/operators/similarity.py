@@ -43,6 +43,7 @@ _ORACLE_COS = """
     "ann_cosine_topk",
     category="similarity",
     bench=True,
+    allow_bnlj=True,  # corpus × broadcast |queries|-row query set
     oracle=f"""
     SELECT query_id, neighbor_id, rank, cos FROM (
       SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
@@ -362,7 +363,8 @@ def _ivf_oracle() -> str:
     """
 
 
-@register("ann_ivf_coarse", category="similarity", oracle=_ivf_oracle())
+@register("ann_ivf_coarse", category="similarity", oracle=_ivf_oracle(),
+          allow_bnlj=True)  # vectors × 16 broadcast IVF centroids
 def ann_ivf_coarse(spark, sf_dir):
     """IVF-style approximate NN: a coarse quantizer partitions vectors
     into nlist cells; each query probes its nprobe nearest centroids and
@@ -452,7 +454,8 @@ def _semdedup_oracle() -> str:
 
 
 @register("dedup_semantic_clustered", category="dedup",
-          oracle=_semdedup_oracle())
+          oracle=_semdedup_oracle(),
+          allow_bnlj=True)  # same bounded centroid broadcast (_ivf_scored_cells)
 def dedup_semantic_clustered(spark, sf_dir):
     """SemDeDup-style semantic deduplication (Abbas et al. '23): cluster
     the corpus with the IVF coarse quantizer, then find cosine-≥-τ
@@ -872,6 +875,7 @@ def _ivf_pq_oracle() -> str:
     "vector_ivf_pq_topk",
     category="similarity",
     bench=True,
+    allow_bnlj=True,  # bounded centroid broadcast via _ivf_scored_cells
     oracle=_ivf_pq_oracle())
 def vector_ivf_pq_topk(spark, sf_dir):
     """IVFADC (Jégou '11 §V — the composed FAISS ``IVFx,PQy`` index,
@@ -954,6 +958,8 @@ KNN_K = 5
 @register(
     "vector_knn_label_vote",
     category="similarity",
+    allow_bnlj=True,  # corpus × broadcast 5-query set (same anchor shape
+    #                   as ann_cosine_topk; rank stage swaps for any ANN)
     oracle=f"""
     WITH ranked AS (
       SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, b.label,

@@ -980,6 +980,7 @@ def _training_mix_oracle() -> str:
 @register(
     "training_mix_pipeline", bench=True,
     category="text",
+    allow_bnlj=True,  # |languages| rows × 1-row broadcast budget scalar
     oracle=_training_mix_oracle())
 def training_mix_pipeline(spark, sf_dir):
     """The FLAGSHIP end-to-end training-data recipe as one composed

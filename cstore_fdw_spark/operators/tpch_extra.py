@@ -350,6 +350,7 @@ def q21_suppliers_kept_waiting(spark, sf_dir):
 @register(
     "q22_global_sales_opportunity",
     category="tpch",
+    allow_bnlj=True,  # 1-row avg-balance scalar subquery comparison
     oracle=f"""
     WITH avg_bal AS (
       SELECT {_dbl(f"SUM(CAST(c_acctbal AS {D}))")} / COUNT(*) AS a
@@ -515,6 +516,7 @@ def q9_product_type_profit(spark, sf_dir):
 @register(
     "q11_important_stock",
     category="tpch",
+    allow_bnlj=True,  # 1-row global-value scalar subquery comparison
     oracle=f"""
     WITH value_by_part AS (
       SELECT l.l_partkey,

@@ -34,6 +34,14 @@ committed — on a real deployment the stream would tail the commit log
 (epoch metadata) instead of the directory. The append path's recovery
 GC makes this window rare; the exactly-once ledger above is unaffected.
 
+Source REWRITES (compact/DELETE/MERGE/OVERWRITE, or drop-and-recreate)
+are incompatible with a running stream: the file source would re-deliver
+rewritten rows as fresh batches and double-merge them. The ledger
+records the source's ``history_floor``/``created_at`` at first batch and
+every subsequent batch fails loudly if they moved
+(``_guard_source_stability``) — mirroring the batch refresh's floor
+discipline, where the same signal forces a full recompute instead.
+
 Scale: state size is |groups|, micro-batch work is one partial
 aggregate over the new files plus a |groups|-sized merge — the same
 O(delta + state) per step as the batch refresh, now amortized
@@ -50,7 +58,7 @@ from pyspark.sql.streaming import StreamingQuery
 
 from cstore_fdw_spark.aggview import (
     _aggregate, _load_spec, _merge_exprs, _refresh_lock)
-from cstore_fdw_spark.catalog import CStoreCatalog, _file_epoch
+from cstore_fdw_spark.catalog import CStoreCatalog, CStoreError, _file_epoch
 
 STREAM_LEDGER = "_cstore_aggview_stream.json"
 
@@ -77,21 +85,63 @@ def _save_ledger(path: str, ledger: dict) -> None:
 def source_stream(catalog: CStoreCatalog, view: str,
                   source_key: str = "source") -> DataFrame:
     """File-source stream over the view's source table data directory:
-    each committed insert's stripe files arrive as micro-batches."""
+    each committed insert's stripe files arrive as micro-batches.
+    Dispatches on the source's storage_format like the batch readers
+    (parquet and orc are both valid table options)."""
     spec = _load_spec(catalog, view)
     smeta = catalog._load_meta(spec[source_key])
-    return (catalog.spark.readStream
-            .schema(smeta.schema())
-            .option("maxFilesPerTrigger", "1")
-            .parquet(catalog._data_path(smeta)))
+    reader = (catalog.spark.readStream
+              .schema(smeta.schema())
+              .option("maxFilesPerTrigger", "1"))
+    fmt = catalog._format(smeta)
+    if fmt == "orc":
+        return reader.orc(catalog._data_path(smeta))
+    return reader.parquet(catalog._data_path(smeta))
+
+
+def _guard_source_stability(catalog: CStoreCatalog, entry: dict,
+                            source: str, what: str) -> None:
+    """Streaming twin of the batch refresh's floor discipline: the file
+    source replays FILES, not epochs, so a compact/DELETE/MERGE/
+    OVERWRITE on the source (which moves ``history_floor``) or a
+    drop-and-recreate (new ``created_at``) rewrites rows into new files
+    the stream would re-deliver and re-merge — silent double-counting,
+    with deleted rows never retracted. The batch refreshers detect this
+    via the spec's recorded floor/identity and force a full recompute;
+    a running stream cannot (its state merge is incremental by
+    construction), so it records both values in the stream ledger at
+    first batch and FAILS LOUDLY when they move. Recovery: stop the
+    stream, rebuild the view (batch full refresh), restart with a fresh
+    checkpoint + ledger. Source rewrites are incompatible with a
+    running stream — documented, now enforced."""
+    smeta = catalog._load_meta(source)
+    rec_floor = entry.get("source_floor")
+    rec_created = entry.get("source_created_at")
+    if rec_floor is None:
+        entry["source_floor"] = smeta.history_floor
+        entry["source_created_at"] = smeta.created_at
+        return
+    if (smeta.created_at != rec_created
+            or smeta.history_floor > rec_floor):
+        raise CStoreError(
+            f'source table "{source}" of streaming-maintained {what} was '
+            f"rewritten under a running stream (history_floor "
+            f"{rec_floor} -> {smeta.history_floor}, identity "
+            f"{'changed' if smeta.created_at != rec_created else 'kept'}): "
+            "the file stream would re-deliver rewritten rows and "
+            "double-merge them. Stop the stream, fully rebuild the "
+            "target, and restart with a fresh checkpoint.")
 
 
 def view_maintainer(catalog: CStoreCatalog, view: str, checkpoint: str,
-                    partial_of=None):
+                    partial_of=None, source_key: str = "source"):
     """The exactly-once ``foreachBatch`` sink maintaining ``view``.
     ``partial_of(batch_df, spec)`` builds the micro-batch's partial
     aggregate (default: the single-table groupBy — the join twin plugs
-    in its stream-static enrichment here)."""
+    in its stream-static enrichment here). ``source_key`` names the
+    spec field holding the STREAMED table (the floor guard watches that
+    table; the join twin's static dim side is reconciled by the batch
+    refresher instead, see maintain_join_agg_view_stream)."""
     ledger_key = os.path.abspath(checkpoint)
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -102,6 +152,10 @@ def view_maintainer(catalog: CStoreCatalog, view: str, checkpoint: str,
             ledger = _load_ledger(path)
             entry = ledger.get(ledger_key, {"last_batch": -1,
                                             "pending": None})
+            _guard_source_stability(catalog, entry, spec[source_key],
+                                    f'aggregate view "{view}"')
+            ledger[ledger_key] = entry  # persist first-batch recording
+            _save_ledger(path, ledger)
             pending = entry.get("pending")
             if pending:
                 # same commit-marker evidence as aggview._recover_pending:
@@ -172,7 +226,8 @@ def maintain_join_agg_view_stream(catalog: CStoreCatalog, view: str,
 
     writer = (source_stream(catalog, view, source_key="fact").writeStream
               .foreachBatch(view_maintainer(catalog, view, checkpoint,
-                                            partial_of=join_partial))
+                                            partial_of=join_partial,
+                                            source_key="fact"))
               .option("checkpointLocation", checkpoint))
     if available_now:
         writer = writer.trigger(availableNow=True)

@@ -30,6 +30,7 @@ from pyspark.sql.streaming import StreamingQuery
 
 from cstore_fdw_spark.catalog import CStoreCatalog, _file_epoch
 from cstore_fdw_spark.projections import _load_spec, _refresh_lock
+from cstore_fdw_spark.streaming.aggview import _guard_source_stability
 
 STREAM_LEDGER = "_cstore_projection_stream.json"
 
@@ -63,10 +64,14 @@ def maintain_projection_stream(catalog: CStoreCatalog, name: str,
     bookkeeping would double-append)."""
     spec = _load_spec(catalog, name)
     bmeta = catalog._load_meta(spec["base"])
-    stream = (catalog.spark.readStream
+    reader = (catalog.spark.readStream
               .schema(bmeta.schema())
-              .option("maxFilesPerTrigger", "1")
-              .parquet(catalog._data_path(bmeta)))
+              .option("maxFilesPerTrigger", "1"))
+    # dispatch on the base's storage_format like the batch readers
+    if catalog._format(bmeta) == "orc":
+        stream = reader.orc(catalog._data_path(bmeta))
+    else:
+        stream = reader.parquet(catalog._data_path(bmeta))
     ledger_key = os.path.abspath(checkpoint)
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -77,6 +82,13 @@ def maintain_projection_stream(catalog: CStoreCatalog, name: str,
             ledger = _load_ledger(path)
             entry = ledger.get(ledger_key, {"last_batch": -1,
                                             "pending": None})
+            # same floor/identity guard as the aggview stream: a base
+            # rewrite re-delivers rewritten rows as "new" files and
+            # would double-append them into the projection
+            _guard_source_stability(catalog, entry, spec["base"],
+                                    f'projection "{name}"')
+            ledger[ledger_key] = entry
+            _save_ledger(path, ledger)
             pending = entry.get("pending")
             if pending:
                 pmeta = catalog._load_meta(name)

@@ -1407,3 +1407,67 @@ def test_alter_table_layout_rewrites_in_place(spark, catalog):
     catalog.compact("t", zorder_by=["k"])  # persist a z-order layout
     with pytest.raises(CStoreError, match="competing"):
         catalog.alter_table_layout("t", sort_by="k")
+
+
+def test_analyze_histograms_does_not_clobber_concurrent_insert(
+        spark, catalog, monkeypatch):
+    """ADVICE r8 (high): analyze_histograms used to snapshot the table
+    metadata BEFORE its long distributed aggregate and save the stale
+    dict afterwards — a concurrent insert committing mid-analyze had
+    its write_epoch rolled back, making its epoch-stamped files look
+    uncommitted so the next writer's _recover_orphans deleted committed
+    data. Now the aggregate runs lock-free and only a FRESH meta is
+    mutated under the writer lock. Simulate the race by committing an
+    insert inside the analyze window (between the aggregate and the
+    locked save, via the row_count hook)."""
+    from pyspark.sql import functions as F
+
+    from cstore_fdw_spark.catalog import CStoreCatalog
+
+    catalog.create_table("h", "a long")
+    catalog.insert("h", spark.range(100).select(F.col("id").alias("a")))
+
+    orig = CStoreCatalog.row_count
+    fired = []
+
+    def racy_row_count(self, name):
+        if not fired:
+            fired.append(1)
+            # a concurrent writer commits DURING the analyze
+            catalog.insert("h", spark.range(5).select(
+                (F.col("id") + 1000).alias("a")))
+        return orig(self, name)
+
+    monkeypatch.setattr(CStoreCatalog, "row_count", racy_row_count)
+    hists = catalog.analyze_histograms("h")
+    monkeypatch.undo()
+    assert fired and "a" in hists
+
+    # the concurrently committed batch must stay visible...
+    assert catalog.read("h").count() == 105
+    # ...including across the next writer's orphan GC
+    catalog.insert("h", spark.range(1).select(
+        (F.col("id") + 2000).alias("a")))
+    assert catalog.read("h").count() == 106
+    # and the histogram landed
+    assert catalog.estimate_rows("h", "a", 0, 100) is not None
+
+
+def test_clone_table_recovers_crashed_compact(spark, catalog):
+    """ADVICE r8 (low): a compact() crash between its two swap renames
+    leaves all rows in data.compact.old and no data dir; clone_table
+    must repair that state (like read() does) instead of silently
+    committing an EMPTY clone."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    catalog.create_table("cc", "a long")
+    catalog.insert("cc", spark.range(10).select(F.col("id").alias("a")))
+    data = catalog._data_path(catalog._load_meta("cc"))
+    # crash window: first swap rename done, second not yet
+    os.rename(data, data + ".compact.old")
+
+    catalog.clone_table("cc", "cc2")
+    assert catalog.read("cc2").count() == 10
+    assert catalog.read("cc").count() == 10

@@ -187,3 +187,30 @@ def test_streaming_projection_matches_batch_refresh(spark, catalog,
     q = maintain_projection_stream(catalog, "ps", str(tmp_path / "pck"))
     q.awaitTermination(120)
     assert rows("ps") == rows("pb") == rows("b")
+
+
+def test_streaming_projection_fails_loudly_after_base_rewrite(
+        spark, catalog, tmp_path):
+    """ADVICE r8 (medium): a base rewrite (compact) re-delivers
+    rewritten rows to the projection's file stream as fresh batches —
+    double-appends. The ledger's floor/identity guard must fail the
+    stream loudly instead, leaving the projection uncorrupted."""
+    from cstore_fdw_spark.streaming.projections import (
+        maintain_projection_stream)
+
+    catalog.create_table("b", "k long, v long")
+    create_projection(catalog, "b", "ps", sort_by=["k"])
+    catalog.insert("b", spark.createDataFrame(
+        [(5, 1), (1, 2)], "k long, v long"))
+    q = maintain_projection_stream(catalog, "ps", str(tmp_path / "pck"))
+    q.awaitTermination(120)
+    before = sorted(tuple(r) for r in catalog.read("ps").collect())
+    assert len(before) == 2
+
+    catalog.insert("b", spark.createDataFrame([(3, 3)], "k long, v long"))
+    catalog.compact("b")
+
+    q = maintain_projection_stream(catalog, "ps", str(tmp_path / "pck"))
+    with pytest.raises(Exception, match="rewritten under a running stream"):
+        q.awaitTermination(120)
+    assert sorted(tuple(r) for r in catalog.read("ps").collect()) == before

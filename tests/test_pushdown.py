@@ -107,21 +107,22 @@ def test_aggregate_pushdown_count(spark, block_table):
 def test_no_unbounded_nested_loop_joins(spark, sf_dir):
     """Plan-shape sweep: no registered query in the join/dedup/similarity
     families (nor any bench query) may plan a CartesianProduct, and
-    BroadcastNestedLoopJoin is allowed only for the documented
-    bounded-broadcast cases (brute-force ANN query sets, the cross-join
-    demo, 1-row scalar-subquery comparisons). A quadratic join sneaking
-    into any scale-path pipeline fails here before it fails at 100 TB."""
+    BroadcastNestedLoopJoin is allowed only for operators that DECLARE
+    the documented bounded-broadcast shape in their registry entry
+    (``allow_bnlj=True`` in the ``@register`` call — brute-force ANN
+    query sets, the cross-join demo, 1-row scalar-subquery comparisons,
+    bounded centroid broadcasts). The whitelist is derived from the
+    registry, so declaring a bounded plan lives in the same diff that
+    defines the operator — no hand-kept sibling-file set to forget.
+    A quadratic join sneaking into any scale-path pipeline fails here
+    before it fails at 100 TB."""
     from cstore_fdw_spark.operators import load_all
 
-    allowed_bnlj = {"ann_cosine_topk", "ann_ivf_coarse", "join_cross",
-                    "q11_important_stock", "q22_global_sales_opportunity",
-                    # vectors × 16 broadcast IVF centroids (bounded side)
-                    "dedup_semantic_clustered",
-                    # same bounded centroid broadcast via _ivf_scored_cells
-                    "vector_ivf_pq_topk",
-                    # |languages| rows × 1-row broadcast budget scalar
-                    "training_mix_pipeline"}
     reg = load_all()
+    allowed_bnlj = {n for n, s in reg.items() if s.allow_bnlj}
+    # the flag is a narrow, deliberate declaration — a blanket opt-out
+    # (every query flagged) would defeat the audit
+    assert len(allowed_bnlj) < len(reg) // 4
     checked = 0
     for name, spec in sorted(reg.items()):
         if not (spec.bench or spec.category in

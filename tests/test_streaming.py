@@ -3,10 +3,10 @@ same result as its batch twin when run to completion (availableNow)."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from cstore_fdw_spark.operators import load_all, table
-from pyspark.sql import functions as F
 from cstore_fdw_spark.streaming import events as se
 
 REGISTRY = load_all()
@@ -471,3 +471,54 @@ def test_streaming_join_aggview_matches_batch_refresh(spark, catalog,
     assert jb == js and len(jb) == 2
     [(_, n_eu, s_eu, _, _)] = [t for t in jb if t[0] == "eu"]
     assert (n_eu, s_eu) == (3, 33)
+
+
+def test_streaming_aggview_fails_loudly_after_source_rewrite(
+        spark, catalog, tmp_path):
+    """ADVICE r8 (medium): the file-source stream replays FILES, so a
+    source rewrite (compact here — moves history_floor) would deliver
+    rewritten rows as fresh micro-batches and silently double-merge
+    them into the view. The ledger now records the source's floor and
+    identity at first batch and the next batch FAILS LOUDLY when they
+    move, mirroring the batch refresh's full-recompute trigger."""
+    from cstore_fdw_spark.aggview import create_agg_view
+    from cstore_fdw_spark.streaming.aggview import maintain_agg_view_stream
+
+    catalog.create_table("src", "g string, x long")
+    create_agg_view(catalog, "vs", "src", keys=["g"], measures=["x"])
+    catalog.insert("src", spark.createDataFrame(
+        [("a", 1), ("b", 2)], "g string, x long"))
+    q = maintain_agg_view_stream(catalog, "vs", str(tmp_path / "ck"))
+    q.awaitTermination(120)
+    state = sorted(tuple(r) for r in catalog.read("vs").collect())
+    assert len(state) == 2
+
+    # rewrite the source: compact replaces every file, floor moves
+    catalog.insert("src", spark.createDataFrame(
+        [("a", 10)], "g string, x long"))
+    catalog.compact("src")
+
+    q = maintain_agg_view_stream(catalog, "vs", str(tmp_path / "ck"))
+    with pytest.raises(Exception, match="rewritten under a running stream"):
+        q.awaitTermination(120)
+    # the view was NOT corrupted by a double-merge
+    assert sorted(tuple(r) for r in catalog.read("vs").collect()) == state
+
+
+def test_streaming_aggview_over_orc_source(spark, catalog, tmp_path):
+    """ADVICE r8 (low): source_stream used to hardcode the parquet file
+    source even though storage_format='orc' is a valid table option —
+    streaming maintenance over an ORC source must dispatch like the
+    batch readers and land the same state."""
+    from cstore_fdw_spark.aggview import create_agg_view
+    from cstore_fdw_spark.streaming.aggview import maintain_agg_view_stream
+
+    catalog.create_table("osrc", "g string, x long", storage_format="orc")
+    create_agg_view(catalog, "ov", "osrc", keys=["g"], measures=["x"])
+    catalog.insert("osrc", spark.createDataFrame(
+        [("a", 1), ("b", 2), ("a", 3)], "g string, x long"))
+    q = maintain_agg_view_stream(catalog, "ov", str(tmp_path / "ock"))
+    q.awaitTermination(120)
+    rows = {r["g"]: tuple(r) for r in catalog.read("ov").collect()}
+    assert rows["a"][1:3] == (2, 4)  # count=2, sum=4
+    assert rows["b"][1:3] == (1, 2)
