@@ -468,3 +468,50 @@ def orderby_limit_offset(spark, sf_dir):
             .select("o_orderkey", "o_totalprice")
             .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
             .offset(40).limit(20))
+
+
+@register(
+    "projection_routed_scan",
+    category="scan",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    WHERE o_custkey BETWEEN 100 AND 120
+    """)
+def projection_routed_scan(spark, sf_dir):
+    """C-Store projection routing under the oracle (Stonebraker '05 §2;
+    the generalization of the reference's sort-on-load advice,
+    /root/reference/README.md:287-294): the orders table is loaded in
+    its natural o_orderkey order — min/max zone maps CANNOT prune an
+    o_custkey range there — then a projection sorted on o_custkey is
+    declared and refreshed, and ``read_optimized`` routes the scan to
+    it because its sort prefix matches the filter column and its
+    watermark equals the base epoch. Freshness-gated: were the
+    projection stale, the reader would fall back to the base and this
+    query would still be CORRECT, just slower — routing never gates
+    rows. Pruning is asserted in tests/test_projections.py::
+    test_projection_routed_scan_prunes.
+
+    Scale: this is the 100 TB answer to 'my zone maps only help one
+    column' — one extra sorted copy per predicate family, refreshed
+    O(delta) per epoch, turns a full-history scan into a few row
+    groups on the second dimension too."""
+    import tempfile
+
+    from cstore_fdw_spark.catalog import CStoreCatalog
+    from cstore_fdw_spark.projections import (
+        create_projection, read_optimized, refresh_projection)
+
+    cat = CStoreCatalog(spark, warehouse=tempfile.mkdtemp(
+        prefix="cstore_projq_"))
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice")
+    # small row groups so zone-map pruning is observable at test scale
+    cat.create_table("orders_base", orders.schema, block_row_count=1000)
+    cat.insert("orders_base", orders)
+    create_projection(cat, "orders_base", "orders_by_cust",
+                      sort_by=["o_custkey"])
+    refresh_projection(cat, "orders_by_cust")
+    return (read_optimized(cat, "orders_base", ["o_custkey"])
+            .filter(F.col("o_custkey").between(100, 120))
+            .select("o_orderkey", "o_custkey", "o_totalprice"))

@@ -277,30 +277,37 @@ _NLIST_SQL = (f"(SELECT GREATEST({IVF_NLIST_MIN}, "
               "CAST(ceil(sqrt(COUNT(*))) AS BIGINT)) FROM embeddings)")
 
 
-def _ivf_scored_cells(e):
-    """(vec_id, embedding, norm, cell, ccos, rn) — every vector scored
-    against the deterministic hash-seeded coarse centroids, rn ordering
-    cells by cosine per vector (rn=1 is the vector's home cell). Shared
-    by IVF search and clustered semantic dedup. Centers are tiny
-    (nlist×dim) → broadcast; the top-NLIST-by-portable-hash sample is a
-    cheap metadata-size top-k, not a full sort, at 100 TB — Spark
-    rewrites the rank filter into WindowGroupLimit/TakeOrdered
-    (plan-locked by test_pushdown.py::
-    test_seed_topk_never_globally_sorts_corpus). The one
-    eager action here is the count() sizing nlist — a metadata-cheap
+def _ivf_centroids(e):
+    """(cell, centroid, centnorm) — the deterministic hash-seeded coarse
+    centers (the vectors with the nlist smallest portable hashes). Tiny
+    (nlist×dim) → always broadcast; the top-nlist-by-hash sample is a
+    cheap metadata-size top-k, not a full sort (plan-locked by
+    test_pushdown.py::test_seed_topk_never_globally_sorts_corpus). The
+    one eager action is the count() sizing nlist — a metadata-cheap
     columnar count, amortized across the whole pipeline."""
     from cstore_fdw_spark.functions.portable_hash import spark_h60
 
     nlist = ivf_nlist(e.count())
     wc = Window.orderBy("h", "vec_id")
-    cents = (e.select("vec_id", "embedding",
-                      F.expr(spark_h60("cast(vec_id as string)")).alias("h"))
-             .withColumn("rn", F.row_number().over(wc))
-             .filter(F.col("rn") <= nlist)
-             .select((F.col("rn") - 1).alias("cell"),
-                     F.col("embedding").alias("centroid"),
-                     F.sqrt(dot(F.col("embedding"), F.col("embedding")))
-                     .alias("centnorm")))
+    return (e.select("vec_id", "embedding",
+                     F.expr(spark_h60("cast(vec_id as string)")).alias("h"))
+            .withColumn("rn", F.row_number().over(wc))
+            .filter(F.col("rn") <= nlist)
+            .select((F.col("rn") - 1).alias("cell"),
+                    F.col("embedding").alias("centroid"),
+                    F.sqrt(dot(F.col("embedding"), F.col("embedding")))
+                    .alias("centnorm")))
+
+
+def _ivf_scored_cells(e, cents=None):
+    """(vec_id, embedding, norm, cell, ccos, rn) — every vector scored
+    against the deterministic hash-seeded coarse centroids, rn ordering
+    cells by cosine per vector (rn=1 is the vector's home cell). Shared
+    by IVF search and clustered semantic dedup. Pass a prebuilt
+    ``_ivf_centroids`` frame to share it with stages that need the
+    centroid VECTORS too (residual encoding in vector_ivf_pq_topk)."""
+    if cents is None:
+        cents = _ivf_centroids(e)
     v = e.select("vec_id", "embedding",
                  F.sqrt(dot(F.col("embedding"), F.col("embedding")))
                  .alias("norm"))
@@ -800,9 +807,13 @@ def vector_pq_adc_topk(spark, sf_dir):
 
 
 def _ivf_pq_oracle() -> str:
-    """IVFADC replica: the PQ CTE chain for codes + distance tables,
-    composed with the IVF CTE chain (renamed i*) for cell assignment and
-    probing; ADC sums rank only candidates whose home cell is probed."""
+    """IVFADC-with-residuals replica: the IVF CTE chain (i*) assigns
+    home cells and probes; every vector's RESIDUAL v − centroid(home
+    cell) is PQ-encoded against residual-seeded codebooks; per-(query,
+    probed cell) residual distance tables feed the ADC sums, which rank
+    only candidates whose home cell is probed. All element-wise
+    arithmetic is double (list_zip + subtract), matching Spark's
+    zip_with double fold bit-for-bit."""
     from cstore_fdw_spark.functions.portable_hash import duck_h60
 
     js = ", ".join(f"({j})" for j in range(PQ_M))
@@ -811,9 +822,7 @@ def _ivf_pq_oracle() -> str:
      (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) *
       sqrt(list_dot_product(c.centroid::DOUBLE[], c.centroid::DOUBLE[])))"""
     return f"""
-    WITH {_pq_ctes()},
-    codes AS (SELECT vec_id, j, k FROM best WHERE rn = 1),
-    icents AS (
+    WITH icents AS (
       SELECT rn - 1 AS cell, embedding AS centroid FROM (
         SELECT vec_id, embedding,
                ROW_NUMBER() OVER (
@@ -837,20 +846,62 @@ def _ivf_pq_oracle() -> str:
                                   ORDER BY ccos DESC, cell) AS rn
         FROM iccos WHERE vec_id < {N_QUERIES}) t
       WHERE rn <= {IVF_NPROBE}),
+    resid AS (
+      SELECT a.vec_id, a.cell,
+             list_transform(
+               list_zip(e.embedding::DOUBLE[], c.centroid::DOUBLE[]),
+               x -> x[1] - x[2]) AS resid
+      FROM iassign a
+      JOIN embeddings e USING (vec_id)
+      JOIN icents c USING (cell)),
+    rseeds AS (
+      SELECT rn - 1 AS k, resid FROM (
+        SELECT vec_id, resid,
+               ROW_NUMBER() OVER (
+                 ORDER BY {duck_h60("CAST(vec_id AS VARCHAR)")}, vec_id)
+                 AS rn
+        FROM resid) t
+      WHERE rn <= {PQ_K}),
+    rcents AS (
+      SELECT k, j,
+             list_slice(resid, j * {PQ_SUBDIM} + 1,
+                        j * {PQ_SUBDIM} + {PQ_SUBDIM}) AS cvec
+      FROM rseeds, (VALUES {js}) sub(j)),
+    rsubs AS (
+      SELECT vec_id, cell, j,
+             list_slice(resid, j * {PQ_SUBDIM} + 1,
+                        j * {PQ_SUBDIM} + {PQ_SUBDIM}) AS sub
+      FROM resid, (VALUES {js}) sub(j)),
+    codes AS (
+      SELECT vec_id, cell, j, k FROM (
+        SELECT s.vec_id, s.cell, s.j, c.k,
+               ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.j ORDER BY
+                 list_dot_product(s.sub, s.sub)
+                   - 2 * list_dot_product(s.sub, c.cvec)
+                   + list_dot_product(c.cvec, c.cvec), c.k) AS rn
+        FROM rsubs s JOIN rcents c USING (j)) t
+      WHERE rn = 1),
+    qresid AS (
+      SELECT p.query_id, p.cell,
+             list_transform(
+               list_zip(e.embedding::DOUBLE[], c.centroid::DOUBLE[]),
+               x -> x[1] - x[2]) AS resid
+      FROM iprobes p
+      JOIN embeddings e ON e.vec_id = p.query_id
+      JOIN icents c USING (cell)),
     qsubs AS (
-      SELECT vec_id AS query_id, j,
-             list_slice(embedding, j * {PQ_SUBDIM} + 1,
-                        j * {PQ_SUBDIM} + {PQ_SUBDIM})::DOUBLE[] AS sub
-      FROM embeddings, (VALUES {js}) sub(j)
-      WHERE vec_id < {N_QUERIES}),
+      SELECT query_id, cell, j,
+             list_slice(resid, j * {PQ_SUBDIM} + 1,
+                        j * {PQ_SUBDIM} + {PQ_SUBDIM}) AS sub
+      FROM qresid, (VALUES {js}) sub(j)),
     dtab AS (
-      SELECT q.query_id, q.j, c.k,
+      SELECT q.query_id, q.cell, q.j, c.k,
              list_dot_product(q.sub, q.sub)
                - 2 * list_dot_product(q.sub, c.cvec)
                + list_dot_product(c.cvec, c.cvec) AS d
-      FROM qsubs q JOIN cents c USING (j)),
+      FROM qsubs q JOIN rcents c USING (j)),
     cand AS (
-      SELECT p.query_id, a.vec_id AS neighbor_id
+      SELECT p.query_id, a.vec_id AS neighbor_id, p.cell
       FROM iprobes p JOIN iassign a ON a.cell = p.cell
       WHERE a.vec_id <> p.query_id),
     adc AS (
@@ -858,7 +909,7 @@ def _ivf_pq_oracle() -> str:
              list_reduce(LIST(t.d ORDER BY t.j), (a, b) -> a + b) AS adc
       FROM cand n
       JOIN codes c ON c.vec_id = n.neighbor_id
-      JOIN dtab t ON t.query_id = n.query_id
+      JOIN dtab t ON t.query_id = n.query_id AND t.cell = n.cell
                  AND t.j = c.j AND t.k = c.k
       GROUP BY 1, 2)
     SELECT query_id, neighbor_id, rank, adc FROM (
@@ -878,21 +929,26 @@ def _ivf_pq_oracle() -> str:
     allow_bnlj=True,  # bounded centroid broadcast via _ivf_scored_cells
     oracle=_ivf_pq_oracle())
 def vector_ivf_pq_topk(spark, sf_dir):
-    """IVFADC (Jégou '11 §V — the composed FAISS ``IVFx,PQy`` index,
-    the actual billion-scale recipe): the coarse quantizer prunes the
-    candidate set to the query's nprobe cells, and ONLY those
-    candidates are scored — by ADC table lookups over their stored PQ
-    codes, never their embeddings. Search cost drops twice:
+    """IVFADC with residual encoding (Jégou '11 §V — the composed FAISS
+    ``IVFx,PQy`` index as actually shipped, Algorithm eq. 17): the
+    coarse quantizer prunes the candidate set to the query's nprobe
+    cells, and ONLY those candidates are scored — by ADC table lookups
+    over their stored PQ codes, never their embeddings. What is PQ-coded
+    is the RESIDUAL v − centroid(home cell), not the raw vector: the
+    coarse quantizer removes the cell mean so the product codebooks
+    spend their 16 entries/subspace on the much-lower-energy remainder
+    (the recall refinement §V motivates). At query time the query's
+    residual is recomputed PER PROBED CELL (q − centroid(cell)), so each
+    cell gets its own 8×16 distance table — candidates and query are
+    compared in the same residual frame. Search cost drops twice:
     N·nprobe/nlist candidates instead of N (IVF), and 8 table lookups
-    per candidate instead of a 64-dim dot product (PQ). This variant
-    quantizes raw vectors, not residuals (v − centroid); residual
-    encoding is a recall refinement orthogonal to the data flow, noted
-    so the parity claim stays honest.
+    per candidate instead of a 64-dim dot product (PQ).
 
-    Scale: the coarse-center and codebook tables are tiny (nlist×dim,
-    8×16) → broadcast; cell assignment and code assignment are each one
-    map-side broadcast join + one keyed aggregate; the probe list and
-    per-query distance tables (|q|·8·16) broadcast; the final ADC sum
+    Scale: the coarse-center and residual-codebook tables are tiny
+    (nlist×dim, 8×16) → broadcast; residuals are one map-side zip_with
+    after a broadcast centroid join — never a shuffle; code assignment
+    is one keyed aggregate; the probe list and per-(query, cell)
+    distance tables (|q|·nprobe·8·16) broadcast; the final ADC sum
     shuffles only (query, candidate) pairs from probed cells. The
     hash-seeded top-k keeps its rank-limit pushdown
     (test_seed_topk_never_globally_sorts_corpus covers this registry
@@ -903,46 +959,68 @@ def vector_ivf_pq_topk(spark, sf_dir):
     e = table(spark, sf_dir, "embeddings")
 
     # --- coarse stage: home cell per vector, probed cells per query
-    scored_cells = _ivf_scored_cells(e)
+    cents_ivf = _ivf_centroids(e)
+    scored_cells = _ivf_scored_cells(e, cents_ivf)
     assigned = (scored_cells.filter(F.col("rn") == 1)
-                .select("vec_id", "cell"))
+                .select("vec_id", "embedding", "cell"))
     probes = (scored_cells.filter((F.col("vec_id") < N_QUERIES)
                                   & (F.col("rn") <= IVF_NPROBE))
-              .select(F.col("vec_id").alias("query_id"), "cell"))
-    cand = (assigned.join(F.broadcast(probes), "cell")
+              .select(F.col("vec_id").alias("query_id"),
+                      F.col("embedding").alias("qvec"), "cell"))
+    cand = (assigned.select("vec_id", "cell")
+            .join(F.broadcast(probes.select("query_id", "cell")), "cell")
             .filter(F.col("vec_id") != F.col("query_id"))
-            .select("query_id", F.col("vec_id").alias("neighbor_id")))
+            .select("query_id", F.col("vec_id").alias("neighbor_id"),
+                    "cell"))
 
-    # --- PQ stage: stored codes for every vector, ADC tables per query
+    # --- residuals: v − centroid(home cell), map-side broadcast join
+    sub_vec = (lambda a, b: F.zip_with(
+        a, b, lambda x, y: x.cast("double") - y.cast("double")))
+    resid = (assigned
+             .join(F.broadcast(cents_ivf.select("cell", "centroid")), "cell")
+             .select("vec_id", "cell",
+                     sub_vec(F.col("embedding"), F.col("centroid"))
+                     .alias("resid")))
+    rslices = F.array(*[F.slice("resid", j * PQ_SUBDIM + 1, PQ_SUBDIM)
+                        for j in range(PQ_M)])
+
+    # --- PQ stage over residuals: residual-seeded codebooks, stored
+    #     codes for every vector, per-(query, probed cell) ADC tables
     wc = Window.orderBy("h", "vec_id")
-    slices = F.array(*[F.slice("embedding", j * PQ_SUBDIM + 1, PQ_SUBDIM)
-                       for j in range(PQ_M)])
-    cents = (e.select("vec_id", "embedding",
-                      F.expr(spark_h60("cast(vec_id as string)")).alias("h"))
-             .withColumn("rn", F.row_number().over(wc))
-             .filter(F.col("rn") <= PQ_K)
-             .select((F.col("rn") - 1).alias("k"),
-                     F.posexplode(slices).alias("j", "cvec")))
+    rcents = (resid.select("vec_id", "resid",
+                           F.expr(spark_h60("cast(vec_id as string)"))
+                           .alias("h"))
+              .withColumn("rn", F.row_number().over(wc))
+              .filter(F.col("rn") <= PQ_K)
+              .select((F.col("rn") - 1).alias("k"),
+                      F.posexplode(rslices).alias("j", "cvec")))
     dist = (dot(F.col("sub"), F.col("sub"))
             - 2 * dot(F.col("sub"), F.col("cvec"))
             + dot(F.col("cvec"), F.col("cvec")))
-    subs = e.select("vec_id", F.posexplode(slices).alias("j", "sub"))
-    codes = (subs.join(F.broadcast(cents), "j")
-             .select("vec_id", "j", "k", dist.alias("dist"))
-             .groupBy("vec_id", "j")
+    subs = resid.select("vec_id", "cell",
+                        F.posexplode(rslices).alias("j", "sub"))
+    codes = (subs.join(F.broadcast(rcents), "j")
+             .select("vec_id", "cell", "j", "k", dist.alias("dist"))
+             .groupBy("vec_id", "cell", "j")
              .agg(F.min(F.struct("dist", "k")).alias("m"))
-             .select("vec_id", "j", F.col("m.k").alias("k")))
-    qsubs = (e.filter(F.col("vec_id") < N_QUERIES)
-             .select(F.col("vec_id").alias("query_id"),
-                     F.posexplode(slices).alias("j", "sub")))
-    dtab = (qsubs.join(F.broadcast(cents), "j")
-            .select("query_id", "j", "k", dist.alias("d")))
+             .select("vec_id", "cell", "j", F.col("m.k").alias("k")))
+    qresid = (probes
+              .join(F.broadcast(cents_ivf.select("cell", "centroid")),
+                    "cell")
+              .select("query_id", "cell",
+                      sub_vec(F.col("qvec"), F.col("centroid"))
+                      .alias("resid")))
+    qsubs = qresid.select("query_id", "cell",
+                          F.posexplode(rslices).alias("j", "sub"))
+    dtab = (qsubs.join(F.broadcast(rcents), "j")
+            .select("query_id", "cell", "j", "k", dist.alias("d")))
 
-    # --- ADC over pruned candidates only: 8 lookups per (query, cand)
+    # --- ADC over pruned candidates only: 8 lookups per (query, cand),
+    #     looked up in the probed cell's own residual frame
     adc_arr = F.array_sort(F.collect_list(F.struct("j", "d")))
-    adc = (cand.join(codes, cand.neighbor_id == codes.vec_id)
-           .select("query_id", "neighbor_id", "j", "k")
-           .join(F.broadcast(dtab), ["query_id", "j", "k"])
+    adc = (cand.join(codes.select(F.col("vec_id").alias("neighbor_id"),
+                                  "j", "k"), "neighbor_id")
+           .join(F.broadcast(dtab), ["query_id", "cell", "j", "k"])
            .groupBy("query_id", "neighbor_id")
            .agg(F.aggregate(adc_arr.getField("d"), F.lit(0.0),
                             lambda a, x: a + x).alias("adc")))

@@ -214,3 +214,20 @@ def test_streaming_projection_fails_loudly_after_base_rewrite(
     with pytest.raises(Exception, match="rewritten under a running stream"):
         q.awaitTermination(120)
     assert sorted(tuple(r) for r in catalog.read("ps").collect()) == before
+
+
+def test_projection_routed_scan_prunes(spark, sf_dir):
+    """The REGISTERED projection query (verdict r8 task 4): the scan
+    must be served by the o_custkey-sorted projection and its zone maps
+    must admit far fewer rows than the table holds — the base's natural
+    o_orderkey order cannot prune this filter, so pruning here proves
+    routing happened."""
+    from cstore_fdw_spark.operators import load_all
+
+    df = load_all()["projection_routed_scan"].builder(spark, sf_dir)
+    total = spark.read.parquet(f"{sf_dir}/orders.parquet").count()
+    m = scan_metrics(df)
+    expected = (spark.read.parquet(f"{sf_dir}/orders.parquet")
+                .filter(F.col("o_custkey").between(100, 120)).count())
+    assert m["result_rows"] == expected
+    assert m["scan_rows"] < total / 2, m

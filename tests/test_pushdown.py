@@ -288,3 +288,52 @@ def test_bloom_filter_option_validation(spark, catalog):
     with pytest.raises(CStoreError, match="bloom_filter_ndv"):
         validate_options({"bloom_filter_columns": "a",
                           "bloom_filter_ndv": 0})
+
+
+def test_histogram_estimate_drives_broadcast_decision(spark, catalog):
+    """The CBO hook (verdict r8 task 5; reference anchor
+    cstore_fdw.c:1628-1638 — the selectivity-based row estimate is the
+    reference's one planner contribution): a SELECTIVE range on a
+    histogram'd dimension must plan a BroadcastHashJoin, a broad range
+    must stay SortMergeJoin — with Spark's own static auto-broadcast
+    disabled, so the ONLY thing that can flip the plan is the
+    histogram estimate."""
+    from pyspark.sql import functions as F
+
+    from cstore_fdw_spark.plans import (explain_estimate, explain_str,
+                                        join_by_estimate)
+
+    catalog.create_table("dim", "k long, attr long")
+    catalog.insert("dim", spark.range(50_000).select(
+        F.col("id").alias("k"), (F.col("id") % 997).alias("attr")))
+    fact = spark.range(200_000).select((F.col("id") % 50_000).alias("k"),
+                                       F.col("id").alias("v"))
+
+    # no histogram yet -> honest None, join falls back to Spark planning
+    assert explain_estimate(catalog, "dim", "attr", 0, 10) is None
+
+    catalog.analyze_histograms("dim", bins=32)
+    sel = explain_estimate(catalog, "dim", "attr", 0, 10)
+    broad = explain_estimate(catalog, "dim", "attr", 0, 997)
+    assert sel["estimated_rows"] < broad["estimated_rows"]
+    assert 0 < sel["selectivity"] < 0.1 and broad["selectivity"] > 0.5
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        # threshold sized between the two estimates: the selective
+        # filter fits, the broad one does not
+        thr = (sel["estimated_bytes"] + broad["estimated_bytes"]) // 2
+        j_sel = join_by_estimate(catalog, fact, "dim", ["k"],
+                                 "attr", 0, 10, broadcast_threshold=thr)
+        j_broad = join_by_estimate(catalog, fact, "dim", ["k"],
+                                   "attr", 0, 997, broadcast_threshold=thr)
+        assert "BroadcastHashJoin" in explain_str(j_sel, "simple")
+        assert "BroadcastHashJoin" not in explain_str(j_broad, "simple")
+        # the decision never gates correctness: both joins agree
+        n_sel = j_sel.count()
+        expected = fact.join(
+            catalog.read("dim").filter(F.col("attr") < 10), ["k"]).count()
+        assert n_sel == expected
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
