@@ -12,11 +12,13 @@ optional fast path for arbitrary real-world files.
 Honest scope: baseline sequential DCT, 8-bit precision (SOF0/SOF1),
 grayscale or interleaved color, plus progressive DCT (SOF2) with full
 successive approximation and spectral selection (T.81 Annex G — all
-four scan kinds, interleaved DC scans, per-component AC scans) for
-grayscale and 4:4:4 (1x1-sampled) color. What still raises a clear
-scope error: subsampled color progressive, arithmetic coding,
-hierarchical/lossless modes, and 16-bit quant tables — the same
-boundaries early libjpeg shipped with.
+four scan kinds, interleaved DC scans over subsampled MCU walks
+including the entropy-coded-but-never-rendered padding blocks,
+per-component AC scans on each component's own block grid) for
+grayscale and color at any 1–2 sampling factor (4:4:4, 4:2:2, 4:2:0).
+What still raises a clear scope error: sampling factors above 2,
+arithmetic coding, hierarchical/lossless modes, and 16-bit quant
+tables — the same boundaries early libjpeg shipped with.
 
 Determinism note for the oracle: JPEG is lossy, so a closed-form SQL
 oracle can only check values that round-trip EXACTLY. A constant 8×8
@@ -278,13 +280,14 @@ def jpeg_decode_baseline(payload: bytes):
                               "h": body[7 + 3 * c] >> 4,
                               "v": body[7 + 3 * c] & 15,
                               "tq": body[8 + 3 * c]})
-            if nc not in (1, 3) or any(
-                    c["h"] != 1 or c["v"] != 1 for c in comps if nc == 3):
+            if nc not in (1, 3):
                 raise ValueError(
-                    "subsampled / non-3-component color progressive "
-                    "JPEG is out of scope — this decoder covers "
-                    "grayscale progressive and 4:4:4 (1x1-sampled) "
-                    "color progressive; install PIL for the rest")
+                    "non-1/3-component progressive JPEG is out of "
+                    "scope; install PIL for the rest")
+            if any(not 1 <= c["h"] <= 2 or not 1 <= c["v"] <= 2
+                   for c in comps):
+                raise ValueError(
+                    "sampling factors above 2 are out of scope")
             frame = (w, h, comps)
             progressive = True
         elif m in (0xC3, 0xC5, 0xC6, 0xC7,
@@ -310,9 +313,11 @@ def jpeg_decode_baseline(payload: bytes):
             ahal = body[3 + 2 * ns]
             if prog_coefs is None:
                 w, h, fcomps = frame
-                nblocks = (-(-w // 8)) * (-(-h // 8))
-                prog_coefs = {c["id"]: [[0] * 64 for _ in range(nblocks)]
-                              for c in fcomps}
+                prog_coefs = {}
+                for c in fcomps:
+                    bw, bh = _comp_grid(w, h, fcomps, c)
+                    prog_coefs[c["id"]] = [[0] * 64
+                                           for _ in range(bw * bh)]
             pos = _decode_scan_progressive(
                 data, pos + seglen, frame, scan, prog_coefs,
                 huff_dc, huff_ac, restart_interval,
@@ -321,44 +326,91 @@ def jpeg_decode_baseline(payload: bytes):
         pos += seglen  # APPn / COM / anything else: skip
 
 
+def _comp_grid(w, h, comps, c) -> tuple[int, int]:
+    """Blocks-wide × blocks-high of one component's OWN grid (T.81
+    A.1.1: component dims are the frame dims scaled by the sampling
+    ratio, each rounded up; the block grid rounds those up to 8). For
+    interleaved scans the MCU walk may pad beyond this grid — those
+    padding blocks are entropy-coded but never rendered."""
+    hmax = max(cc["h"] for cc in comps)
+    vmax = max(cc["v"] for cc in comps)
+    cw = -(-(w * c["h"]) // hmax)
+    ch = -(-(h * c["v"]) // vmax)
+    return -(-cw // 8), -(-ch // 8)
+
+
 def _decode_scan_progressive(data, pos, frame, scan, coefs_by_comp,
                              huff_dc, huff_ac, ri, ss, se, ah, al):
     """One progressive scan (T.81 Annex G): accumulate quantized
     coefficients for the spectral band [ss, se] at successive-
     approximation precision (ah, al) into ``coefs_by_comp`` (comp id →
-    per-block natural-order arrays). Returns the stream position after
-    the entropy data.
+    per-block natural-order arrays, each component on its OWN block
+    grid). Returns the stream position after the entropy data.
 
     Covers all four scan kinds: first DC (category-coded diffs of the
-    point-transformed DC — possibly INTERLEAVED across components, each
-    with its own predictor; at the supported 1x1 sampling an MCU is one
-    block per component in scan order), DC refinement (one raw bit per
-    block per component), first AC (run/size with EOB-run coding), and
-    AC refinement (±1<<al insertions threaded through correction bits
-    for already-nonzero coefficients — the G.1.2.3 algorithm). AC scans
-    are always non-interleaved per G.1.1.1.1."""
+    point-transformed DC — INTERLEAVED across components when ns > 1,
+    walking MCUs with h×v blocks per component per MCU and per-
+    component predictors, including the MCU-padding dummy blocks that
+    subsampled frames entropy-code but never render; non-interleaved
+    over the single component's own grid when ns = 1), DC refinement
+    (one raw bit per block per component), first AC (run/size with
+    EOB-run coding), and AC refinement (±1<<al insertions threaded
+    through correction bits for already-nonzero coefficients — the
+    G.1.2.3 algorithm). AC scans are always non-interleaved per
+    G.1.1.1.1."""
     w, h, comps = frame
     br = _BitReader(data, pos)
     p1 = 1 << al
     scan_comps = [c for c in comps if c["id"] in scan]
-    if ss == 0:  # DC scan (se must be 0), possibly interleaved
-        nblocks = len(coefs_by_comp[scan_comps[0]["id"]])
+    if ss == 0:  # DC scan (se must be 0), interleaved iff ns > 1
         pred = {c["id"]: 0 for c in scan_comps}
-        for bi in range(nblocks):
-            if ri and bi and bi % ri == 0:
-                br.expect_restart(bi // ri - 1)
-                pred = {c["id"]: 0 for c in scan_comps}
-            for c in scan_comps:
-                block = coefs_by_comp[c["id"]][bi]
-                td, _ta = scan[c["id"]]
-                if ah == 0:  # first DC scan
-                    s = _decode_symbol(br, huff_dc[td])
-                    diff = _extend(br.read_bits(s), s) if s else 0
-                    pred[c["id"]] += diff
-                    block[0] = pred[c["id"]] << al
-                else:        # DC refinement: one raw bit
-                    if br.read_bit():
-                        block[0] |= p1
+        dummy = [0] * 64
+
+        def dc_one(c, block):
+            td, _ta = scan[c["id"]]
+            if ah == 0:  # first DC scan
+                s = _decode_symbol(br, huff_dc[td])
+                diff = _extend(br.read_bits(s), s) if s else 0
+                pred[c["id"]] += diff
+                block[0] = pred[c["id"]] << al
+            else:        # DC refinement: one raw bit
+                if br.read_bit():
+                    block[0] |= p1
+
+        if len(scan_comps) > 1:  # interleaved MCU walk (T.81 G.1.1)
+            hmax = max(c["h"] for c in comps)
+            vmax = max(c["v"] for c in comps)
+            mcux = -(-w // (8 * hmax))
+            mcuy = -(-h // (8 * vmax))
+            grids = {c["id"]: _comp_grid(w, h, comps, c)
+                     for c in scan_comps}
+            for mi in range(mcux * mcuy):
+                if ri and mi and mi % ri == 0:
+                    br.expect_restart(mi // ri - 1)
+                    pred = {c["id"]: 0 for c in scan_comps}
+                my, mx = divmod(mi, mcux)
+                for c in scan_comps:
+                    bw, bh = grids[c["id"]]
+                    for by in range(c["v"]):
+                        for bx in range(c["h"]):
+                            row = my * c["v"] + by
+                            col = mx * c["h"] + bx
+                            # MCU-padding blocks beyond the component's
+                            # grid: their bits are in the stream and
+                            # they advance the DC predictor, but they
+                            # are never rendered
+                            block = (coefs_by_comp[c["id"]][row * bw
+                                                            + col]
+                                     if row < bh and col < bw else dummy)
+                            dc_one(c, block)
+        else:
+            c = scan_comps[0]
+            blocks = coefs_by_comp[c["id"]]
+            for bi in range(len(blocks)):
+                if ri and bi and bi % ri == 0:
+                    br.expect_restart(bi // ri - 1)
+                    pred = {c["id"]: 0}
+                dc_one(c, blocks[bi])
         br.nbits = 0
         return br.pos
     if len(scan_comps) != 1:
@@ -445,14 +497,15 @@ def _decode_scan_progressive(data, pos, frame, scan, coefs_by_comp,
 
 def _render_progressive(frame, coefs_by_comp, qt):
     """Dequantize + IDCT the accumulated coefficient stores into
-    per-component planes, crop/convert to the output raster — the final
-    step after all progressive scans (grayscale or 4:4:4 color)."""
+    per-component planes (each on its OWN block grid — subsampled
+    chroma renders at its reduced resolution), crop/convert to the
+    output raster — the final step after all progressive scans."""
     w, h, comps = frame
-    bw = -(-w // 8)
-    stride = bw * 8
     for c in comps:
+        bw, bh = _comp_grid(w, h, comps, c)
+        stride = bw * 8
         q = qt[c["tq"]]
-        plane = bytearray(stride * (-(-h // 8)) * 8)
+        plane = bytearray(stride * bh * 8)
         for bi, block in enumerate(coefs_by_comp[c["id"]]):
             px = _idct_block([block[i] * q[i] for i in range(64)])
             y0, x0 = (bi // bw) * 8, (bi % bw) * 8

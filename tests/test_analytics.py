@@ -592,11 +592,11 @@ def test_jpeg_color_ycbcr_to_rgb():
 
 
 def test_jpeg_scope_errors():
-    """The decoder's honest scope boundary after the grayscale-
-    progressive addition: multi-component SOF2 still raises the scope
-    error, junk still raises SOI, 16-bit DQT still refused — while
-    single-component (grayscale) SOF2 now DECODES (positive case in
-    test_jpeg_progressive_grayscale_decodes below)."""
+    """The decoder's honest scope boundary after the subsampled-color-
+    progressive addition: sampling factors above 2 still raise the
+    scope error, junk still raises SOI, 16-bit DQT still refused —
+    while 4:2:0 color SOF2 now DECODES (positive differential cases in
+    test_jpeg_progressive_420_matches_baseline below)."""
     import struct as st
 
     import pytest
@@ -605,13 +605,19 @@ def test_jpeg_scope_errors():
 
     with pytest.raises(ValueError, match="SOI"):
         jpeg_decode_baseline(b"junk")
-    # multi-component (color) progressive SOF2 refused with the honest
-    # scope error; grayscale SOF2 is in scope since the Annex-G decoder
-    sof2_color = (b"\xff\xd8" + b"\xff\xc2" + st.pack(">H", 17)
+    # sampling factor 3 progressive refused with the honest scope
+    # error; any 1-2 sampling (4:4:4/4:2:2/4:2:0) is now in scope
+    sof2_samp3 = (b"\xff\xd8" + b"\xff\xc2" + st.pack(">H", 17)
                   + st.pack(">BHHB", 8, 8, 8, 3)
-                  + bytes([1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1]))
-    with pytest.raises(ValueError, match="progressive"):
-        jpeg_decode_baseline(sof2_color)
+                  + bytes([1, 0x33, 0, 2, 0x11, 1, 3, 0x11, 1]))
+    with pytest.raises(ValueError, match="sampling factors above 2"):
+        jpeg_decode_baseline(sof2_samp3)
+    # 4-component (CMYK-style) progressive refused
+    sof2_4c = (b"\xff\xd8" + b"\xff\xc2" + st.pack(">H", 20)
+               + st.pack(">BHHB", 8, 8, 8, 4)
+               + bytes([1, 0x11, 0, 2, 0x11, 0, 3, 0x11, 0, 4, 0x11, 0]))
+    with pytest.raises(ValueError, match="component"):
+        jpeg_decode_baseline(sof2_4c)
     # 16-bit DQT refused
     dqt16 = (b"\xff\xd8" + b"\xff\xdb" + st.pack(">H", 131)
              + bytes([0x10]) + bytes(128))
@@ -848,16 +854,172 @@ def test_jpeg_progressive_color_decodes():
     assert raster == bytes([214, 193, 200] * 64)
 
 
-def test_jpeg_progressive_subsampled_color_refused():
-    """Subsampled color progressive stays an honest scope error."""
+def _jpeg_color_streams(w, h, dc, acs):
+    """Differential fixture: the SAME 4:2:0 color coefficients (Y at
+    2x2, Cb/Cr at 1x1; ``dc[cid][(row, col)]`` over each component's
+    MCU-PADDED grid, ``acs[cid][(row, col)]`` zigzag→value on real
+    blocks) emitted BOTH as a baseline-sequential stream and as a
+    three-scan progressive stream (interleaved first-DC at al=1, DC
+    refinement, then a non-interleaved first-AC scan per component
+    that has ACs). Returns (baseline_bytes, progressive_bytes)."""
     import struct as st
 
-    import pytest
+    from cstore_fdw_spark.operators.jpeg_codec import (
+        _DC_BITS, _DC_VALS, _canonical_encode_table)
 
+    comps = [(1, 2, 2), (2, 1, 1), (3, 1, 1)]
+    ac_bits = [0, 2, 2, 2, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+    ac_vals = [0x00, 0x02, 0x22, 0x41, 0xF0, 0x01]
+    enc_dc = _canonical_encode_table(_DC_BITS, _DC_VALS)
+    enc_ac = _canonical_encode_table(ac_bits, ac_vals)
+    mcux, mcuy = -(-w // 16), -(-h // 16)
+
+    def code_bits(tbl, sym):
+        code, length = tbl[sym]
+        return [(code >> (length - 1 - i)) & 1 for i in range(length)]
+
+    def value_bits(v, s):
+        mag = v if v >= 0 else v + (1 << s) - 1
+        return [(mag >> (s - 1 - i)) & 1 for i in range(s)]
+
+    def entropy(bits):
+        bits = list(bits)
+        while len(bits) % 8:
+            bits.append(1)
+        out = bytearray()
+        for i in range(0, len(bits), 8):
+            b = 0
+            for bit in bits[i:i + 8]:
+                b = (b << 1) | bit
+            out.append(b)
+            if b == 0xFF:
+                out.append(0x00)
+        return bytes(out)
+
+    def dc_code(diff):
+        s = abs(diff).bit_length()
+        return code_bits(enc_dc, s) + (value_bits(diff, s) if s else [])
+
+    def ac_block(block_acs):
+        bits = []
+        k, last = 1, max(block_acs) if block_acs else 0
+        while k <= last:
+            if k in block_acs:
+                v = block_acs[k]
+                sz = abs(v).bit_length()
+                bits += code_bits(enc_ac, sz)  # run 0
+                bits += value_bits(v, sz)
+                k += 1
+            else:
+                nxt = min(kk for kk in block_acs if kk > k)
+                run, v = nxt - k, block_acs[nxt]
+                sz = abs(v).bit_length()
+                bits += code_bits(enc_ac, (run << 4) | sz)
+                bits += value_bits(v, sz)
+                k = nxt + 1
+        if last < 63:
+            bits += code_bits(enc_ac, 0x00)  # EOB
+        return bits
+
+    def mcu_walk():
+        for mi in range(mcux * mcuy):
+            my, mx = divmod(mi, mcux)
+            for cid, ch, cv in comps:
+                for by in range(cv):
+                    for bx in range(ch):
+                        yield cid, my * cv + by, mx * ch + bx
+
+    def headers(sof_marker):
+        segs = [b"\xff\xd8",
+                b"\xff\xdb" + st.pack(">H", 67) + b"\x00" + bytes([1] * 64)]
+        sof = (st.pack(">BHHB", 8, h, w, 3)
+               + bytes([1, 0x22, 0, 2, 0x11, 0, 3, 0x11, 0]))
+        segs.append(sof_marker + st.pack(">H", 2 + len(sof)) + sof)
+        dht = (bytes([0x00]) + bytes(_DC_BITS) + bytes(_DC_VALS)
+               + bytes([0x10]) + bytes(ac_bits) + bytes(ac_vals))
+        segs.append(b"\xff\xc4" + st.pack(">H", 2 + len(dht)) + dht)
+        return segs
+
+    # --- baseline: one interleaved scan, DC+AC per block in MCU order
+    base = headers(b"\xff\xc0")
+    base.append(b"\xff\xda" + st.pack(">H", 12)
+                + bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0]))
+    pred = {cid: 0 for cid, _, _ in comps}
+    bits = []
+    for cid, row, col in mcu_walk():
+        v = dc[cid][(row, col)]
+        bits += dc_code(v - pred[cid])
+        pred[cid] = v
+        bits += ac_block(acs.get(cid, {}).get((row, col), {}))
+    base.append(entropy(bits))
+    base.append(b"\xff\xd9")
+
+    # --- progressive: interleaved first-DC (al=1), DC refinement,
+    #     then per-component AC-first scans over the REAL grid
+    prog = headers(b"\xff\xc2")
+    prog.append(b"\xff\xda" + st.pack(">H", 12)
+                + bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 0, 0x01]))
+    pred = {cid: 0 for cid, _, _ in comps}
+    bits = []
+    for cid, row, col in mcu_walk():
+        v = dc[cid][(row, col)] >> 1
+        bits += dc_code(v - pred[cid])
+        pred[cid] = v
+    prog.append(entropy(bits))
+    prog.append(b"\xff\xda" + st.pack(">H", 12)
+                + bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 0, 0x10]))
+    prog.append(entropy([dc[cid][(row, col)] & 1
+                         for cid, row, col in mcu_walk()]))
+    for cid, ch, cv in comps:
+        if cid not in acs:
+            continue  # all-zero AC band: a scan may simply never come
+        # real (unpadded) grid dims; hmax = vmax = 2 in this fixture
+        cw, chh = -(-(w * ch) // 2), -(-(h * cv) // 2)
+        bw, bh = -(-cw // 8), -(-chh // 8)
+        prog.append(b"\xff\xda" + st.pack(">H", 8)
+                    + bytes([1, cid, 0x00, 1, 63, 0x00]))
+        bits = []
+        for bi in range(bw * bh):
+            bits += ac_block(acs[cid].get((bi // bw, bi % bw), {}))
+        prog.append(entropy(bits))
+    prog.append(b"\xff\xd9")
+    return b"".join(base), b"".join(prog)
+
+
+def test_jpeg_progressive_420_matches_baseline():
+    """4:2:0 subsampled color progressive (the last in-scope codec
+    boundary): the same coefficients decoded through the progressive
+    path (interleaved DC over the subsampled MCU walk + per-component
+    AC scans on each component's own grid) must produce the EXACT
+    raster the baseline path produces. 16×16 = clean 2×2 luma grid."""
     from cstore_fdw_spark.operators.jpeg_codec import jpeg_decode_baseline
 
-    sof2 = (b"\xff\xd8" + b"\xff\xc2" + st.pack(">H", 17)
-            + st.pack(">BHHB", 8, 8, 8, 3)
-            + bytes([1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1]))
-    with pytest.raises(ValueError, match="progressive"):
-        jpeg_decode_baseline(sof2)
+    dc = {1: {(0, 0): 561, (0, 1): 568, (1, 0): 577, (1, 1): 584},
+          2: {(0, 0): 0}, 3: {(0, 0): 80}}
+    acs = {1: {(0, 0): {1: 3}}}
+    base, prog = _jpeg_color_streams(16, 16, dc, acs)
+    wb, hb, cb, rb = jpeg_decode_baseline(base)
+    wp, hp, cp, rp = jpeg_decode_baseline(prog)
+    assert (wb, hb, cb) == (16, 16, 3) == (wp, hp, cp)
+    assert rb == rp
+    assert len(set(rb)) > 1  # the AC coefficient actually shaped pixels
+
+
+def test_jpeg_progressive_420_dummy_blocks_match_baseline():
+    """24×8 at 2×2 luma sampling: the MCU walk entropy-codes luma
+    padding blocks (row 1 and column 3 of the padded grid) that the
+    real 3×1 luma grid never renders — both paths must consume those
+    bits identically, keep DC prediction in sync through them, and
+    agree on every rendered pixel."""
+    from cstore_fdw_spark.operators.jpeg_codec import jpeg_decode_baseline
+
+    dc = {1: {(r, c): 100 * r + 16 * c + 401 for r in range(2)
+              for c in range(4)},
+          2: {(0, 0): 24, (0, 1): -17}, 3: {(0, 0): 80, (0, 1): 3}}
+    acs = {1: {(0, 1): {1: 3, 4: -2}}, 2: {(0, 0): {1: 2}}}
+    base, prog = _jpeg_color_streams(24, 8, dc, acs)
+    wb, hb, cb, rb = jpeg_decode_baseline(base)
+    wp, hp, cp, rp = jpeg_decode_baseline(prog)
+    assert (wb, hb, cb) == (24, 8, 3) == (wp, hp, cp)
+    assert rb == rp
+    assert len(set(rb)) > 1
