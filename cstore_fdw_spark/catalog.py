@@ -466,6 +466,14 @@ class CStoreCatalog:
                 shutil.rmtree(data, ignore_errors=True)
                 shutil.rmtree(data + ".compact.tmp", ignore_errors=True)
                 shutil.rmtree(data + ".compact.old", ignore_errors=True)
+            # Bump the epoch BEFORE setting the floor: a truncate issued
+            # when history_floor == write_epoch (no appends since the
+            # last floor raise) would otherwise leave the floor
+            # unchanged and slip past the streaming rewrite guard
+            # (_guard_source_stability watches floor increases), letting
+            # a streaming view silently keep pre-truncate aggregates.
+            # Truncate is a commit: it gets its own epoch.
+            meta.write_epoch += 1
             meta.history_floor = meta.write_epoch  # history is gone
             meta.file_stats = {}
             self._save_meta(meta)

@@ -295,9 +295,8 @@ def jpeg_decode_baseline(payload: bytes):
             raise ValueError(
                 "arithmetic/hierarchical/lossless JPEG is out of "
                 "scope — this decoder covers baseline sequential "
-                "(SOF0/SOF1) and grayscale / 4:4:4 progressive (SOF2); "
-                "install "
-                "PIL for the rest")
+                "(SOF0/SOF1) and progressive (SOF2) at any 1-2 "
+                "sampling incl. 4:2:2/4:2:0; install PIL for the rest")
         elif m == 0xDA:  # SOS — entropy-coded data follows
             if frame is None:
                 raise ValueError("SOS before SOF")

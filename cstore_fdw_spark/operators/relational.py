@@ -496,22 +496,39 @@ def projection_routed_scan(spark, sf_dir):
     column' — one extra sorted copy per predicate family, refreshed
     O(delta) per epoch, turns a full-history scan into a few row
     groups on the second dimension too."""
+    import hashlib
+    import os
+    import shutil
     import tempfile
 
     from cstore_fdw_spark.catalog import CStoreCatalog
     from cstore_fdw_spark.projections import (
         create_projection, read_optimized, refresh_projection)
 
-    cat = CStoreCatalog(spark, warehouse=tempfile.mkdtemp(
-        prefix="cstore_projq_"))
-    orders = table(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_custkey", "o_totalprice")
-    # small row groups so zone-map pruning is observable at test scale
-    cat.create_table("orders_base", orders.schema, block_row_count=1000)
-    cat.insert("orders_base", orders)
-    create_projection(cat, "orders_base", "orders_by_cust",
-                      sort_by=["o_custkey"])
-    refresh_projection(cat, "orders_by_cust")
+    # deterministic per-sf_dir warehouse, built once and reused across
+    # gate/bench invocations (a fresh mkdtemp per call leaked one
+    # orphaned copy of orders per run — ADVICE r9); a crashed partial
+    # build (dir present, no marker) is torn down and rebuilt
+    wh = os.path.join(tempfile.gettempdir(), "cstore_projq_" + hashlib.md5(
+        os.path.abspath(sf_dir).encode()).hexdigest()[:12])
+    marker = os.path.join(wh, "_built")
+    if not os.path.exists(marker):
+        shutil.rmtree(wh, ignore_errors=True)
+        cat = CStoreCatalog(spark, warehouse=wh)
+        orders = table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_totalprice")
+        # small row groups so zone-map pruning is observable at test
+        # scale
+        cat.create_table("orders_base", orders.schema,
+                         block_row_count=1000)
+        cat.insert("orders_base", orders)
+        create_projection(cat, "orders_base", "orders_by_cust",
+                          sort_by=["o_custkey"])
+        refresh_projection(cat, "orders_by_cust")
+        with open(marker, "w") as fh:
+            fh.write(os.path.abspath(sf_dir))
+    else:
+        cat = CStoreCatalog(spark, warehouse=wh)
     return (read_optimized(cat, "orders_base", ["o_custkey"])
             .filter(F.col("o_custkey").between(100, 120))
             .select("o_orderkey", "o_custkey", "o_totalprice"))

@@ -505,6 +505,37 @@ def test_streaming_aggview_fails_loudly_after_source_rewrite(
     assert sorted(tuple(r) for r in catalog.read("vs").collect()) == state
 
 
+def test_streaming_aggview_fails_loudly_after_quiet_truncate(
+        spark, catalog, tmp_path):
+    """ADVICE r9 (low, but a guard hole): truncate sets history_floor =
+    write_epoch, so a truncate issued when NO appends landed since the
+    last floor raise used to leave the floor unchanged and slip past
+    _guard_source_stability — the streaming view silently kept
+    pre-truncate aggregates, never retracted. Truncate now commits its
+    own epoch before raising the floor, so the guard trips."""
+    from cstore_fdw_spark.aggview import create_agg_view
+    from cstore_fdw_spark.streaming.aggview import maintain_agg_view_stream
+
+    catalog.create_table("srcq", "g string, x long")
+    create_agg_view(catalog, "vq", "srcq", keys=["g"], measures=["x"])
+    catalog.insert("srcq", spark.createDataFrame(
+        [("a", 1), ("b", 2)], "g string, x long"))
+    # compact raises the floor to the current epoch: the exact state in
+    # which the old truncate was floor-invisible
+    catalog.compact("srcq")
+    q = maintain_agg_view_stream(catalog, "vq", str(tmp_path / "ckq"))
+    q.awaitTermination(120)
+    assert catalog.read("vq").count() == 2
+
+    catalog.truncate("srcq")  # no appends since the compact
+    catalog.insert("srcq", spark.createDataFrame(
+        [("c", 3)], "g string, x long"))
+
+    q = maintain_agg_view_stream(catalog, "vq", str(tmp_path / "ckq"))
+    with pytest.raises(Exception, match="rewritten under a running stream"):
+        q.awaitTermination(120)
+
+
 def test_streaming_aggview_over_orc_source(spark, catalog, tmp_path):
     """ADVICE r8 (low): source_stream used to hardcode the parquet file
     source even though storage_format='orc' is a valid table option —
