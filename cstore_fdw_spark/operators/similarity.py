@@ -607,28 +607,178 @@ PQ_M = 8        # subspaces (64-dim embedding -> 8 sub-vectors of 8 dims)
 PQ_SUBDIM = 8
 PQ_K = 16       # codebook entries per subspace (4-bit codes here; real
                 # deployments use 256 — a capacity knob, not a scale knob)
+PQ_TRAIN_N = 256   # Lloyd training sample: the hash-top rows (bounded)
+PQ_ITERS = 2       # Lloyd refinement iterations over the sample
+IVF_COARSE_ITERS = 1   # coarse-quantizer Lloyd iterations (one pass over
+#                        the sample already turns sampled members into
+#                        cell means, which is what residual encoding
+#                        needs; the second pass measurably buys nothing
+#                        at 4-bit PQ and doubles the trainer's stages)
+FX_SCALE = 1099511627776.0   # 2^40 fixed-point for deterministic means
+
+
+def _trained_codebook(vecs, m=None, subdim=None, k=None, train_n=None,
+                      iters=None):
+    """(j, k, cvec: array<double>) — Lloyd-refined PQ codebooks, the
+    k-means "train" stage FAISS runs before encoding (Jégou '11 §II;
+    sample-seeded codebooks alone quantize too coarsely for the ADC
+    ranking to track true neighbors). Deterministic at any parallelism:
+
+    - the training sample is the hash-top ``PQ_TRAIN_N`` rows and the
+      initial centers the hash-top ``PQ_K`` of the SAME ordering (i.e.
+      iteration 0 is exactly the old sampled codebook);
+    - each Lloyd mean is computed in 2^40 fixed-point — floor to
+      BIGINT, exact integer SUM (order-free), then one double division
+      chain — so the refined centers are identical regardless of
+      partitioning/fold order AND bit-reproducible by the DuckDB
+      oracle (``_train_ctes``);
+    - assignment ties break on (dist, k) like every argmin in this
+      family; empty clusters keep their previous center.
+
+    Scale: train-on-sample is the FAISS discipline at 100 TB too —
+    every frame here is ≤ train_n·m rows regardless of corpus size, so
+    the whole trainer is broadcast-bounded. ``vecs`` must be
+    (vec_id, v: array<double>).
+
+    With ``m=1, subdim=dim, k=nlist`` this same machinery trains the
+    COARSE quantizer (spherical-ish k-means over whole vectors) — the
+    other half of the IVFADC recipe Jégou '11 §V assumes."""
+    from cstore_fdw_spark.functions.portable_hash import spark_h60
+
+    m = PQ_M if m is None else m
+    subdim = PQ_SUBDIM if subdim is None else subdim
+    k = PQ_K if k is None else k
+    train_n = PQ_TRAIN_N if train_n is None else train_n
+    iters = PQ_ITERS if iters is None else iters
+    w = Window.orderBy("h", "vec_id")
+    slices = F.array(*[F.slice("v", j * subdim + 1, subdim)
+                       for j in range(m)])
+    sample = (vecs.select(
+        "vec_id", "v",
+        F.expr(spark_h60("cast(vec_id as string)")).alias("h"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= train_n))
+    subs = sample.select("rn", F.posexplode(slices).alias("j", "sub"))
+    cents = (subs.filter(F.col("rn") <= k)
+             .select("j", (F.col("rn") - 1).alias("k"),
+                     F.col("sub").alias("cvec")))
+    for _ in range(iters):
+        # map-side Lloyd assignment: the current codebook collapses to
+        # ONE broadcast row and the per-(sample, subspace) argmin is a
+        # pure expression — no join, no keyed aggregate over the full
+        # sample per iteration (at scale the sample shuffle was the
+        # trainer's only non-constant stage). Same dist form and the
+        # same (dist, k) tie-break (array_min over (d, k) structs) as
+        # the oracle's ROW_NUMBER ORDER BY dist, k.
+        book1 = (cents.groupBy()
+                 .agg(F.array_sort(
+                     F.collect_list(F.struct("j", "k", "cvec")))
+                     .alias("s")))
+
+        def ent(ki):
+            return F.element_at("s", F.col("j") * k + ki + 1)["cvec"]
+
+        amin = F.array_min(F.transform(
+            F.sequence(F.lit(0), F.lit(k - 1)),
+            lambda ki: F.struct(
+                (dot(F.col("sub"), F.col("sub"))
+                 - 2 * dot(F.col("sub"), ent(ki))
+                 + dot(ent(ki), ent(ki))).alias("d"),
+                ki.alias("k"))))["k"]
+        assigned = (subs.crossJoin(F.broadcast(book1))
+                    .select("j", amin.alias("k"), "sub"))
+        means = (assigned
+                 .select("j", "k", F.posexplode("sub").alias("dim", "x"))
+                 .groupBy("j", "k", "dim")
+                 .agg(F.sum(F.floor(F.col("x") * FX_SCALE)).alias("s"),
+                      F.count("*").alias("n"))
+                 .select("j", "k", "dim",
+                         ((F.col("s").cast("double") / FX_SCALE)
+                          / F.col("n").cast("double")).alias("val")))
+        refined = (means.groupBy("j", "k")
+                   .agg(F.array_sort(
+                       F.collect_list(F.struct("dim", "val"))).alias("a"))
+                   .select("j", "k",
+                           F.transform("a", lambda e: e["val"])
+                           .alias("ncvec")))
+        cents = (cents.join(refined, ["j", "k"], "left")
+                 .select("j", "k",
+                         F.coalesce("ncvec", "cvec").alias("cvec")))
+    return cents
+
+
+def _train_ctes(src: str, pfx: str, m=None, subdim=None, k=None,
+                train_n=None, iters=None) -> str:
+    """DuckDB replica of :func:`_trained_codebook` over CTE
+    ``src(vec_id, v)``: same hash-top sample and seeds, same Lloyd
+    iterations with the same 2^40 fixed-point means and the same
+    ``(CAST(SUM(...) AS DOUBLE) / scale) / count`` division chain, same
+    (dist, k) assignment tie-break, same empty-cluster COALESCE. The
+    final codebook CTE is ``{pfx}cents{PQ_ITERS}(j, k, cvec)``.
+    ``k``/``train_n`` may be SQL expressions (the coarse trainer sizes
+    them from the corpus via the nlist scalar subquery)."""
+    from cstore_fdw_spark.functions.portable_hash import duck_h60
+
+    m = PQ_M if m is None else m
+    subdim = PQ_SUBDIM if subdim is None else subdim
+    k = PQ_K if k is None else k
+    train_n = PQ_TRAIN_N if train_n is None else train_n
+    iters = PQ_ITERS if iters is None else iters
+    js = ", ".join(f"({j})" for j in range(m))
+    ds = ", ".join(f"({d})" for d in range(subdim))
+    parts = [f"""{pfx}sample AS (
+      SELECT rn, v FROM (
+        SELECT vec_id, v,
+               ROW_NUMBER() OVER (
+                 ORDER BY {duck_h60("CAST(vec_id AS VARCHAR)")}, vec_id)
+                 AS rn
+        FROM {src}) t
+      WHERE rn <= {train_n}),
+    {pfx}subs AS (
+      SELECT rn, j,
+             list_slice(v, j * {subdim} + 1,
+                        j * {subdim} + {subdim}) AS sub
+      FROM {pfx}sample, (VALUES {js}) sub(j)),
+    {pfx}cents0 AS (
+      SELECT j, rn - 1 AS k, sub AS cvec
+      FROM {pfx}subs WHERE rn <= {k})"""]
+    for it in range(1, iters + 1):
+        prev = f"{pfx}cents{it - 1}"
+        parts.append(f"""{pfx}assign{it} AS (
+      SELECT j, k, sub FROM (
+        SELECT s.rn, s.j, s.sub, c.k,
+               ROW_NUMBER() OVER (PARTITION BY s.rn, s.j ORDER BY
+                 list_dot_product(s.sub, s.sub)
+                   - 2 * list_dot_product(s.sub, c.cvec)
+                   + list_dot_product(c.cvec, c.cvec), c.k) AS arn
+        FROM {pfx}subs s JOIN {prev} c USING (j)) t
+      WHERE arn = 1),
+    {pfx}mean{it} AS (
+      SELECT j, k, d.dim,
+             (CAST(SUM(CAST(FLOOR(sub[d.dim + 1] * {FX_SCALE!r})
+                            AS BIGINT)) AS DOUBLE) / {FX_SCALE!r})
+               / CAST(COUNT(*) AS DOUBLE) AS val
+      FROM {pfx}assign{it}, (VALUES {ds}) d(dim)
+      GROUP BY 1, 2, 3),
+    {pfx}cents{it} AS (
+      SELECT c.j, c.k, COALESCE(n.cvec, c.cvec) AS cvec
+      FROM {prev} c LEFT JOIN (
+        SELECT j, k, LIST(val ORDER BY dim) AS cvec
+        FROM {pfx}mean{it} GROUP BY 1, 2) n USING (j, k))""")
+    return ",\n    ".join(parts)
 
 
 def _pq_ctes() -> str:
     """Shared DuckDB CTE chain replicating the PQ assignment: same
-    hash-seeded codebooks, same squared-L2 expression shape
-    ((v·v − 2·v·c) + c·c, left-assoc), same (dist, k) argmin tie-break.
-    Ends with ``best(vec_id, j, k, dist, rn)``."""
-    from cstore_fdw_spark.functions.portable_hash import duck_h60
+    Lloyd-trained codebooks (``_train_ctes``), same squared-L2
+    expression shape ((v·v − 2·v·c) + c·c, left-assoc), same (dist, k)
+    argmin tie-break. Ends with ``best(vec_id, j, k, dist, rn)``."""
     js = ", ".join(f"({j})" for j in range(PQ_M))
-    return f"""seeds AS (
-      SELECT rn - 1 AS k, embedding FROM (
-        SELECT vec_id, embedding,
-               ROW_NUMBER() OVER (
-                 ORDER BY {duck_h60("CAST(vec_id AS VARCHAR)")}, vec_id)
-                 AS rn
-        FROM embeddings) t
-      WHERE rn <= {PQ_K}),
+    return f"""pqv AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    {_train_ctes("pqv", "pq")},
     cents AS (
-      SELECT k, j,
-             list_slice(embedding, j * {PQ_SUBDIM} + 1,
-                        j * {PQ_SUBDIM} + {PQ_SUBDIM})::DOUBLE[] AS cvec
-      FROM seeds, (VALUES {js}) sub(j)),
+      SELECT j, k, cvec FROM pqcents{PQ_ITERS}),
     subs AS (
       SELECT vec_id, j,
              list_slice(embedding, j * {PQ_SUBDIM} + 1,
@@ -660,6 +810,7 @@ def _pq_oracle() -> str:
 @register(
     "vector_quantize_pq",
     category="similarity",
+    allow_bnlj=True,  # one-row broadcast codebook in the Lloyd trainer
     oracle=_pq_oracle())
 def vector_quantize_pq(spark, sf_dir):
     """Product quantization (Jégou et al. '11 — the FAISS ``PQ8``
@@ -669,29 +820,24 @@ def vector_quantize_pq(spark, sf_dir):
     8-code word per vector plus the exact quantization error —
     completing the vector-compression ladder next to SQ8
     (embedding_quantize_int8) and JL projection (embedding_dim_reduce).
-    Codebooks are hash-seeded sub-vectors of the corpus (the same
-    deterministic stand-in for k-means the IVF family uses, so the
+    Codebooks are Lloyd-trained on the hash-top sample
+    (``_trained_codebook`` — deterministic fixed-point means, so the
     oracle reproduces them bit-for-bit); distances use the ordered-fold
     double convention shared with the whole similarity family.
 
-    Scale: ONE shuffle. The codebook is 8×16 tiny rows —
-    broadcast; sub-vector explode + distance scoring is a map-side
-    projection; the argmin AND the code assembly fold into a single
-    groupBy(vec_id) aggregate (the per-(vec, subspace) argmin is
-    extracted from one sorted (j, dist, k) array, so no separate
-    window-by-(vec, j) shuffle precedes the rollup)."""
-    from cstore_fdw_spark.functions.portable_hash import spark_h60
-
+    Scale: ONE corpus shuffle (the trainer is sample-bounded). The
+    codebook is 8×16 tiny rows — broadcast; sub-vector explode +
+    distance scoring is a map-side projection; the argmin AND the code
+    assembly fold into a single groupBy(vec_id) aggregate (the
+    per-(vec, subspace) argmin is extracted from one sorted (j, dist,
+    k) array, so no separate window-by-(vec, j) shuffle precedes the
+    rollup)."""
     e = table(spark, sf_dir, "embeddings")
-    wc = Window.orderBy("h", "vec_id")
     slices = F.array(*[F.slice("embedding", j * PQ_SUBDIM + 1, PQ_SUBDIM)
                        for j in range(PQ_M)])
-    cents = (e.select("vec_id", "embedding",
-                      F.expr(spark_h60("cast(vec_id as string)")).alias("h"))
-             .withColumn("rn", F.row_number().over(wc))
-             .filter(F.col("rn") <= PQ_K)
-             .select((F.col("rn") - 1).alias("k"),
-                     F.posexplode(slices).alias("j", "cvec")))
+    cents = _trained_codebook(e.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v")))
     subs = e.select("vec_id", F.posexplode(slices).alias("j", "sub"))
     dist = (dot(F.col("sub"), F.col("sub"))
             - 2 * dot(F.col("sub"), F.col("cvec"))
@@ -750,6 +896,7 @@ def _pq_adc_oracle() -> str:
 @register(
     "vector_pq_adc_topk",
     category="similarity",
+    allow_bnlj=True,  # one-row broadcast codebook in the Lloyd trainer
     oracle=_pq_adc_oracle())
 def vector_pq_adc_topk(spark, sf_dir):
     """ADC top-k over PQ codes (Jégou '11 §III.B — asymmetric distance
@@ -766,19 +913,15 @@ def vector_pq_adc_topk(spark, sf_dir):
     (min(struct(dist, k)) per (vec, subspace) — same (dist, k)
     tie-break as the oracle's window); the lookup join is map-side and
     the per-(query, candidate) sum folds in stored-j order so the
-    double ADC values hash-match DuckDB's list_reduce."""
-    from cstore_fdw_spark.functions.portable_hash import spark_h60
-
+    double ADC values hash-match DuckDB's list_reduce. Codebooks are
+    Lloyd-trained (``_trained_codebook``) — same trainer as the full
+    IVFADC, minus the coarse stage."""
     e = table(spark, sf_dir, "embeddings")
-    wc = Window.orderBy("h", "vec_id")
     slices = F.array(*[F.slice("embedding", j * PQ_SUBDIM + 1, PQ_SUBDIM)
                        for j in range(PQ_M)])
-    cents = (e.select("vec_id", "embedding",
-                      F.expr(spark_h60("cast(vec_id as string)")).alias("h"))
-             .withColumn("rn", F.row_number().over(wc))
-             .filter(F.col("rn") <= PQ_K)
-             .select((F.col("rn") - 1).alias("k"),
-                     F.posexplode(slices).alias("j", "cvec")))
+    cents = _trained_codebook(e.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v")))
     dist = (dot(F.col("sub"), F.col("sub"))
             - 2 * dot(F.col("sub"), F.col("cvec"))
             + dot(F.col("cvec"), F.col("cvec")))
@@ -807,6 +950,20 @@ def vector_pq_adc_topk(spark, sf_dir):
 
 
 def _ivf_pq_oracle() -> str:
+    """Pure-ADC ranking over the shared IVFADC CTE chain."""
+    return f"""
+    WITH {_ivf_pq_ctes()}
+    SELECT query_id, neighbor_id, rank, adc FROM (
+      SELECT query_id, neighbor_id, adc,
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY adc, neighbor_id) AS BIGINT)
+               AS rank
+      FROM adc) t
+    WHERE rank <= {TOP_K}
+    """
+
+
+def _ivf_pq_ctes() -> str:
     """IVFADC-with-residuals replica: the IVF CTE chain (i*) assigns
     home cells and probes; every vector's RESIDUAL v − centroid(home
     cell) is PQ-encoded against residual-seeded codebooks; per-(query,
@@ -814,22 +971,18 @@ def _ivf_pq_oracle() -> str:
     only candidates whose home cell is probed. All element-wise
     arithmetic is double (list_zip + subtract), matching Spark's
     zip_with double fold bit-for-bit."""
-    from cstore_fdw_spark.functions.portable_hash import duck_h60
-
     js = ", ".join(f"({j})" for j in range(PQ_M))
     iccos = """
      list_dot_product(e.embedding::DOUBLE[], c.centroid::DOUBLE[]) /
      (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) *
       sqrt(list_dot_product(c.centroid::DOUBLE[], c.centroid::DOUBLE[])))"""
-    return f"""
-    WITH icents AS (
-      SELECT rn - 1 AS cell, embedding AS centroid FROM (
-        SELECT vec_id, embedding,
-               ROW_NUMBER() OVER (
-                 ORDER BY {duck_h60("CAST(vec_id AS VARCHAR)")}, vec_id)
-                 AS rn
-        FROM embeddings) t
-      WHERE rn <= {_NLIST_SQL}),
+    return f"""iv AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    {_train_ctes("iv", "ic", m=1, subdim=PQ_M * PQ_SUBDIM, k=_NLIST_SQL,
+                 train_n=f"GREATEST({PQ_TRAIN_N}, 8 * {_NLIST_SQL})",
+                 iters=IVF_COARSE_ITERS)},
+    icents AS (
+      SELECT k AS cell, cvec AS centroid FROM iccents{IVF_COARSE_ITERS}),
     iccos AS (
       SELECT e.vec_id, c.cell, {iccos} AS ccos
       FROM embeddings e, icents c),
@@ -854,19 +1007,9 @@ def _ivf_pq_oracle() -> str:
       FROM iassign a
       JOIN embeddings e USING (vec_id)
       JOIN icents c USING (cell)),
-    rseeds AS (
-      SELECT rn - 1 AS k, resid FROM (
-        SELECT vec_id, resid,
-               ROW_NUMBER() OVER (
-                 ORDER BY {duck_h60("CAST(vec_id AS VARCHAR)")}, vec_id)
-                 AS rn
-        FROM resid) t
-      WHERE rn <= {PQ_K}),
-    rcents AS (
-      SELECT k, j,
-             list_slice(resid, j * {PQ_SUBDIM} + 1,
-                        j * {PQ_SUBDIM} + {PQ_SUBDIM}) AS cvec
-      FROM rseeds, (VALUES {js}) sub(j)),
+    rv AS (SELECT vec_id, resid AS v FROM resid),
+    {_train_ctes("rv", "rq")},
+    rcents AS (SELECT j, k, cvec FROM rqcents{PQ_ITERS}),
     rsubs AS (
       SELECT vec_id, cell, j,
              list_slice(resid, j * {PQ_SUBDIM} + 1,
@@ -911,15 +1054,7 @@ def _ivf_pq_oracle() -> str:
       JOIN codes c ON c.vec_id = n.neighbor_id
       JOIN dtab t ON t.query_id = n.query_id AND t.cell = n.cell
                  AND t.j = c.j AND t.k = c.k
-      GROUP BY 1, 2)
-    SELECT query_id, neighbor_id, rank, adc FROM (
-      SELECT query_id, neighbor_id, adc,
-             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
-                                     ORDER BY adc, neighbor_id) AS BIGINT)
-               AS rank
-      FROM adc) t
-    WHERE rank <= {TOP_K}
-    """
+      GROUP BY 1, 2)"""
 
 
 @register(
@@ -944,24 +1079,68 @@ def vector_ivf_pq_topk(spark, sf_dir):
     N·nprobe/nlist candidates instead of N (IVF), and 8 table lookups
     per candidate instead of a 64-dim dot product (PQ).
 
-    Scale: the coarse-center and residual-codebook tables are tiny
-    (nlist×dim, 16 seed residuals) → broadcast; residuals are one
-    map-side zip_with after a broadcast centroid join — never a
-    shuffle; code assignment is a pure per-row expression against the
-    one-row broadcast codebook (no explode, no keyed aggregate); the
-    probe list and per-(query, cell) 8×16 distance tables broadcast;
-    the ADC sum is 8 array lookups per candidate row, folded in one
-    projection — the only shuffles left are the home-cell window and
-    the final per-query rank. The hash-seeded top-k keeps its
-    rank-limit pushdown (test_seed_topk_never_globally_sorts_corpus
-    covers this registry entry's seeding shape via the shared helpers).
+    Both quantizers are TRAINED (``_trained_codebook``: Lloyd over the
+    hash-top sample, deterministic fixed-point means) — §V assumes
+    k-means centroids, and against sampled members the residuals carry
+    two vectors' noise (test_ann_ladder_recall_quality_gate measures
+    the distortion flip).
+
+    Scale: the trainers are sample-bounded; the coarse-center and
+    residual-codebook tables are tiny (nlist×dim, 16 seed residuals)
+    → broadcast; residuals are one map-side zip_with after a broadcast
+    centroid join — never a shuffle; code assignment is a pure per-row
+    expression against the one-row broadcast codebook (no explode, no
+    keyed aggregate); the probe list and per-(query, cell) 8×16
+    distance tables broadcast; the ADC sum is 8 array lookups per
+    candidate row, folded in one projection — the only corpus-sized
+    shuffles are the home-cell window and the final per-query rank.
+    The hash-seeded top-k keeps its rank-limit pushdown
+    (test_seed_topk_never_globally_sorts_corpus covers this registry
+    entry's seeding shape via the shared helpers).
     Output: (query_id, neighbor_id, rank, adc)."""
-    from cstore_fdw_spark.functions.portable_hash import spark_h60
-
     e = table(spark, sf_dir, "embeddings")
+    adc = _ivfadc_adc(e)
+    wr = Window.partitionBy("query_id").orderBy("adc", "neighbor_id")
+    return (adc.withColumn("rank", F.row_number().over(wr).cast("long"))
+            .filter(F.col("rank") <= TOP_K)
+            .select("query_id", "neighbor_id", "rank", "adc"))
 
-    # --- coarse stage: home cell per vector, probed cells per query
-    cents_ivf = _ivf_centroids(e)
+
+def _ivfadc_adc(e):
+    """The shared IVFADC pipeline: (query_id, neighbor_id, adc) for
+    every candidate in the query's probed cells, scored by residual-PQ
+    asymmetric distance (see ``vector_ivf_pq_topk`` for the full
+    story; ``vector_ivf_pq_rerank_topk`` consumes the same frame as a
+    shortlist generator)."""
+    from cstore_fdw_spark.session import set_static_planning
+
+    # dozens of bounded mini-stages (two trainer chains, one-row
+    # codebook aggregates, probe tables) where AQE's per-exchange job
+    # barriers cost more than the data; see set_static_planning
+    set_static_planning(e.sparkSession)
+    # --- coarse stage: home cell per vector, probed cells per query.
+    # Unlike the sampled-centroid operators (ann_ivf_coarse,
+    # dedup_semantic_clustered), the PQ pipeline TRAINS its coarse
+    # quantizer (m=1 Lloyd over whole vectors — Jégou '11 §V assumes
+    # k-means coarse centroids): residuals against a sampled member
+    # carry TWO vectors' noise and quantize worse than raw vectors,
+    # against the trained cell mean they are genuinely low-energy
+    # (asserted by test_ann_ladder_recall_quality_gate's distortion
+    # comparison).
+    dim = PQ_M * PQ_SUBDIM
+    nlist = ivf_nlist(e.count())
+    # persisted: nlist tiny rows, but the subtree is a 2-iteration
+    # Lloyd chain consumed by scoring, resid AND qresid — unpersisted
+    # it would re-train per consumer
+    cents_ivf = track_cache((_trained_codebook(
+        e.select("vec_id",
+                 F.transform("embedding", lambda x: x.cast("double"))
+                 .alias("v")),
+        m=1, subdim=dim, k=nlist,
+        train_n=max(PQ_TRAIN_N, 8 * nlist), iters=IVF_COARSE_ITERS)
+        .select(F.col("k").alias("cell"), F.col("cvec").alias("centroid"),
+                F.sqrt(dot(F.col("cvec"), F.col("cvec")))
+                .alias("centnorm"))).persist())
     # scored_cells feeds assigned (every vector's home cell) and probes
     # (the query rows' nprobe cells). NOT persisted deliberately: the
     # probes branch's vec_id < N_QUERIES predicate pushes below the
@@ -991,38 +1170,36 @@ def vector_ivf_pq_topk(spark, sf_dir):
                  sub_vec(F.col("embedding"), F.col("centroid"))
                  .alias("resid"))).persist())
 
-    # --- PQ stage over residuals, fully map-side: the PQ_K codebook
-    #     seeds collapse to ONE row (the seed residuals in k order) that
-    #     broadcasts to every consumer, so per-vector code assignment
-    #     and the per-(query, cell) distance tables are pure expressions
-    #     — no sub-vector explode, no codes groupBy, no per-(j, k) join.
-    #     Arithmetic is kept bit-identical to the exploded r9 form (same
-    #     expanded v·v − 2·v·c + c·c dots via the same ordered-fold
-    #     ``dot``, same (dist, k) argmin tie-break, same j-ascending ADC
-    #     fold from 0.0) so the DuckDB oracle still hash-matches.
-    wc = Window.orderBy("h", "vec_id")
-    # ``book``: per subspace j, the 16 codebook entries pre-sliced with
-    # their ||c||² hoisted — seed-side constants computed once in the
-    # one-row aggregate, not per corpus row (HOF expressions are
-    # interpreted, so per-row arithmetic is the constant that matters).
-    seeds1 = (resid
-              .select("vec_id", "resid",
-                      F.expr(spark_h60("cast(vec_id as string)"))
-                      .alias("h"))
-              .withColumn("rn", F.row_number().over(wc))
-              .filter(F.col("rn") <= PQ_K)
+    # --- PQ stage over residuals, fully map-side: the Lloyd-trained
+    #     residual codebook (``_trained_codebook`` — sample-bounded,
+    #     deterministic) collapses to ONE row that broadcasts to every
+    #     consumer, so per-vector code assignment and the per-(query,
+    #     cell) distance tables are pure expressions — no sub-vector
+    #     explode, no codes groupBy, no per-(j, k) join. Arithmetic
+    #     keeps the family conventions (expanded v·v − 2·v·c + c·c via
+    #     the ordered-fold ``dot``, (dist, k) argmin tie-break,
+    #     j-ascending ADC fold from 0.0) so the DuckDB oracle
+    #     hash-matches.
+    # persisted for the same reason as cents_ivf: 128 tiny rows whose
+    # Lloyd chain would otherwise re-run for the book's two consumers
+    cents_pq = track_cache(_trained_codebook(
+        resid.select("vec_id", F.col("resid").alias("v"))).persist())
+    # ``book``: per subspace j, the 16 codebook entries with their
+    # ||c||² hoisted — seed-side constants computed once in the one-row
+    # aggregate, not per corpus row (HOF expressions are interpreted,
+    # so per-row arithmetic is the constant that matters).
+    ent = (lambda j, k: F.element_at("s", j * PQ_K + k + 1)["cvec"])
+    seeds1 = (cents_pq
               .groupBy()
-              .agg(F.array_sort(F.collect_list(F.struct("rn", "resid")))
-                   .alias("s"))
+              .agg(F.array_sort(F.collect_list(
+                  F.struct("j", "k", "cvec"))).alias("s"))
               .select(F.transform(
                   F.sequence(F.lit(0), F.lit(PQ_M - 1)),
-                  lambda j: F.transform("s", lambda e: F.struct(
-                      F.slice(e["resid"], j * PQ_SUBDIM + 1,
-                              F.lit(PQ_SUBDIM)).alias("cv"),
-                      dot(F.slice(e["resid"], j * PQ_SUBDIM + 1,
-                                  F.lit(PQ_SUBDIM)),
-                          F.slice(e["resid"], j * PQ_SUBDIM + 1,
-                                  F.lit(PQ_SUBDIM))).alias("cvcv"))))
+                  lambda j: F.transform(
+                      F.sequence(F.lit(0), F.lit(PQ_K - 1)),
+                      lambda k: F.struct(
+                          ent(j, k).alias("cv"),
+                          dot(ent(j, k), ent(j, k)).alias("cvcv"))))
                   .alias("book")))
 
     def dists_j(j):
@@ -1075,12 +1252,82 @@ def vector_ivf_pq_topk(spark, sf_dir):
         lambda acc, j: acc + F.element_at(
             F.element_at("dtab", j + 1),
             F.element_at("codes", j + 1) + F.lit(1)))
-    adc = (cand.join(F.broadcast(dtab), ["query_id", "cell"])
-           .select("query_id", "neighbor_id", adc_val.alias("adc")))
-    wr = Window.partitionBy("query_id").orderBy("adc", "neighbor_id")
-    return (adc.withColumn("rank", F.row_number().over(wr).cast("long"))
+    return (cand.join(F.broadcast(dtab), ["query_id", "cell"])
+            .select("query_id", "neighbor_id", adc_val.alias("adc")))
+
+
+PQ_RERANK_R = 32   # ADC shortlist size fed to the exact re-rank
+
+
+def _ivf_pq_rerank_oracle() -> str:
+    """Shortlist by ADC over the shared IVFADC chain, then exact-cosine
+    re-rank (same cosine form as ann_cosine_topk's oracle)."""
+    return f"""
+    WITH {_ivf_pq_ctes()},
+    short AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY adc, neighbor_id) AS srn
+        FROM adc) t
+      WHERE srn <= {PQ_RERANK_R}),
+    rer AS (
+      SELECT s.query_id, s.neighbor_id, {_ORACLE_COS} AS cos
+      FROM short s
+      JOIN embeddings a ON a.vec_id = s.query_id
+      JOIN embeddings b ON b.vec_id = s.neighbor_id)
+    SELECT query_id, neighbor_id, rank, cos FROM (
+      SELECT query_id, neighbor_id, cos,
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cos DESC, neighbor_id)
+                  AS BIGINT) AS rank
+      FROM rer) t
+    WHERE rank <= {TOP_K}
+    """
+
+
+@register(
+    "vector_ivf_pq_rerank_topk",
+    category="similarity",
+    allow_bnlj=True,  # bounded centroid broadcast via _ivf_scored_cells
+    oracle=_ivf_pq_rerank_oracle())
+def vector_ivf_pq_rerank_topk(spark, sf_dir):
+    """IVFADC+R (Jégou '11 §VII — the re-ranked variant every
+    production deployment runs): the IVFADC pipeline produces an ADC
+    SHORTLIST of ``PQ_RERANK_R`` candidates per query, and only those
+    are re-scored with exact cosine against the raw embeddings. This
+    is the recipe that turns 4-bit-code ADC (whose absolute ranking is
+    quantization-noise-limited — see
+    test_ann_ladder_recall_quality_gate for the measured numbers) into
+    high-recall search: ADC only has to get the true neighbors into
+    the top-R, not into the top-k.
+
+    Scale: everything up to the shortlist is the broadcast-bounded
+    IVFADC plan; the shortlist is |queries|·R rows → broadcast back
+    against the corpus for a map-side embedding fetch (the ONLY stage
+    that touches raw vectors at query time, and it reads exactly R
+    per query); the re-rank window is per-query over R rows.
+    Output: (query_id, neighbor_id, rank, cos)."""
+    e = table(spark, sf_dir, "embeddings")
+    ws = Window.partitionBy("query_id").orderBy("adc", "neighbor_id")
+    short = (_ivfadc_adc(e)
+             .withColumn("srn", F.row_number().over(ws))
+             .filter(F.col("srn") <= PQ_RERANK_R)
+             .select("query_id", "neighbor_id"))
+    qv = (e.filter(F.col("vec_id") < N_QUERIES)
+          .select(F.col("vec_id").alias("query_id"),
+                  F.col("embedding").alias("qvec")))
+    rer = (e.select(F.col("vec_id").alias("neighbor_id"),
+                    F.col("embedding").alias("nvec"))
+           .join(F.broadcast(short), "neighbor_id")
+           .join(F.broadcast(qv), "query_id")
+           .select("query_id", "neighbor_id",
+                   cosine(F.col("qvec"), F.col("nvec")).alias("cos")))
+    wr = Window.partitionBy("query_id").orderBy(F.col("cos").desc(),
+                                                "neighbor_id")
+    return (rer.withColumn("rank", F.row_number().over(wr).cast("long"))
             .filter(F.col("rank") <= TOP_K)
-            .select("query_id", "neighbor_id", "rank", "adc"))
+            .select("query_id", "neighbor_id", "rank", "cos"))
 
 
 KNN_K = 5

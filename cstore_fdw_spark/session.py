@@ -185,3 +185,24 @@ def set_fine_coalescing(spark: SparkSession) -> None:
     at build time. At 100 TB both floors are no-ops — reducers are sized
     by bytes/parallelism, far above either value."""
     spark.conf.set(MIN_PARTITION_SIZE_CONF, FINE_MIN_PARTITION_SIZE)
+
+
+ADAPTIVE_CONF = "spark.sql.adaptive.enabled"
+
+
+def set_static_planning(spark: SparkSession) -> None:
+    """Opt THIS query out of adaptive execution.
+
+    AQE materializes every exchange as its own job to re-plan on real
+    sizes — exactly right for corpus-sized shuffles, pure sequential
+    overhead for pipelines made of DOZENS of bounded mini-stages
+    (trainer chains, one-row codebook aggregates, per-query probe
+    tables): the IVFADC pipeline spends more wall time on AQE job
+    barriers than on data (A/B at sf0.1: ~9 s static vs ~12-18 s
+    adaptive). Safe here because the pipeline's only corpus-sized
+    shuffles are hash-partitioned by vec_id (near-uniform — no skew
+    for AQE to fix) and every join side is an explicit broadcast()
+    (no plan for AQE to switch). Like the fine-coalescing floor, this
+    is per-query: the operator registry restores adaptive execution
+    before every build, so the opt-out never leaks."""
+    spark.conf.set(ADAPTIVE_CONF, "false")

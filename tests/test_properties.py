@@ -233,3 +233,111 @@ def test_aggview_incremental_equals_full_property(spark, tmp_path_factory,
             n, s_, mn, mx = want.get(g, (0, 0, x, x))
             want[g] = (n + 1, s_ + x, min(mn, x), max(mx, x))
         assert got == want
+
+
+def test_ann_ladder_recall_quality_gate(spark, tmp_path):
+    """Retrieval QUALITY of the ANN ladder, not just determinism
+    (round-9 verdict task): on a corpus with real neighborhood
+    structure (12 spherical clusters, sigma 0.05, unit-normalized —
+    recall on uniform-random fixtures is meaningless by construction),
+    measured against the exact ann_cosine_topk ranks:
+
+    - the IVF coarse stage must place true neighbors in probed cells
+      (recall@3 >= 13/15 here; measured 15/15);
+    - IVFADC+R (vector_ivf_pq_rerank_topk) must recover near the
+      coarse ceiling (>= 12/15; measured 14/15) — the §VII re-rank is
+      what makes 4-bit ADC usable, since pure-ADC top-3 is
+      quantization-noise-limited (measured ~2-5/15; a numpy replica
+      of the same parameters confirms that range is intrinsic to
+      16-entry codebooks, which is exactly why the shortlist+rerank
+      operator exists);
+    - the re-rank must never lose recall vs its own shortlist source;
+    - Lloyd training must cut raw-PQ distortion vs the sampled
+      codebook (Jégou '11 §II: measured 238 -> 104 here), and
+      RESIDUAL quantization against the trained coarse centroids must
+      cut distortion vs raw quantization at the same code budget
+      (§V — the measurable form of Fig. 5's recall gain; measured
+      104 -> 49)."""
+    import numpy as np
+
+    from cstore_fdw_spark.operators import clear_caches, load_all
+    from cstore_fdw_spark.operators import similarity as sim
+
+    rng = np.random.default_rng(7)
+    C, N, D = 12, 600, 64
+    centers = rng.standard_normal((C, D))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    vecs = centers[np.arange(N) % C] + 0.05 * rng.standard_normal((N, D))
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    d = str(tmp_path / "ann")
+    (spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]], int(i % C)) for i in range(N)],
+        "vec_id long, embedding array<float>, label int")
+     .coalesce(1).write.parquet(f"{d}/embeddings.parquet"))
+
+    reg = load_all()
+
+    def pairs(name):
+        clear_caches(spark)
+        return {(r.query_id, r.neighbor_id)
+                for r in reg[name].builder(spark, d).collect()}
+
+    exact = pairs("ann_cosine_topk")
+    assert len(exact) == 15
+    coarse = len(pairs("ann_ivf_coarse") & exact)
+    rerank = len(pairs("vector_ivf_pq_rerank_topk") & exact)
+    adc = len(pairs("vector_ivf_pq_topk") & exact)
+    assert coarse >= 13, f"IVF coarse recall@3 {coarse}/15 < 13/15"
+    assert rerank >= 12, f"IVFADC+R recall@3 {rerank}/15 < 12/15"
+    assert rerank >= adc, (
+        f"re-rank lost recall vs pure ADC ({rerank} < {adc})")
+
+    # Lloyd training cuts raw-PQ distortion vs the sampled codebook
+    def raw_distortion(iters):
+        old = sim.PQ_ITERS
+        sim.PQ_ITERS = iters
+        try:
+            clear_caches(spark)
+            return (reg["vector_quantize_pq"].builder(spark, d)
+                    .agg(F.sum("q_err")).collect()[0][0])
+        finally:
+            sim.PQ_ITERS = old
+    d0, d2 = raw_distortion(0), raw_distortion(2)
+    assert d2 < d0 * 0.9, (
+        f"Lloyd training did not cut distortion ({d2:.3f} !< {d0:.3f})")
+
+    # residual quantization beats raw at the same code budget — against
+    # the TRAINED coarse centroids the pipeline actually uses (against
+    # a sampled member the residual carries two vectors' noise and this
+    # inequality genuinely flips, which is why _ivfadc_adc trains its
+    # coarse quantizer)
+    e = spark.read.parquet(f"{d}/embeddings.parquet").select(
+        "vec_id", "embedding")
+    nlist = sim.ivf_nlist(e.count())
+    cents = (sim._trained_codebook(
+        e.select("vec_id", F.transform(
+            "embedding", lambda x: x.cast("double")).alias("v")),
+        m=1, subdim=D, k=nlist,
+        train_n=max(sim.PQ_TRAIN_N, 8 * nlist))
+        .select(F.col("k").alias("cell"), F.col("cvec").alias("centroid"),
+                F.sqrt(sim.dot(F.col("cvec"), F.col("cvec")))
+                .alias("centnorm")))
+    resid = (sim._ivf_scored_cells(e, cents).filter("rn = 1")
+             .join(F.broadcast(cents.select("cell", "centroid")), "cell")
+             .select("vec_id", F.zip_with(
+                 "embedding", "centroid",
+                 lambda x, y: x.cast("double") - y.cast("double"))
+                 .alias("v")))
+    book = sim._trained_codebook(resid)
+    subs = resid.select("vec_id", F.posexplode(F.array(
+        *[F.slice("v", j * sim.PQ_SUBDIM + 1, sim.PQ_SUBDIM)
+          for j in range(sim.PQ_M)])).alias("j", "sub"))
+    dist = (sim.dot(F.col("sub"), F.col("sub"))
+            - 2 * sim.dot(F.col("sub"), F.col("cvec"))
+            + sim.dot(F.col("cvec"), F.col("cvec")))
+    dres = (subs.join(F.broadcast(book), "j")
+            .groupBy("vec_id", "j").agg(F.min(dist).alias("m"))
+            .agg(F.sum("m")).collect()[0][0])
+    assert dres < d2 * 0.75, (
+        f"residual PQ distortion {dres:.3f} !< 0.75x raw {d2:.3f}")
+    clear_caches(spark)
