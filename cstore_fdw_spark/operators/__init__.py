@@ -97,6 +97,35 @@ def clear_caches(spark: SparkSession) -> None:
         pass
 
 
+def scratch_catalog(spark, sf_dir: str, tag: str, build):
+    """Deterministic per-(sf_dir, tag) scratch warehouse for registered
+    queries that need catalog machinery (projections, histograms) over
+    the fixture tables: built ONCE by ``build(catalog)`` and reused
+    across gate/bench invocations (a fresh mkdtemp per call leaked one
+    orphaned table copy per run — ADVICE r9). A crashed partial build
+    (dir present, no marker) is torn down and rebuilt."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from cstore_fdw_spark.catalog import CStoreCatalog
+
+    wh = os.path.join(
+        tempfile.gettempdir(),
+        f"cstore_{tag}_" + hashlib.md5(
+            os.path.abspath(sf_dir).encode()).hexdigest()[:12])
+    marker = os.path.join(wh, "_built")
+    if not os.path.exists(marker):
+        shutil.rmtree(wh, ignore_errors=True)
+        cat = CStoreCatalog(spark, warehouse=wh)
+        build(cat)
+        with open(marker, "w") as fh:
+            fh.write(os.path.abspath(sf_dir))
+        return cat
+    return CStoreCatalog(spark, warehouse=wh)
+
+
 def register(name: str, oracle: str | None = None, category: str = "general",
              bench: bool = False, allow_bnlj: bool = False):
     def deco(fn):

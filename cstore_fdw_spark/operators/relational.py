@@ -473,6 +473,10 @@ def orderby_limit_offset(spark, sf_dir):
 @register(
     "projection_routed_scan",
     category="scan",
+    bench=True,  # a STANDING projection-routed scan: the scratch
+    #              warehouse persists across runs, so warm bench runs
+    #              measure the routed scan itself (row-group delta
+    #              asserted in test_projection_routed_scan_prunes)
     oracle="""
     SELECT o_orderkey, o_custkey, o_totalprice
     FROM orders
@@ -496,25 +500,11 @@ def projection_routed_scan(spark, sf_dir):
     column' — one extra sorted copy per predicate family, refreshed
     O(delta) per epoch, turns a full-history scan into a few row
     groups on the second dimension too."""
-    import hashlib
-    import os
-    import shutil
-    import tempfile
-
-    from cstore_fdw_spark.catalog import CStoreCatalog
+    from cstore_fdw_spark.operators import scratch_catalog
     from cstore_fdw_spark.projections import (
         create_projection, read_optimized, refresh_projection)
 
-    # deterministic per-sf_dir warehouse, built once and reused across
-    # gate/bench invocations (a fresh mkdtemp per call leaked one
-    # orphaned copy of orders per run — ADVICE r9); a crashed partial
-    # build (dir present, no marker) is torn down and rebuilt
-    wh = os.path.join(tempfile.gettempdir(), "cstore_projq_" + hashlib.md5(
-        os.path.abspath(sf_dir).encode()).hexdigest()[:12])
-    marker = os.path.join(wh, "_built")
-    if not os.path.exists(marker):
-        shutil.rmtree(wh, ignore_errors=True)
-        cat = CStoreCatalog(spark, warehouse=wh)
+    def build(cat):
         orders = table(spark, sf_dir, "orders").select(
             "o_orderkey", "o_custkey", "o_totalprice")
         # small row groups so zone-map pruning is observable at test
@@ -525,10 +515,56 @@ def projection_routed_scan(spark, sf_dir):
         create_projection(cat, "orders_base", "orders_by_cust",
                           sort_by=["o_custkey"])
         refresh_projection(cat, "orders_by_cust")
-        with open(marker, "w") as fh:
-            fh.write(os.path.abspath(sf_dir))
-    else:
-        cat = CStoreCatalog(spark, warehouse=wh)
+
+    cat = scratch_catalog(spark, sf_dir, "projq", build)
     return (read_optimized(cat, "orders_base", ["o_custkey"])
             .filter(F.col("o_custkey").between(100, 120))
             .select("o_orderkey", "o_custkey", "o_totalprice"))
+
+
+@register(
+    "star_join_broadcast_by_estimate",
+    category="plans",
+    oracle=f"""
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           {_dbl(f"SUM(CAST(o_totalprice AS {D}))")} AS revenue
+    FROM orders JOIN customer ON c_custkey = o_custkey
+    WHERE c_acctbal >= 1000 AND c_acctbal < 2000
+    GROUP BY c_mktsegment
+    """)
+def star_join_broadcast_by_estimate(spark, sf_dir):
+    """The engine's CBO hook under the oracle (reference anchor
+    cstore_fdw.c:1628-1638 — the selectivity-based row estimate fed to
+    the planner is the reference's one costing contribution): the
+    customer dimension is loaded into the catalog and ANALYZE'd
+    (equi-depth histograms), and the star join routes through
+    ``plans.join_by_estimate``, which broadcasts the acctbal-filtered
+    dim iff the HISTOGRAM says its post-filter size fits under the
+    threshold — the pre-execution decision Spark's static file-size
+    check cannot make (it sees only the unfiltered file size). The
+    estimate never gates rows: a wrong histogram plans a slower join,
+    never a wrong answer. tests/test_pushdown.py::
+    test_star_join_by_estimate_broadcasts asserts the registered
+    query's plan broadcasts with Spark's auto-broadcast disabled.
+
+    Scale: at 100 TB this is the difference between shipping a few MB
+    of filtered dimension to every executor and shuffling the whole
+    fact table on the join key."""
+    from cstore_fdw_spark.operators import scratch_catalog
+    from cstore_fdw_spark.plans import join_by_estimate
+
+    def build(cat):
+        cust = table(spark, sf_dir, "customer")
+        cat.create_table("cust_dim", cust.schema)
+        cat.insert("cust_dim", cust)
+        cat.analyze_histograms("cust_dim", bins=32)
+
+    cat = scratch_catalog(spark, sf_dir, "starjq", build)
+    fact = table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey"), "o_totalprice")
+    j = join_by_estimate(cat, fact, "cust_dim", ["c_custkey"],
+                         "c_acctbal", 1000.0, 2000.0)
+    return (j.groupBy("c_mktsegment")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_orders"),
+                 to_dbl(dsum("o_totalprice")).alias("revenue")))

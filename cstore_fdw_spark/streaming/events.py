@@ -29,6 +29,13 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     in tests; on a cluster this would be Kafka/files with identical
     downstream logic). Converts the nanos-as-long timestamp like the batch
     reader."""
+    # stream-rewrite-guard: exempt — this streams the READ-ONLY testdata
+    # fixture parquet directly, not a catalog table: there is no
+    # history_floor/created_at that could move under the stream, and no
+    # derived state is maintained from it (equality-twin harness only).
+    # Streams over CATALOG tables must use the guarded readers
+    # (streaming/aggview.source_stream, streaming/projections) — pinned
+    # by tests/test_streaming.py::test_every_readstream_guarded_or_exempt.
     # file-source streams need a directory: stream the sf dir with a glob
     # pinned to the events file
     stream = (spark.readStream.schema(

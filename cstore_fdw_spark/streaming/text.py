@@ -25,6 +25,10 @@ from cstore_fdw_spark.operators.text import PII_EMAIL_RE, PII_PHONE_RE
 def read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the documents parquet (each file = a
     micro-batch in tests; Kafka/files on a real deployment)."""
+    # stream-rewrite-guard: exempt — READ-ONLY fixture parquet, not a
+    # catalog table (no floor/identity to move, no derived state
+    # maintained); catalog-table streams use the guarded readers. See
+    # tests/test_streaming.py::test_every_readstream_guarded_or_exempt.
     return (spark.readStream.schema(
         spark.read.parquet(f"{sf_dir}/documents.parquet").schema)
         .option("maxFilesPerTrigger", "1")

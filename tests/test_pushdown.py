@@ -337,3 +337,22 @@ def test_histogram_estimate_drives_broadcast_decision(spark, catalog):
         assert n_sel == expected
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_star_join_by_estimate_broadcasts(spark, sf_dir):
+    """Round-9 verdict task 4: the CBO hook exercised by a REGISTERED
+    query, not just its unit test. With Spark's own auto-broadcast
+    disabled, star_join_broadcast_by_estimate must still plan a
+    BroadcastHashJoin — only the histogram estimate can put it there
+    (anchor cstore_fdw.c:1628-1638)."""
+    from cstore_fdw_spark.operators import load_all
+    from cstore_fdw_spark.plans import explain_str
+
+    spec = load_all()["star_join_broadcast_by_estimate"]
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = explain_str(spec.builder(spark, sf_dir), "simple")
+        assert "BroadcastHashJoin" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
