@@ -219,13 +219,24 @@ def test_seed_topk_never_globally_sorts_corpus(spark, sf_dir):
     change) can't silently turn seeding into an O(corpus log corpus)
     single-partition sort — the docstrings' "cheap metadata-size top-k"
     claim, made assertable."""
-    from cstore_fdw_spark.operators import load_all
+    from pyspark.sql import functions as F
+
+    from cstore_fdw_spark.operators import load_all, table
+    from cstore_fdw_spark.operators.similarity import _trained_codebook
     from cstore_fdw_spark.plans.verify import explain_str
 
     qs = load_all()
-    for name in ("ann_ivf_coarse", "vector_quantize_pq",
-                 "vector_pq_adc_topk", "dedup_semantic_clustered"):
-        plan = explain_str(qs[name].builder(spark, sf_dir), "simple")
+    plans = {
+        name: explain_str(qs[name].builder(spark, sf_dir), "simple")
+        for name in ("ann_ivf_coarse", "dedup_semantic_clustered")}
+    # the PQ family serves its codebooks from the train-once cache, so
+    # the seeding window lives in the TRAINER pipeline (the cache-miss
+    # path) — lock that plan directly
+    ev = table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"))
+    plans["pq_trainer"] = explain_str(_trained_codebook(ev), "simple")
+    for name, plan in plans.items():
         bounded = ("WindowGroupLimit" in plan
                    or "TakeOrderedAndProject" in plan)
         assert bounded, (
