@@ -906,6 +906,183 @@ def multimodal_wav_energy(spark, sf_dir):
                 "sum_sq long")
 
 
+# G.711 mu-law companding (ITU-T G.711 §4.2, tables 2a/2b — the bit
+# algorithm every telephony stack ships): 16-bit PCM <-> 8-bit
+# log-companded code. The formulas below are the classic segment/
+# mantissa construction; the differential test sweeps ALL 65536 input
+# values against the closed arithmetic form the DuckDB oracle uses.
+ULAW_BIAS, ULAW_CLIP = 132, 32635
+
+
+def ulaw_encode_sample(s: int) -> int:
+    """PCM16 sample -> mu-law code byte (sign | segment | mantissa,
+    ones-complemented per the spec so silence is 0xFF)."""
+    sign = 0x80 if s < 0 else 0
+    x = min(abs(s), ULAW_CLIP) + ULAW_BIAS
+    exp = 7
+    for e in range(8):
+        if x < (1 << (e + 8)):
+            exp = e
+            break
+    mant = (x >> (exp + 3)) & 0x0F
+    return (~(sign | (exp << 4) | mant)) & 0xFF
+
+
+def ulaw_decode_sample(c: int) -> int:
+    """mu-law code byte -> quantized PCM16 sample (segment midpoint
+    reconstruction, the inverse of the encode's floor-to-segment)."""
+    c = (~c) & 0xFF
+    sign, exp, mant = c & 0x80, (c >> 4) & 7, c & 0x0F
+    y = (((mant << 3) + ULAW_BIAS) << exp) - ULAW_BIAS
+    return -y if sign else y
+
+
+def wav_encode_ulaw(sample_rate: int, samples: list[int]) -> bytes:
+    """RIFF/WAVE writer for G.711 mu-law payloads: WAVE format code 7
+    (WAVE_FORMAT_MULAW), mono, 8 bits/sample — the actual on-disk shape
+    of telephony recordings. Each PCM16 sample is companded to one
+    code byte."""
+    import struct
+
+    data = bytes(ulaw_encode_sample(int(s)) for s in samples)
+    fmt = struct.pack("<HHIIHH", 7, 1, sample_rate, sample_rate, 1, 8)
+    return (b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+            + b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data
+            + (b"\x00" if len(data) & 1 else b""))
+
+
+def wav_decode_ulaw(payload: bytes) -> tuple[int, int, int]:
+    """RIFF chunk walk + G.711 expand: validates fmt (code 7, mono,
+    8-bit), decodes every code byte back to quantized PCM16, returns
+    (sample_rate, n_samples, sum_sq of the DECODED samples) — the
+    energy after the companding round trip, which the closed-form
+    oracle recomputes arithmetically."""
+    import struct
+
+    if len(payload) < 12 or payload[:4] != b"RIFF" \
+            or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    i, n = 12, len(payload)
+    sample_rate = None
+    sum_sq = n_samples = 0
+    seen_data = False
+    while i + 8 <= n:
+        tag = payload[i:i + 4]
+        (size,) = struct.unpack("<I", payload[i + 4:i + 8])
+        body = payload[i + 8:i + 8 + size]
+        if tag == b"fmt ":
+            fmt_code, channels, sample_rate, _br, _ba, depth = \
+                struct.unpack("<HHIIHH", body[:16])
+            if (fmt_code, channels, depth) != (7, 1, 8):
+                raise ValueError(
+                    f"unsupported WAV shape (fmt={fmt_code}, "
+                    f"ch={channels}, depth={depth}); this decoder covers "
+                    "G.711 mu-law mono 8-bit (fmt 7)")
+        elif tag == b"data":
+            if sample_rate is None:
+                raise ValueError("WAV data chunk before fmt chunk")
+            n_samples = size
+            sum_sq = 0
+            for c in body:
+                d = ulaw_decode_sample(c)
+                sum_sq += d * d
+            seen_data = True
+        i += 8 + size + (size & 1)  # RIFF chunks pad to even offsets
+    if not seen_data:
+        raise ValueError("WAV payload has no data chunk")
+    return sample_rate, n_samples, sum_sq
+
+
+#: the SQL arithmetic replica of decode(encode(s)) — staged through
+#: nested list_transform lambdas (SQL has no let-binding): k -> sample,
+#: sample -> {s, e} (segment via exact integer CASE), pair -> quantized
+#: sample, then sum of squares. Exhaustively matched to the byte codec
+#: over all 65536 inputs in tests/test_analytics.py::test_wav_ulaw_companding_exhaustive_and_container.
+_ULAW_SEG_SQL = """CASE
+    WHEN LEAST(ABS(t.s), 32635) + 132 < 256 THEN 0
+    WHEN LEAST(ABS(t.s), 32635) + 132 < 512 THEN 1
+    WHEN LEAST(ABS(t.s), 32635) + 132 < 1024 THEN 2
+    WHEN LEAST(ABS(t.s), 32635) + 132 < 2048 THEN 3
+    WHEN LEAST(ABS(t.s), 32635) + 132 < 4096 THEN 4
+    WHEN LEAST(ABS(t.s), 32635) + 132 < 8192 THEN 5
+    WHEN LEAST(ABS(t.s), 32635) + 132 < 16384 THEN 6
+    ELSE 7 END"""
+
+
+@register(
+    "multimodal_wav_ulaw_energy",
+    category="multimodal",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(8000 AS BIGINT) AS sample_rate,
+           CAST(150 + doc_id % 500 AS BIGINT) AS n_samples,
+           CAST(LIST_SUM(LIST_TRANSFORM(
+             LIST_TRANSFORM(
+               LIST_TRANSFORM(RANGE(0, 150 + doc_id % 500),
+                              k -> {{'s': (doc_id * 37 + k * 11) % 65536
+                                          - 32768}}),
+               t -> {{'s': t.s, 'e': {_ULAW_SEG_SQL}}}),
+             t -> POWER(CASE WHEN t.s < 0 THEN -1 ELSE 1 END *
+                  (((((LEAST(ABS(t.s), 32635) + 132) >> (t.e + 3)) & 15)
+                    * 8 + 132 << t.e) - 132), 2)))
+             AS BIGINT) AS sum_sq
+    FROM documents WHERE doc_id % 11 = 0
+    """)
+def multimodal_wav_ulaw_energy(spark, sf_dir):
+    """Second audio codec (round-10 breadth): G.711 mu-law — the
+    telephony companding standard (ITU-T G.711), carried in WAV as
+    format code 7. Every 11th document gets a real mu-law WAV payload
+    (closed-form PCM16 samples companded to 8-bit codes, canonical
+    RIFF header), and the decode stage chunk-walks the container,
+    validates the fmt, expands every code byte back to quantized
+    PCM16, and computes the exact integer energy. The DuckDB oracle
+    recomputes the companding round trip ARITHMETICALLY (segment +
+    mantissa integer form — it never sees a WAV byte), so header
+    layout, companding tables, and expansion are value-checked
+    end-to-end; a pytest sweep additionally matches the byte codec to
+    the arithmetic form over all 65536 PCM16 inputs. Compressed
+    psychoacoustic codecs (MP3/AAC/Opus) remain the honest
+    library-bound boundary.
+
+    Scale: same shape as multimodal_wav_energy — both stages are
+    per-row projections inside Arrow batches; binary columns never
+    shuffle."""
+    d = (table(spark, sf_dir, "documents")
+         .filter(F.col("doc_id") % 11 == 0).select("doc_id"))
+
+    def encode(batches):
+        import pandas as pd
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                n = 150 + doc_id % 500
+                samples = [(doc_id * 37 + k * 11) % 65536 - 32768
+                           for k in range(n)]
+                payloads.append(wav_encode_ulaw(8000, samples))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"],
+                                "payload": payloads})
+
+    media = d.mapInPandas(encode, "doc_id long, payload binary")
+
+    def decode(batches):
+        import pandas as pd
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                sr, ns, ss = wav_decode_ulaw(bytes(payload))
+                rows.append((int(doc_id), sr, ns, ss))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "sample_rate", "n_samples",
+                               "sum_sq"])
+
+    return media.mapInPandas(
+        decode, "doc_id long, sample_rate long, n_samples long, "
+                "sum_sq long")
+
+
 # ------------------------------------------------------------- video/Y4M
 
 def y4m_encode(width: int, height: int,

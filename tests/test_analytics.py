@@ -217,6 +217,49 @@ def test_wav_pcm_round_trip():
         wav_decode_pcm16(b"RIFF" + struct.pack("<I", 4) + b"WAVE")
 
 
+def test_wav_ulaw_companding_exhaustive_and_container():
+    """G.711 mu-law (round-10 second audio codec): (1) the byte codec's
+    decode(encode(s)) must equal the closed arithmetic form the DuckDB
+    oracle uses for EVERY one of the 65536 PCM16 inputs — segment CASE,
+    mantissa shift, midpoint reconstruction; (2) container round trip
+    through WAV format code 7; (3) honest rejection of non-mu-law
+    shapes (a PCM16 payload fed to the mu-law decoder)."""
+    import struct
+
+    import pytest
+
+    from cstore_fdw_spark.operators.multimodal import (
+        ULAW_BIAS, ULAW_CLIP, ulaw_decode_sample, ulaw_encode_sample,
+        wav_decode_ulaw, wav_encode_pcm16, wav_encode_ulaw)
+
+    def closed_form(s):
+        x = min(abs(s), ULAW_CLIP) + ULAW_BIAS
+        exp = 0
+        while x >= (1 << (exp + 8)):
+            exp += 1
+        y = (((x >> (exp + 3)) & 15) * 8 + ULAW_BIAS) * (1 << exp) \
+            - ULAW_BIAS
+        return -y if s < 0 else y
+
+    for s in range(-32768, 32768):
+        assert ulaw_decode_sample(ulaw_encode_sample(s)) == closed_form(s)
+    # companding is log: error grows with amplitude but is bounded
+    assert max(abs(ulaw_decode_sample(ulaw_encode_sample(s)) - s)
+               for s in range(-32768, 32768, 13)) < 1024
+    # silence encodes to 0xFF per the ones-complement convention
+    assert ulaw_encode_sample(0) == 0xFF
+
+    samples = [(k * 987 - 7000) % 65536 - 32768 for k in range(257)]
+    payload = wav_encode_ulaw(8000, samples)
+    assert wav_decode_ulaw(payload) == (
+        8000, 257, sum(closed_form(s) ** 2 for s in samples))
+
+    with pytest.raises(ValueError, match="mu-law mono 8-bit"):
+        wav_decode_ulaw(wav_encode_pcm16(8000, [0, 1, 2]))
+    with pytest.raises(ValueError, match="RIFF/WAVE"):
+        wav_decode_ulaw(b"ID3 not a wav")
+
+
 def test_y4m_round_trip():
     """Real YUV4MPEG2 codec: round trip across frame counts and odd
     header orders, plus honest rejection of unsupported shapes."""
