@@ -738,3 +738,110 @@ def stats_ks_two_sample(spark, sf_dir):
                  (F.max(diff).cast("double")
                   / F.first(F.col("n1") * F.col("n2")))
                  .alias("ks_stat")))
+
+
+#: HDR-histogram geometry: each power-of-two octave splits into 2^M
+#: linear sub-buckets, so the bucket holding a value is at most a factor
+#: (1 + 2^-M) above its lower bound — relative error <= 1/128 here while
+#: the whole sketch stays under ~64·128 integer counters per group no
+#: matter how many rows feed it. All-integer bucket math (bit-length +
+#: shift) is what makes the sketch itself cross-engine bit-exact.
+HDR_M = 7
+HDR_SUB = 1 << HDR_M
+
+
+def _hdr_oracle() -> str:
+    decode = {}
+    for q in ("50", "95", "99"):
+        s = f"GREATEST(0, i{q} // {HDR_SUB} - 1)"
+        lo = f"((i{q} - {s} * {HDR_SUB}) << CAST({s} AS INT))"
+        decode[q] = (f"CAST({lo} AS BIGINT) AS p{q}_lo, "
+                     f"CAST({lo} + (1::BIGINT << CAST({s} AS INT)) - 1 "
+                     f"AS BIGINT) AS p{q}_hi")
+    return f"""
+    WITH vals AS (
+      SELECT l_returnflag AS g,
+             CAST(FLOOR(l_extendedprice * 100) AS BIGINT) AS v
+      FROM lineitem),
+    idxed AS (
+      SELECT g, CAST(s * {HDR_SUB} + (v >> CAST(s AS INT)) AS BIGINT)
+               AS idx
+      FROM (SELECT g, v, GREATEST(0, LENGTH(BIN(v)) - 1 - {HDR_M}) AS s
+            FROM vals)),
+    hist AS (
+      SELECT g, idx, COUNT(*) AS cnt FROM idxed GROUP BY g, idx),
+    ranked AS (
+      SELECT g, idx,
+             SUM(cnt) OVER (PARTITION BY g ORDER BY idx) AS cum,
+             SUM(cnt) OVER (PARTITION BY g) AS n
+      FROM hist),
+    picked AS (
+      SELECT g, MAX(n) AS n,
+             MIN(CASE WHEN cum >= CEIL(0.50 * n) THEN idx END) AS i50,
+             MIN(CASE WHEN cum >= CEIL(0.95 * n) THEN idx END) AS i95,
+             MIN(CASE WHEN cum >= CEIL(0.99 * n) THEN idx END) AS i99
+      FROM ranked GROUP BY g)
+    SELECT g AS l_returnflag, CAST(n AS BIGINT) AS n,
+           {decode["50"]}, {decode["95"]}, {decode["99"]}
+    FROM picked ORDER BY l_returnflag
+    """
+
+
+@register(
+    "stats_hdr_quantile_sketch",
+    category="analytics",
+    oracle=_hdr_oracle())
+def stats_hdr_quantile_sketch(spark, sf_dir):
+    """Deterministic mergeable quantile sketch (HdrHistogram geometry —
+    Tene's log-octave / linear-sub-bucket layout, same bucket family as
+    DDSketch, Masson et al. VLDB '19): per-return-flag p50/p95/p99
+    bucket bounds over price cents. Every value maps to bucket
+    s·2^M + (v >> s) with s = max(0, bit_length(v) − 1 − M) — pure
+    integer codegen (bin + shiftright), no log(), so the SKETCH ITSELF
+    (not just a tolerance flag) hash-matches the DuckDB oracle bit for
+    bit. The reference's ANALYZE keeps per-block min/max as its only
+    distribution summary (cstore_metadata serialization); this is the
+    engine-side generalization a 100 TB deployment actually needs for
+    latency/size percentiles.
+
+    Scale — the sketch IS the partial aggregate: the only corpus-wide
+    shuffle is groupBy(group, bucket) with map-side combine, and the
+    shuffled state is bounded by the geometry (≲ 64·2^M counters per
+    group — independent of row count; counters are sums, so sketches
+    merge across partitions, epochs, and streams like the count-min
+    family). The rank scan (window cumsum + threshold pick) runs over
+    that tiny histogram, never the corpus — contrast percentile_exact,
+    whose exact path must sort real data. Quantile guarantee (exact
+    value inside the reported [lo, hi], width ≤ 2^-M · lo) is asserted
+    in tests/test_analytics.py. Output: (l_returnflag, n, p50_lo,
+    p50_hi, p95_lo, p95_hi, p99_lo, p99_hi)."""
+    li = table(spark, sf_dir, "lineitem")
+    v = F.expr("CAST(FLOOR(l_extendedprice * 100) AS BIGINT)")
+    s = F.expr(f"GREATEST(0, LENGTH(BIN(CAST(FLOOR(l_extendedprice"
+               f" * 100) AS BIGINT))) - 1 - {HDR_M})")
+    idx = (s * HDR_SUB
+           + F.expr(f"SHIFTRIGHT(CAST(FLOOR(l_extendedprice * 100)"
+                    f" AS BIGINT), CAST(GREATEST(0,"
+                    f" LENGTH(BIN(CAST(FLOOR(l_extendedprice * 100)"
+                    f" AS BIGINT))) - 1 - {HDR_M}) AS INT))")
+           ).cast("long").alias("idx")
+    hist = (li.select(F.col("l_returnflag").alias("g"), idx)
+            .groupBy("g", "idx").agg(F.count(F.lit(1)).alias("cnt")))
+    w = Window.partitionBy("g").orderBy("idx")
+    ranked = (hist
+              .withColumn("cum", F.sum("cnt").over(w))
+              .withColumn("n", F.sum("cnt").over(Window.partitionBy("g"))))
+    picks = [F.min(F.when(F.col("cum") >= F.expr(f"CEIL(0.{q} * n)"),
+                          F.col("idx"))).alias(f"i{q}")
+             for q in ("50", "95", "99")]
+    picked = ranked.groupBy("g").agg(F.max("n").alias("n"), *picks)
+    cols = [F.col("g").alias("l_returnflag"),
+            F.col("n").cast("long").alias("n")]
+    for q in ("50", "95", "99"):
+        ds = f"GREATEST(0, i{q} DIV {HDR_SUB} - 1)"
+        lo = f"SHIFTLEFT(i{q} - {ds} * {HDR_SUB}, CAST({ds} AS INT))"
+        cols.append(F.expr(f"CAST({lo} AS BIGINT)").alias(f"p{q}_lo"))
+        cols.append(F.expr(
+            f"CAST({lo} + SHIFTLEFT(CAST(1 AS BIGINT),"
+            f" CAST({ds} AS INT)) - 1 AS BIGINT)").alias(f"p{q}_hi"))
+    return picked.select(*cols).orderBy("l_returnflag")

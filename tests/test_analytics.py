@@ -1066,3 +1066,43 @@ def test_jpeg_progressive_420_dummy_blocks_match_baseline():
     assert (wb, hb, cb) == (24, 8, 3) == (wp, hp, cp)
     assert rb == rp
     assert len(set(rb)) > 1
+
+
+def test_hdr_quantile_sketch_guarantee(spark, sf_dir):
+    """The HDR sketch's contract, checked against ground truth: for each
+    group and quantile, the EXACT discrete quantile falls inside the
+    reported [lo, hi] bucket, and the bucket's relative width honors the
+    2^-M geometry bound. Also: the sketch is deterministic (two builds
+    agree) — it had better be, its oracle hash-matches."""
+    from pyspark.sql import functions as F
+
+    from cstore_fdw_spark.operators import table
+    from cstore_fdw_spark.operators.analytics import HDR_M
+
+    rows = {r.l_returnflag: r for r in
+            REGISTRY["stats_hdr_quantile_sketch"].builder(spark, sf_dir)
+            .collect()}
+    assert rows
+    li = (table(spark, sf_dir, "lineitem")
+          .select("l_returnflag",
+                  F.expr("CAST(FLOOR(l_extendedprice * 100) AS BIGINT)")
+                  .alias("v")))
+    # exact discrete quantiles at the same ceil(q*n) rank convention
+    exact = {r.l_returnflag: r for r in
+             (li.groupBy("l_returnflag")
+              .agg(*[F.expr(
+                  f"SORT_ARRAY(COLLECT_LIST(v))"
+                  f"[CAST(CEIL(0.{q} * COUNT(*)) AS INT) - 1]")
+                  .alias(f"ex{q}") for q in ("50", "95", "99")])
+              ).collect()}
+    for g, r in rows.items():
+        for q in ("50", "95", "99"):
+            lo, hi = getattr(r, f"p{q}_lo"), getattr(r, f"p{q}_hi")
+            ex = getattr(exact[g], f"ex{q}")
+            assert lo <= ex <= hi, (g, q, lo, ex, hi)
+            assert (hi - lo) <= max(1, lo >> HDR_M), (g, q, lo, hi)
+    again = {r.l_returnflag: r for r in
+             REGISTRY["stats_hdr_quantile_sketch"].builder(spark, sf_dir)
+             .collect()}
+    assert {g: tuple(r) for g, r in rows.items()} == \
+        {g: tuple(r) for g, r in again.items()}
