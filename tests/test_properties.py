@@ -341,3 +341,41 @@ def test_ann_ladder_recall_quality_gate(spark, tmp_path):
     assert dres < d2 * 0.75, (
         f"residual PQ distortion {dres:.3f} !< 0.75x raw {d2:.3f}")
     clear_caches(spark)
+
+
+def test_index_artifacts_train_once_serve_many(spark, sf_dir):
+    """The bench bring-up contract (`ensure_index_artifacts`): the first
+    call on a fresh host trains every missing codebook artifact; a second
+    call trains NOTHING (pure artifact-cache reads), leaves no persisted
+    RDDs behind, and restores adaptive planning — so BENCH per-query
+    cold/warm numbers measure query serving, never the one-time offline
+    index build (train-once/serve-many, `_cached_codebook`)."""
+    import glob
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from cstore_fdw_spark.operators import similarity as sim
+    from cstore_fdw_spark.session import ADAPTIVE_CONF
+
+    # scope the wipe to THIS sf_dir's keys: other fixtures' artifacts
+    # (the sf0.01 gate's) must survive a test run
+    keyable = hashlib.md5
+    suffixes = set()
+    for tag, params in (
+        ("rawpq", ("rawpq", sim.PQ_M, sim.PQ_SUBDIM, sim.PQ_K,
+                   sim.PQ_TRAIN_N, sim.PQ_ITERS, sim.FX_SCALE)),):
+        suffixes.add(keyable((os.path.abspath(sf_dir) + "|" + repr(params))
+                             .encode()).hexdigest()[:16])
+    for p in glob.glob(os.path.join(tempfile.gettempdir(), "cstore_cb_*")):
+        if p.rsplit("_", 1)[-1] in suffixes:
+            shutil.rmtree(p, ignore_errors=True)
+    # ivfc/ivfpq keys embed a corpus-sized nlist — wipe by reproducing
+    # is brittle; instead just assert the SECOND call trains nothing
+    trained1 = sim.ensure_index_artifacts(spark, sf_dir)
+    assert "rawpq" in trained1, f"fresh host should train rawpq: {trained1}"
+    trained2 = sim.ensure_index_artifacts(spark, sf_dir)
+    assert trained2 == [], f"warm host retrained: {trained2}"
+    assert spark.conf.get(ADAPTIVE_CONF) == "true"
+    assert len(spark.sparkContext._jsc.getPersistentRDDs()) == 0
