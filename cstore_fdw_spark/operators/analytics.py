@@ -845,3 +845,254 @@ def stats_hdr_quantile_sketch(spark, sf_dir):
             f"CAST({lo} + SHIFTLEFT(CAST(1 AS BIGINT),"
             f" CAST({ds} AS INT)) - 1 AS BIGINT)").alias(f"p{q}_hi"))
     return picked.select(*cols).orderBy("l_returnflag")
+
+
+# ---------------------------------------------------------------- PageRank
+
+#: fixed-point scale for PageRank mass (10^12 "mass units" = rank 1.0);
+#: all updates are BIGINT //-divisions, so both engines agree bit-for-bit
+PR_SCALE = 1_000_000_000_000
+PR_ITERS = 3
+PR_TOP = 25
+
+
+def _pagerank_oracle() -> str:
+    def step(prev: str, cur: str) -> str:
+        return f"""
+    {cur} AS (
+      SELECT e.dst AS node,
+             (SELECT tele FROM consts)
+               + (85 * SUM(r.r // deg.d)) // 100 AS r
+      FROM edges e
+      JOIN {prev} r ON r.node = e.src
+      JOIN deg ON deg.src = e.src
+      GROUP BY e.dst)"""
+
+    steps = ",".join(step(f"r{i}", f"r{i + 1}") for i in range(PR_ITERS))
+    return f"""
+    WITH pairs AS (
+      SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+    edges AS (
+      SELECT c * 2 AS src, s * 2 + 1 AS dst FROM pairs
+      UNION ALL
+      SELECT s * 2 + 1 AS src, c * 2 AS dst FROM pairs),
+    deg AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY src),
+    consts AS (
+      SELECT CAST({PR_SCALE} AS BIGINT) // COUNT(*) AS r0,
+             ((CAST({PR_SCALE} AS BIGINT) // COUNT(*)) * 15) // 100 AS tele
+      FROM deg),
+    r0 AS (SELECT src AS node, (SELECT r0 FROM consts) AS r FROM deg),
+    {steps}
+    SELECT node AS node_id,
+           CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END
+             AS node_type,
+           node // 2 AS entity_key,
+           CAST(r AS BIGINT) AS rank_fp
+    FROM r{PR_ITERS}
+    ORDER BY rank_fp DESC, node_id LIMIT {PR_TOP}
+    """
+
+
+@register(
+    "pagerank_bipartite_3iter",
+    category="analytics",
+    bench=True,
+    oracle=_pagerank_oracle())
+def pagerank_bipartite_3iter(spark, sf_dir):
+    """Fixed-iteration PageRank (Page et al. '99, damping 0.85) over the
+    customer<->supplier trade graph — the iterative-algorithm family next
+    to dedup_connected_components' min-label propagation: who are the
+    most central trading entities after 3 rounds of rank flow?
+
+    Graph: distinct (custkey, suppkey) pairs from lineitem x orders,
+    materialized BOTH directions (a random walk on the bipartite graph),
+    node id = key*2 (+1 for suppliers). Every node in the graph has
+    outdegree >= 1 by construction, so there is no dangling-mass term.
+
+    Determinism: rank is BIGINT fixed-point mass (PR_SCALE = 10^12 = 1.0
+    of total rank); each update is
+    ``tele + (85 * SUM(r // deg)) // 100`` — floor divisions and exact
+    integer sums only, so partitioning/fold order cannot perturb a single
+    bit and the unrolled-CTE DuckDB oracle hash-matches.
+
+    Scale (the Pregel shape, GraphX/GraphFrames run the same loop): the
+    edge list is derived once (one corpus join + distinct), partitioned
+    by src and PERSISTED with its outdegree attached — each of the 3
+    iterations then shuffles only the node-sized rank frame to the edge
+    partitioning and map-side-combines contributions per dst; the corpus
+    is never rescanned. Fixed iteration count keeps the lineage flat (no
+    per-round checkpoint needed at K=3); a convergence-driven variant
+    would cut lineage like dedup_connected_components does."""
+    from cstore_fdw_spark.operators import track_cache
+
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    pairs = (li.join(o, li.l_orderkey == o.o_orderkey)
+             .select((F.col("o_custkey") * 2).alias("src"),
+                     (F.col("l_suppkey") * 2 + 1).alias("dst"))
+             .distinct())
+    edges = pairs.unionByName(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    # one persisted frame carries the whole static graph: (src, dst, deg)
+    g = track_cache(edges.join(deg, "src")
+                    .repartition("src").persist())
+    n_nodes = deg.count()
+    r0 = PR_SCALE // n_nodes
+    tele = (r0 * 15) // 100
+    ranks = deg.select(F.col("src").alias("node"),
+                       F.lit(r0).cast("long").alias("r"))
+    for _ in range(PR_ITERS):
+        ranks = (g.join(ranks, g.src == ranks.node)
+                 .groupBy(F.col("dst").alias("node"))
+                 .agg(F.sum(F.expr("r div d")).alias("s"))
+                 .select("node",
+                         (F.lit(tele).cast("long")
+                          + F.expr("(85 * s) div 100")).alias("r")))
+    return (ranks
+            .select(F.col("node").alias("node_id"),
+                    F.when(F.col("node") % 2 == 0, F.lit("customer"))
+                    .otherwise(F.lit("supplier")).alias("node_type"),
+                    F.expr("node div 2").alias("entity_key"),
+                    F.col("r").cast("long").alias("rank_fp"))
+            .orderBy(F.col("rank_fp").desc(), "node_id").limit(PR_TOP))
+
+
+# ------------------------------------------------- weighted PPS sampling
+
+#: weighted-sample size: large enough that the acceptance statistics in
+#: tests are stable, small enough that the top-k never becomes a sort
+SPS_K = 200
+
+
+def _sps_oracle() -> str:
+    from cstore_fdw_spark.functions.portable_hash import duck_h60
+    u = duck_h60("CAST(doc_id AS VARCHAR)")
+    return f"""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+    FROM documents
+    ORDER BY CAST({u} + 1 AS DOUBLE)
+               / len(string_split(text, ' ')),
+             doc_id
+    LIMIT {SPS_K}
+    """
+
+
+@register(
+    "sample_weighted_reservoir",
+    category="analytics",
+    oracle=_sps_oracle())
+def sample_weighted_reservoir(spark, sf_dir):
+    """Weighted (probability-proportional-to-size) document sampling via
+    sequential Poisson sampling (Ohlsson '98, the order-sampling family
+    that also contains Efraimidis-Spirakis A-ES reservoir sampling):
+    every document gets priority u/w with u uniform and w its token
+    count, and the sample is the k SMALLEST priorities — longer documents
+    are proportionally more likely to be drawn, the standard size-biased
+    draw for training-mix construction.
+
+    Determinism (the whole reason this variant): u = portable_h60(doc_id)
+    + 1 — a 60-bit integer, never 0 — and w is an exact BIGINT token
+    count, so the priority is ONE IEEE-754 double division that both
+    engines round identically; ORDER BY (priority, doc_id) is then
+    bit-stable and the selected row SET oracle-hashes (a log()-based
+    exponential-key A-ES would be libm-dependent). Same
+    repeatable-sample discipline as tablesample_deterministic, which the
+    reference grounds in its Vitter reservoir ANALYZE sampling
+    (cstore_fdw.c:2098-2260) — extended from uniform to weighted.
+
+    Scale: ORDER BY + LIMIT k plans as TakeOrderedAndProject — each task
+    keeps a k-row heap and the driver merges 32 k-row slivers; the corpus
+    is scanned once, NOTHING shuffles. At 100 TB this is the only shape
+    of weighted sampling that works: no per-row RNG state, no global
+    sort, no reservoir synchronization."""
+    from cstore_fdw_spark.functions.portable_hash import spark_h60
+
+    d = table(spark, sf_dir, "documents")
+    u = spark_h60("cast(doc_id as string)")
+    w = "size(split(text, ' '))"
+    return (d.select("doc_id",
+                     F.expr(w).cast("long").alias("n_tokens"),
+                     F.expr(f"cast({u} + 1 as double) / {w}")
+                     .alias("_prio"))
+            .orderBy("_prio", "doc_id")
+            .limit(SPS_K)
+            .select("doc_id", "n_tokens"))
+
+
+# ------------------------------------------------- market-basket mining
+
+#: association-mining output cap and min co-occurrence support
+MB_TOP = 50
+MB_MIN_PAIRS = 2
+
+
+@register(
+    "market_basket_lift",
+    category="analytics",
+    oracle=f"""
+    WITH op AS (
+      SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+    n AS (SELECT COUNT(DISTINCT ok) AS n_orders FROM op),
+    item AS (SELECT pk, COUNT(*) AS n1 FROM op GROUP BY pk),
+    pair AS (
+      SELECT a.pk AS part1, b.pk AS part2, COUNT(*) AS n_pairs
+      FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk
+      GROUP BY a.pk, b.pk
+      HAVING COUNT(*) >= {MB_MIN_PAIRS})
+    SELECT part1, part2, n_pairs,
+           (n_pairs * (SELECT n_orders FROM n) * 1000)
+             // (i1.n1 * i2.n1) AS lift_permille
+    FROM pair
+    JOIN item i1 ON i1.pk = part1
+    JOIN item i2 ON i2.pk = part2
+    ORDER BY n_pairs DESC, lift_permille DESC, part1, part2
+    LIMIT {MB_TOP}
+    """)
+def market_basket_lift(spark, sf_dir):
+    """Market-basket association mining (the Apriori/FP-growth support +
+    lift statistics, restricted to pairs — Agrawal & Srikant '94): which
+    parts co-occur in the same order more than their popularities
+    predict? lift = P(a,b) / (P(a)·P(b)), emitted as exact integer
+    permille (n12·N·1000 // (n1·n2)) so both engines agree bit-for-bit —
+    no floating ratio in the output.
+
+    Scale: the classic all-pairs trap is avoided structurally — the
+    self-join is WITHIN an order only, and a basket holds a handful of
+    items (<= 11 in the fixture, bounded-constant in any order-line
+    schema), so the explode factor is a small constant, like the PPJoin
+    prefix bound in dedup_token_jaccard.
+    ONE repartition by orderkey serves the basket distinct AND both
+    sides of the self-join exchange-free; pair counting then shuffles
+    pair-sized data, and the per-item counts (bounded by |part|) join
+    back broadcast. Overflow guard: n12·N·1000 needs N·N·1000 < 2^63
+    only for the single most frequent pair — at 10^9 baskets switch the
+    permille to DECIMAL(38) arithmetic."""
+    li = table(spark, sf_dir, "lineitem")
+    op = (li.select(F.col("l_orderkey").alias("ok"),
+                    F.col("l_partkey").alias("pk"))
+          .repartition("ok")
+          .dropDuplicates(["ok", "pk"]))
+    n_orders = op.select(F.countDistinct("ok").alias("n_orders"))
+    item = op.groupBy("pk").agg(F.count(F.lit(1)).alias("n1"))
+    a, b = op.alias("a"), op.alias("b")
+    pair = (a.join(b, (F.col("a.ok") == F.col("b.ok"))
+                   & (F.col("a.pk") < F.col("b.pk")))
+            .groupBy(F.col("a.pk").alias("part1"),
+                     F.col("b.pk").alias("part2"))
+            .agg(F.count(F.lit(1)).alias("n_pairs"))
+            .filter(F.col("n_pairs") >= MB_MIN_PAIRS))
+    i1 = item.select(F.col("pk").alias("part1"), F.col("n1").alias("c1"))
+    i2 = item.select(F.col("pk").alias("part2"), F.col("n1").alias("c2"))
+    return (pair
+            .join(F.broadcast(i1), "part1")
+            .join(F.broadcast(i2), "part2")
+            .crossJoin(F.broadcast(n_orders))
+            .select("part1", "part2", "n_pairs",
+                    F.expr("(n_pairs * n_orders * 1000) div (c1 * c2)")
+                    .alias("lift_permille"))
+            .orderBy(F.col("n_pairs").desc(),
+                     F.col("lift_permille").desc(), "part1", "part2")
+            .limit(MB_TOP))

