@@ -1600,3 +1600,75 @@ def text_levenshtein_entity_pairs(spark, sf_dir):
             .select("key_a", "key_b", "name_a", "name_b",
                     dist.cast("long").alias("edit_dist"))
             .filter(F.col("edit_dist") <= 4))
+
+
+# ----------------------------------------------------- PMI collocations
+
+#: collocation support floor and output cap
+PMI_MIN_COUNT = 5
+PMI_TOP = 40
+
+
+@register(
+    "text_pmi_collocations",
+    category="text",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, STRING_SPLIT(text, ' ') AS arr FROM documents),
+    bg AS (
+      SELECT w1, w2, COUNT(*) AS c12 FROM (
+        SELECT arr[i] AS w1, arr[i + 1] AS w2
+        FROM tok, LATERAL UNNEST(generate_series(1, len(arr) - 1)) u(i))
+      GROUP BY w1, w2),
+    m1 AS (SELECT w1, SUM(c12) AS c1 FROM bg GROUP BY w1),
+    m2 AS (SELECT w2, SUM(c12) AS c2 FROM bg GROUP BY w2),
+    n AS (SELECT SUM(c12) AS nbig FROM bg)
+    SELECT bg.w1, bg.w2, CAST(bg.c12 AS BIGINT) AS n_pairs,
+           CAST((bg.c12 * (SELECT nbig FROM n) * 1000000)
+                // (m1.c1 * m2.c2) AS BIGINT) AS pmi_ratio_ppm
+    FROM bg JOIN m1 ON bg.w1 = m1.w1 JOIN m2 ON bg.w2 = m2.w2
+    WHERE bg.c12 >= {PMI_MIN_COUNT}
+    ORDER BY pmi_ratio_ppm DESC, n_pairs DESC, bg.w1, bg.w2
+    LIMIT {PMI_TOP}
+    """)
+def text_pmi_collocations(spark, sf_dir):
+    """Pointwise-mutual-information collocation mining (Church & Hanks
+    '90): which adjacent word pairs co-occur far more than their
+    marginal frequencies predict — multiword expressions, the lexical
+    units a tokenizer/vocab builder should treat as one. PMI is emitted
+    as its exact integer-ratio surrogate c12·N·10^6 // (c1·c2) (the
+    argument of the log; log is monotone, so ranking is identical and
+    the value hash-matches DuckDB — same fixed-point discipline as the
+    bigram LM). Marginals are the bigram event space's own
+    first-/second-position counts, so no separate token pass is needed.
+
+    Scale: corpus touched once for the bigram rollup (array transform,
+    no token-explode join); the marginal tables and the final join are
+    vocabulary-bounded; output is a top-k. Overflow note: c12·N·10^6
+    needs N² · 10^6 < 2^63 only for the single most frequent bigram —
+    beyond ~10^6 bigram events, switch the ratio to DECIMAL(38) (same
+    guard as market_basket_lift)."""
+    d = table(spark, sf_dir, "documents")
+    bg_structs = F.expr(
+        "transform(sequence(1, size(arr) - 1),"
+        " i -> struct(arr[i - 1] AS w1, arr[i] AS w2))")
+    bg = (d.select(F.split("text", " ").alias("arr"))
+          .select(F.explode(bg_structs).alias("b"))
+          .groupBy(F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+          .agg(F.count(F.lit(1)).alias("c12")))
+    m1 = bg.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    m2 = bg.groupBy("w2").agg(F.sum("c12").alias("c2"))
+    n = bg.agg(F.sum("c12").alias("nbig"))
+    # NO broadcast hint on the marginals: m1/m2 are vocabulary-sized
+    # (potentially GBs on a noisy 100 TB corpus) while the support-
+    # filtered bigram side is small — AQE broadcasts the right side
+    return (bg.filter(F.col("c12") >= PMI_MIN_COUNT)
+            .join(m1, "w1")
+            .join(m2, "w2")
+            .crossJoin(F.broadcast(n))
+            .select("w1", "w2", F.col("c12").cast("long").alias("n_pairs"),
+                    F.expr("(c12 * nbig * 1000000) div (c1 * c2)")
+                    .alias("pmi_ratio_ppm"))
+            .orderBy(F.col("pmi_ratio_ppm").desc(),
+                     F.col("n_pairs").desc(), "w1", "w2")
+            .limit(PMI_TOP))

