@@ -930,14 +930,20 @@ def pagerank_bipartite_3iter(spark, sf_dir):
     o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     pairs = (li.join(o, li.l_orderkey == o.o_orderkey)
              .select((F.col("o_custkey") * 2).alias("src"),
-                     (F.col("l_suppkey") * 2 + 1).alias("dst"))
-             .distinct())
-    edges = pairs.unionByName(
+                     (F.col("l_suppkey") * 2 + 1).alias("dst")))
+    # ONE src-partitioning serves the whole edge derivation: after
+    # repartition("src"), dropDuplicates groups on (src, dst) — satisfied
+    # by the src clustering, no second exchange — the degree aggregate
+    # groups on src — same — and the edges-with-degree join sees both
+    # sides already hash-partitioned on src (a distinct-then-repartition
+    # ordering paid two extra corpus-sized shuffles here)
+    edges = (pairs.unionByName(
         pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .repartition("src")
+        .dropDuplicates(["src", "dst"]))
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
     # one persisted frame carries the whole static graph: (src, dst, deg)
-    g = track_cache(edges.join(deg, "src")
-                    .repartition("src").persist())
+    g = track_cache(edges.join(deg, "src").persist())
     n_nodes = deg.count()
     r0 = PR_SCALE // n_nodes
     tele = (r0 * 15) // 100

@@ -307,3 +307,68 @@ def subquery_any_all_acctbal(spark, sf_dir):
             .filter(F.col("max_bal").isNull()
                     | (F.col("s_acctbal") > F.col("max_bal")))
             .select("s_suppkey", "s_name", "s_nationkey", "s_acctbal"))
+
+
+#: clamped-balance recursion depth (well under Spark's default
+#: cteRecursionLevelLimit of 100)
+RB_STEPS = 40
+
+#: the recursion body, shared verbatim by Spark and DuckDB: a ranked
+#: per-supplier delta stream (returns add stock, shipments drain it)
+#: folded through balance' = max(0, balance + delta) with a clamp
+#: counter — a NON-LINEAR recurrence no window function can express
+#: (the clamp makes prefix sums wrong the moment any prefix dips below
+#: zero), i.e. the query class that genuinely requires WITH RECURSIVE.
+_RB_BODY = f"""
+    deltas AS (
+      SELECT l_suppkey AS s, rn,
+             CASE WHEN l_returnflag = 'R'
+                  THEN CAST(ROUND(l_quantity) AS BIGINT)
+                  ELSE -CAST(ROUND(l_quantity) AS BIGINT) END AS delta
+      FROM (
+        SELECT l_suppkey, l_returnflag, l_quantity,
+               ROW_NUMBER() OVER (PARTITION BY l_suppkey
+                                  ORDER BY l_shipdate, l_orderkey,
+                                           l_linenumber) AS rn
+        FROM lineitem) r
+      WHERE rn <= {RB_STEPS}),
+    bal(s, rn, balance, clamps) AS (
+      SELECT DISTINCT l_suppkey, 0, CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+      FROM lineitem
+      UNION ALL
+      SELECT b.s, b.rn + 1,
+             GREATEST(CAST(0 AS BIGINT), b.balance + d.delta),
+             b.clamps + CASE WHEN b.balance + d.delta < 0
+                             THEN 1 ELSE 0 END
+      FROM bal b JOIN deltas d ON d.s = b.s AND d.rn = b.rn + 1)
+    SELECT s AS l_suppkey, CAST(balance AS BIGINT) AS final_balance,
+           CAST(clamps AS BIGINT) AS n_clamps
+    FROM bal WHERE rn = {RB_STEPS} ORDER BY l_suppkey
+"""
+
+
+@register(
+    "recursive_clamped_balance",
+    category="subquery",
+    oracle=f"WITH RECURSIVE {_RB_BODY}")
+def recursive_clamped_balance(spark, sf_dir):
+    """WITH RECURSIVE through Spark's native recursive-CTE support
+    (SPARK-24497, Spark 4.x): per-supplier inventory replay where
+    returns restock and shipments drain, clamped at zero — the
+    recurrence balance' = max(0, balance + delta) is non-linear, so NO
+    window/prefix-sum formulation exists (any prefix dipping below zero
+    breaks linearity); this is the query class the reference's users
+    run through PostgreSQL's recursive CTEs (the host-executor surface
+    cstore_fdw delegates to, cstore_fdw.c:1743-1750) and the DuckDB
+    oracle runs the IDENTICAL text. All-integer arithmetic, so the fold
+    hash-matches bit for bit.
+
+    Scale: recursion depth is the bounded RB_STEPS (40), not the corpus
+    — each recursive step is one hash join of the |suppliers|-sized
+    frontier against the rank-pruned delta table, so total work is
+    O(steps x suppliers), independent of lineitem row count once the
+    ranked prefix is cut. The ROW_NUMBER prune shuffles the corpus
+    once; a pre-sorted projection (projections.py) would remove even
+    that at 100 TB."""
+    _views(spark, sf_dir, "lineitem")
+    return spark.sql(f"WITH RECURSIVE {_RB_BODY}")

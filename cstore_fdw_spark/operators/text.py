@@ -1672,3 +1672,90 @@ def text_pmi_collocations(spark, sf_dir):
             .orderBy(F.col("pmi_ratio_ppm").desc(),
                      F.col("n_pairs").desc(), "w1", "w2")
             .limit(PMI_TOP))
+
+
+# ------------------------------------------- relative quality filtering
+
+#: keep the top quarter of each language's score distribution
+QQF_Q = 0.75
+
+
+@register(
+    "text_quality_quantile_filter",
+    category="text",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, lang,
+             CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_tokens,
+             (CAST(LEN(LIST_FILTER(STRING_SPLIT(text, ' '),
+                   w -> w IN ('the', 'a', 'of', 'and'))) AS BIGINT)
+              * 1000000)
+               // CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS score_fx
+      FROM documents),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY lang
+                                   ORDER BY score_fx, doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY lang) AS n
+      FROM scored),
+    thr AS (
+      SELECT lang, MIN(score_fx) AS thr_fx
+      FROM ranked WHERE rn >= CAST(CEIL({QQF_Q} * n) AS BIGINT)
+      GROUP BY lang)
+    SELECT r.lang, t.thr_fx,
+           CAST(COUNT(*) AS BIGINT) AS n_total,
+           CAST(SUM(CASE WHEN r.score_fx >= t.thr_fx
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN r.score_fx >= t.thr_fx
+                         THEN r.n_tokens ELSE 0 END) AS BIGINT)
+             AS kept_tokens
+    FROM ranked r JOIN thr t ON r.lang = t.lang
+    GROUP BY r.lang, t.thr_fx ORDER BY r.lang
+    """)
+def text_quality_quantile_filter(spark, sf_dir):
+    """RELATIVE quality filtering (the FineWeb/FineWeb-Edu recipe): keep
+    each language's top quarter by score rather than applying one
+    absolute threshold — absolute gates systematically starve
+    low-resource languages whose score distributions sit lower. The
+    per-language cutoff is the exact discrete 0.75-quantile computed
+    with explicit window arithmetic (smallest score at rank >=
+    ceil(0.75 n), tie-broken on doc_id) so both engines pick the
+    identical element — no engine-specific QUANTILE semantics in play —
+    and the score is the integer stopword-density surrogate
+    (n_stop x 10^6 // n_tokens), hash-exact like the rest of the text
+    family. Output: per-language threshold + survivorship accounting.
+
+    Scale: one corpus projection computes scores; ONE shuffle by lang
+    feeds both the ranking window and the final rollup; the threshold
+    table is |languages|-sized and broadcasts back. At 100 TB the
+    window's per-lang sort is the cost — if languages skew, range-
+    partition the window by (lang, score bucket) or pre-aggregate to
+    (lang, score) counts first (score cardinality <= 10^6 makes the
+    exact quantile computable from the compressed histogram)."""
+    from pyspark.sql.window import Window
+
+    d = table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    scored = d.select(
+        "doc_id", "lang",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.expr("(cast(size(filter(split(text, ' '),"
+               " w -> w in ('the', 'a', 'of', 'and'))) as bigint)"
+               " * 1000000)"
+               " div cast(size(split(text, ' ')) as bigint)")
+        .alias("score_fx"))
+    w = Window.partitionBy("lang").orderBy("score_fx", "doc_id")
+    ranked = (scored
+              .withColumn("rn", F.row_number().over(w))
+              .withColumn("n", F.count(F.lit(1))
+                          .over(Window.partitionBy("lang"))))
+    thr = (ranked
+           .filter(F.col("rn") >= F.ceil(QQF_Q * F.col("n")).cast("long"))
+           .groupBy("lang").agg(F.min("score_fx").alias("thr_fx")))
+    kept = F.col("score_fx") >= F.col("thr_fx")
+    return (ranked.join(F.broadcast(thr), "lang")
+            .groupBy("lang", "thr_fx")
+            .agg(F.count(F.lit(1)).alias("n_total"),
+                 F.sum(kept.cast("long")).alias("n_kept"),
+                 F.sum(F.when(kept, F.col("n_tokens")).otherwise(0))
+                 .cast("long").alias("kept_tokens"))
+            .orderBy("lang"))
