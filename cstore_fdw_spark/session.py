@@ -71,6 +71,9 @@ ENGINE_CONFS: dict[str, str] = {
     # events.parquet carries TIMESTAMP(NANOS); read as long + convert
     # (operators.table) instead of failing the scan.
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Python data source filter pushdown (the cstore-format source uses
+    # pushed range/equality filters for skip-list block skipping)
+    "spark.sql.python.filterPushdown.enabled": "true",
     # parquet TIMESTAMP(isAdjustedToUTC=false) reads as plain TIMESTAMP,
     # not TIMESTAMP_NTZ (Spark 3.4+ default infers NTZ, on which the
     # engine's unix_micros/interval arithmetic is ill-typed). With the

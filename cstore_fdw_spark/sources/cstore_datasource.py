@@ -1,0 +1,193 @@
+"""Spark Python DataSource for the cstore v1.7 format: full read/write
+integration of :mod:`cstore_fdw_spark.sources.cstore_format`.
+
+- ``spark.dataSource.register(CStoreDataSource)`` then
+  ``spark.read.format("cstore").schema(ddl).load(path)`` /
+  ``df.write.format("cstore").save(path)``.
+- A schema is REQUIRED on read: like the reference (CREATE FOREIGN
+  TABLE declares columns; the binary format stores no names/types —
+  cstore_fdw.h:55, README.md:197-213), the file is schema-on-read.
+- Scan parallelism is per (file, stripe) — the reference's unit of IO
+  (`StripeMetadata`), so a directory of part files scans
+  partition-parallel exactly like any Spark source.
+- ``pushFilters`` keeps range/equality predicates for BLOCK SKIPPING
+  against the skip-list min/max (`ColumnBlockSkipNode`,
+  cstore_reader.c block filtering) and declares every filter
+  unsupported, so Spark still re-evaluates them above the scan — the
+  reference does the same ("we just put all of the scanClauses into
+  the plan node's qual list", cstore_fdw.c:1743-1750): skipping is an
+  IO optimization, never a correctness gate.
+"""
+from __future__ import annotations
+
+import os
+import uuid
+
+from pyspark.sql.datasource import (
+    DataSource, DataSourceReader, DataSourceWriter, EqualTo, GreaterThan,
+    GreaterThanOrEqual, InputPartition, LessThan, LessThanOrEqual,
+    WriterCommitMessage)
+from pyspark.sql.types import StructType
+
+from cstore_fdw_spark.sources.cstore_format import (
+    read_footer, read_stripe, write_cstore_file)
+
+_SPARK_TO_CSTORE = {
+    "boolean": "boolean",
+    "short": "smallint",
+    "integer": "integer",
+    "long": "bigint",
+    "float": "float",
+    "double": "double",
+    "date": "date",
+    "timestamp": "timestamp",
+    "timestamp_ntz": "timestamp",
+    "string": "string",
+}
+
+
+def _type_names(schema: StructType) -> list[str]:
+    names = []
+    for f in schema.fields:
+        t = f.dataType.typeName()
+        if t not in _SPARK_TO_CSTORE:
+            raise ValueError(
+                f"cstore source does not support column type {t!r} "
+                f"(column {f.name!r}); supported: "
+                f"{sorted(_SPARK_TO_CSTORE)}")
+        names.append(_SPARK_TO_CSTORE[t])
+    return names
+
+
+def _data_files(path: str) -> list[str]:
+    if os.path.isdir(path):
+        return sorted(
+            os.path.join(path, f) for f in os.listdir(path)
+            if f.endswith(".cstore"))
+    return [path]
+
+
+class _StripePartition(InputPartition):
+    def __init__(self, file: str, stripe: tuple):
+        self.file = file
+        self.stripe = stripe
+
+
+class CStoreReader(DataSourceReader):
+    def __init__(self, schema: StructType, options):
+        self.schema_ = schema
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("cstore source requires a path")
+        self.type_names = _type_names(schema)
+        self.col_idx = {f.name: i for i, f in enumerate(schema.fields)}
+        #: per-column [(op, value), ...] retained for block skipping
+        self.ranges: dict[int, list] = {}
+
+    def pushFilters(self, filters):
+        for f in filters:
+            attr = getattr(f, "attribute", None)
+            col = attr[0] if attr and len(attr) == 1 else None
+            if col in self.col_idx and isinstance(
+                    f, (EqualTo, GreaterThan, GreaterThanOrEqual,
+                        LessThan, LessThanOrEqual)):
+                self.ranges.setdefault(self.col_idx[col], []).append(
+                    (type(f).__name__, f.value))
+            # every filter is re-evaluated by Spark (reference parity:
+            # skip-list pruning is IO-only)
+            yield f
+
+    def _block_pred(self):
+        if not self.ranges:
+            return None
+        ranges = self.ranges
+
+        def pred(col, lo, hi):
+            for op, v in ranges.get(col, ()):  # noqa: B023 — bound once
+                try:
+                    if op == "EqualTo" and not (lo <= v <= hi):
+                        return False
+                    if op == "GreaterThan" and not hi > v:
+                        return False
+                    if op == "GreaterThanOrEqual" and not hi >= v:
+                        return False
+                    if op == "LessThan" and not lo < v:
+                        return False
+                    if op == "LessThanOrEqual" and not lo <= v:
+                        return False
+                except TypeError:
+                    return True  # incomparable -> never skip
+            return True
+
+        return pred
+
+    def partitions(self):
+        parts = []
+        for f in _data_files(self.path):
+            _brc, stripes = read_footer(f)
+            for s in stripes:
+                parts.append(_StripePartition(f, s))
+        return parts or [_StripePartition("", None)]
+
+    def read(self, partition):
+        if not partition.file:
+            return
+        with open(partition.file, "rb") as fh:
+            yield from read_stripe(fh, partition.stripe, self.type_names,
+                                   block_pred=self._block_pred())
+
+
+class CStoreWriter(DataSourceWriter):
+    def __init__(self, schema: StructType, options, overwrite: bool):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("cstore sink requires a path")
+        self.type_names = _type_names(schema)
+        self.stripe_rows = int(options.get("stripe_row_count", 150000))
+        self.block_rows = int(options.get("block_row_count", 10000))
+        self.compression = options.get("compression", "pglz")
+        os.makedirs(self.path, exist_ok=True)
+        if overwrite:
+            for f in os.listdir(self.path):
+                if f.endswith((".cstore", ".footer")):
+                    os.remove(os.path.join(self.path, f))
+
+    def write(self, iterator):
+        rows = [tuple(r) for r in iterator]
+        if rows:
+            name = f"part-{uuid.uuid4().hex}.cstore"
+            write_cstore_file(
+                os.path.join(self.path, name), rows, self.type_names,
+                stripe_row_count=self.stripe_rows,
+                block_row_count=self.block_rows,
+                compression=self.compression)
+        return WriterCommitMessage()
+
+
+class CStoreDataSource(DataSource):
+    """``format("cstore")`` — the reference's own on-disk format as a
+    first-class Spark source/sink."""
+
+    @classmethod
+    def name(cls):
+        return "cstore"
+
+    def schema(self):
+        raise ValueError(
+            "cstore files store no schema (the reference declares it in "
+            "CREATE FOREIGN TABLE); pass one: spark.read.format('cstore')"
+            ".schema('a INT, b STRING').load(path)")
+
+    def reader(self, schema: StructType):
+        return CStoreReader(schema, self.options)
+
+    def writer(self, schema: StructType, overwrite: bool):
+        return CStoreWriter(schema, self.options, overwrite)
+
+
+def register_cstore(spark) -> None:
+    """Idempotently register the data source with a session."""
+    try:
+        spark.dataSource.register(CStoreDataSource)
+    except Exception:  # noqa: BLE001 — already registered
+        pass

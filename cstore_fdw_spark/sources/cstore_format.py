@@ -1,0 +1,545 @@
+"""Pure-Python codec for the cstore_fdw v1.7 on-disk format — the
+reference's OWN binary layout, so files written here are shaped exactly
+like the reference's and real cstore tables can be brought over as-is.
+Everything below is reimplemented from scratch against the public
+format (cstore.proto, the PostgreSQL attribute-layout and pg_lzcompress
+formats) with the reference C cited for behavior only.
+
+Layout (studied from the reference, reimplemented from scratch):
+- data file: stripes back to back; each stripe = [per-column skip-list
+  protobuf][per column: all exists buffers, then all value buffers]
+  [stripe-footer protobuf]  (cstore_writer.c:558-572, FlushStripe)
+- footer file (<path>.footer): TableFooter protobuf + PostScript
+  protobuf + 1-byte postscript size (cstore_writer.c:379-414)
+- datums: PostgreSQL attribute layout — by-value types little-endian at
+  typlen, varlena text with 1- or 4-byte headers, each datum's length
+  aligned up to the type's alignment (cstore_writer.c:729-760,
+  cstore_reader.c:1129-1165)
+- exists bitmaps: LSB-first bit per row (cstore_writer.c:699-722)
+- optional per-block pglz compression framed as
+  [vl_len|compressed-flag][rawsize] + the PostgreSQL LZ stream
+  (cstore_compression.c; stream format per pg_lzcompress docs)
+"""
+from __future__ import annotations
+
+import os
+import struct
+
+# ------------------------------------------------------------ protobuf wire
+
+def _varint(n: int) -> bytes:
+    out = bytearray()
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        if n:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _read_varint(buf: bytes, pos: int) -> tuple[int, int]:
+    val = shift = 0
+    while True:
+        b = buf[pos]
+        pos += 1
+        val |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return val, pos
+        shift += 7
+
+
+def _field(num: int, wire: int, payload) -> bytes:
+    tag = _varint((num << 3) | wire)
+    if wire == 0:
+        return tag + _varint(payload)
+    return tag + _varint(len(payload)) + payload
+
+
+def _parse(buf: bytes) -> dict[int, list]:
+    """Generic proto2 parse: {field: [varint-or-bytes, ...]}."""
+    out: dict[int, list] = {}
+    pos = 0
+    while pos < len(buf):
+        key, pos = _read_varint(buf, pos)
+        num, wire = key >> 3, key & 7
+        if wire == 0:
+            val, pos = _read_varint(buf, pos)
+        elif wire == 2:
+            ln, pos = _read_varint(buf, pos)
+            val = buf[pos:pos + ln]
+            pos += ln
+        elif wire == 5:
+            val = buf[pos:pos + 4]
+            pos += 4
+        elif wire == 1:
+            val = buf[pos:pos + 8]
+            pos += 8
+        else:
+            raise ValueError(f"unsupported wire type {wire}")
+        out.setdefault(num, []).append(val)
+    return out
+
+# ------------------------------------------------------------------- pglz
+
+def pglz_decompress(data: bytes, rawsize: int) -> bytes:
+    """PostgreSQL LZ stream: control bytes gate 8 items LSB-first;
+    literal = 1 raw byte; match tag = [off_hi4|len-3][off_lo8]
+    (+1 length-extension byte when the nibble saturates at 15);
+    matches copy byte-by-byte from the sliding output window."""
+    out = bytearray()
+    pos = 0
+    n = len(data)
+    while pos < n and len(out) < rawsize:
+        ctrl = data[pos]
+        pos += 1
+        for bit in range(8):
+            if pos >= n or len(out) >= rawsize:
+                break
+            if ctrl & (1 << bit):
+                b0, b1 = data[pos], data[pos + 1]
+                pos += 2
+                length = (b0 & 0x0F) + 3
+                offset = ((b0 & 0xF0) << 4) | b1
+                if length == 18:
+                    length += data[pos]
+                    pos += 1
+                if not 0 < offset <= len(out):
+                    raise ValueError("pglz: bad match offset")
+                for _ in range(length):
+                    out.append(out[-offset])
+            else:
+                out.append(data[pos])
+                pos += 1
+    if len(out) != rawsize:
+        raise ValueError(f"pglz: expected {rawsize} bytes, got {len(out)}")
+    return bytes(out)
+
+
+def pglz_compress(data: bytes) -> bytes | None:
+    """Greedy LZ with a positions table — emits a format-valid stream
+    (offset <= 4095, length 3..273); returns None unless it shrinks
+    the input (the reference keeps such blocks uncompressed)."""
+    n = len(data)
+    out = bytearray()
+    ctrl_pos = -1
+    ctrl = 0
+    ctrl_bit = 8
+    table: dict[bytes, list[int]] = {}
+    i = 0
+
+    def put(is_match: int):
+        nonlocal ctrl_pos, ctrl, ctrl_bit
+        if ctrl_bit == 8:
+            if ctrl_pos >= 0:
+                out[ctrl_pos] = ctrl
+            ctrl_pos = len(out)
+            out.append(0)
+            ctrl = 0
+            ctrl_bit = 0
+        ctrl |= is_match << ctrl_bit
+        ctrl_bit += 1
+
+    while i < n:
+        best_len = 0
+        best_off = 0
+        if i + 3 <= n:
+            key = data[i:i + 3]
+            for j in reversed(table.get(key, [])):
+                off = i - j
+                if off > 4095:
+                    break
+                # direct comparison is valid even for overlapping
+                # matches (off < len): byte-by-byte copy semantics make
+                # out[i+k] == data[j+k] by induction
+                length = 3
+                max_len = min(273, n - i)
+                if data[j:j + 3] != key:
+                    continue
+                while (length < max_len
+                       and data[j + length] == data[i + length]):
+                    length += 1
+                if length > best_len:
+                    best_len, best_off = length, off
+                    if length >= 273:
+                        break
+        if best_len >= 3:
+            put(1)
+            ext = best_len - 3
+            if ext >= 15:
+                out.append(0x0F | ((best_off & 0xF00) >> 4))
+                out.append(best_off & 0xFF)
+                out.append(best_len - 18)
+            else:
+                out.append(ext | ((best_off & 0xF00) >> 4))
+                out.append(best_off & 0xFF)
+            for k in range(best_len):
+                if i + k + 3 <= n:
+                    table.setdefault(data[i + k:i + k + 3], []).append(i + k)
+            i += best_len
+        else:
+            put(0)
+            out.append(data[i])
+            if i + 3 <= n:
+                table.setdefault(data[i:i + 3], []).append(i)
+            i += 1
+    if ctrl_pos >= 0:
+        out[ctrl_pos] = ctrl
+    return bytes(out) if len(out) < n else None
+
+# --------------------------------------------------------------- type serde
+
+#: spark-type-name -> (byval, typlen, align, pack-kind)
+#: PG catalog properties: bool (1,'c'), int2 (2,'s'), int4/date/float4
+#: (4,'i'), int8/timestamp/float8 (8,'d'), text (-1,'i')
+CSTORE_TYPES = {
+    "boolean": (True, 1, 1, "b"),
+    "smallint": (True, 2, 2, "h"),
+    "integer": (True, 4, 4, "i"),
+    "bigint": (True, 8, 8, "q"),
+    "float": (True, 4, 4, "f"),
+    "double": (True, 8, 8, "d"),
+    "date": (True, 4, 4, "date"),
+    "timestamp": (True, 8, 8, "ts"),
+    "string": (False, -1, 4, "text"),
+}
+
+#: PostgreSQL epoch (2000-01-01) offsets
+_PG_DATE_EPOCH_DAYS = 10957          # days from 1970-01-01 to 2000-01-01
+_PG_TS_EPOCH_MICROS = 946684800000000
+
+
+def _align_up(n: int, align: int) -> int:
+    return (n + align - 1) & ~(align - 1)
+
+
+def _to_storage(value, kind):
+    """python value -> storable primitive (int/float/bytes)."""
+    if kind == "date":
+        return value.toordinal() - 730120  # date(2000,1,1).toordinal()
+    if kind == "ts":
+        import calendar
+        micros = (calendar.timegm(value.timetuple()) * 1_000_000
+                  + value.microsecond)
+        return micros - _PG_TS_EPOCH_MICROS
+    if kind == "text":
+        return value.encode("utf-8")
+    if kind == "b":
+        return 1 if value else 0
+    return value
+
+
+def _from_storage(raw, kind):
+    if kind == "date":
+        import datetime
+        return datetime.date.fromordinal(raw + 730120)
+    if kind == "ts":
+        import datetime
+        micros = raw + _PG_TS_EPOCH_MICROS
+        return datetime.datetime.utcfromtimestamp(micros / 1_000_000) \
+            .replace(microsecond=micros % 1_000_000)
+    if kind == "text":
+        return raw.decode("utf-8")
+    if kind == "b":
+        return bool(raw)
+    return raw
+
+
+_PACK = {"b": "<B", "h": "<h", "i": "<i", "q": "<q", "f": "<f", "d": "<d",
+         "date": "<i", "ts": "<q"}
+
+
+def serialize_datum_raw(value, typlen, kind) -> bytes:
+    """One datum in PG attribute layout, UNALIGNED (the skip-node
+    min/max form, DatumToProtobufBinary)."""
+    if typlen > 0:
+        return struct.pack(_PACK[kind], _to_storage(value, kind))
+    payload = _to_storage(value, kind)
+    return struct.pack("<I", (len(payload) + 4) << 2) + payload
+
+
+def serialize_datum(value, typlen, align, kind) -> bytes:
+    """One datum in PG attribute layout, length aligned up (the value
+    buffer form)."""
+    raw = serialize_datum_raw(value, typlen, kind)
+    pad = _align_up(len(raw), align) - len(raw)
+    return raw + b"\x00" * pad
+
+
+def deserialize_datums(buf: bytes, exists: list[bool], typlen: int,
+                       align: int, kind: str) -> list:
+    """Walk a value buffer (non-null datums only), mirroring the
+    reference reader: advance by datum length, then align up. Varlena
+    accepts both 1-byte short and 4-byte headers (VARSIZE_ANY)."""
+    out = []
+    pos = 0
+    for ex in exists:
+        if not ex:
+            out.append(None)
+            continue
+        if typlen > 0:
+            raw = struct.unpack_from(_PACK[kind], buf, pos)[0]
+            pos += typlen
+        else:
+            b0 = buf[pos]
+            if b0 & 0x01:  # 1-byte short varlena: (len<<1)|1
+                total = b0 >> 1
+                raw = bytes(buf[pos + 1:pos + total])
+            else:          # 4-byte header: len<<2
+                (hdr,) = struct.unpack_from("<I", buf, pos)
+                total = hdr >> 2
+                raw = bytes(buf[pos + 4:pos + total])
+            pos += total
+        pos = _align_up(pos, align)
+        out.append(_from_storage(raw, kind))
+    return out
+
+
+def _bitmap(flags: list[bool]) -> bytes:
+    out = bytearray((len(flags) + 7) // 8)
+    for i, f in enumerate(flags):
+        if f:
+            out[i // 8] |= 1 << (i % 8)
+    return bytes(out)
+
+
+def _unbitmap(buf: bytes, count: int) -> list[bool]:
+    return [bool(buf[i // 8] & (1 << (i % 8))) for i in range(count)]
+
+# ------------------------------------------------------------- file writer
+
+MAGIC = "citus_cstore"
+
+
+def write_cstore_file(path: str, rows: list[tuple], type_names: list[str],
+                      stripe_row_count: int = 150000,
+                      block_row_count: int = 10000,
+                      compression: str = "pglz") -> None:
+    """Write rows (tuples, None = NULL) as a cstore v1.7 data+footer
+    file pair readable by the reference."""
+    types = [CSTORE_TYPES[t] for t in type_names]
+    stripes = []
+    data = bytearray()
+    for s0 in range(0, len(rows), stripe_row_count):
+        chunk = rows[s0:s0 + stripe_row_count]
+        file_offset = len(data)
+        n_cols = len(types)
+        skip_protos = []
+        col_exists: list[list[bytes]] = []
+        col_values: list[list[bytes]] = []
+        col_comp: list[list[int]] = []
+        col_minmax: list[list] = []
+        for c, (byval, typlen, align, kind) in enumerate(types):
+            e_bufs, v_bufs, comps, mms = [], [], [], []
+            for b0 in range(0, len(chunk), block_row_count):
+                block = [r[c] for r in chunk[b0:b0 + block_row_count]]
+                exists = [v is not None for v in block]
+                vbuf = b"".join(
+                    serialize_datum(v, typlen, align, kind)
+                    for v in block if v is not None)
+                comp = 0
+                if compression == "pglz" and len(vbuf) > 16:
+                    packed = pglz_compress(vbuf)
+                    if packed is not None:
+                        framed = (struct.pack(
+                            "<I", ((8 + len(packed)) << 2) | 2)
+                            + struct.pack("<i", len(vbuf)) + packed)
+                        if len(framed) < len(vbuf):
+                            vbuf, comp = framed, 1
+                present = [v for v in block if v is not None]
+                if present:
+                    key = (lambda v: _to_storage(v, kind)) \
+                        if kind == "text" else (lambda v: v)
+                    mm = (min(present, key=key), max(present, key=key))
+                else:
+                    mm = None
+                e_bufs.append(_bitmap(exists))
+                v_bufs.append(vbuf)
+                comps.append(comp)
+                mms.append((len(block), mm))
+            col_exists.append(e_bufs)
+            col_values.append(v_bufs)
+            col_comp.append(comps)
+            col_minmax.append(mms)
+        # skip-list protobufs (offsets are per-column, within-section)
+        for c, (byval, typlen, align, kind) in enumerate(types):
+            nodes = b""
+            e_off = v_off = 0
+            for bi, ebuf in enumerate(col_exists[c]):
+                vbuf = col_values[c][bi]
+                rowcount, mm = col_minmax[c][bi]
+                node = _field(1, 0, rowcount)
+                if mm is not None:
+                    node += _field(2, 2, serialize_datum_raw(
+                        mm[0], typlen, kind))
+                    node += _field(3, 2, serialize_datum_raw(
+                        mm[1], typlen, kind))
+                node += _field(4, 0, v_off) + _field(5, 0, len(vbuf))
+                node += _field(6, 0, col_comp[c][bi])
+                node += _field(7, 0, e_off) + _field(8, 0, len(ebuf))
+                nodes += _field(1, 2, node)
+                e_off += len(ebuf)
+                v_off += len(vbuf)
+            skip_protos.append(nodes)
+        for sp in skip_protos:
+            data += sp
+        for c in range(n_cols):
+            for ebuf in col_exists[c]:
+                data += ebuf
+            for vbuf in col_values[c]:
+                data += vbuf
+        sfooter = b""
+        for sp in skip_protos:
+            sfooter += _field(1, 0, len(sp))
+        for c in range(n_cols):
+            sfooter += _field(2, 0, sum(len(b) for b in col_exists[c]))
+        for c in range(n_cols):
+            sfooter += _field(3, 0, sum(len(b) for b in col_values[c]))
+        data += sfooter
+        skip_len = sum(len(sp) for sp in skip_protos)
+        data_len = sum(sum(len(b) for b in col_exists[c])
+                       + sum(len(b) for b in col_values[c])
+                       for c in range(n_cols))
+        stripes.append((file_offset, skip_len, data_len, len(sfooter)))
+    with open(path, "wb") as fh:
+        fh.write(bytes(data))
+    # footer file: TableFooter + PostScript + 1-byte postscript size
+    tf = b""
+    for off, sk, dl, fl in stripes:
+        sm = (_field(1, 0, off) + _field(2, 0, sk) + _field(3, 0, dl)
+              + _field(4, 0, fl))
+        tf += _field(1, 2, sm)
+    tf += _field(2, 0, block_row_count)
+    ps = (_field(1, 0, len(tf)) + _field(2, 0, 1) + _field(3, 0, 7)
+          + _field(8000, 2, MAGIC.encode()))
+    assert len(ps) < 256
+    with open(path + ".footer", "wb") as fh:
+        fh.write(tf + ps + bytes([len(ps)]))
+
+# ------------------------------------------------------------- file reader
+
+def _iv(d: dict, num: int, default=None):
+    return d[num][0] if num in d else default
+
+
+def read_footer(path: str):
+    """-> (block_row_count, [(offset, skiplist_len, data_len,
+    footer_len), ...]) after validating magic + version."""
+    with open(path + ".footer", "rb") as fh:
+        raw = fh.read()
+    ps_size = raw[-1]
+    ps = _parse(raw[-1 - ps_size:-1])
+    magic = _iv(ps, 8000, b"").decode()
+    if magic != MAGIC:
+        raise ValueError(f"bad cstore magic {magic!r}")
+    tf_len = _iv(ps, 1)
+    tf = _parse(raw[:tf_len])
+    stripes = []
+    for sm_raw in tf.get(1, []):
+        sm = _parse(sm_raw)
+        stripes.append((_iv(sm, 1, 0), _iv(sm, 2, 0), _iv(sm, 3, 0),
+                        _iv(sm, 4, 0)))
+    return _iv(tf, 2, 10000), stripes
+
+
+def deserialize_datum_raw(buf: bytes, typlen: int, kind: str):
+    """Decode one UNALIGNED datum (skip-node min/max)."""
+    if typlen > 0:
+        return _from_storage(struct.unpack_from(_PACK[kind], buf, 0)[0],
+                             kind)
+    b0 = buf[0]
+    if b0 & 0x01:
+        return _from_storage(bytes(buf[1:b0 >> 1]), kind)
+    (hdr,) = struct.unpack_from("<I", buf, 0)
+    return _from_storage(bytes(buf[4:hdr >> 2]), kind)
+
+
+def read_stripe(fh, stripe, type_names: list[str],
+                wanted: list[int] | None = None,
+                block_pred=None):
+    """Yield row tuples from one stripe. ``wanted`` = column indexes to
+    decode (projection pushdown: unwanted columns' buffers are never
+    read). ``block_pred(col_idx, lo, hi) -> bool`` returns False to
+    SKIP a block — the reference's skip-list pruning; skipped blocks
+    yield no rows (callers must only prune on predicates that refute
+    the whole block)."""
+    offset, skip_len, data_len, footer_len = stripe
+    types = [CSTORE_TYPES[t] for t in type_names]
+    n_cols = len(types)
+    fh.seek(offset + skip_len + data_len)
+    sfooter = _parse(fh.read(footer_len))
+    skip_sizes = sfooter.get(1, [])
+    exists_sizes = sfooter.get(2, [])
+    value_sizes = sfooter.get(3, [])
+    fh.seek(offset)
+    skiplists = [_parse(fh.read(skip_sizes[c])) for c in range(n_cols)]
+    nodes_per_col = []
+    for c in range(n_cols):
+        nodes = [_parse(b) for b in skiplists[c].get(1, [])]
+        nodes_per_col.append(nodes)
+    n_blocks = len(nodes_per_col[0]) if nodes_per_col else 0
+    # section start offsets per column
+    data_start = offset + skip_len
+    col_starts = []
+    run = data_start
+    for c in range(n_cols):
+        col_starts.append(run)
+        run += exists_sizes[c] + value_sizes[c]
+    if wanted is None:
+        wanted = list(range(n_cols))
+    # decide skipped blocks (a block is read unless EVERY wanted
+    # predicate column refutes it — conservative AND of per-col prunes)
+    skip_block = [False] * n_blocks
+    if block_pred is not None:
+        for bi in range(n_blocks):
+            for c in wanted:
+                nd = nodes_per_col[c][bi]
+                if 2 in nd and 3 in nd:
+                    byval, typlen, align, kind = types[c]
+                    lo = deserialize_datum_raw(nd[2][0], typlen, kind)
+                    hi = deserialize_datum_raw(nd[3][0], typlen, kind)
+                    if not block_pred(c, lo, hi):
+                        skip_block[bi] = True
+                        break
+    cols_data: dict[int, list] = {}
+    for c in wanted:
+        byval, typlen, align, kind = types[c]
+        nodes = nodes_per_col[c]
+        col_rows = []
+        for bi in range(n_blocks):
+            nd = nodes[bi]
+            rowcount = _iv(nd, 1, 0)
+            if skip_block[bi]:
+                col_rows.append(None)  # marker: whole block skipped
+                continue
+            e_off, e_len = _iv(nd, 7, 0), _iv(nd, 8, 0)
+            v_off, v_len = _iv(nd, 4, 0), _iv(nd, 5, 0)
+            comp = _iv(nd, 6, 0)
+            fh.seek(col_starts[c] + e_off)
+            exists = _unbitmap(fh.read(e_len), rowcount)
+            fh.seek(col_starts[c] + exists_sizes[c] + v_off)
+            vbuf = fh.read(v_len)
+            if comp == 1:
+                (hdr,) = struct.unpack_from("<I", vbuf, 0)
+                (rawsize,) = struct.unpack_from("<i", vbuf, 4)
+                vbuf = pglz_decompress(vbuf[8:hdr >> 2], rawsize)
+            col_rows.append(deserialize_datums(vbuf, exists, typlen,
+                                               align, kind))
+        cols_data[c] = col_rows
+    for bi in range(n_blocks):
+        if skip_block[bi]:
+            continue
+        blocks = [cols_data[c][bi] for c in wanted]
+        for row in zip(*blocks):
+            yield row
+
+
+def read_cstore_file(path: str, type_names: list[str],
+                     wanted: list[int] | None = None, block_pred=None):
+    """Yield row tuples from a cstore data+footer pair."""
+    _brc, stripes = read_footer(path)
+    with open(path, "rb") as fh:
+        for stripe in stripes:
+            yield from read_stripe(fh, stripe, type_names, wanted,
+                                   block_pred)

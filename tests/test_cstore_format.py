@@ -1,0 +1,179 @@
+"""The cstore v1.7 binary-format codec and its Spark data source:
+format-layout pins, pglz spec vectors, full-type round trips, block
+skipping, and the end-to-end Spark read/write path."""
+
+from __future__ import annotations
+
+import datetime
+import os
+import random
+import struct
+
+import pytest
+
+from cstore_fdw_spark.sources.cstore_format import (
+    CSTORE_TYPES, MAGIC, pglz_compress, pglz_decompress, read_cstore_file,
+    read_footer, write_cstore_file)
+
+
+def test_pglz_spec_vectors_and_round_trips():
+    """Hand-built streams per the published pg_lzcompress format pin the
+    DECODER against the spec (not just against our own encoder); random
+    and highly-compressible buffers then round-trip."""
+    # literal 'a','b' then match(off=2, len=4) -> "ababab"
+    stream = bytes([0b00000100, ord("a"), ord("b"), 0x01, 0x02])
+    assert pglz_decompress(stream, 6) == b"ababab"
+    # length extension: literal 'x' then match(off=1, len=20)
+    stream = bytes([0b00000010, ord("x"), 0x0F, 0x01, 20 - 18])
+    assert pglz_decompress(stream, 21) == b"x" * 21
+    random.seed(5)
+    for trial in range(40):
+        n = random.randint(0, 4000)
+        mode = trial % 3
+        if mode == 0:
+            data = bytes(random.randrange(256) for _ in range(n))
+        elif mode == 1:
+            data = (b"the quick brown fox " * (n // 10 + 1))[:n]
+        else:
+            data = bytes(random.choice(b"ab") for _ in range(n))
+        packed = pglz_compress(data)
+        if packed is not None:
+            assert len(packed) < len(data)
+            assert pglz_decompress(packed, len(data)) == data, trial
+    # incompressible data is declined, like the reference's CompressBuffer
+    assert pglz_compress(bytes(range(256))) is None
+
+
+def _sample_rows(n):
+    rows = []
+    for i in range(n):
+        if i % 17 == 0:
+            rows.append((None,) * 9)
+            continue
+        rows.append((
+            i * 1000003, i - 1200, (i % 60000) - 30000, i % 3 == 0,
+            i / 7.0, float(i % 100) / 4.0,
+            datetime.date(2020, 1, 1) + datetime.timedelta(days=i % 4000),
+            datetime.datetime(2021, 3, 4, 5, 6, 7, 123456)
+            + datetime.timedelta(seconds=i * 31),
+            ("döc-" + "x" * (i % 200) + str(i)) if i % 5 else ""))
+    return rows
+
+
+TYPES = ["bigint", "integer", "smallint", "boolean", "double", "float",
+         "date", "timestamp", "string"]
+
+
+@pytest.mark.parametrize("comp", ["none", "pglz"])
+def test_cstore_file_round_trip_all_types(tmp_path, comp):
+    """Every supported type + NULL rows + multibyte text survive a
+    multi-stripe, multi-block file round trip bit-exactly; pglz shrinks
+    the file."""
+    rows = _sample_rows(2500)
+    path = str(tmp_path / f"t_{comp}.cstore")
+    write_cstore_file(path, rows, TYPES, stripe_row_count=1000,
+                      block_row_count=150, compression=comp)
+    assert list(read_cstore_file(path, TYPES)) == rows
+    if comp == "pglz":
+        none_path = str(tmp_path / "t_none2.cstore")
+        write_cstore_file(none_path, rows, TYPES, stripe_row_count=1000,
+                          block_row_count=150, compression="none")
+        assert (os.path.getsize(path) < 0.5 * os.path.getsize(none_path))
+
+
+def test_cstore_footer_layout_pin(tmp_path):
+    """Byte-level format pins: the footer file ends with the 1-byte
+    postscript size; the postscript carries magic 'citus_cstore' and
+    version 1.7; stripe metadata arithmetic adds up to the data file
+    size (cstore_writer.c:379-414 protocol)."""
+    rows = _sample_rows(300)
+    path = str(tmp_path / "pin.cstore")
+    write_cstore_file(path, rows, TYPES, stripe_row_count=120,
+                      block_row_count=50)
+    raw = open(path + ".footer", "rb").read()
+    ps_size = raw[-1]
+    assert ps_size < 256
+    assert MAGIC.encode() in raw[-1 - ps_size:-1]
+    brc, stripes = read_footer(path)
+    assert brc == 50
+    assert len(stripes) == 3  # 300 rows / 120-row stripes
+    total = sum(sk + dl + fl for _off, sk, dl, fl in stripes)
+    assert total == os.path.getsize(path)
+    assert stripes[0][0] == 0  # first stripe at offset 0
+
+
+def test_cstore_projection_and_block_skipping(tmp_path):
+    """Projection decodes only wanted columns; a min/max block predicate
+    prunes non-qualifying blocks (and never loses qualifying rows) —
+    the reference's skip-list filtering (cstore_reader.c)."""
+    rows = _sample_rows(2000)
+    path = str(tmp_path / "skip.cstore")
+    write_cstore_file(path, rows, TYPES, stripe_row_count=500,
+                      block_row_count=100, compression="none")
+    two = list(read_cstore_file(path, TYPES, wanted=[0, 8]))
+    assert two[1] == (rows[1][0], rows[1][8])
+    thr = 1_500_000_000
+    seen = list(read_cstore_file(
+        path, TYPES, wanted=[0],
+        block_pred=lambda c, lo, hi: hi is not None and hi >= thr))
+    want = sorted(r[0] for r in rows if r[0] is not None and r[0] >= thr)
+    got = sorted(v[0] for v in seen if v[0] is not None and v[0] >= thr)
+    assert got == want
+    assert len(seen) < len(rows), "nothing was pruned"
+
+
+def test_cstore_spark_datasource_round_trip(spark, tmp_path):
+    """df.write.format('cstore') -> read.format('cstore'): values,
+    NULLs, filters (exercising pushed-filter block skipping), overwrite
+    mode, and the schema-required error."""
+    from cstore_fdw_spark.sources.cstore_datasource import register_cstore
+
+    register_cstore(spark)
+    register_cstore(spark)  # idempotent
+    ddl = ("id BIGINT, small INT, flag BOOLEAN, x DOUBLE, d DATE, "
+           "ts TIMESTAMP, s STRING")
+    rows = []
+    for i in range(3000):
+        if i % 13 == 0:
+            rows.append((None,) * 7)
+        else:
+            rows.append((
+                i * 7, i - 100, i % 2 == 0, i / 3.0,
+                datetime.date(2019, 1, 1) + datetime.timedelta(days=i % 900),
+                datetime.datetime(2022, 5, 6, 7, 8, 9, 500000)
+                + datetime.timedelta(seconds=i),
+                f"row-ö-{i}" if i % 3 else ""))
+    df = spark.createDataFrame(rows, ddl).repartition(4)
+    path = str(tmp_path / "ds")
+    (df.write.format("cstore").option("stripe_row_count", "500")
+       .option("block_row_count", "100").mode("overwrite").save(path))
+    assert any(f.endswith(".cstore") for f in os.listdir(path))
+    back = spark.read.format("cstore").schema(ddl).load(path)
+
+    def key(t):
+        return tuple((v is None, str(v)) for v in t)
+
+    assert (sorted((tuple(r) for r in back.collect()), key=key)
+            == sorted((tuple(r) for r in df.collect()), key=key))
+    pred = "id > 10000 and d >= date'2020-01-01'"
+    assert (sorted((tuple(r) for r in back.filter(pred).collect()), key=key)
+            == sorted((tuple(r) for r in df.filter(pred).collect()),
+                      key=key))
+    df.limit(7).write.format("cstore").mode("overwrite").save(path)
+    assert spark.read.format("cstore").schema(ddl).load(path).count() == 7
+    with pytest.raises(Exception, match="schema"):
+        spark.read.format("cstore").load(path).count()
+
+
+def test_cstore_unsupported_type_is_loud(spark, tmp_path):
+    from cstore_fdw_spark.sources.cstore_datasource import register_cstore
+
+    register_cstore(spark)
+    df = spark.createDataFrame([(1, [1, 2])], "a INT, arr ARRAY<INT>")
+    with pytest.raises(Exception, match="does not support column type"):
+        # python data sources accept only append/overwrite save modes
+        df.write.format("cstore").mode("overwrite").save(
+            str(tmp_path / "bad"))
+    assert sorted(CSTORE_TYPES) == [
+        "bigint", "boolean", "date", "double", "float", "integer",
+        "smallint", "string", "timestamp"]
