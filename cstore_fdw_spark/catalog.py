@@ -115,10 +115,24 @@ def validate_options(options: dict[str, Any]) -> dict[str, Any]:
             f"{BLOCK_ROW_COUNT_MIN}..{BLOCK_ROW_COUNT_MAX}")
     out["block_row_count"] = brc
     fmt = str(out.get("storage_format", "parquet")).lower()
-    if fmt not in ("parquet", "orc"):
+    if fmt not in ("parquet", "orc", "cstore"):
         raise CStoreError(f'invalid storage format "{fmt}"; '
-                          "supported: parquet, orc")
+                          "supported: parquet, orc, cstore")
     out["storage_format"] = fmt
+    if fmt == "cstore":
+        # the v1.7 binary format: skip lists are its ONLY index
+        # (cstore_fdw.h:146-167) and it has no hive-partition layout
+        for bad in ("partition_by", "zorder_by", "bloom_filter_columns"):
+            if out.get(bad):
+                raise CStoreError(
+                    f'option "{bad}" is not supported with '
+                    "storage_format=cstore (the v1.7 format's only "
+                    "index is its min/max skip list)")
+        if comp not in ("pglz", "none"):
+            raise CStoreError(
+                f'invalid compression type "{comp}" for '
+                "storage_format=cstore; the v1.7 format supports pglz "
+                "or none (cstore_fdw.h:96-105)")
     if out.get("zorder_by"):
         zo = out["zorder_by"]
         out["zorder_by"] = (",".join(zo) if isinstance(zo, (list, tuple))
@@ -267,6 +281,11 @@ class CStoreCatalog:
             "CSTORE_SPARK_WAREHOUSE",
             os.path.join(os.getcwd(), ".cstore_warehouse"))
         os.makedirs(self.warehouse, exist_ok=True)
+        # storage_format='cstore' tables read/write through the python
+        # data source; registration is idempotent
+        from cstore_fdw_spark.sources.cstore_datasource import (
+            register_cstore)
+        register_cstore(spark)
 
     # ---------------------------------------------------------- paths/meta
     def table_path(self, name: str) -> str:
@@ -493,6 +512,17 @@ class CStoreCatalog:
 
     def _writer_options(self, meta: TableMeta) -> dict[str, str]:
         codec = VALID_COMPRESSION[meta.options.get("compression", "pglz")]
+        if self._format(meta) == "cstore":
+            # the real format takes the REAL option values: pglz means
+            # pglz (not the parquet-era zstd alias), and stripe/block
+            # row counts are the v1.7 layout knobs themselves
+            return {
+                "compression": meta.options.get("compression", "pglz"),
+                "stripe_row_count": str(meta.options.get(
+                    "stripe_row_count", DEFAULT_STRIPE_ROW_COUNT)),
+                "block_row_count": str(meta.options.get(
+                    "block_row_count", DEFAULT_BLOCK_ROW_COUNT)),
+            }
         if self._format(meta) == "orc":
             # ORC's row-index stride is the block analog (stats every
             # block_row_count rows, like Parquet page stats)
@@ -577,7 +607,7 @@ class CStoreCatalog:
         part = meta.options.get("partition_by")
         if part:
             writer = writer.partitionBy(*part.split(","))
-        getattr(writer, fmt)(staged)
+        _save_df(writer, fmt, staged)
         try:
             with self._writer_lock(name):
                 # re-read the committed epoch under the lock: another
@@ -770,7 +800,7 @@ class CStoreCatalog:
                 writer = writer.option(k, v)
             if part:
                 writer = writer.partitionBy(*part.split(","))
-            getattr(writer, fmt)(tmp_path)
+            _save_df(writer, fmt, tmp_path)
         else:
             os.makedirs(tmp_path, exist_ok=True)
         prefix = f"e{cutoff:012d}-"
@@ -905,7 +935,7 @@ class CStoreCatalog:
         part = meta.options.get("partition_by")
         if part:
             writer = writer.partitionBy(*part.split(","))
-        getattr(writer, self._format(meta))(staged)
+        _save_df(writer, self._format(meta), staged)
         return staged
 
     def merge_into(self, name: str, source: DataFrame,
@@ -1328,7 +1358,7 @@ class CStoreCatalog:
             writer = writer.option(k, v)
         if part:
             writer = writer.partitionBy(*part.split(","))
-        getattr(writer, fmt)(tmp_path)
+        _save_df(writer, fmt, tmp_path)
         mutate = None
         if set_opts:
             def mutate(fresh_meta):
@@ -1472,6 +1502,9 @@ class CStoreCatalog:
             for rel in fresh.dropped_files:
                 try:
                     os.remove(os.path.join(data_path, rel))
+                    ftr = os.path.join(data_path, rel) + ".footer"
+                    if os.path.exists(ftr):  # cstore sidecar
+                        os.remove(ftr)
                 except OSError:
                     pass
             fresh.dropped_files = []
@@ -1514,9 +1547,14 @@ class CStoreCatalog:
         for p in list(_data_files(data_path, fmt)):
             if _file_epoch(p) > meta.write_epoch:
                 os.remove(p)
+                if os.path.exists(p + ".footer"):  # cstore sidecar
+                    os.remove(p + ".footer")
         for rel in meta.dropped_files:
             try:
                 os.remove(os.path.join(data_path, rel))
+                ftr = os.path.join(data_path, rel) + ".footer"
+                if os.path.exists(ftr):  # cstore sidecar
+                    os.remove(ftr)
             except OSError:
                 pass
         meta.dropped_files = []
@@ -1583,11 +1621,11 @@ class CStoreCatalog:
                       # explicit file lists disable partition discovery
                       # unless the hive-layout root is pinned
                       .option("basePath", data_path))
-            df = getattr(reader, fmt)(*paths)
+            df = _load_df(reader, fmt, *paths)
         else:
             reader = self.spark.read.schema(
                 _physical_schema(target, data_path, fmt))
-            df = getattr(reader, fmt)(data_path)
+            df = _load_df(reader, fmt, data_path)
         return self._project(meta, df)
 
     def _visible_files(self, meta: TableMeta,
@@ -1619,7 +1657,7 @@ class CStoreCatalog:
         reader = (self.spark.read
                   .schema(_physical_schema(target, data_path, fmt))
                   .option("basePath", data_path))
-        return self._project(meta, getattr(reader, fmt)(*paths))
+        return self._project(meta, _load_df(reader, fmt, *paths))
 
     def _project(self, meta: TableMeta, df: DataFrame) -> DataFrame:
         """Schema-evolution read repair (A22): synthesize added columns /
@@ -1807,6 +1845,13 @@ class CStoreCatalog:
         read again (reference marks attisdropped, cstore_fdw.c:1907-1910)."""
         with self._writer_lock(name):  # see add_column's lock rationale
             meta = self._load_meta(name)
+            if self._format(meta) == "cstore":
+                raise CStoreError(
+                    "DROP COLUMN is not supported on storage_format="
+                    "cstore tables: the v1.7 format stores no column "
+                    "names, so position is the mapping and dropping a "
+                    "middle column would shift it; convert first via "
+                    "alter_table_layout(storage_format='parquet')")
             schema = meta.schema()
             if column not in schema.fieldNames():
                 raise CStoreError(f'column "{column}" does not exist')
@@ -1834,6 +1879,13 @@ class CStoreCatalog:
         truncate existing data')."""
         with self._writer_lock(name):  # see add_column's lock rationale
             meta = self._load_meta(name)
+            if self._format(meta) == "cstore":
+                raise CStoreError(
+                    "DROP COLUMN is not supported on storage_format="
+                    "cstore tables: the v1.7 format stores no column "
+                    "names, so position is the mapping and dropping a "
+                    "middle column would shift it; convert first via "
+                    "alter_table_layout(storage_format='parquet')")
             schema = meta.schema()
             if column not in schema.fieldNames():
                 raise CStoreError(f'column "{column}" does not exist')
@@ -1933,7 +1985,7 @@ class CStoreCatalog:
         part = meta.options.get("partition_by")
         if part:
             writer = writer.partitionBy(*part.split(","))
-        getattr(writer, fmt)(tmp_path)
+        _save_df(writer, fmt, tmp_path)
         fresh = self._commit_swap(name=meta.name, base_epoch=base_epoch,
                                   tmp_path=tmp_path, mutate=mutate)
         self._refresh_registered(fresh)
@@ -2028,6 +2080,12 @@ class CStoreCatalog:
             if fmt == "orc":
                 from pyarrow import orc as pa_orc
                 total += pa_orc.ORCFile(path).nrows
+            elif fmt == "cstore":
+                # the skip-list walk the reference's row count does
+                # (cstore_reader.c:400-462): footers only, no data read
+                from cstore_fdw_spark.sources.cstore_format import (
+                    cstore_row_count)
+                total += cstore_row_count(path)
             else:
                 total += pq.ParquetFile(path).metadata.num_rows
         return total
@@ -2198,6 +2256,27 @@ def _file_schema_names(path: str, fmt: str) -> list[str]:
     return pq.read_schema(path).names
 
 
+def _save_df(writer, fmt: str, path: str) -> None:
+    """Format-dispatched write: built-in formats have writer attributes;
+    the cstore python data source goes through format().save()."""
+    if fmt in ("parquet", "orc"):
+        getattr(writer, fmt)(path)
+    else:
+        writer.format(fmt).save(path)
+
+
+def _load_df(reader, fmt: str, *paths):
+    """Format-dispatched read. The cstore python data source reads one
+    path per load; explicit multi-file reads union identical-schema
+    loads (same rows, stripe-per-partition parallelism preserved)."""
+    if fmt in ("parquet", "orc"):
+        return getattr(reader, fmt)(*paths)
+    from functools import reduce
+    loader = reader.format(fmt)
+    dfs = [loader.load(p) for p in paths]
+    return reduce(lambda a, b: a.unionByName(b), dfs)
+
+
 def _physical_columns(data_path: str, fmt: str) -> set[str]:
     """Union of column names physically present across the data files
     (plus hive-style partition directory columns)."""
@@ -2217,6 +2296,18 @@ def _physical_schema(target: T.StructType, data_path: str,
     """Schema to hand the file reader: target columns that physically
     exist in the files (added-but-never-written columns must not be
     requested from the reader)."""
+    if fmt == "cstore":
+        # nameless format: physical columns are a PREFIX of the target
+        # schema (columns are append-only on cstore tables — DROP COLUMN
+        # is rejected); width = the widest file's stripe-footer column
+        # count, so a column added then inserted reads from new files
+        # and NULL-pads from old ones
+        from cstore_fdw_spark.sources.cstore_format import (
+            cstore_column_count)
+        width = max((cstore_column_count(pth)
+                     for pth in _data_files(data_path, fmt)), default=0)
+        return T.StructType(
+            target.fields[:min(width, len(target.fields))])
     phys_names = _physical_columns(data_path, fmt)
     fields = [f_ for f_ in target.fields if f_.name in phys_names]
     return T.StructType(fields)

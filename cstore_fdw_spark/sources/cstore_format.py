@@ -475,34 +475,49 @@ def read_stripe(fh, stripe, type_names: list[str],
     the whole block)."""
     offset, skip_len, data_len, footer_len = stripe
     types = [CSTORE_TYPES[t] for t in type_names]
-    n_cols = len(types)
     fh.seek(offset + skip_len + data_len)
     sfooter = _parse(fh.read(footer_len))
     skip_sizes = sfooter.get(1, [])
     exists_sizes = sfooter.get(2, [])
     value_sizes = sfooter.get(3, [])
-    fh.seek(offset)
-    skiplists = [_parse(fh.read(skip_sizes[c])) for c in range(n_cols)]
+    # the FILE's column count comes from its own stripe footer (one
+    # entry per physical column) — files written before an ADD COLUMN
+    # have fewer columns than the read schema and their missing tail
+    # reads as NULL, exactly the reference's read repair
+    # (cstore_reader.c:698-728 creates empty skip nodes for missing
+    # columns); files with MORE columns than the schema (logical subset
+    # reads) simply never have their extra sections touched
+    n_file_cols = len(skip_sizes)
+    n_cols = min(len(types), n_file_cols)
+    skip_starts = []
+    run = offset
+    for c in range(n_file_cols):
+        skip_starts.append(run)
+        run += skip_sizes[c]
     nodes_per_col = []
     for c in range(n_cols):
-        nodes = [_parse(b) for b in skiplists[c].get(1, [])]
+        fh.seek(skip_starts[c])
+        nodes = [_parse(b)
+                 for b in _parse(fh.read(skip_sizes[c])).get(1, [])]
         nodes_per_col.append(nodes)
     n_blocks = len(nodes_per_col[0]) if nodes_per_col else 0
-    # section start offsets per column
+    # section start offsets per column (walk ALL physical columns)
     data_start = offset + skip_len
     col_starts = []
     run = data_start
-    for c in range(n_cols):
+    for c in range(n_file_cols):
         col_starts.append(run)
         run += exists_sizes[c] + value_sizes[c]
     if wanted is None:
-        wanted = list(range(n_cols))
+        wanted = list(range(len(types)))
     # decide skipped blocks (a block is read unless EVERY wanted
     # predicate column refutes it — conservative AND of per-col prunes)
     skip_block = [False] * n_blocks
     if block_pred is not None:
         for bi in range(n_blocks):
             for c in wanted:
+                if c >= n_cols:
+                    continue  # column not in this file -> all NULL
                 nd = nodes_per_col[c][bi]
                 if 2 in nd and 3 in nd:
                     byval, typlen, align, kind = types[c]
@@ -512,7 +527,15 @@ def read_stripe(fh, stripe, type_names: list[str],
                         skip_block[bi] = True
                         break
     cols_data: dict[int, list] = {}
+    rowcounts = [(_iv(nodes_per_col[0][bi], 1, 0) if nodes_per_col else 0)
+                 for bi in range(n_blocks)]
     for c in wanted:
+        if c >= n_cols:
+            # schema column the file predates: NULL-filled blocks
+            cols_data[c] = [None if skip_block[bi]
+                            else [None] * rowcounts[bi]
+                            for bi in range(n_blocks)]
+            continue
         byval, typlen, align, kind = types[c]
         nodes = nodes_per_col[c]
         col_rows = []
@@ -552,3 +575,37 @@ def read_cstore_file(path: str, type_names: list[str],
         for stripe in stripes:
             yield from read_stripe(fh, stripe, type_names, wanted,
                                    block_pred)
+
+
+# ------------------------------------------------------ metadata helpers
+
+def cstore_row_count(path: str) -> int:
+    """Exact row count from metadata only — the footer's stripe list
+    plus each stripe's FIRST column skip list (sum of per-block
+    rowCounts); no value or exists bytes are read. The reference's
+    CStoreTableRowCount does exactly this walk
+    (cstore_reader.c:400-462)."""
+    _brc, stripes = read_footer(path)
+    total = 0
+    with open(path, "rb") as fh:
+        for offset, skip_len, data_len, footer_len in stripes:
+            fh.seek(offset + skip_len + data_len)
+            sfooter = _parse(fh.read(footer_len))
+            first_skip = sfooter.get(1, [0])[0]
+            fh.seek(offset)
+            nodes = _parse(fh.read(first_skip)).get(1, [])
+            for nd_raw in nodes:
+                total += _iv(_parse(nd_raw), 1, 0)
+    return total
+
+
+def cstore_column_count(path: str) -> int:
+    """Number of physical columns, from the first stripe's footer (one
+    skip-list size entry per column); 0 for an empty file."""
+    _brc, stripes = read_footer(path)
+    if not stripes:
+        return 0
+    offset, skip_len, data_len, footer_len = stripes[0]
+    with open(path, "rb") as fh:
+        fh.seek(offset + skip_len + data_len)
+        return len(_parse(fh.read(footer_len)).get(1, []))

@@ -177,3 +177,112 @@ def test_cstore_unsupported_type_is_loud(spark, tmp_path):
     assert sorted(CSTORE_TYPES) == [
         "bigint", "boolean", "date", "double", "float", "integer",
         "smallint", "string", "timestamp"]
+
+
+def test_catalog_managed_cstore_table_lifecycle(spark, tmp_path):
+    """storage_format='cstore': the catalog manages tables in the
+    reference's OWN binary format — epoch-stamped appends, time travel,
+    metadata-only row_count via skip-list walks, ADD COLUMN default
+    backfill (old files NULL-pad positionally, the watermark applies
+    the default), crash-safe compact, format conversion BOTH ways via
+    alter_table_layout, and the v1.7 feature guards (no partition_by/
+    zorder/bloom, pglz-or-none compression, no DROP COLUMN)."""
+    import datetime
+
+    import pyspark.sql.functions as F
+
+    from cstore_fdw_spark.catalog import CStoreCatalog, CStoreError
+
+    cat = CStoreCatalog(spark, warehouse=str(tmp_path / "wh"))
+    cat.create_table("t", "a BIGINT, b STRING, d DATE",
+                     storage_format="cstore", stripe_row_count=1000,
+                     block_row_count=1000)
+    cat.insert("t", spark.range(0, 500).select(
+        F.col("id").alias("a"),
+        F.concat(F.lit("x"), F.col("id")).alias("b"),
+        F.lit(datetime.date(2024, 1, 2)).alias("d")))
+    e1 = cat.current_epoch("t")
+    cat.insert("t", spark.range(500, 800).select(
+        F.col("id").alias("a"), F.lit(None).cast("string").alias("b"),
+        F.lit(None).cast("date").alias("d")))
+    assert cat.read("t").count() == 800
+    assert cat.row_count("t") == 800          # skip-list walk, no data
+    assert cat.read("t", as_of_epoch=e1).count() == 500
+    # value fidelity through the binary format
+    row = cat.read("t").filter("a = 3").collect()[0]
+    assert (row.b, row.d) == ("x3", datetime.date(2024, 1, 2))
+    # schema evolution: default backfills rows older than the column
+    cat.add_column("t", "q", "INT", default=7)
+    cat.insert("t", spark.range(800, 900).select(
+        F.col("id").alias("a"), F.lit("new").alias("b"),
+        F.lit(None).cast("date").alias("d"),
+        F.lit(1).cast("int").alias("q")))
+    out = cat.read("t")
+    assert out.filter("a < 800 and q = 7").count() == 800
+    assert out.filter("a >= 800 and q = 1").count() == 100
+    cat.compact("t")
+    assert cat.read("t").count() == 900
+    assert cat.read("t").filter("q = 7").count() == 800
+    with pytest.raises(CStoreError, match="not supported"):
+        cat.drop_column("t", "b")
+    # convert to parquet and back — data survives both rewrites
+    cat.alter_table_layout("t", storage_format="parquet",
+                           compression="zstd")
+    assert cat.read("t").count() == 900
+    cat.alter_table_layout("t", storage_format="cstore",
+                           compression="pglz")
+    assert cat.read("t").filter("q = 7").count() == 800
+    cat.truncate("t")
+    assert cat.read("t").count() == 0
+    cat.drop_table("t")
+    for bad in ({"partition_by": "a"}, {"zorder_by": "a"},
+                {"compression": "zstd"}):
+        with pytest.raises(CStoreError):
+            cat.create_table("bad", "a INT", storage_format="cstore",
+                             **bad)
+
+
+def test_cstore_codec_property_round_trip():
+    """Property test: arbitrary row content in every supported type
+    round-trips through the binary format, under adversarial block/
+    stripe boundaries (sizes 1 and 2 force single-row blocks and
+    stripe-per-row layouts)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    col_strategies = {
+        "bigint": st.integers(-2**63, 2**63 - 1),
+        "integer": st.integers(-2**31, 2**31 - 1),
+        "smallint": st.integers(-2**15, 2**15 - 1),
+        "boolean": st.booleans(),
+        "double": st.floats(allow_nan=False, width=64),
+        "float": st.floats(allow_nan=False, width=32),
+        "date": st.dates(min_value=datetime.date(1, 1, 1),
+                         max_value=datetime.date(9999, 12, 28)),
+        "timestamp": st.datetimes(
+            min_value=datetime.datetime(1970, 1, 2),
+            max_value=datetime.datetime(2200, 1, 1)),
+        "string": st.text(max_size=300),
+    }
+
+    @settings(max_examples=40, deadline=None)
+    @given(data=st.data())
+    def inner(data):
+        types = data.draw(st.lists(
+            st.sampled_from(sorted(col_strategies)), min_size=1,
+            max_size=5))
+        n = data.draw(st.integers(0, 40))
+        rows = [tuple(
+            data.draw(st.one_of(st.none(), col_strategies[t]))
+            for t in types) for _ in range(n)]
+        brc = data.draw(st.sampled_from([1, 2, 7, 50]))
+        src = data.draw(st.sampled_from([1, 3, 50]))
+        comp = data.draw(st.sampled_from(["none", "pglz"]))
+        import tempfile
+        with tempfile.TemporaryDirectory() as d:
+            path = os.path.join(d, "p.cstore")
+            write_cstore_file(path, rows, types, stripe_row_count=src,
+                              block_row_count=brc, compression=comp)
+            assert list(read_cstore_file(path, types)) == rows
+
+    inner()
