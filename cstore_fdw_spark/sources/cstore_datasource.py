@@ -30,7 +30,7 @@ from pyspark.sql.datasource import (
 from pyspark.sql.types import StructType
 
 from cstore_fdw_spark.sources.cstore_format import (
-    read_footer, read_stripe, write_cstore_file)
+    read_footer, read_stripe_batches, write_cstore_file)
 
 _SPARK_TO_CSTORE = {
     "boolean": "boolean",
@@ -132,9 +132,14 @@ class CStoreReader(DataSourceReader):
     def read(self, partition):
         if not partition.file:
             return
+        # Arrow batches, one per block: fixed-width columns decode as a
+        # single numpy frombuffer + scatter (no per-datum Python), so
+        # the slow path is only the varlena text walk
+        names = [f.name for f in self.schema_.fields]
         with open(partition.file, "rb") as fh:
-            yield from read_stripe(fh, partition.stripe, self.type_names,
-                                   block_pred=self._block_pred())
+            yield from read_stripe_batches(
+                fh, partition.stripe, self.type_names, names,
+                block_pred=self._block_pred())
 
 
 class CStoreWriter(DataSourceWriter):

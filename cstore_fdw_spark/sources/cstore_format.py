@@ -609,3 +609,123 @@ def cstore_column_count(path: str) -> int:
     with open(path, "rb") as fh:
         fh.seek(offset + skip_len + data_len)
         return len(_parse(fh.read(footer_len)).get(1, []))
+
+
+# -------------------------------------------------- vectorized Arrow path
+
+_NP_DTYPE = {"b": "u1", "h": "<i2", "i": "<i4", "q": "<i8",
+             "f": "<f4", "d": "<f8", "date": "<i4", "ts": "<i8"}
+
+
+def _pa_type(kind: str):
+    import pyarrow as pa
+    return {"b": pa.bool_(), "h": pa.int16(), "i": pa.int32(),
+            "q": pa.int64(), "f": pa.float32(), "d": pa.float64(),
+            "date": pa.date32(), "ts": pa.timestamp("us"),
+            "text": pa.string()}[kind]
+
+
+def _decode_block_arrow(vbuf: bytes, ebuf: bytes, rowcount: int,
+                        typlen: int, align: int, kind: str):
+    """One block -> a pyarrow array. Fixed-width (by-value) columns
+    decode as ONE numpy frombuffer + scatter — no per-datum Python (the
+    datum stream is contiguous because every by-value type here has
+    alignment == typlen, asserted); varlena text stays a per-datum walk
+    (headers are variable width by design)."""
+    import numpy as np
+    import pyarrow as pa
+
+    exists = np.unpackbits(np.frombuffer(ebuf, dtype=np.uint8),
+                           bitorder="little")[:rowcount].astype(bool)
+    if kind == "text":
+        vals = deserialize_datums(vbuf, exists.tolist(), typlen, align,
+                                  kind)
+        return pa.array(vals, type=pa.string())
+    assert typlen == align  # contiguity precondition for frombuffer
+    n_present = int(exists.sum())
+    raw = np.frombuffer(vbuf, dtype=_NP_DTYPE[kind], count=n_present)
+    out = np.zeros(rowcount, dtype=_NP_DTYPE[kind])
+    out[exists] = raw
+    mask = ~exists if n_present < rowcount else None
+    if kind == "date":
+        return pa.array(out + _PG_DATE_EPOCH_DAYS,
+                        mask=mask).cast(pa.date32())
+    if kind == "ts":
+        return pa.array(out + _PG_TS_EPOCH_MICROS,
+                        mask=mask).cast(pa.timestamp("us"))
+    if kind == "b":
+        return pa.array(out.astype(bool), mask=mask)
+    return pa.array(out, mask=mask)
+
+
+def read_stripe_batches(fh, stripe, type_names: list[str],
+                        field_names: list[str], block_pred=None):
+    """Arrow twin of :func:`read_stripe`: yields one RecordBatch per
+    block (block_row_count rows — a natural Arrow batch), decoding
+    fixed-width columns vectorized. Schema columns beyond the file's
+    own width null-pad, like the tuple path."""
+    import pyarrow as pa
+
+    offset, skip_len, data_len, footer_len = stripe
+    types = [CSTORE_TYPES[t] for t in type_names]
+    fh.seek(offset + skip_len + data_len)
+    sfooter = _parse(fh.read(footer_len))
+    skip_sizes = sfooter.get(1, [])
+    exists_sizes = sfooter.get(2, [])
+    value_sizes = sfooter.get(3, [])
+    n_file_cols = len(skip_sizes)
+    n_cols = min(len(types), n_file_cols)
+    run = offset
+    skip_starts = []
+    for c in range(n_file_cols):
+        skip_starts.append(run)
+        run += skip_sizes[c]
+    nodes_per_col = []
+    for c in range(n_cols):
+        fh.seek(skip_starts[c])
+        nodes_per_col.append(
+            [_parse(b)
+             for b in _parse(fh.read(skip_sizes[c])).get(1, [])])
+    n_blocks = len(nodes_per_col[0]) if nodes_per_col else 0
+    data_start = offset + skip_len
+    col_starts = []
+    run = data_start
+    for c in range(n_file_cols):
+        col_starts.append(run)
+        run += exists_sizes[c] + value_sizes[c]
+    skip_block = [False] * n_blocks
+    if block_pred is not None:
+        for bi in range(n_blocks):
+            for c in range(n_cols):
+                nd = nodes_per_col[c][bi]
+                if 2 in nd and 3 in nd:
+                    byval, typlen, align, kind = types[c]
+                    lo = deserialize_datum_raw(nd[2][0], typlen, kind)
+                    hi = deserialize_datum_raw(nd[3][0], typlen, kind)
+                    if not block_pred(c, lo, hi):
+                        skip_block[bi] = True
+                        break
+    for bi in range(n_blocks):
+        if skip_block[bi]:
+            continue
+        rowcount = _iv(nodes_per_col[0][bi], 1, 0)
+        arrays = []
+        for c in range(len(types)):
+            byval, typlen, align, kind = types[c]
+            if c >= n_cols:
+                arrays.append(pa.nulls(rowcount, type=_pa_type(kind)))
+                continue
+            nd = nodes_per_col[c][bi]
+            e_off, e_len = _iv(nd, 7, 0), _iv(nd, 8, 0)
+            v_off, v_len = _iv(nd, 4, 0), _iv(nd, 5, 0)
+            fh.seek(col_starts[c] + e_off)
+            ebuf = fh.read(e_len)
+            fh.seek(col_starts[c] + exists_sizes[c] + v_off)
+            vbuf = fh.read(v_len)
+            if _iv(nd, 6, 0) == 1:
+                (hdr,) = struct.unpack_from("<I", vbuf, 0)
+                (rawsize,) = struct.unpack_from("<i", vbuf, 4)
+                vbuf = pglz_decompress(vbuf[8:hdr >> 2], rawsize)
+            arrays.append(_decode_block_arrow(vbuf, ebuf, rowcount,
+                                              typlen, align, kind))
+        yield pa.RecordBatch.from_arrays(arrays, names=field_names)

@@ -286,3 +286,62 @@ def test_cstore_codec_property_round_trip():
             assert list(read_cstore_file(path, types)) == rows
 
     inner()
+
+
+def test_reference_query_regression_in_cstore_format(spark, tmp_path):
+    """The reference's own pg_regress corpus, end to end in its own
+    binary format: load data/contestants.{1,2}.csv into catalog tables
+    with storage_format='cstore' (one uncompressed, one pglz — the
+    contestant / contestant_compressed pair of sql/query.sql), run the
+    reference's query.sql aggregations, and pin the expected/query.out
+    values (count 8, avg 2344.375, stddev_samp 433.746119785032, the
+    per-country >2200 averages, and the full handle-ordered scan)."""
+    from decimal import Decimal
+
+    import pyspark.sql.functions as F
+
+    from cstore_fdw_spark.catalog import CStoreCatalog
+    from cstore_fdw_spark.io import copy_from_csv
+
+    ddl = ("handle STRING, birthdate DATE, rating INT, "
+           "percentile DOUBLE, country STRING, achievements STRING")
+    cat = CStoreCatalog(spark, warehouse=str(tmp_path / "wh"))
+    for tbl, comp in (("contestant", "none"),
+                      ("contestant_compressed", "pglz")):
+        cat.create_table(tbl, ddl, storage_format="cstore",
+                         compression=comp)
+        for part in ("1", "2"):
+            copy_from_csv(cat, tbl,
+                          f"/root/reference/data/contestants.{part}.csv")
+        t = cat.read(tbl)
+        # SELECT count(*) -> 8 (expected/query.out:9)
+        assert t.count() == 8
+        # SELECT avg(rating), stddev_samp(rating) -> 2344.375,
+        # 433.746119785032 (query.out:14-16)
+        row = t.agg(
+            F.avg(F.col("rating").cast("decimal(12,4)")).alias("a"),
+            F.stddev_samp("rating").alias("s")).collect()[0]
+        assert row.a == Decimal("2344.37500")
+        assert abs(row.s - 433.746119785032) < 1e-9
+        # the >2200 per-country averages (query.out:18-26)
+        got = {r.country.strip(): float(r.a) for r in
+               t.filter("rating > 2200").groupBy("country")
+               .agg(F.avg("rating").alias("a")).collect()}
+        assert got == {"XA": 2203.0, "XB": 2610.5, "XC": 2236.0,
+                       "XD": 3090.0}
+        # SELECT * ORDER BY handle (query.out:28-40)
+        rows = t.orderBy("handle").collect()
+        assert [r.handle for r in rows] == list("abcdefgh")
+        assert [r.rating for r in rows] == [2090, 2203, 2907, 2314,
+                                            2236, 3090, 1803, 2112]
+        assert rows[0].achievements == "{a}"
+        assert str(rows[0].birthdate) == "1990-01-10"
+        # the pair really differs in on-disk compression
+    import os
+    sizes = {}
+    for tbl in ("contestant", "contestant_compressed"):
+        meta = cat._load_meta(tbl)
+        dp = cat._data_path(meta)
+        sizes[tbl] = sum(os.path.getsize(os.path.join(r, f))
+                         for r, _d, fs in os.walk(dp) for f in fs)
+    assert sizes["contestant"] > 0 and sizes["contestant_compressed"] > 0
