@@ -750,6 +750,17 @@ HDR_M = 7
 HDR_SUB = 1 << HDR_M
 
 
+def hdr_bucket_idx(value_sql: str = "FLOOR(l_extendedprice * 100)"):
+    """The HDR bucket id s*2^M + (v >> s) as a Column (pure integer
+    codegen) — shared by the batch query and its streaming twin, so the
+    streamed sketch is bit-comparable to the batch sketch."""
+    v = f"CAST({value_sql} AS BIGINT)"
+    s_expr = f"GREATEST(0, LENGTH(BIN({v})) - 1 - {HDR_M})"
+    return (F.expr(s_expr) * HDR_SUB
+            + F.expr(f"SHIFTRIGHT({v}, CAST({s_expr} AS INT))")
+            ).cast("long").alias("idx")
+
+
 def _hdr_oracle() -> str:
     decode = {}
     for q in ("50", "95", "99"):
@@ -816,16 +827,8 @@ def stats_hdr_quantile_sketch(spark, sf_dir):
     in tests/test_analytics.py. Output: (l_returnflag, n, p50_lo,
     p50_hi, p95_lo, p95_hi, p99_lo, p99_hi)."""
     li = table(spark, sf_dir, "lineitem")
-    v = F.expr("CAST(FLOOR(l_extendedprice * 100) AS BIGINT)")
-    s = F.expr(f"GREATEST(0, LENGTH(BIN(CAST(FLOOR(l_extendedprice"
-               f" * 100) AS BIGINT))) - 1 - {HDR_M})")
-    idx = (s * HDR_SUB
-           + F.expr(f"SHIFTRIGHT(CAST(FLOOR(l_extendedprice * 100)"
-                    f" AS BIGINT), CAST(GREATEST(0,"
-                    f" LENGTH(BIN(CAST(FLOOR(l_extendedprice * 100)"
-                    f" AS BIGINT))) - 1 - {HDR_M}) AS INT))")
-           ).cast("long").alias("idx")
-    hist = (li.select(F.col("l_returnflag").alias("g"), idx)
+    hist = (li.select(F.col("l_returnflag").alias("g"),
+                      hdr_bucket_idx())
             .groupBy("g", "idx").agg(F.count(F.lit(1)).alias("cnt")))
     w = Window.partitionBy("g").orderBy("idx")
     ranked = (hist

@@ -578,3 +578,28 @@ def test_every_readstream_guarded_or_exempt():
     assert not offenders, (
         "readStream without rewrite guard or documented exemption: "
         f"{offenders}")
+
+
+def test_streaming_hdr_sketch_equals_batch(spark, sf_dir):
+    """The streamed HDR histogram is BIT-IDENTICAL to the batch one:
+    per-bucket counters are sums, so micro-batch merging must land on
+    exactly the batch sketch (the mergeability the batch docstring
+    promises, proven live); the derived quantile bounds then agree by
+    construction."""
+    from pyspark.sql import functions as F
+
+    from cstore_fdw_spark.operators.analytics import hdr_bucket_idx
+    from cstore_fdw_spark.streaming.analytics import (
+        run_sketch_available_now)
+
+    streamed = sorted(
+        tuple(r) for r in
+        run_sketch_available_now(spark, sf_dir, "hdr_tw").collect())
+    batch = sorted(
+        tuple(r) for r in
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .select(F.col("l_returnflag").alias("g"), hdr_bucket_idx())
+        .groupBy("g", "idx").agg(F.count(F.lit(1)).alias("cnt"))
+        .collect())
+    assert streamed == batch
+    assert len(streamed) > 10  # a real multi-bucket histogram
