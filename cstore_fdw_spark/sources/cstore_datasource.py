@@ -24,13 +24,13 @@ import os
 import uuid
 
 from pyspark.sql.datasource import (
-    DataSource, DataSourceReader, DataSourceWriter, EqualTo, GreaterThan,
-    GreaterThanOrEqual, InputPartition, LessThan, LessThanOrEqual,
-    WriterCommitMessage)
+    DataSource, DataSourceArrowWriter, DataSourceReader, EqualTo,
+    GreaterThan, GreaterThanOrEqual, InputPartition, LessThan,
+    LessThanOrEqual, WriterCommitMessage)
 from pyspark.sql.types import StructType
 
 from cstore_fdw_spark.sources.cstore_format import (
-    read_footer, read_stripe_batches, write_cstore_file)
+    read_footer, read_stripe_batches, write_cstore_arrow)
 
 _SPARK_TO_CSTORE = {
     "boolean": "boolean",
@@ -142,7 +142,13 @@ class CStoreReader(DataSourceReader):
                 block_pred=self._block_pred())
 
 
-class CStoreWriter(DataSourceWriter):
+class CStoreWriter(DataSourceArrowWriter):
+    """Arrow-batched sink: per partition, the incoming RecordBatches
+    concatenate into one pyarrow Table and serialize through the
+    vectorized writer (one numpy astype/tobytes per fixed-width block —
+    byte-identical output to the row-based writer, differential-tested
+    in tests/test_cstore_format.py)."""
+
     def __init__(self, schema: StructType, options, overwrite: bool):
         self.path = options.get("path")
         if not self.path:
@@ -158,11 +164,14 @@ class CStoreWriter(DataSourceWriter):
                     os.remove(os.path.join(self.path, f))
 
     def write(self, iterator):
-        rows = [tuple(r) for r in iterator]
-        if rows:
+        import pyarrow as pa
+
+        batches = list(iterator)
+        if batches and sum(b.num_rows for b in batches):
+            tbl = pa.Table.from_batches(batches)
             name = f"part-{uuid.uuid4().hex}.cstore"
-            write_cstore_file(
-                os.path.join(self.path, name), rows, self.type_names,
+            write_cstore_arrow(
+                os.path.join(self.path, name), tbl, self.type_names,
                 stripe_row_count=self.stripe_rows,
                 block_row_count=self.block_rows,
                 compression=self.compression)

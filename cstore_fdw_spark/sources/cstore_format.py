@@ -144,7 +144,13 @@ def pglz_compress(data: bytes) -> bytes | None:
         ctrl |= is_match << ctrl_bit
         ctrl_bit += 1
 
+    # PG's compressor aborts once enough input produced no savings —
+    # an incompressible 80 KB block (random timestamps) costs a full
+    # scan otherwise just to be declined at the end
+    abort_at = n >> 2
     while i < n:
+        if i > abort_at and len(out) >= i:
+            return None
         best_len = 0
         best_off = 0
         if i + 3 <= n:
@@ -259,13 +265,18 @@ _PACK = {"b": "<B", "h": "<h", "i": "<i", "q": "<q", "f": "<f", "d": "<d",
          "date": "<i", "ts": "<q"}
 
 
-def serialize_datum_raw(value, typlen, kind) -> bytes:
-    """One datum in PG attribute layout, UNALIGNED (the skip-node
-    min/max form, DatumToProtobufBinary)."""
+def pack_storage_raw(storage_val, typlen: int, kind: str) -> bytes:
+    """Pack a STORAGE-domain value (int/float/bytes) in PG attribute
+    layout, UNALIGNED (the skip-node min/max form,
+    DatumToProtobufBinary)."""
     if typlen > 0:
-        return struct.pack(_PACK[kind], _to_storage(value, kind))
-    payload = _to_storage(value, kind)
-    return struct.pack("<I", (len(payload) + 4) << 2) + payload
+        return struct.pack(_PACK[kind], storage_val)
+    return struct.pack("<I", (len(storage_val) + 4) << 2) + storage_val
+
+
+def serialize_datum_raw(value, typlen, kind) -> bytes:
+    """One python-domain datum, UNALIGNED (see pack_storage_raw)."""
+    return pack_storage_raw(_to_storage(value, kind), typlen, kind)
 
 
 def serialize_datum(value, typlen, align, kind) -> bytes:
@@ -321,71 +332,38 @@ def _unbitmap(buf: bytes, count: int) -> list[bool]:
 MAGIC = "citus_cstore"
 
 
-def write_cstore_file(path: str, rows: list[tuple], type_names: list[str],
-                      stripe_row_count: int = 150000,
-                      block_row_count: int = 10000,
-                      compression: str = "pglz") -> None:
-    """Write rows (tuples, None = NULL) as a cstore v1.7 data+footer
-    file pair readable by the reference."""
-    types = [CSTORE_TYPES[t] for t in type_names]
-    stripes = []
+def _compress_block(vbuf: bytes, compression: str) -> tuple[bytes, int]:
+    """Optionally pglz-frame a value buffer; (buffer, compression_type)."""
+    if compression == "pglz" and len(vbuf) > 16:
+        packed = pglz_compress(vbuf)
+        if packed is not None:
+            framed = (struct.pack("<I", ((8 + len(packed)) << 2) | 2)
+                      + struct.pack("<i", len(vbuf)) + packed)
+            if len(framed) < len(vbuf):
+                return framed, 1
+    return vbuf, 0
+
+
+def _assemble_file(path: str, stripes_blocks, n_cols: int,
+                   block_row_count: int) -> None:
+    """Write the data + footer pair from per-stripe, per-column block
+    products: stripes_blocks = [per-stripe list of per-column lists of
+    (exists_buf, value_buf, comp_type, rowcount, minmax_raw_or_None)]
+    where minmax_raw is (packed_min_bytes, packed_max_bytes)."""
     data = bytearray()
-    for s0 in range(0, len(rows), stripe_row_count):
-        chunk = rows[s0:s0 + stripe_row_count]
+    stripe_meta = []
+    for cols in stripes_blocks:
         file_offset = len(data)
-        n_cols = len(types)
         skip_protos = []
-        col_exists: list[list[bytes]] = []
-        col_values: list[list[bytes]] = []
-        col_comp: list[list[int]] = []
-        col_minmax: list[list] = []
-        for c, (byval, typlen, align, kind) in enumerate(types):
-            e_bufs, v_bufs, comps, mms = [], [], [], []
-            for b0 in range(0, len(chunk), block_row_count):
-                block = [r[c] for r in chunk[b0:b0 + block_row_count]]
-                exists = [v is not None for v in block]
-                vbuf = b"".join(
-                    serialize_datum(v, typlen, align, kind)
-                    for v in block if v is not None)
-                comp = 0
-                if compression == "pglz" and len(vbuf) > 16:
-                    packed = pglz_compress(vbuf)
-                    if packed is not None:
-                        framed = (struct.pack(
-                            "<I", ((8 + len(packed)) << 2) | 2)
-                            + struct.pack("<i", len(vbuf)) + packed)
-                        if len(framed) < len(vbuf):
-                            vbuf, comp = framed, 1
-                present = [v for v in block if v is not None]
-                if present:
-                    key = (lambda v: _to_storage(v, kind)) \
-                        if kind == "text" else (lambda v: v)
-                    mm = (min(present, key=key), max(present, key=key))
-                else:
-                    mm = None
-                e_bufs.append(_bitmap(exists))
-                v_bufs.append(vbuf)
-                comps.append(comp)
-                mms.append((len(block), mm))
-            col_exists.append(e_bufs)
-            col_values.append(v_bufs)
-            col_comp.append(comps)
-            col_minmax.append(mms)
-        # skip-list protobufs (offsets are per-column, within-section)
-        for c, (byval, typlen, align, kind) in enumerate(types):
+        for c in range(n_cols):
             nodes = b""
             e_off = v_off = 0
-            for bi, ebuf in enumerate(col_exists[c]):
-                vbuf = col_values[c][bi]
-                rowcount, mm = col_minmax[c][bi]
+            for ebuf, vbuf, comp, rowcount, mm in cols[c]:
                 node = _field(1, 0, rowcount)
                 if mm is not None:
-                    node += _field(2, 2, serialize_datum_raw(
-                        mm[0], typlen, kind))
-                    node += _field(3, 2, serialize_datum_raw(
-                        mm[1], typlen, kind))
+                    node += _field(2, 2, mm[0]) + _field(3, 2, mm[1])
                 node += _field(4, 0, v_off) + _field(5, 0, len(vbuf))
-                node += _field(6, 0, col_comp[c][bi])
+                node += _field(6, 0, comp)
                 node += _field(7, 0, e_off) + _field(8, 0, len(ebuf))
                 nodes += _field(1, 2, node)
                 e_off += len(ebuf)
@@ -394,28 +372,27 @@ def write_cstore_file(path: str, rows: list[tuple], type_names: list[str],
         for sp in skip_protos:
             data += sp
         for c in range(n_cols):
-            for ebuf in col_exists[c]:
-                data += ebuf
-            for vbuf in col_values[c]:
-                data += vbuf
+            for blk in cols[c]:
+                data += blk[0]
+            for blk in cols[c]:
+                data += blk[1]
         sfooter = b""
         for sp in skip_protos:
             sfooter += _field(1, 0, len(sp))
         for c in range(n_cols):
-            sfooter += _field(2, 0, sum(len(b) for b in col_exists[c]))
+            sfooter += _field(2, 0, sum(len(b[0]) for b in cols[c]))
         for c in range(n_cols):
-            sfooter += _field(3, 0, sum(len(b) for b in col_values[c]))
+            sfooter += _field(3, 0, sum(len(b[1]) for b in cols[c]))
         data += sfooter
         skip_len = sum(len(sp) for sp in skip_protos)
-        data_len = sum(sum(len(b) for b in col_exists[c])
-                       + sum(len(b) for b in col_values[c])
+        data_len = sum(sum(len(b[0]) + len(b[1]) for b in cols[c])
                        for c in range(n_cols))
-        stripes.append((file_offset, skip_len, data_len, len(sfooter)))
+        stripe_meta.append((file_offset, skip_len, data_len,
+                            len(sfooter)))
     with open(path, "wb") as fh:
         fh.write(bytes(data))
-    # footer file: TableFooter + PostScript + 1-byte postscript size
     tf = b""
-    for off, sk, dl, fl in stripes:
+    for off, sk, dl, fl in stripe_meta:
         sm = (_field(1, 0, off) + _field(2, 0, sk) + _field(3, 0, dl)
               + _field(4, 0, fl))
         tf += _field(1, 2, sm)
@@ -425,6 +402,115 @@ def write_cstore_file(path: str, rows: list[tuple], type_names: list[str],
     assert len(ps) < 256
     with open(path + ".footer", "wb") as fh:
         fh.write(tf + ps + bytes([len(ps)]))
+
+
+def write_cstore_file(path: str, rows: list[tuple], type_names: list[str],
+                      stripe_row_count: int = 150000,
+                      block_row_count: int = 10000,
+                      compression: str = "pglz") -> None:
+    """Write rows (tuples, None = NULL) as a cstore v1.7 data+footer
+    file pair readable by the reference."""
+    types = [CSTORE_TYPES[t] for t in type_names]
+    stripes_blocks = []
+    for s0 in range(0, max(len(rows), 1) if rows else 0, stripe_row_count):
+        chunk = rows[s0:s0 + stripe_row_count]
+        cols = []
+        for c, (byval, typlen, align, kind) in enumerate(types):
+            blocks = []
+            for b0 in range(0, len(chunk), block_row_count):
+                block = [r[c] for r in chunk[b0:b0 + block_row_count]]
+                exists = [v is not None for v in block]
+                vbuf = b"".join(
+                    serialize_datum(v, typlen, align, kind)
+                    for v in block if v is not None)
+                vbuf, comp = _compress_block(vbuf, compression)
+                present = [v for v in block if v is not None]
+                if present:
+                    key = ((lambda v: _to_storage(v, kind))
+                           if kind == "text" else (lambda v: v))
+                    mm = (serialize_datum_raw(min(present, key=key),
+                                              typlen, kind),
+                          serialize_datum_raw(max(present, key=key),
+                                              typlen, kind))
+                else:
+                    mm = None
+                blocks.append((_bitmap(exists), vbuf, comp, len(block),
+                               mm))
+            cols.append(blocks)
+        stripes_blocks.append(cols)
+    _assemble_file(path, stripes_blocks, len(types), block_row_count)
+
+
+def write_cstore_arrow(path: str, tbl, type_names: list[str],
+                       stripe_row_count: int = 150000,
+                       block_row_count: int = 10000,
+                       compression: str = "pglz") -> None:
+    """Vectorized writer: a pyarrow Table goes to disk with fixed-width
+    columns serialized as ONE numpy astype/tobytes per block and exists
+    bitmaps as one packbits — the write-side twin of
+    :func:`read_stripe_batches` (per-datum Python only for varlena
+    text). Produces the same format as :func:`write_cstore_file`."""
+    import numpy as np
+    import pyarrow as pa
+
+    types = [CSTORE_TYPES[t] for t in type_names]
+    stripes_blocks = []
+    for s0 in range(0, tbl.num_rows, stripe_row_count):
+        stripe = tbl.slice(s0, stripe_row_count)
+        cols = []
+        for c, (byval, typlen, align, kind) in enumerate(types):
+            col = stripe.column(c).combine_chunks()
+            blocks = []
+            for b0 in range(0, stripe.num_rows, block_row_count):
+                arr = col.slice(b0, block_row_count)
+                n = len(arr)
+                valid = ~np.asarray(arr.is_null())
+                ebuf = np.packbits(valid, bitorder="little").tobytes()
+                pres = arr.drop_null()
+                mm = None
+                if kind == "text":
+                    vals = [v.encode("utf-8")
+                            for v in pres.to_pylist()]
+                    vbuf = bytearray()
+                    for payload in vals:
+                        raw = (struct.pack("<I", (len(payload) + 4) << 2)
+                               + payload)
+                        pad = _align_up(len(raw), align) - len(raw)
+                        vbuf += raw + b"\x00" * pad
+                    vbuf = bytes(vbuf)
+                    if vals:
+                        mm = (pack_storage_raw(min(vals), typlen, kind),
+                              pack_storage_raw(max(vals), typlen, kind))
+                else:
+                    if kind == "date":
+                        st = (pres.cast(pa.int32()).to_numpy(
+                            zero_copy_only=False).astype("<i4")
+                            - _PG_DATE_EPOCH_DAYS)
+                    elif kind == "ts":
+                        st = (pres.cast(pa.int64()).to_numpy(
+                            zero_copy_only=False).astype("<i8")
+                            - _PG_TS_EPOCH_MICROS)
+                    elif kind == "b":
+                        st = pres.cast(pa.uint8()).to_numpy(
+                            zero_copy_only=False).astype("u1")
+                    else:
+                        st = pres.to_numpy(zero_copy_only=False).astype(
+                            _NP_DTYPE[kind])
+                    vbuf = st.tobytes()
+                    if len(st):
+                        lo, hi = st.min(), st.max()
+                        if kind in ("f", "d"):
+                            lo, hi = float(lo), float(hi)
+                        else:
+                            lo, hi = int(lo), int(hi)
+                        mm = (pack_storage_raw(lo, typlen, kind),
+                              pack_storage_raw(hi, typlen, kind))
+                vbuf, comp = _compress_block(vbuf, compression)
+                blocks.append((ebuf, vbuf, comp, n, mm))
+            cols.append(blocks)
+        stripes_blocks.append(cols)
+    _assemble_file(path, stripes_blocks, len(types), block_row_count)
+
 
 # ------------------------------------------------------------- file reader
 

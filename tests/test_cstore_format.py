@@ -345,3 +345,56 @@ def test_reference_query_regression_in_cstore_format(spark, tmp_path):
         sizes[tbl] = sum(os.path.getsize(os.path.join(r, f))
                          for r, _d, fs in os.walk(dp) for f in fs)
     assert sizes["contestant"] > 0 and sizes["contestant_compressed"] > 0
+
+
+def test_reference_block_filtering_regression_exact():
+    """The reference's block_filtering regression, in its own format
+    with its own layout (block_row_count=1000, stripe_row_count=2000,
+    serial 1..10000): filtered_row_count — rows the residual filter
+    removes AFTER skip-list pruning — matches expected/
+    block_filtering.source EXACTLY for every locked query, including
+    the all-skipped zero-row case and the double-load doubling."""
+    import tempfile
+
+    preds = {
+        "none": (None, 10000, 0),
+        "a<200": (lambda c, lo, hi: lo < 200, 199, 801),
+        "a>200": (lambda c, lo, hi: hi > 200, 9800, 200),
+        "a<9900": (lambda c, lo, hi: lo < 9900, 9899, 101),
+        "a>9900": (lambda c, lo, hi: hi > 9900, 100, 900),
+        "a<0": (lambda c, lo, hi: lo < 0, 0, 0),
+        "between 1 and 10": (lambda c, lo, hi: hi >= 1 and lo <= 10,
+                             10, 990),
+        "between 990 and 2010": (lambda c, lo, hi: hi >= 990
+                                 and lo <= 2010, 1021, 1979),
+        "between -10 and 0": (lambda c, lo, hi: hi >= -10 and lo <= 0,
+                              0, 0),
+    }
+
+    def qualifies(label, v):
+        if label == "none":
+            return True
+        if label.startswith("between"):
+            lo, hi = label.split()[1], label.split()[3]
+            return int(lo) <= v <= int(hi)
+        op = label[1]
+        bound = int(label[2:])
+        return v < bound if op == "<" else v > bound
+
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "bf.cstore")
+        rows = [(i,) for i in range(1, 10001)]
+        for n_loads in (1, 2):
+            write_cstore_file(path, rows * n_loads, ["integer"],
+                              stripe_row_count=2000,
+                              block_row_count=1000, compression="none")
+            for label, (pred, want_rows, want_removed) in preds.items():
+                examined = [v[0] for v in read_cstore_file(
+                    path, ["integer"], block_pred=pred)]
+                returned = [v for v in examined if qualifies(label, v)]
+                removed = len(examined) - len(returned)
+                assert len(returned) == want_rows * n_loads, label
+                assert removed == want_removed * n_loads, (
+                    f"{label}: filtered_row_count {removed} != "
+                    f"{want_removed * n_loads} (reference "
+                    f"expected/block_filtering.source)")
