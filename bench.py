@@ -59,6 +59,10 @@ def main() -> None:
     from cstore_fdw_spark.operators.similarity import ensure_index_artifacts
     t0 = time.perf_counter()
     trained_tags = ensure_index_artifacts(spark, sf_dir)
+    # same maintained-artifact discipline for the cstore-format copy:
+    # constructing the builder writes the marker-guarded file set once;
+    # the benched query then measures SERVING the v1.7 format
+    registry["scan_cstore_format_roundtrip"].builder(spark, sf_dir)
     index_build = round(time.perf_counter() - t0, 3)
     clear_caches(spark)
 

@@ -573,6 +573,10 @@ def star_join_broadcast_by_estimate(spark, sf_dir):
 @register(
     "scan_cstore_format_roundtrip",
     category="scan",
+    bench=True,  # measures SERVING the v1.7 format (per-stripe Arrow
+    #              scan); the one-time artifact write is prebuilt in
+    #              bench bring-up alongside the ANN codebooks and
+    #              reported in index_build_sec
     oracle="""
     SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
            CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT)
