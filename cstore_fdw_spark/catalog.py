@@ -313,7 +313,8 @@ class CStoreCatalog:
         distributed footer-read job over the new files instead."""
         fmt = self._format(meta)
         data_path = self._data_path(meta)
-        if fmt != "parquet" or not os.path.isdir(data_path):
+        if fmt not in ("parquet", "cstore") \
+                or not os.path.isdir(data_path):
             meta.file_stats = {}
             return
         current = {os.path.relpath(p, data_path)
@@ -321,8 +322,15 @@ class CStoreCatalog:
         stats = {rel: v for rel, v in meta.file_stats.items()
                  if rel in current}
         for rel in current.difference(stats):
-            stats[rel] = _file_stats_from_footer(
-                os.path.join(data_path, rel))
+            full = os.path.join(data_path, rel)
+            if fmt == "cstore":
+                # the skip list IS the reference's metadata: fold the
+                # per-block min/max into the same per-file zone map the
+                # merge/delete planner prunes with (text columns are
+                # omitted — collation hazard, see the data source)
+                stats[rel] = _file_stats_from_cstore(full, meta.schema())
+            else:
+                stats[rel] = _file_stats_from_footer(full)
         meta.file_stats = stats
 
     def _save_meta(self, meta: TableMeta) -> None:
@@ -901,6 +909,11 @@ class CStoreCatalog:
         deleted = int(sum(r["count"] for r in per_file))
         touched = sorted(_uri_to_path(r["_file"]) for r in per_file)
         keep = ~cond.eqNullSafe(F.lit(True))
+        if any(not t for t in touched):
+            # python data sources report no input_file_name: file-level
+            # pruning is unavailable, the full rewrite is the safe path
+            self._rewrite(name, keep=keep)
+            return deleted
         if len(touched) >= len(visible):
             # nothing to prune — the full rewrite also repacks
             self._rewrite(name, keep=keep)
@@ -1615,18 +1628,29 @@ class CStoreCatalog:
         paths = self._visible_files(meta, as_of_epoch=as_of_epoch)
         if not paths:
             return self.spark.createDataFrame([], target)
+        phys = _physical_schema(target, data_path, fmt)
+        epoch_col = None
+        if fmt == "cstore":
+            # input_file_name() is empty for python data sources, so the
+            # epoch-scoped projection reads the per-row epoch from a
+            # reader-emitted trailing column instead
+            from cstore_fdw_spark.sources.cstore_datasource import EPOCH_COL
+            epoch_col = EPOCH_COL
+            phys = phys.add(EPOCH_COL, T.LongType())
         if len(paths) < len(all_files):
-            reader = (self.spark.read
-                      .schema(_physical_schema(target, data_path, fmt))
+            reader = (self.spark.read.schema(phys)
                       # explicit file lists disable partition discovery
                       # unless the hive-layout root is pinned
                       .option("basePath", data_path))
+            if epoch_col:
+                reader = reader.option("with_epoch", "true")
             df = _load_df(reader, fmt, *paths)
         else:
-            reader = self.spark.read.schema(
-                _physical_schema(target, data_path, fmt))
+            reader = self.spark.read.schema(phys)
+            if epoch_col:
+                reader = reader.option("with_epoch", "true")
             df = _load_df(reader, fmt, data_path)
-        return self._project(meta, df)
+        return self._project(meta, df, epoch_col=epoch_col)
 
     def _visible_files(self, meta: TableMeta,
                        as_of_epoch: int | None = None) -> list[str]:
@@ -1654,15 +1678,29 @@ class CStoreCatalog:
             return self.spark.createDataFrame([], target)
         fmt = self._format(meta)
         data_path = self._data_path(meta)
-        reader = (self.spark.read
-                  .schema(_physical_schema(target, data_path, fmt))
+        phys = _physical_schema(target, data_path, fmt)
+        epoch_col = None
+        if fmt == "cstore":
+            from cstore_fdw_spark.sources.cstore_datasource import EPOCH_COL
+            epoch_col = EPOCH_COL
+            phys = phys.add(EPOCH_COL, T.LongType())
+        reader = (self.spark.read.schema(phys)
                   .option("basePath", data_path))
-        return self._project(meta, _load_df(reader, fmt, *paths))
+        if epoch_col:
+            reader = reader.option("with_epoch", "true")
+        return self._project(meta, _load_df(reader, fmt, *paths),
+                             epoch_col=epoch_col)
 
-    def _project(self, meta: TableMeta, df: DataFrame) -> DataFrame:
+    def _project(self, meta: TableMeta, df: DataFrame,
+                 epoch_col: str | None = None) -> DataFrame:
         """Schema-evolution read repair (A22): synthesize added columns /
         constant defaults for rows that pre-date them (reference
-        cstore_reader.c:1224-1292)."""
+        cstore_reader.c:1224-1292). ``epoch_col`` names a reader-emitted
+        per-row epoch column (cstore reads — input_file_name() is empty
+        for python data sources); it never reaches the caller (the final
+        select projects only target columns)."""
+        ep = (F.col(epoch_col) if epoch_col is not None
+              else _epoch_expr())
         target = meta.schema()
         projections = []
         for f_ in target.fields:
@@ -1674,7 +1712,7 @@ class CStoreCatalog:
                     # re-added: physical bytes in files at/below it are
                     # the DEAD column's — read them as NULL (the default
                     # backfill below then applies on top)
-                    col = F.when(_epoch_expr() <= F.lit(reset),
+                    col = F.when(ep <= F.lit(reset),
                                  F.lit(None).cast(f_.dataType)
                                  ).otherwise(col)
                 if f_.name in meta.column_defaults:
@@ -1695,7 +1733,7 @@ class CStoreCatalog:
                         # epoch watermark: files stamped e{epoch}- with
                         # epoch <= wm (or unstamped = epoch 0) pre-date
                         # the column
-                        col = F.when(_epoch_expr() <= F.lit(wm),
+                        col = F.when(ep <= F.lit(wm),
                                      F.coalesce(col, default_lit)
                                      ).otherwise(col)
                     elif old_files is None:
@@ -2105,7 +2143,8 @@ class CStoreCatalog:
         column carrying NULLs-only files. Callers fall back to a scan
         (or :meth:`analyze`)."""
         meta = self._load_meta(name)
-        if self._format(meta) != "parquet":
+        fmt = self._format(meta)
+        if fmt not in ("parquet", "cstore"):
             return None
         if column not in meta.schema().fieldNames():
             raise CStoreError(f'column "{column}" does not exist')
@@ -2118,7 +2157,10 @@ class CStoreCatalog:
         for p in self._visible_files(meta):
             rel = os.path.relpath(p, data_path)
             ent = meta.file_stats.get(rel)
-            if ent is None:  # legacy meta: one footer read for this file
+            if ent is None:
+                if fmt == "cstore":
+                    return None  # no footer fallback for the binary fmt
+                # legacy meta: one footer read for this file
                 rng = _parquet_minmax(p, column)
             else:
                 pair = ent.get(column)
@@ -2381,6 +2423,31 @@ def _stats_decode(v):
         if kind == "dec":
             return Decimal(s)
     return v
+
+
+def _file_stats_from_cstore(path: str, schema: T.StructType) \
+        -> dict[str, list]:
+    """Per-column ``[min, max]`` of one cstore file from its skip lists
+    only — the cstore twin of :func:`_file_stats_from_footer`. Text
+    columns are omitted (their skip-node bounds are collation-ordered
+    in foreign files; pruning against them could drop rows)."""
+    from cstore_fdw_spark.sources.cstore_datasource import _SPARK_TO_CSTORE
+    from cstore_fdw_spark.sources.cstore_format import cstore_file_minmax
+
+    try:
+        type_names = [_SPARK_TO_CSTORE[f.dataType.typeName()]
+                      for f in schema.fields]
+        folds = cstore_file_minmax(path, type_names)
+    except Exception:
+        return {}
+    out: dict[str, list] = {}
+    for f, tn, mm in zip(schema.fields, type_names, folds):
+        if mm is None or tn == "string":
+            continue
+        lo, hi = _stats_encode(mm[0]), _stats_encode(mm[1])
+        if lo is not None and hi is not None:
+            out[f.name] = [lo, hi]
+    return out
 
 
 def _file_stats_from_footer(path: str) -> dict[str, list]:

@@ -73,14 +73,39 @@ class _StripePartition(InputPartition):
         self.stripe = stripe
 
 
+EPOCH_COL = "__cstore_epoch"
+
+
+def _file_epoch_stamp(path: str) -> int:
+    """Epoch from the catalog's ``e{epoch:012d}-`` filename stamp
+    (0 for unstamped files) — mirrors catalog._file_epoch."""
+    base = os.path.basename(path)
+    if base.startswith("e") and len(base) > 13 and base[13] == "-" \
+            and base[1:13].isdigit():
+        return int(base[1:13])
+    return 0
+
+
 class CStoreReader(DataSourceReader):
     def __init__(self, schema: StructType, options):
         self.schema_ = schema
         self.path = options.get("path")
         if not self.path:
             raise ValueError("cstore source requires a path")
-        self.type_names = _type_names(schema)
-        self.col_idx = {f.name: i for i, f in enumerate(schema.fields)}
+        # with_epoch: the catalog's schema-evolution projection needs
+        # each row's source-file epoch, and input_file_name() is empty
+        # for python data sources — so the reader itself emits it as a
+        # trailing constant column (the schema's LAST field, EPOCH_COL)
+        self.with_epoch = (str(options.get("with_epoch", "false")).lower()
+                           == "true")
+        data_fields = (schema.fields[:-1] if self.with_epoch
+                       else schema.fields)
+        if self.with_epoch and schema.fields[-1].name != EPOCH_COL:
+            raise ValueError(
+                f"with_epoch reads must put {EPOCH_COL} last in the "
+                "schema")
+        self.type_names = _type_names(StructType(data_fields))
+        self.col_idx = {f.name: i for i, f in enumerate(data_fields)}
         #: per-column [(op, value), ...] retained for block skipping
         self.ranges: dict[int, list] = {}
 
@@ -145,11 +170,22 @@ class CStoreReader(DataSourceReader):
         # Arrow batches, one per block: fixed-width columns decode as a
         # single numpy frombuffer + scatter (no per-datum Python), so
         # the slow path is only the varlena text walk
+        import pyarrow as pa
+
         names = [f.name for f in self.schema_.fields]
+        data_names = names[:-1] if self.with_epoch else names
+        epoch = _file_epoch_stamp(partition.file)
         with open(partition.file, "rb") as fh:
-            yield from read_stripe_batches(
-                fh, partition.stripe, self.type_names, names,
-                block_pred=self._block_pred())
+            for batch in read_stripe_batches(
+                    fh, partition.stripe, self.type_names, data_names,
+                    block_pred=self._block_pred()):
+                if self.with_epoch:
+                    n = batch.num_rows
+                    batch = pa.RecordBatch.from_arrays(
+                        list(batch.columns)
+                        + [pa.array([epoch] * n, type=pa.int64())],
+                        names=names)
+                yield batch
 
 
 class CStoreWriter(DataSourceArrowWriter):

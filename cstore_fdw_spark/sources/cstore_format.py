@@ -815,3 +815,38 @@ def read_stripe_batches(fh, stripe, type_names: list[str],
             arrays.append(_decode_block_arrow(vbuf, ebuf, rowcount,
                                               typlen, align, kind))
         yield pa.RecordBatch.from_arrays(arrays, names=field_names)
+
+
+def cstore_file_minmax(path: str, type_names: list[str]):
+    """Per-column ``(min, max)`` python values for a whole file, folded
+    from the skip-list nodes ONLY (no exists/value bytes read) — the
+    reference's per-block zone maps lifted to a per-file zone map, the
+    same structure the catalog's merge/delete planner prunes with.
+    A column whose every block lacks min/max (all-NULL blocks) yields
+    ``None``. Columns beyond the file's physical width are ``None``."""
+    types = [CSTORE_TYPES[t] for t in type_names]
+    _brc, stripes = read_footer(path)
+    folds: list = [None] * len(types)
+    with open(path, "rb") as fh:
+        for offset, skip_len, data_len, footer_len in stripes:
+            fh.seek(offset + skip_len + data_len)
+            sfooter = _parse(fh.read(footer_len))
+            skip_sizes = sfooter.get(1, [])
+            run = offset
+            for c, size in enumerate(skip_sizes):
+                if c < len(types):
+                    byval, typlen, align, kind = types[c]
+                    fh.seek(run)
+                    for nd_raw in _parse(fh.read(size)).get(1, []):
+                        nd = _parse(nd_raw)
+                        if 2 not in nd or 3 not in nd:
+                            continue
+                        lo = deserialize_datum_raw(nd[2][0], typlen, kind)
+                        hi = deserialize_datum_raw(nd[3][0], typlen, kind)
+                        if folds[c] is None:
+                            folds[c] = (lo, hi)
+                        else:
+                            folds[c] = (min(folds[c][0], lo),
+                                        max(folds[c][1], hi))
+                run += size
+    return folds

@@ -220,6 +220,25 @@ def test_catalog_managed_cstore_table_lifecycle(spark, tmp_path):
     out = cat.read("t")
     assert out.filter("a < 800 and q = 7").count() == 800
     assert out.filter("a >= 800 and q = 1").count() == 100
+    # the explicit-NULL hazard: a post-ADD batch inserting NULL q must
+    # NOT read the default — the reader emits each row's file epoch
+    # (input_file_name() is empty for python data sources) and the
+    # projection scopes the backfill by it
+    cat.insert("t", spark.range(900, 950).select(
+        F.col("id").alias("a"), F.lit("nullq").alias("b"),
+        F.lit(None).cast("date").alias("d"),
+        F.lit(None).cast("int").alias("q")))
+    out2 = cat.read("t")
+    assert out2.filter("a >= 900 and q is null").count() == 50
+    assert out2.filter("a < 800 and q = 7").count() == 800
+    # metadata-only zone maps from the SKIP LISTS feed column_minmax
+    assert cat.column_minmax("t", "a") == (0, 949)
+    # text columns stay honestly un-prunable (collation hazard)
+    assert cat.column_minmax("t", "b") is None
+    # DELETE works (file pruning falls back to a full rewrite — no
+    # input_file_name identity on python data sources)
+    assert cat.delete_where("t", "a >= 900") == 50
+    assert cat.read("t").count() == 900
     cat.compact("t")
     assert cat.read("t").count() == 900
     assert cat.read("t").filter("q = 7").count() == 800
