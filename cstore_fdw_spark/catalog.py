@@ -1105,7 +1105,8 @@ class CStoreCatalog:
         pruned = False
         candidate_rel: list[str] = []
         tgt = self.read(name)
-        if (not src_clauses) and self._format(meta) == "parquet" \
+        if (not src_clauses) \
+                and self._format(meta) in ("parquet", "cstore") \
                 and len(visible) > 1:
             lohi = src.agg(F.min(keys[0]).alias("lo"),
                            F.max(keys[0]).alias("hi")).collect()[0]

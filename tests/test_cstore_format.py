@@ -448,3 +448,40 @@ def test_cstore_reader_never_prunes_on_text_collation_hazard(spark,
     assert df.filter("s >= 'middle'").count() == 500  # all zebras
     # int pruning still engages (pushed filter retained for col a)
     assert df.filter("a >= 750").count() == 250
+
+
+def test_cstore_merge_prunes_files_via_skiplist_zone_maps(spark,
+                                                          tmp_path):
+    """MERGE file pruning on the binary format: the skip-list zone maps
+    (file_stats) keep files whose key range cannot overlap the source
+    OUT of the join and the rewrite — after a narrow-range upsert, the
+    non-overlapping files are bit-identical on disk (mtime AND bytes),
+    while the touched range updates correctly."""
+    import glob
+
+    import pyspark.sql.functions as F  # noqa: F401
+
+    from cstore_fdw_spark.catalog import CStoreCatalog
+
+    cat = CStoreCatalog(spark, warehouse=str(tmp_path / "wh"))
+    cat.create_table("t", "k BIGINT, v STRING", storage_format="cstore",
+                     stripe_row_count=1000, block_row_count=1000)
+    cat.insert("t", spark.range(0, 500).selectExpr("id as k", "'a' as v"))
+    cat.insert("t", spark.range(500, 1000).selectExpr(
+        "id as k", "'b' as v"))
+    dp = cat._data_path(cat._load_meta("t"))
+    before = {f: open(f, "rb").read()
+              for f in glob.glob(dp + "/*.cstore")}
+    stats = cat.merge_into(
+        "t", spark.range(10, 20).selectExpr("id as k", "'UP' as v"),
+        on="k")
+    assert stats == {"matched": 10, "inserted": 0,
+                     "removed_unmatched": 0}
+    out = cat.read("t")
+    assert out.filter("v = 'UP'").count() == 10
+    assert out.count() == 1000
+    after = set(glob.glob(dp + "/*.cstore"))
+    survivors = set(before) & after
+    assert survivors, "pruning rewrote every file"
+    for f in survivors:
+        assert open(f, "rb").read() == before[f], f
