@@ -462,3 +462,56 @@ def events_markov_transitions(spark, sf_dir):
     return c.select("from_type", "to_type", "n",
                     (F.col("n").cast("double")
                      / F.sum("n").over(wp)).alias("p"))
+
+
+@register(
+    "timeseries_trending_ratio",
+    category="events",
+    oracle="""
+    WITH mx AS (SELECT MAX(ts) AS m FROM events),
+    c AS (
+      SELECT event_type,
+             SUM(CASE WHEN ts > (SELECT m - INTERVAL 24 HOUR FROM mx)
+                      THEN 1 ELSE 0 END) AS n_recent,
+             SUM(CASE WHEN ts <= (SELECT m - INTERVAL 24 HOUR FROM mx)
+                       AND ts > (SELECT m - INTERVAL 48 HOUR FROM mx)
+                      THEN 1 ELSE 0 END) AS n_prior
+      FROM events GROUP BY event_type)
+    SELECT event_type, CAST(n_recent AS BIGINT) AS n_recent,
+           CAST(n_prior AS BIGINT) AS n_prior,
+           (n_recent * 1000) // GREATEST(n_prior, 1) AS trend_permille
+    FROM c ORDER BY trend_permille DESC, event_type
+    """)
+def timeseries_trending_ratio(spark, sf_dir):
+    """Trending detection — the "what is accelerating" primitive of any
+    stream-monitoring stack: per event type, activity in the most
+    recent 24 h of the corpus vs the 24 h before it, as the exact
+    integer ratio n_recent·1000 // max(n_prior, 1) (permille; floor
+    division keeps both engines bit-equal, and the max(_,1) floor makes
+    newly-appearing types read as n_recent·1000 rather than dividing by
+    zero). Windows anchor at MAX(ts), so the query is deterministic on
+    any snapshot.
+
+    Scale: ONE corpus scan — the anchor is a 1-row broadcast and both
+    window memberships fold into conditional aggregates of the same
+    groupBy(event_type) (map-side combined), so the shuffle carries
+    |event_type| rows. The streaming shape of the same question is two
+    watermarked tumbling windows joined on type (events_tumbling_hourly
+    twins)."""
+    e = table(spark, sf_dir, "events")
+    mx = e.agg(F.max("ts").alias("m"))
+    return (e.crossJoin(F.broadcast(mx))
+            .groupBy("event_type")
+            .agg(F.sum(F.when(
+                F.expr("ts > m - INTERVAL 24 HOURS"), 1).otherwise(0))
+                .alias("n_recent"),
+                F.sum(F.when(
+                    F.expr("ts <= m - INTERVAL 24 HOURS and "
+                           "ts > m - INTERVAL 48 HOURS"), 1).otherwise(0))
+                .alias("n_prior"))
+            .select("event_type",
+                    F.col("n_recent").cast("long").alias("n_recent"),
+                    F.col("n_prior").cast("long").alias("n_prior"),
+                    F.expr("(n_recent * 1000) div greatest(n_prior, 1)")
+                    .alias("trend_permille"))
+            .orderBy(F.col("trend_permille").desc(), "event_type"))
