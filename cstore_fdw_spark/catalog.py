@@ -1591,8 +1591,21 @@ class CStoreCatalog:
                 os.rename(old_path, data_path)
 
     # -------------------------------------------------------------- read
-    def read(self, name: str, as_of_epoch: int | None = None) -> DataFrame:
+    def read(self, name: str, as_of_epoch: int | None = None,
+             columns: list[str] | None = None) -> DataFrame:
         """A1+A22: scan with schema-evolution repair.
+
+        ``columns`` prunes the scan to the named columns (table order),
+        the reference's A2 ``ColumnList`` projection pushdown
+        (cstore_fdw.c:1841-1941). On parquet/orc Catalyst already prunes
+        any downstream ``select`` to the scan's ReadSchema, so this is
+        mere convenience; on cstore tables it is LOAD-BEARING — the
+        python DataSource API has no pruning pushdown, so without it a
+        projective query decodes every column of the v1.7 binary format.
+        The catalog knows the positional layout (cstore columns are
+        append-only), passes the physical positions to the reader
+        (``column_positions`` option), and unread columns' exists/value
+        buffers are never touched (cstore_reader.c:501-526 parity).
 
         Columns added after data was written are synthesized from the
         stored constant default (or NULL) via read-time projection —
@@ -1614,6 +1627,14 @@ class CStoreCatalog:
         meta = self._load_meta(name)
         fmt = self._format(meta)
         target = meta.schema()
+        if columns is not None:
+            known = set(target.fieldNames())
+            missing = [c for c in columns if c not in known]
+            if missing:
+                raise CStoreError(
+                    f'column(s) {missing} do not exist in "{name}"')
+        out_schema = (target if columns is None else T.StructType(
+            [f_ for f_ in target.fields if f_.name in set(columns)]))
         self._recover_compact(meta, fmt)
         if as_of_epoch is not None and as_of_epoch < meta.history_floor:
             raise CStoreError(
@@ -1625,11 +1646,34 @@ class CStoreCatalog:
         all_files = (list(_data_files(data_path, fmt))
                      if os.path.isdir(data_path) else [])
         if not all_files:
-            return self.spark.createDataFrame([], target)
+            return self.spark.createDataFrame([], out_schema)
         paths = self._visible_files(meta, as_of_epoch=as_of_epoch)
         if not paths:
-            return self.spark.createDataFrame([], target)
+            return self.spark.createDataFrame([], out_schema)
         phys = _physical_schema(target, data_path, fmt)
+        positions = None
+        if columns is not None:
+            wanted = set(columns)
+            if fmt == "cstore":
+                # nameless positional format: physical position i backs
+                # target field i (columns are append-only on cstore
+                # tables); added-but-never-written columns stay out of
+                # the reader schema and are synthesized by _project
+                width = len(phys.fields)
+                positions = [i for i, f_ in enumerate(target.fields)
+                             if f_.name in wanted and i < width]
+                if not positions and width:
+                    # every requested column is synthesized (added but
+                    # never written): read physical column 0 as a row-
+                    # multiplicity carrier — _project's final select
+                    # drops it, but without SOME physical column the
+                    # reader would emit zero-row batches
+                    positions = [0]
+                phys = T.StructType(
+                    [target.fields[i] for i in positions])
+            else:
+                phys = T.StructType(
+                    [f_ for f_ in phys.fields if f_.name in wanted])
         epoch_col = None
         if fmt == "cstore":
             # input_file_name() is empty for python data sources, so the
@@ -1643,15 +1687,17 @@ class CStoreCatalog:
                       # explicit file lists disable partition discovery
                       # unless the hive-layout root is pinned
                       .option("basePath", data_path))
-            if epoch_col:
-                reader = reader.option("with_epoch", "true")
-            df = _load_df(reader, fmt, *paths)
         else:
             reader = self.spark.read.schema(phys)
-            if epoch_col:
-                reader = reader.option("with_epoch", "true")
-            df = _load_df(reader, fmt, data_path)
-        return self._project(meta, df, epoch_col=epoch_col)
+            paths = [data_path]
+        if epoch_col:
+            reader = reader.option("with_epoch", "true")
+        if positions is not None:
+            reader = reader.option(
+                "column_positions", ",".join(map(str, positions)))
+        df = _load_df(reader, fmt, *paths)
+        return self._project(meta, df, epoch_col=epoch_col,
+                             subset=columns)
 
     def _visible_files(self, meta: TableMeta,
                        as_of_epoch: int | None = None) -> list[str]:
@@ -1693,18 +1739,24 @@ class CStoreCatalog:
                              epoch_col=epoch_col)
 
     def _project(self, meta: TableMeta, df: DataFrame,
-                 epoch_col: str | None = None) -> DataFrame:
+                 epoch_col: str | None = None,
+                 subset: list[str] | None = None) -> DataFrame:
         """Schema-evolution read repair (A22): synthesize added columns /
         constant defaults for rows that pre-date them (reference
         cstore_reader.c:1224-1292). ``epoch_col`` names a reader-emitted
         per-row epoch column (cstore reads — input_file_name() is empty
         for python data sources); it never reaches the caller (the final
-        select projects only target columns)."""
+        select projects only target columns). ``subset`` restricts the
+        output to a pruned projection (read(columns=...) — fields
+        outside it are neither read nor repaired)."""
         ep = (F.col(epoch_col) if epoch_col is not None
               else _epoch_expr())
         target = meta.schema()
+        keep = None if subset is None else set(subset)
         projections = []
         for f_ in target.fields:
+            if keep is not None and f_.name not in keep:
+                continue
             if f_.name in df.columns:
                 col = F.col(f_.name).cast(f_.dataType)
                 reset = meta.column_reset_epoch.get(f_.name)

@@ -1075,8 +1075,11 @@ def market_basket_lift(spark, sf_dir):
     prefix bound in dedup_token_jaccard.
     ONE repartition by orderkey serves the basket distinct AND both
     sides of the self-join exchange-free; pair counting then shuffles
-    pair-sized data, and the per-item counts (bounded by |part|) join
-    back broadcast. Overflow guard: n12·N·1000 needs N·N·1000 < 2^63
+    pair-sized data, and the per-item counts join back WITHOUT a forced
+    broadcast — they scale with |part|, unbounded in the 100 TB
+    contract, so AQE decides at runtime from the real post-agg size
+    (the same discipline as text_pmi_collocations' vocabulary joins).
+    Overflow guard: n12·N·1000 needs N·N·1000 < 2^63
     only for the single most frequent pair — at 10^9 baskets switch the
     permille to DECIMAL(38) arithmetic."""
     li = table(spark, sf_dir, "lineitem")
@@ -1096,8 +1099,8 @@ def market_basket_lift(spark, sf_dir):
     i1 = item.select(F.col("pk").alias("part1"), F.col("n1").alias("c1"))
     i2 = item.select(F.col("pk").alias("part2"), F.col("n1").alias("c2"))
     return (pair
-            .join(F.broadcast(i1), "part1")
-            .join(F.broadcast(i2), "part2")
+            .join(i1, "part1")
+            .join(i2, "part2")
             .crossJoin(F.broadcast(n_orders))
             .select("part1", "part2", "n_pairs",
                     F.expr("(n_pairs * n_orders * 1000) div (c1 * c2)")

@@ -570,6 +570,36 @@ def star_join_broadcast_by_estimate(spark, sf_dir):
                  to_dbl(dsum("o_totalprice")).alias("revenue")))
 
 
+def _cstore_fmt_artifact(spark, sf_dir):
+    """Build (once per sf_dir, marker-guarded) the cstore v1.7 copy of
+    three lineitem columns used by the scan_cstore_* queries; returns
+    (path, ddl). The write cost is a maintained artifact reported in
+    bench bring-up as index_build_sec, like the ANN codebooks."""
+    import hashlib
+    import os
+    import tempfile
+
+    from cstore_fdw_spark.sources.cstore_datasource import register_cstore
+
+    register_cstore(spark)
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    path = os.path.join(tempfile.gettempdir(), f"cstore_fmt_{key}")
+    marker = os.path.join(path, "_built")
+    ddl = "l_returnflag STRING, qty BIGINT, l_shipdate TIMESTAMP"
+    if not os.path.exists(marker):
+        (table(spark, sf_dir, "lineitem")
+         .select("l_returnflag",
+                 F.round("l_quantity").cast("long").alias("qty"),
+                 "l_shipdate")
+         .write.format("cstore")
+         .option("stripe_row_count", "150000")
+         .option("block_row_count", "10000")
+         .mode("overwrite").save(path))
+        with open(marker, "w") as fh:
+            fh.write(os.path.abspath(sf_dir))
+    return path, ddl
+
+
 @register(
     "scan_cstore_format_roundtrip",
     category="scan",
@@ -604,32 +634,51 @@ def scan_cstore_format_roundtrip(spark, sf_dir):
     side scans stripes partition-parallel exactly as the reference
     does, and at 100 TB a directory of part files behaves like any
     splittable source."""
-    import hashlib
-    import os
-    import tempfile
-
-    from cstore_fdw_spark.sources.cstore_datasource import register_cstore
-
-    register_cstore(spark)
-    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
-    path = os.path.join(tempfile.gettempdir(), f"cstore_fmt_{key}")
-    marker = os.path.join(path, "_built")
-    ddl = "l_returnflag STRING, qty BIGINT, l_shipdate TIMESTAMP"
-    if not os.path.exists(marker):
-        (table(spark, sf_dir, "lineitem")
-         .select("l_returnflag",
-                 F.round("l_quantity").cast("long").alias("qty"),
-                 "l_shipdate")
-         .write.format("cstore")
-         .option("stripe_row_count", "150000")
-         .option("block_row_count", "10000")
-         .mode("overwrite").save(path))
-        with open(marker, "w") as fh:
-            fh.write(os.path.abspath(sf_dir))
+    path, ddl = _cstore_fmt_artifact(spark, sf_dir)
     back = spark.read.format("cstore").schema(ddl).load(path)
     return (back.groupBy("l_returnflag")
             .agg(F.count(F.lit(1)).alias("n"),
                  F.sum("qty").alias("sum_qty"),
                  F.min("l_shipdate").alias("first_ship"),
                  F.max("l_shipdate").alias("last_ship"))
+            .orderBy("l_returnflag"))
+
+
+@register(
+    "scan_cstore_pruned_projection",
+    category="scan",
+    bench=True,  # the pruned twin of scan_cstore_format_roundtrip:
+    #              same artifact, 2 of 3 columns decoded — the bench
+    #              delta IS the measured value of A2 on this format
+    oracle="""
+    SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT)
+             AS sum_qty
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """)
+def scan_cstore_pruned_projection(spark, sf_dir):
+    """Projection pushdown on the v1.7 binary format — the reference's
+    signature A2 optimization (``ColumnList``, cstore_fdw.c:1841-1941;
+    the reader loads only masked columns, cstore_reader.c:501-526),
+    which the stock python DataSource API cannot express: the catalog /
+    caller passes the physical positions as the ``column_positions``
+    reader option and the scan NEVER reads the unwanted columns'
+    skip lists, exists bitmaps, or value buffers (byte-span-proven in
+    tests/test_cstore_format.py::
+    test_cstore_arrow_projection_never_reads_unwanted_columns).
+    Here the 3-column lineitem artifact is scanned for 2 columns — the
+    wide l_shipdate timestamp column stays cold on disk.
+
+    Scale: on a 100-column 100 TB cstore table a 2-column aggregate
+    reads ~2% of the bytes — the entire point of a columnar store; the
+    same option powers ``catalog.read(name, columns=[...])``.
+    """
+    path, _ddl = _cstore_fmt_artifact(spark, sf_dir)
+    back = (spark.read.format("cstore")
+            .schema("l_returnflag STRING, qty BIGINT")
+            .option("column_positions", "0,1")
+            .load(path))
+    return (back.groupBy("l_returnflag")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("qty").alias("sum_qty"))
             .orderBy("l_returnflag"))

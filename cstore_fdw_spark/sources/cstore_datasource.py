@@ -106,6 +106,21 @@ class CStoreReader(DataSourceReader):
                 "schema")
         self.type_names = _type_names(StructType(data_fields))
         self.col_idx = {f.name: i for i, f in enumerate(data_fields)}
+        # column_positions: "0,3,5" — the PHYSICAL file column backing
+        # each schema data field, enabling projection pushdown on this
+        # nameless positional format (the reference's A2 ColumnList,
+        # cstore_fdw.c:1841-1941): unlisted physical columns' buffers
+        # are never read. Spark's python DataSource API has no pruning
+        # pushdown, so the projection arrives as a reader option (the
+        # catalog passes it for read(columns=...)).
+        cp = options.get("column_positions")
+        self.positions = None
+        if cp:
+            self.positions = [int(x) for x in str(cp).split(",")]
+            if len(self.positions) != len(data_fields):
+                raise ValueError(
+                    f"column_positions has {len(self.positions)} "
+                    f"entries for {len(data_fields)} schema columns")
         #: per-column [(op, value), ...] retained for block skipping
         self.ranges: dict[int, list] = {}
 
@@ -178,7 +193,8 @@ class CStoreReader(DataSourceReader):
         with open(partition.file, "rb") as fh:
             for batch in read_stripe_batches(
                     fh, partition.stripe, self.type_names, data_names,
-                    block_pred=self._block_pred()):
+                    block_pred=self._block_pred(),
+                    positions=self.positions):
                 if self.with_epoch:
                     n = batch.num_rows
                     batch = pa.RecordBatch.from_arrays(
@@ -189,11 +205,16 @@ class CStoreReader(DataSourceReader):
 
 
 class CStoreWriter(DataSourceArrowWriter):
-    """Arrow-batched sink: per partition, the incoming RecordBatches
-    concatenate into one pyarrow Table and serialize through the
-    vectorized writer (one numpy astype/tobytes per fixed-width block —
-    byte-identical output to the row-based writer, differential-tested
-    in tests/test_cstore_format.py)."""
+    """Arrow-batched sink: per partition, incoming RecordBatches stream
+    through the vectorized stripe writer — at most ONE stripe
+    (stripe_row_count rows) is ever buffered before its bytes hit disk,
+    the reference's own flush discipline (cstore_writer.c:493 flushes
+    per stripe; it never materializes the table). Incoming batches are
+    sliced so the accumulator NEVER exceeds stripe_row_count
+    (``peak_buffered_rows`` records the high-water mark, asserted in
+    tests/test_cstore_format.py). Output is byte-identical to the
+    collect-then-write path at the same stripe boundaries
+    (differential-tested)."""
 
     def __init__(self, schema: StructType, options, overwrite: bool):
         self.path = options.get("path")
@@ -212,15 +233,43 @@ class CStoreWriter(DataSourceArrowWriter):
     def write(self, iterator):
         import pyarrow as pa
 
-        batches = list(iterator)
-        if batches and sum(b.num_rows for b in batches):
-            tbl = pa.Table.from_batches(batches)
-            name = f"part-{uuid.uuid4().hex}.cstore"
-            write_cstore_arrow(
-                os.path.join(self.path, name), tbl, self.type_names,
-                stripe_row_count=self.stripe_rows,
-                block_row_count=self.block_rows,
-                compression=self.compression)
+        from cstore_fdw_spark.sources.cstore_format import (
+            CStoreFileWriter)
+
+        writer = None
+        buf: list = []
+        buffered = 0
+        self.peak_buffered_rows = 0
+
+        def flush():
+            nonlocal writer, buf, buffered
+            if not buffered:
+                return
+            if writer is None:
+                name = f"part-{uuid.uuid4().hex}.cstore"
+                writer = CStoreFileWriter(
+                    os.path.join(self.path, name), self.type_names,
+                    stripe_row_count=self.stripe_rows,
+                    block_row_count=self.block_rows,
+                    compression=self.compression)
+            writer.append_stripe(pa.Table.from_batches(buf))
+            buf = []
+            buffered = 0
+
+        for batch in iterator:
+            while batch.num_rows:
+                take = min(batch.num_rows,
+                           self.stripe_rows - buffered)
+                buf.append(batch.slice(0, take))
+                batch = batch.slice(take)
+                buffered += take
+                self.peak_buffered_rows = max(
+                    self.peak_buffered_rows, buffered)
+                if buffered == self.stripe_rows:
+                    flush()
+        flush()
+        if writer is not None:
+            writer.close()
         return WriterCommitMessage()
 
 

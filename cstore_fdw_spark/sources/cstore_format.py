@@ -87,14 +87,28 @@ def pglz_decompress(data: bytes, rawsize: int) -> bytes:
     """PostgreSQL LZ stream: control bytes gate 8 items LSB-first;
     literal = 1 raw byte; match tag = [off_hi4|len-3][off_lo8]
     (+1 length-extension byte when the nibble saturates at 15);
-    matches copy byte-by-byte from the sliding output window."""
+    matches copy byte-by-byte from the sliding output window.
+
+    Items are processed in RUNS, not per byte: consecutive literal bits
+    become one slice copy, and a match becomes one slice copy when it
+    doesn't overlap its own output (offset >= length) or a segment
+    replication when it does — position i of an overlapping copy is
+    window[i % offset] by the byte-at-a-time induction, so
+    ``seg * q + seg[:r]`` reproduces the reference semantics exactly."""
     out = bytearray()
     pos = 0
     n = len(data)
     while pos < n and len(out) < rawsize:
         ctrl = data[pos]
         pos += 1
-        for bit in range(8):
+        if ctrl == 0:
+            # all-literal control byte: one 8-byte slice
+            take = min(8, n - pos, rawsize - len(out))
+            out += data[pos:pos + take]
+            pos += take
+            continue
+        bit = 0
+        while bit < 8:
             if pos >= n or len(out) >= rawsize:
                 break
             if ctrl & (1 << bit):
@@ -105,13 +119,25 @@ def pglz_decompress(data: bytes, rawsize: int) -> bytes:
                 if length == 18:
                     length += data[pos]
                     pos += 1
-                if not 0 < offset <= len(out):
+                start = len(out) - offset
+                if start < 0 or offset == 0:
                     raise ValueError("pglz: bad match offset")
-                for _ in range(length):
-                    out.append(out[-offset])
+                if offset >= length:
+                    out += out[start:start + length]
+                else:
+                    seg = bytes(out[start:])
+                    q, r = divmod(length, offset)
+                    out += seg * q + seg[:r]
+                bit += 1
             else:
-                out.append(data[pos])
-                pos += 1
+                # literal run: every consecutive clear bit is one slice
+                run = 1
+                while bit + run < 8 and not (ctrl >> (bit + run)) & 1:
+                    run += 1
+                take = min(run, n - pos, rawsize - len(out))
+                out += data[pos:pos + take]
+                pos += take
+                bit += run
     if len(out) != rawsize:
         raise ValueError(f"pglz: expected {rawsize} bytes, got {len(out)}")
     return bytes(out)
@@ -344,53 +370,52 @@ def _compress_block(vbuf: bytes, compression: str) -> tuple[bytes, int]:
     return vbuf, 0
 
 
-def _assemble_file(path: str, stripes_blocks, n_cols: int,
-                   block_row_count: int) -> None:
-    """Write the data + footer pair from per-stripe, per-column block
-    products: stripes_blocks = [per-stripe list of per-column lists of
-    (exists_buf, value_buf, comp_type, rowcount, minmax_raw_or_None)]
-    where minmax_raw is (packed_min_bytes, packed_max_bytes)."""
+def _stripe_bytes(cols, n_cols: int) -> tuple[bytes, tuple]:
+    """Serialize ONE stripe's per-column block products to its on-disk
+    bytes: cols = per-column lists of (exists_buf, value_buf, comp_type,
+    rowcount, minmax_raw_or_None) where minmax_raw is
+    (packed_min_bytes, packed_max_bytes). Returns (stripe_bytes,
+    (skip_len, data_len, footer_len))."""
     data = bytearray()
-    stripe_meta = []
-    for cols in stripes_blocks:
-        file_offset = len(data)
-        skip_protos = []
-        for c in range(n_cols):
-            nodes = b""
-            e_off = v_off = 0
-            for ebuf, vbuf, comp, rowcount, mm in cols[c]:
-                node = _field(1, 0, rowcount)
-                if mm is not None:
-                    node += _field(2, 2, mm[0]) + _field(3, 2, mm[1])
-                node += _field(4, 0, v_off) + _field(5, 0, len(vbuf))
-                node += _field(6, 0, comp)
-                node += _field(7, 0, e_off) + _field(8, 0, len(ebuf))
-                nodes += _field(1, 2, node)
-                e_off += len(ebuf)
-                v_off += len(vbuf)
-            skip_protos.append(nodes)
-        for sp in skip_protos:
-            data += sp
-        for c in range(n_cols):
-            for blk in cols[c]:
-                data += blk[0]
-            for blk in cols[c]:
-                data += blk[1]
-        sfooter = b""
-        for sp in skip_protos:
-            sfooter += _field(1, 0, len(sp))
-        for c in range(n_cols):
-            sfooter += _field(2, 0, sum(len(b[0]) for b in cols[c]))
-        for c in range(n_cols):
-            sfooter += _field(3, 0, sum(len(b[1]) for b in cols[c]))
-        data += sfooter
-        skip_len = sum(len(sp) for sp in skip_protos)
-        data_len = sum(sum(len(b[0]) + len(b[1]) for b in cols[c])
-                       for c in range(n_cols))
-        stripe_meta.append((file_offset, skip_len, data_len,
-                            len(sfooter)))
-    with open(path, "wb") as fh:
-        fh.write(bytes(data))
+    skip_protos = []
+    for c in range(n_cols):
+        nodes = b""
+        e_off = v_off = 0
+        for ebuf, vbuf, comp, rowcount, mm in cols[c]:
+            node = _field(1, 0, rowcount)
+            if mm is not None:
+                node += _field(2, 2, mm[0]) + _field(3, 2, mm[1])
+            node += _field(4, 0, v_off) + _field(5, 0, len(vbuf))
+            node += _field(6, 0, comp)
+            node += _field(7, 0, e_off) + _field(8, 0, len(ebuf))
+            nodes += _field(1, 2, node)
+            e_off += len(ebuf)
+            v_off += len(vbuf)
+        skip_protos.append(nodes)
+    for sp in skip_protos:
+        data += sp
+    for c in range(n_cols):
+        for blk in cols[c]:
+            data += blk[0]
+        for blk in cols[c]:
+            data += blk[1]
+    sfooter = b""
+    for sp in skip_protos:
+        sfooter += _field(1, 0, len(sp))
+    for c in range(n_cols):
+        sfooter += _field(2, 0, sum(len(b[0]) for b in cols[c]))
+    for c in range(n_cols):
+        sfooter += _field(3, 0, sum(len(b[1]) for b in cols[c]))
+    data += sfooter
+    skip_len = sum(len(sp) for sp in skip_protos)
+    data_len = sum(sum(len(b[0]) + len(b[1]) for b in cols[c])
+                   for c in range(n_cols))
+    return bytes(data), (skip_len, data_len, len(sfooter))
+
+
+def _write_footer_file(path: str, stripe_meta, block_row_count: int):
+    """Write the <path>.footer pair half: TableFooter + PostScript +
+    1-byte postscript size (cstore_writer.c:379-414)."""
     tf = b""
     for off, sk, dl, fl in stripe_meta:
         sm = (_field(1, 0, off) + _field(2, 0, sk) + _field(3, 0, dl)
@@ -402,6 +427,22 @@ def _assemble_file(path: str, stripes_blocks, n_cols: int,
     assert len(ps) < 256
     with open(path + ".footer", "wb") as fh:
         fh.write(tf + ps + bytes([len(ps)]))
+
+
+def _assemble_file(path: str, stripes_blocks, n_cols: int,
+                   block_row_count: int) -> None:
+    """Write the data + footer pair from per-stripe, per-column block
+    products (stripes_blocks = [per-stripe cols, ...] — see
+    :func:`_stripe_bytes`)."""
+    stripe_meta = []
+    offset = 0
+    with open(path, "wb") as fh:
+        for cols in stripes_blocks:
+            data, (sk, dl, fl) = _stripe_bytes(cols, n_cols)
+            fh.write(data)
+            stripe_meta.append((offset, sk, dl, fl))
+            offset += len(data)
+    _write_footer_file(path, stripe_meta, block_row_count)
 
 
 def write_cstore_file(path: str, rows: list[tuple], type_names: list[str],
@@ -441,75 +482,120 @@ def write_cstore_file(path: str, rows: list[tuple], type_names: list[str],
     _assemble_file(path, stripes_blocks, len(types), block_row_count)
 
 
+def _arrow_stripe_blocks(stripe, types, block_row_count: int,
+                         compression: str):
+    """ONE stripe of a pyarrow Table -> per-column block products for
+    :func:`_stripe_bytes`: fixed-width columns serialize as ONE numpy
+    astype/tobytes per block and exists bitmaps as one packbits (the
+    write-side twin of :func:`read_stripe_batches`; per-datum Python
+    only for varlena text)."""
+    import numpy as np
+    import pyarrow as pa
+
+    cols = []
+    for c, (byval, typlen, align, kind) in enumerate(types):
+        col = stripe.column(c).combine_chunks()
+        blocks = []
+        for b0 in range(0, stripe.num_rows, block_row_count):
+            arr = col.slice(b0, block_row_count)
+            n = len(arr)
+            valid = ~np.asarray(arr.is_null())
+            ebuf = np.packbits(valid, bitorder="little").tobytes()
+            pres = arr.drop_null()
+            mm = None
+            if kind == "text":
+                vals = [v.encode("utf-8")
+                        for v in pres.to_pylist()]
+                vbuf = bytearray()
+                for payload in vals:
+                    raw = (struct.pack("<I", (len(payload) + 4) << 2)
+                           + payload)
+                    pad = _align_up(len(raw), align) - len(raw)
+                    vbuf += raw + b"\x00" * pad
+                vbuf = bytes(vbuf)
+                if vals:
+                    mm = (pack_storage_raw(min(vals), typlen, kind),
+                          pack_storage_raw(max(vals), typlen, kind))
+            else:
+                if kind == "date":
+                    st = (pres.cast(pa.int32()).to_numpy(
+                        zero_copy_only=False).astype("<i4")
+                        - _PG_DATE_EPOCH_DAYS)
+                elif kind == "ts":
+                    st = (pres.cast(pa.int64()).to_numpy(
+                        zero_copy_only=False).astype("<i8")
+                        - _PG_TS_EPOCH_MICROS)
+                elif kind == "b":
+                    st = pres.cast(pa.uint8()).to_numpy(
+                        zero_copy_only=False).astype("u1")
+                else:
+                    st = pres.to_numpy(zero_copy_only=False).astype(
+                        _NP_DTYPE[kind])
+                vbuf = st.tobytes()
+                if len(st):
+                    lo, hi = st.min(), st.max()
+                    if kind in ("f", "d"):
+                        lo, hi = float(lo), float(hi)
+                    else:
+                        lo, hi = int(lo), int(hi)
+                    mm = (pack_storage_raw(lo, typlen, kind),
+                          pack_storage_raw(hi, typlen, kind))
+            vbuf, comp = _compress_block(vbuf, compression)
+            blocks.append((ebuf, vbuf, comp, n, mm))
+        cols.append(blocks)
+    return cols
+
+
+class CStoreFileWriter:
+    """Incremental stripe-at-a-time writer for one data+footer pair —
+    the reference's own flush discipline (cstore_writer.c:493 flushes
+    every stripe_row_count rows; the whole table is NEVER buffered).
+    ``append_stripe`` serializes one pyarrow Table (≤ stripe_row_count
+    rows, split internally if larger) straight to the open data file;
+    ``close`` writes the footer pair half. Output is byte-identical to
+    :func:`write_cstore_arrow` at the same stripe boundaries."""
+
+    def __init__(self, path: str, type_names: list[str],
+                 stripe_row_count: int = 150000,
+                 block_row_count: int = 10000,
+                 compression: str = "pglz"):
+        self.path = path
+        self.types = [CSTORE_TYPES[t] for t in type_names]
+        self.stripe_row_count = stripe_row_count
+        self.block_row_count = block_row_count
+        self.compression = compression
+        self._fh = open(path, "wb")
+        self._offset = 0
+        self._stripe_meta: list[tuple] = []
+
+    def append_stripe(self, tbl) -> None:
+        for s0 in range(0, tbl.num_rows, self.stripe_row_count):
+            stripe = tbl.slice(s0, self.stripe_row_count)
+            cols = _arrow_stripe_blocks(stripe, self.types,
+                                        self.block_row_count,
+                                        self.compression)
+            data, (sk, dl, fl) = _stripe_bytes(cols, len(self.types))
+            self._fh.write(data)
+            self._stripe_meta.append((self._offset, sk, dl, fl))
+            self._offset += len(data)
+
+    def close(self) -> None:
+        self._fh.close()
+        _write_footer_file(self.path, self._stripe_meta,
+                           self.block_row_count)
+
+
 def write_cstore_arrow(path: str, tbl, type_names: list[str],
                        stripe_row_count: int = 150000,
                        block_row_count: int = 10000,
                        compression: str = "pglz") -> None:
-    """Vectorized writer: a pyarrow Table goes to disk with fixed-width
-    columns serialized as ONE numpy astype/tobytes per block and exists
-    bitmaps as one packbits — the write-side twin of
-    :func:`read_stripe_batches` (per-datum Python only for varlena
-    text). Produces the same format as :func:`write_cstore_file`."""
-    import numpy as np
-    import pyarrow as pa
-
-    types = [CSTORE_TYPES[t] for t in type_names]
-    stripes_blocks = []
-    for s0 in range(0, tbl.num_rows, stripe_row_count):
-        stripe = tbl.slice(s0, stripe_row_count)
-        cols = []
-        for c, (byval, typlen, align, kind) in enumerate(types):
-            col = stripe.column(c).combine_chunks()
-            blocks = []
-            for b0 in range(0, stripe.num_rows, block_row_count):
-                arr = col.slice(b0, block_row_count)
-                n = len(arr)
-                valid = ~np.asarray(arr.is_null())
-                ebuf = np.packbits(valid, bitorder="little").tobytes()
-                pres = arr.drop_null()
-                mm = None
-                if kind == "text":
-                    vals = [v.encode("utf-8")
-                            for v in pres.to_pylist()]
-                    vbuf = bytearray()
-                    for payload in vals:
-                        raw = (struct.pack("<I", (len(payload) + 4) << 2)
-                               + payload)
-                        pad = _align_up(len(raw), align) - len(raw)
-                        vbuf += raw + b"\x00" * pad
-                    vbuf = bytes(vbuf)
-                    if vals:
-                        mm = (pack_storage_raw(min(vals), typlen, kind),
-                              pack_storage_raw(max(vals), typlen, kind))
-                else:
-                    if kind == "date":
-                        st = (pres.cast(pa.int32()).to_numpy(
-                            zero_copy_only=False).astype("<i4")
-                            - _PG_DATE_EPOCH_DAYS)
-                    elif kind == "ts":
-                        st = (pres.cast(pa.int64()).to_numpy(
-                            zero_copy_only=False).astype("<i8")
-                            - _PG_TS_EPOCH_MICROS)
-                    elif kind == "b":
-                        st = pres.cast(pa.uint8()).to_numpy(
-                            zero_copy_only=False).astype("u1")
-                    else:
-                        st = pres.to_numpy(zero_copy_only=False).astype(
-                            _NP_DTYPE[kind])
-                    vbuf = st.tobytes()
-                    if len(st):
-                        lo, hi = st.min(), st.max()
-                        if kind in ("f", "d"):
-                            lo, hi = float(lo), float(hi)
-                        else:
-                            lo, hi = int(lo), int(hi)
-                        mm = (pack_storage_raw(lo, typlen, kind),
-                              pack_storage_raw(hi, typlen, kind))
-                vbuf, comp = _compress_block(vbuf, compression)
-                blocks.append((ebuf, vbuf, comp, n, mm))
-            cols.append(blocks)
-        stripes_blocks.append(cols)
-    _assemble_file(path, stripes_blocks, len(types), block_row_count)
+    """Vectorized writer: a pyarrow Table goes to disk stripe by stripe
+    through :class:`CStoreFileWriter`. Produces the same format as
+    :func:`write_cstore_file`."""
+    w = CStoreFileWriter(path, type_names, stripe_row_count,
+                         block_row_count, compression)
+    w.append_stripe(tbl)
+    w.close()
 
 
 # ------------------------------------------------------------- file reader
@@ -745,68 +831,90 @@ def _decode_block_arrow(vbuf: bytes, ebuf: bytes, rowcount: int,
 
 
 def read_stripe_batches(fh, stripe, type_names: list[str],
-                        field_names: list[str], block_pred=None):
+                        field_names: list[str], block_pred=None,
+                        positions: list[int] | None = None):
     """Arrow twin of :func:`read_stripe`: yields one RecordBatch per
     block (block_row_count rows — a natural Arrow batch), decoding
     fixed-width columns vectorized. Schema columns beyond the file's
-    own width null-pad, like the tuple path."""
+    own width null-pad, like the tuple path.
+
+    ``positions[i]`` = the PHYSICAL file column backing output field i
+    — projection pushdown, the reference's signature A2 optimization
+    (``ColumnList``, cstore_fdw.c:1841-1941; the reader loads only
+    masked columns, cstore_reader.c:501-526). Default is the identity
+    (field i reads physical column i). Unwanted physical columns cost
+    only their stripe-footer SIZE entries: their skip lists are never
+    parsed and their exists/value buffers never read — section offsets
+    come from the footer sizes alone. ``block_pred(field_idx, lo, hi)``
+    indexes OUTPUT fields (so pushed filters keep working under a
+    pruned projection)."""
     import pyarrow as pa
 
     offset, skip_len, data_len, footer_len = stripe
     types = [CSTORE_TYPES[t] for t in type_names]
+    if positions is None:
+        positions = list(range(len(types)))
     fh.seek(offset + skip_len + data_len)
     sfooter = _parse(fh.read(footer_len))
     skip_sizes = sfooter.get(1, [])
     exists_sizes = sfooter.get(2, [])
     value_sizes = sfooter.get(3, [])
     n_file_cols = len(skip_sizes)
-    n_cols = min(len(types), n_file_cols)
     run = offset
     skip_starts = []
     for c in range(n_file_cols):
         skip_starts.append(run)
         run += skip_sizes[c]
-    nodes_per_col = []
-    for c in range(n_cols):
-        fh.seek(skip_starts[c])
-        nodes_per_col.append(
-            [_parse(b)
-             for b in _parse(fh.read(skip_sizes[c])).get(1, [])])
-    n_blocks = len(nodes_per_col[0]) if nodes_per_col else 0
     data_start = offset + skip_len
     col_starts = []
     run = data_start
     for c in range(n_file_cols):
         col_starts.append(run)
         run += exists_sizes[c] + value_sizes[c]
+    # skip lists of NEEDED physical columns only (plus column 0 when no
+    # wanted column is physical — per-block rowcounts must come from
+    # somewhere; every column's skip list carries identical rowCounts)
+    need = sorted({pc for pc in positions if pc < n_file_cols})
+    if not need and n_file_cols:
+        need = [0]
+    nodes_by_phys: dict[int, list] = {}
+    for pc in need:
+        fh.seek(skip_starts[pc])
+        nodes_by_phys[pc] = [
+            _parse(b)
+            for b in _parse(fh.read(skip_sizes[pc])).get(1, [])]
+    rc_nodes = nodes_by_phys[need[0]] if need else []
+    n_blocks = len(rc_nodes)
     skip_block = [False] * n_blocks
     if block_pred is not None:
         for bi in range(n_blocks):
-            for c in range(n_cols):
-                nd = nodes_per_col[c][bi]
+            for si, pc in enumerate(positions):
+                if pc >= n_file_cols:
+                    continue
+                nd = nodes_by_phys[pc][bi]
                 if 2 in nd and 3 in nd:
-                    byval, typlen, align, kind = types[c]
+                    byval, typlen, align, kind = types[si]
                     lo = deserialize_datum_raw(nd[2][0], typlen, kind)
                     hi = deserialize_datum_raw(nd[3][0], typlen, kind)
-                    if not block_pred(c, lo, hi):
+                    if not block_pred(si, lo, hi):
                         skip_block[bi] = True
                         break
     for bi in range(n_blocks):
         if skip_block[bi]:
             continue
-        rowcount = _iv(nodes_per_col[0][bi], 1, 0)
+        rowcount = _iv(rc_nodes[bi], 1, 0)
         arrays = []
-        for c in range(len(types)):
-            byval, typlen, align, kind = types[c]
-            if c >= n_cols:
+        for si, pc in enumerate(positions):
+            byval, typlen, align, kind = types[si]
+            if pc >= n_file_cols:
                 arrays.append(pa.nulls(rowcount, type=_pa_type(kind)))
                 continue
-            nd = nodes_per_col[c][bi]
+            nd = nodes_by_phys[pc][bi]
             e_off, e_len = _iv(nd, 7, 0), _iv(nd, 8, 0)
             v_off, v_len = _iv(nd, 4, 0), _iv(nd, 5, 0)
-            fh.seek(col_starts[c] + e_off)
+            fh.seek(col_starts[pc] + e_off)
             ebuf = fh.read(e_len)
-            fh.seek(col_starts[c] + exists_sizes[c] + v_off)
+            fh.seek(col_starts[pc] + exists_sizes[pc] + v_off)
             vbuf = fh.read(v_len)
             if _iv(nd, 6, 0) == 1:
                 (hdr,) = struct.unpack_from("<I", vbuf, 0)

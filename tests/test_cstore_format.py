@@ -485,3 +485,196 @@ def test_cstore_merge_prunes_files_via_skiplist_zone_maps(spark,
     assert survivors, "pruning rewrote every file"
     for f in survivors:
         assert open(f, "rb").read() == before[f], f
+
+
+class _SpanFH:
+    """File-handle proxy recording every (start, length) read span —
+    the instrument behind the projection-pushdown proof."""
+
+    def __init__(self, fh):
+        self._fh = fh
+        self.spans: list[tuple[int, int]] = []
+
+    def seek(self, pos):
+        return self._fh.seek(pos)
+
+    def read(self, n=-1):
+        start = self._fh.tell()
+        data = self._fh.read(n)
+        self.spans.append((start, len(data)))
+        return data
+
+
+def test_cstore_arrow_projection_never_reads_unwanted_columns(tmp_path):
+    """A2 parity for the Arrow scan path (the reference's ColumnList,
+    cstore_fdw.c:1841-1941 / cstore_reader.c:501-526): a pruned
+    projection must never touch an unwanted column's skip list, exists
+    buffer, or value buffer — proven by recording every byte span read
+    and intersecting with the unwanted columns' sections computed from
+    the stripe footer."""
+    from cstore_fdw_spark.sources.cstore_format import (
+        _parse, read_stripe_batches)
+
+    rows = _sample_rows(2000)
+    path = str(tmp_path / "prune.cstore")
+    write_cstore_file(path, rows, TYPES, stripe_row_count=1000,
+                      block_row_count=250, compression="none")
+    _brc, stripes = read_footer(path)
+    names = [f"c{i}" for i in range(len(TYPES))]
+    positions = [0, 4]  # bigint + double (text c8 stays cold)
+
+    def batches(fh_wrap, pos):
+        out = []
+        for stripe in stripes:
+            out.extend(read_stripe_batches(
+                fh_wrap, stripe, [TYPES[p] for p in pos],
+                [names[p] for p in pos], positions=pos))
+        return out
+
+    with open(path, "rb") as fh:
+        full_fh = _SpanFH(fh)
+        full = batches(full_fh, list(range(len(TYPES))))
+    with open(path, "rb") as fh:
+        pruned_fh = _SpanFH(fh)
+        pruned = batches(pruned_fh, positions)
+    # values identical to the full read's corresponding columns
+    import pyarrow as pa
+    t_full = pa.Table.from_batches(full)
+    t_pruned = pa.Table.from_batches(pruned)
+    assert t_pruned.column("c0").to_pylist() == \
+        t_full.column("c0").to_pylist()
+    assert t_pruned.column("c4").to_pylist() == \
+        t_full.column("c4").to_pylist()
+    # compute every unwanted column's byte sections from the footers
+    forbidden = []
+    with open(path, "rb") as fh:
+        for offset, skip_len, data_len, footer_len in stripes:
+            fh.seek(offset + skip_len + data_len)
+            sfooter = _parse(fh.read(footer_len))
+            skip_sizes = sfooter.get(1, [])
+            exists_sizes = sfooter.get(2, [])
+            value_sizes = sfooter.get(3, [])
+            run = offset
+            skip_spans = []
+            for sz in skip_sizes:
+                skip_spans.append((run, sz))
+                run += sz
+            run = offset + skip_len
+            data_spans = []
+            for c in range(len(skip_sizes)):
+                data_spans.append((run, exists_sizes[c] + value_sizes[c]))
+                run += exists_sizes[c] + value_sizes[c]
+            for c in range(len(skip_sizes)):
+                if c not in positions:
+                    forbidden.append(skip_spans[c])
+                    forbidden.append(data_spans[c])
+
+    def overlaps(span, ranges):
+        s, ln = span
+        return any(s < fs + fl and fs < s + ln
+                   for fs, fl in ranges if fl)
+
+    for span in pruned_fh.spans:
+        assert not overlaps(span, forbidden), \
+            f"pruned read touched an unwanted column: {span}"
+    # and the IO drop is real: 7 of 9 columns (incl. the wide text
+    # column) never read
+    assert sum(ln for _s, ln in pruned_fh.spans) < \
+        0.5 * sum(ln for _s, ln in full_fh.spans)
+
+
+def test_cstore_writer_streams_stripes(tmp_path):
+    """The sink's flush discipline (cstore_writer.c:493): a
+    multi-stripe partition writes with at most stripe_row_count rows
+    buffered (spied via peak_buffered_rows), and the streamed output is
+    byte-identical to the collect-then-write path."""
+    import pyarrow as pa
+
+    from cstore_fdw_spark.sources.cstore_datasource import CStoreWriter
+    from cstore_fdw_spark.sources.cstore_format import write_cstore_arrow
+    from pyspark.sql.types import (
+        LongType, StringType, StructField, StructType)
+
+    schema = StructType([StructField("a", LongType()),
+                         StructField("b", StringType())])
+    tbl = pa.table({
+        "a": list(range(3500)),
+        "b": [None if i % 11 == 0 else f"v{i}" for i in range(3500)]})
+    # odd-sized incoming batches so stripe boundaries cross batches
+    batches = [b for o, n in
+               [(0, 700), (700, 1), (701, 1299), (2000, 1500)]
+               for b in tbl.slice(o, n).to_batches()]
+    out_dir = str(tmp_path / "sink")
+    w = CStoreWriter(schema, {"path": out_dir,
+                              "stripe_row_count": "1000",
+                              "block_row_count": "300"},
+                     overwrite=False)
+    w.write(iter(batches))
+    assert w.peak_buffered_rows <= 1000
+    files = [f for f in os.listdir(out_dir) if f.endswith(".cstore")]
+    assert len(files) == 1
+    streamed = open(os.path.join(out_dir, files[0]), "rb").read()
+    ref_path = str(tmp_path / "ref.cstore")
+    write_cstore_arrow(ref_path, tbl, ["bigint", "string"],
+                       stripe_row_count=1000, block_row_count=300)
+    assert streamed == open(ref_path, "rb").read()
+    assert (open(os.path.join(out_dir, files[0]) + ".footer", "rb").read()
+            == open(ref_path + ".footer", "rb").read())
+
+
+def test_catalog_cstore_pruned_read(spark, tmp_path):
+    """read(columns=...) on a cstore table decodes only the named
+    columns (values identical to the full read), composes with block
+    skipping and ADD COLUMN read repair, and rejects unknown names;
+    on parquet the same call prunes the scan's ReadSchema."""
+    import re
+
+    import pyspark.sql.functions as F
+
+    from cstore_fdw_spark.catalog import CStoreCatalog, CStoreError
+
+    cat = CStoreCatalog(spark, warehouse=str(tmp_path / "wh"))
+    cat.create_table(
+        "w6", "a BIGINT, b STRING, c DOUBLE, d BIGINT, e DATE, f BOOLEAN",
+        storage_format="cstore", stripe_row_count=1000,
+        block_row_count=1000)
+    df = spark.range(0, 2000).select(
+        F.col("id").alias("a"),
+        F.concat(F.lit("s"), F.col("id") % 7).alias("b"),
+        (F.col("id") * 1.5).alias("c"),
+        (F.col("id") * 100).alias("d"),
+        F.to_date(F.lit("2024-03-01")).alias("e"),
+        (F.col("id") % 2 == 0).alias("f"))
+    cat.insert("w6", df)
+    pruned = cat.read("w6", columns=["a", "c", "e"])
+    assert pruned.columns == ["a", "c", "e"]
+    got = {r.a: (r.c, str(r.e)) for r in pruned.collect()}
+    assert len(got) == 2000 and got[7] == (10.5, "2024-03-01")
+    # pruned + filtered (block skipping under remapped positions)
+    flt = cat.read("w6", columns=["a", "d"]).filter("a >= 1995") \
+        .orderBy("a").collect()
+    assert [(r.a, r.d) for r in flt] == \
+        [(i, i * 100) for i in range(1995, 2000)]
+    # ADD COLUMN: synthesized default for pruned reads that include it,
+    # absent physically (never written)
+    cat.add_column("w6", "g", "STRING", default="pg")
+    gcol = cat.read("w6", columns=["a", "g"])
+    assert gcol.columns == ["a", "g"]
+    assert gcol.filter("g = 'pg'").count() == 2000
+    # ONLY synthesized columns requested: a physical carrier column
+    # keeps row multiplicity (then drops out of the projection)
+    only_g = cat.read("w6", columns=["g"])
+    assert only_g.columns == ["g"]
+    assert only_g.filter("g = 'pg'").count() == 2000
+    with pytest.raises(CStoreError, match="do not exist"):
+        cat.read("w6", columns=["a", "nope"])
+    # parquet: ReadSchema prunes to the requested columns
+    cat.create_table("wp", "a BIGINT, b STRING, c DOUBLE")
+    cat.insert("wp", spark.range(0, 100).select(
+        F.col("id").alias("a"), F.lit("x").alias("b"),
+        F.lit(1.0).alias("c")))
+    plan = cat.read("wp", columns=["a", "c"]) \
+        ._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m and set(x.split(":")[0] for x in m.group(1).split(",")) == \
+        {"a", "c"}
