@@ -2484,11 +2484,12 @@ def _file_stats_from_cstore(path: str, schema: T.StructType) \
     only — the cstore twin of :func:`_file_stats_from_footer`. Text
     columns are omitted (their skip-node bounds are collation-ordered
     in foreign files; pruning against them could drop rows)."""
-    from cstore_fdw_spark.sources.cstore_datasource import _SPARK_TO_CSTORE
+    from cstore_fdw_spark.sources.cstore_datasource import (
+        spark_type_to_cstore)
     from cstore_fdw_spark.sources.cstore_format import cstore_file_minmax
 
     try:
-        type_names = [_SPARK_TO_CSTORE[f.dataType.typeName()]
+        type_names = [spark_type_to_cstore(f.dataType)
                       for f in schema.fields]
         folds = cstore_file_minmax(path, type_names)
     except Exception:

@@ -682,3 +682,59 @@ def scan_cstore_pruned_projection(spark, sf_dir):
             .agg(F.count(F.lit(1)).alias("n"),
                  F.sum("qty").alias("sum_qty"))
             .orderBy("l_returnflag"))
+
+
+@register(
+    "scan_cstore_decimal_roundtrip",
+    category="scan",
+    oracle=f"""
+    SELECT l_returnflag,
+           {_dbl(f"SUM(CAST(l_extendedprice AS {D}))")} AS sum_price,
+           {_dbl(f"MIN(CAST(l_extendedprice AS {D}))")} AS min_price,
+           {_dbl(f"MAX(CAST(l_extendedprice AS {D}))")} AS max_price
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """)
+def scan_cstore_decimal_roundtrip(spark, sf_dir):
+    """PG ``numeric`` in the v1.7 binary format, under the oracle:
+    l_extendedprice is written to cstore as DECIMAL(12,2) — REAL PG
+    numeric varlena datums (base-10000 digit groups, weight/dscale/sign
+    header; `sources/cstore_format.py:pg_numeric_encode`, the public
+    layout of PostgreSQL's numeric.c, which the reference stores
+    through its generic datum path — cstore_writer.c:729-760,
+    input/data_types.source) — read back through format("cstore") and
+    aggregated with exact decimal arithmetic; the DuckDB oracle
+    computes the same from the parquet original, so header layout,
+    digit alignment, zero/negative encodings, and skip-node numeric
+    min/max are all value-checked end to end.
+
+    Scale: decimals ride the same per-stripe parallel scan and
+    projection-pushdown path as every other column; numeric skip-node
+    bounds are collation-free, so block skipping applies (unlike
+    text)."""
+    import hashlib
+    import os
+    import tempfile
+
+    from cstore_fdw_spark.sources.cstore_datasource import register_cstore
+
+    register_cstore(spark)
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    path = os.path.join(tempfile.gettempdir(), f"cstore_dec_{key}")
+    marker = os.path.join(path, "_built")
+    if not os.path.exists(marker):
+        (table(spark, sf_dir, "lineitem")
+         .select("l_returnflag", dec("l_extendedprice").alias("price"))
+         .write.format("cstore")
+         .option("stripe_row_count", "150000")
+         .option("block_row_count", "10000")
+         .mode("overwrite").save(path))
+        with open(marker, "w") as fh:
+            fh.write(os.path.abspath(sf_dir))
+    back = (spark.read.format("cstore")
+            .schema("l_returnflag STRING, price DECIMAL(12,2)")
+            .load(path))
+    return (back.groupBy("l_returnflag")
+            .agg(to_dbl(F.sum("price")).alias("sum_price"),
+                 to_dbl(F.min("price")).alias("min_price"),
+                 to_dbl(F.max("price")).alias("max_price"))
+            .orderBy("l_returnflag"))

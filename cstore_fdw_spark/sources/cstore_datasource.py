@@ -46,16 +46,30 @@ _SPARK_TO_CSTORE = {
 }
 
 
+def spark_type_to_cstore(dt) -> str:
+    """Spark DataType (or typeName string) -> cstore codec type name;
+    ``decimal(p,s)`` maps to PG numeric (DecimalType.typeName() is the
+    bare ``decimal`` — the precision/scale live in simpleString()).
+    Raises the loud unsupported-type error otherwise."""
+    if not isinstance(dt, str):
+        name = dt.typeName()
+        dt = dt.simpleString() if name == "decimal" else name
+    if dt in _SPARK_TO_CSTORE:
+        return _SPARK_TO_CSTORE[dt]
+    if dt.startswith("decimal("):
+        return dt
+    raise ValueError(
+        f"cstore source does not support column type {dt!r}; "
+        f"supported: {sorted(_SPARK_TO_CSTORE)} + decimal(p,s)")
+
+
 def _type_names(schema: StructType) -> list[str]:
     names = []
     for f in schema.fields:
-        t = f.dataType.typeName()
-        if t not in _SPARK_TO_CSTORE:
-            raise ValueError(
-                f"cstore source does not support column type {t!r} "
-                f"(column {f.name!r}); supported: "
-                f"{sorted(_SPARK_TO_CSTORE)}")
-        names.append(_SPARK_TO_CSTORE[t])
+        try:
+            names.append(spark_type_to_cstore(f.dataType))
+        except ValueError as exc:
+            raise ValueError(f"{exc} (column {f.name!r})") from None
     return names
 
 

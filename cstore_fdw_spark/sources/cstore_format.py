@@ -23,7 +23,9 @@ Layout (studied from the reference, reimplemented from scratch):
 from __future__ import annotations
 
 import os
+import re
 import struct
+from decimal import Decimal, localcontext
 
 # ------------------------------------------------------------ protobuf wire
 
@@ -229,6 +231,75 @@ def pglz_compress(data: bytes) -> bytes | None:
         out[ctrl_pos] = ctrl
     return bytes(out) if len(out) < n else None
 
+# ------------------------------------------------------------- pg numeric
+
+def pg_numeric_encode(dec: Decimal, dscale: int) -> bytes:
+    """A Decimal -> PostgreSQL ``numeric`` datum payload (the public
+    on-disk layout of numeric.c: int16 base-10000 digit groups aligned
+    to the decimal point, a weight/dscale/sign header). Emits the LONG
+    header form — uint16 sign|dscale, int16 weight, digits — which
+    every PG reader accepts; trailing/leading zero groups stripped,
+    zero stored as ndigits=0. The reference stores numeric columns
+    through exactly this datum path (cstore_writer.c serializes any PG
+    type via typlen/typalign; input/data_types.source exercises it)."""
+    if dec.is_nan() or dec.is_infinite():
+        raise ValueError("cstore numeric: NaN/Infinity not storable")
+    neg = dec < 0
+    a = -dec if neg else dec
+    int_part, _, frac_part = f"{a:.{dscale}f}".partition(".")
+    istr = "0" * ((-len(int_part)) % 4) + int_part
+    fstr = frac_part + "0" * ((-len(frac_part)) % 4)
+    digits = [int(istr[i:i + 4]) for i in range(0, len(istr), 4)] + \
+             [int(fstr[i:i + 4]) for i in range(0, len(fstr), 4)]
+    weight = len(istr) // 4 - 1
+    while digits and digits[0] == 0:
+        digits.pop(0)
+        weight -= 1
+    while digits and digits[-1] == 0:
+        digits.pop()
+    if not digits:
+        weight = 0
+        neg = False
+    hdr = (0x4000 if neg else 0x0000) | (dscale & 0x3FFF)
+    return (struct.pack("<Hh", hdr, weight)
+            + struct.pack(f"<{len(digits)}h", *digits))
+
+
+def pg_numeric_decode(payload: bytes) -> Decimal:
+    """PG numeric payload -> Decimal at the datum's own dscale. Accepts
+    BOTH header forms — foreign files carry the SHORT form (PG >= 9.1:
+    0x8000 flag, 0x2000 sign, 6-bit dscale at bit 7, 7-bit signed
+    weight) as well as the long one. NaN raises loudly (Spark decimals
+    have no NaN; silently nulling would be a wrong row)."""
+    (hdr,) = struct.unpack_from("<H", payload, 0)
+    if hdr & 0xC000 == 0xC000:
+        # special values (NaN 0xC000, +Inf 0xD000, -Inf 0xF000) — must
+        # be tested BEFORE the short flag (they share bit 0x8000)
+        raise ValueError("cstore numeric: NaN/Infinity not "
+                         "representable as a Spark decimal")
+    if hdr & 0x8000:
+        neg = bool(hdr & 0x2000)
+        dscale = (hdr >> 7) & 0x3F
+        w = hdr & 0x3F
+        weight = w - 64 if hdr & 0x0040 else w
+        off = 2
+    else:
+        neg = (hdr & 0xC000) == 0x4000
+        dscale = hdr & 0x3FFF
+        (weight,) = struct.unpack_from("<h", payload, 2)
+        off = 4
+    n = (len(payload) - off) // 2
+    digits = struct.unpack_from(f"<{n}h", payload, off)
+    with localcontext() as ctx:
+        ctx.prec = 80
+        val = Decimal(0)
+        for i, dg in enumerate(digits):
+            val += Decimal(dg).scaleb(4 * (weight - i))
+        if neg:
+            val = -val
+        return val.quantize(Decimal(1).scaleb(-dscale))
+
+
 # --------------------------------------------------------------- type serde
 
 #: spark-type-name -> (byval, typlen, align, pack-kind)
@@ -245,6 +316,25 @@ CSTORE_TYPES = {
     "timestamp": (True, 8, 8, "ts"),
     "string": (False, -1, 4, "text"),
 }
+
+_DECIMAL_NAME = re.compile(r"decimal\((\d+),(\d+)\)$")
+
+
+def cstore_type_props(name: str) -> tuple:
+    """(byval, typlen, align, kind) for a cstore-storable type name.
+    ``decimal(p,s)`` maps to PG ``numeric`` — varlena (typlen -1,
+    typalign 'i' = 4, pg_type catalog), kind ``num:p:s``. Anything
+    else raises the documented loud error (the reference stores any PG
+    type; this codec's honest scope is the 9 scalars + numeric)."""
+    props = CSTORE_TYPES.get(name)
+    if props is not None:
+        return props
+    m = _DECIMAL_NAME.match(name)
+    if m:
+        return (False, -1, 4, f"num:{m.group(1)}:{m.group(2)}")
+    raise ValueError(
+        f"cstore format does not store type {name!r}; supported: "
+        f"{sorted(CSTORE_TYPES)} + decimal(p,s)")
 
 #: PostgreSQL epoch (2000-01-01) offsets
 _PG_DATE_EPOCH_DAYS = 10957          # days from 1970-01-01 to 2000-01-01
@@ -266,6 +356,8 @@ def _to_storage(value, kind):
         return micros - _PG_TS_EPOCH_MICROS
     if kind == "text":
         return value.encode("utf-8")
+    if kind.startswith("num:"):
+        return pg_numeric_encode(value, int(kind.rsplit(":", 1)[1]))
     if kind == "b":
         return 1 if value else 0
     return value
@@ -282,6 +374,8 @@ def _from_storage(raw, kind):
             .replace(microsecond=micros % 1_000_000)
     if kind == "text":
         return raw.decode("utf-8")
+    if kind.startswith("num:"):
+        return pg_numeric_decode(raw)
     if kind == "b":
         return bool(raw)
     return raw
@@ -451,7 +545,7 @@ def write_cstore_file(path: str, rows: list[tuple], type_names: list[str],
                       compression: str = "pglz") -> None:
     """Write rows (tuples, None = NULL) as a cstore v1.7 data+footer
     file pair readable by the reference."""
-    types = [CSTORE_TYPES[t] for t in type_names]
+    types = [cstore_type_props(t) for t in type_names]
     stripes_blocks = []
     for s0 in range(0, max(len(rows), 1) if rows else 0, stripe_row_count):
         chunk = rows[s0:s0 + stripe_row_count]
@@ -467,6 +561,8 @@ def write_cstore_file(path: str, rows: list[tuple], type_names: list[str],
                 vbuf, comp = _compress_block(vbuf, compression)
                 present = [v for v in block if v is not None]
                 if present:
+                    # text min/max compare in ENCODED (byte) order —
+                    # numerics and by-value types in VALUE order
                     key = ((lambda v: _to_storage(v, kind))
                            if kind == "text" else (lambda v: v))
                     mm = (serialize_datum_raw(min(present, key=key),
@@ -503,9 +599,27 @@ def _arrow_stripe_blocks(stripe, types, block_row_count: int,
             ebuf = np.packbits(valid, bitorder="little").tobytes()
             pres = arr.drop_null()
             mm = None
-            if kind == "text":
-                vals = [v.encode("utf-8")
-                        for v in pres.to_pylist()]
+            if kind == "text" or kind.startswith("num:"):
+                # varlena path (per-datum by design). text min/max
+                # compare in encoded-byte order; numerics in Decimal
+                # value order (their encoding doesn't sort bytewise)
+                if kind == "text":
+                    vals = [v.encode("utf-8")
+                            for v in pres.to_pylist()]
+                    if vals:
+                        mm = (pack_storage_raw(min(vals), typlen, kind),
+                              pack_storage_raw(max(vals), typlen, kind))
+                else:
+                    scale = int(kind.rsplit(":", 1)[1])
+                    decs = pres.to_pylist()
+                    vals = [pg_numeric_encode(v, scale) for v in decs]
+                    if decs:
+                        mm = (pack_storage_raw(
+                                  pg_numeric_encode(min(decs), scale),
+                                  typlen, kind),
+                              pack_storage_raw(
+                                  pg_numeric_encode(max(decs), scale),
+                                  typlen, kind))
                 vbuf = bytearray()
                 for payload in vals:
                     raw = (struct.pack("<I", (len(payload) + 4) << 2)
@@ -513,9 +627,6 @@ def _arrow_stripe_blocks(stripe, types, block_row_count: int,
                     pad = _align_up(len(raw), align) - len(raw)
                     vbuf += raw + b"\x00" * pad
                 vbuf = bytes(vbuf)
-                if vals:
-                    mm = (pack_storage_raw(min(vals), typlen, kind),
-                          pack_storage_raw(max(vals), typlen, kind))
             else:
                 if kind == "date":
                     st = (pres.cast(pa.int32()).to_numpy(
@@ -560,7 +671,7 @@ class CStoreFileWriter:
                  block_row_count: int = 10000,
                  compression: str = "pglz"):
         self.path = path
-        self.types = [CSTORE_TYPES[t] for t in type_names]
+        self.types = [cstore_type_props(t) for t in type_names]
         self.stripe_row_count = stripe_row_count
         self.block_row_count = block_row_count
         self.compression = compression
@@ -646,7 +757,7 @@ def read_stripe(fh, stripe, type_names: list[str],
     yield no rows (callers must only prune on predicates that refute
     the whole block)."""
     offset, skip_len, data_len, footer_len = stripe
-    types = [CSTORE_TYPES[t] for t in type_names]
+    types = [cstore_type_props(t) for t in type_names]
     fh.seek(offset + skip_len + data_len)
     sfooter = _parse(fh.read(footer_len))
     skip_sizes = sfooter.get(1, [])
@@ -791,6 +902,9 @@ _NP_DTYPE = {"b": "u1", "h": "<i2", "i": "<i4", "q": "<i8",
 
 def _pa_type(kind: str):
     import pyarrow as pa
+    if kind.startswith("num:"):
+        _n, p, s = kind.split(":")
+        return pa.decimal128(int(p), int(s))
     return {"b": pa.bool_(), "h": pa.int16(), "i": pa.int32(),
             "q": pa.int64(), "f": pa.float32(), "d": pa.float64(),
             "date": pa.date32(), "ts": pa.timestamp("us"),
@@ -813,6 +927,26 @@ def _decode_block_arrow(vbuf: bytes, ebuf: bytes, rowcount: int,
         vals = deserialize_datums(vbuf, exists.tolist(), typlen, align,
                                   kind)
         return pa.array(vals, type=pa.string())
+    if kind.startswith("num:"):
+        # varlena walk like text; a foreign datum whose dscale exceeds
+        # the declared column scale would have to round — raise loudly
+        # instead of returning a changed value
+        _n, p, s = kind.split(":")
+        q = Decimal(1).scaleb(-int(s))
+        vals = deserialize_datums(vbuf, exists.tolist(), typlen, align,
+                                  kind)
+        out = []
+        for v in vals:
+            if v is None:
+                out.append(None)
+                continue
+            qv = v.quantize(q)
+            if qv != v:
+                raise ValueError(
+                    f"cstore numeric {v} does not fit declared scale "
+                    f"{s} without rounding; declare decimal(p,{-v.as_tuple().exponent})")
+            out.append(qv)
+        return pa.array(out, type=pa.decimal128(int(p), int(s)))
     assert typlen == align  # contiguity precondition for frombuffer
     n_present = int(exists.sum())
     raw = np.frombuffer(vbuf, dtype=_NP_DTYPE[kind], count=n_present)
@@ -851,7 +985,7 @@ def read_stripe_batches(fh, stripe, type_names: list[str],
     import pyarrow as pa
 
     offset, skip_len, data_len, footer_len = stripe
-    types = [CSTORE_TYPES[t] for t in type_names]
+    types = [cstore_type_props(t) for t in type_names]
     if positions is None:
         positions = list(range(len(types)))
     fh.seek(offset + skip_len + data_len)
@@ -932,7 +1066,7 @@ def cstore_file_minmax(path: str, type_names: list[str]):
     same structure the catalog's merge/delete planner prunes with.
     A column whose every block lacks min/max (all-NULL blocks) yields
     ``None``. Columns beyond the file's physical width are ``None``."""
-    types = [CSTORE_TYPES[t] for t in type_names]
+    types = [cstore_type_props(t) for t in type_names]
     _brc, stripes = read_footer(path)
     folds: list = [None] * len(types)
     with open(path, "rb") as fh:
