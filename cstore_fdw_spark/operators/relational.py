@@ -738,3 +738,63 @@ def scan_cstore_decimal_roundtrip(spark, sf_dir):
                  to_dbl(F.min("price")).alias("min_price"),
                  to_dbl(F.max("price")).alias("max_price"))
             .orderBy("l_returnflag"))
+
+
+@register(
+    "scan_cstore_array_roundtrip",
+    category="scan",
+    oracle="""
+    SELECT label, CAST(COUNT(*) AS BIGINT) AS n_elems,
+           CAST(COUNT(DISTINCT vec_id) AS BIGINT) AS n_vecs,
+           CAST(MIN(e) AS DOUBLE) AS min_e,
+           CAST(MAX(e) AS DOUBLE) AS max_e
+    FROM (SELECT vec_id, label, UNNEST(embedding) AS e
+          FROM embeddings)
+    GROUP BY label ORDER BY label
+    """)
+def scan_cstore_array_roundtrip(spark, sf_dir):
+    """PG ARRAYS in the v1.7 binary format, under the oracle: the
+    embeddings table's ``array<float>`` column is written to cstore as
+    REAL PostgreSQL 1-D array datums (ndim/dataoffset/elemtype header,
+    dims + lbounds, present-bitmap, MAXALIGN'd data — the public
+    utils/array.h layout; `sources/cstore_format.py:pg_array_encode`;
+    the reference stores arrays through its generic datum path,
+    input/data_types.source + the README's CHAR(10)[] column), read
+    back through format("cstore"), exploded and aggregated. The DuckDB
+    oracle UNNESTs the parquet original — element values, ordering
+    within arrays, and null/empty handling are all value-checked
+    (min/max float->double casts are exact, no float summation).
+
+    Scale: array columns ride the same per-stripe parallel scan,
+    projection pushdown, and pglz path as scalars; the explode happens
+    JVM-side after the scan."""
+    import hashlib
+    import os
+    import tempfile
+
+    from cstore_fdw_spark.sources.cstore_datasource import register_cstore
+
+    register_cstore(spark)
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    path = os.path.join(tempfile.gettempdir(), f"cstore_arr_{key}")
+    marker = os.path.join(path, "_built")
+    if not os.path.exists(marker):
+        (table(spark, sf_dir, "embeddings")
+         .select("vec_id", "embedding", "label")
+         .write.format("cstore")
+         .option("stripe_row_count", "150000")
+         .option("block_row_count", "10000")
+         .mode("overwrite").save(path))
+        with open(marker, "w") as fh:
+            fh.write(os.path.abspath(sf_dir))
+    back = (spark.read.format("cstore")
+            .schema("vec_id BIGINT, embedding ARRAY<FLOAT>, label INT")
+            .load(path))
+    ex = back.select("vec_id", "label",
+                     F.explode("embedding").alias("e"))
+    return (ex.groupBy("label")
+            .agg(F.count(F.lit(1)).alias("n_elems"),
+                 F.countDistinct("vec_id").alias("n_vecs"),
+                 F.min(F.col("e").cast("double")).alias("min_e"),
+                 F.max(F.col("e").cast("double")).alias("max_e"))
+            .orderBy("label"))

@@ -43,6 +43,7 @@ _SPARK_TO_CSTORE = {
     "timestamp": "timestamp",
     "timestamp_ntz": "timestamp",
     "string": "string",
+    "binary": "bytea",
 }
 
 
@@ -53,14 +54,18 @@ def spark_type_to_cstore(dt) -> str:
     Raises the loud unsupported-type error otherwise."""
     if not isinstance(dt, str):
         name = dt.typeName()
+        if name == "array":
+            # 1-D PG array of any supported element (incl. decimal)
+            return f"array<{spark_type_to_cstore(dt.elementType)}>"
         dt = dt.simpleString() if name == "decimal" else name
     if dt in _SPARK_TO_CSTORE:
         return _SPARK_TO_CSTORE[dt]
-    if dt.startswith("decimal("):
+    if dt.startswith("decimal(") or dt.startswith("array<"):
         return dt
     raise ValueError(
         f"cstore source does not support column type {dt!r}; "
-        f"supported: {sorted(_SPARK_TO_CSTORE)} + decimal(p,s)")
+        f"supported: {sorted(_SPARK_TO_CSTORE)} + decimal(p,s) + "
+        "array<elem>")
 
 
 def _type_names(schema: StructType) -> list[str]:

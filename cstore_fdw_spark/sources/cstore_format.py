@@ -22,6 +22,7 @@ Layout (studied from the reference, reimplemented from scratch):
 """
 from __future__ import annotations
 
+import dataclasses
 import os
 import re
 import struct
@@ -300,11 +301,319 @@ def pg_numeric_decode(payload: bytes) -> Decimal:
         return val.quantize(Decimal(1).scaleb(-dscale))
 
 
+# -------------------------------------------------------------- pg arrays
+
+MAXALIGN = 8
+
+#: element kind -> pg_type oid (public catalog constants)
+_ELEM_OID = {"b": 16, "h": 21, "i": 23, "q": 20, "f": 700, "d": 701,
+             "date": 1082, "ts": 1114, "text": 25, "num": 1700,
+             "tstz": 1184, "time": 1083, "iv": 1186, "uuid": 2950,
+             "inet": 869, "varbit": 1562, "bytea": 17, "money": 790,
+             "json": 114}
+
+
+def _elem_oid(kind: str) -> int:
+    return _ELEM_OID["num" if kind.startswith("num:") else kind]
+
+
+def pg_array_encode(values: list, elemkind: str, typlen: int,
+                    ealign: int) -> bytes:
+    """A python list (None = NULL element) -> PostgreSQL 1-D array
+    datum payload (the public layout of utils/array.h: int32 ndim,
+    dataoffset — 0 when no NULLs —, elemtype oid, per-dim [dim,
+    lbound], optional LSB-first present-bitmap, MAXALIGN'd data, then
+    elements under standard attribute rules). Offsets are DATUM-
+    relative and count the 4-byte varlena header the column writer
+    prepends. Empty list -> PG's canonical empty array (ndim 0)."""
+    n = len(values)
+    oid = _elem_oid(elemkind)
+    if n == 0:
+        return struct.pack("<iii", 0, 0, oid)
+    hasnull = any(v is None for v in values)
+    overhead = 4 + 12 + 8  # vl_len + (ndim,dataoffset,oid) + (dim,lb)
+    if hasnull:
+        bitmap = bytearray((n + 7) // 8)
+        for idx, v in enumerate(values):
+            if v is not None:
+                bitmap[idx // 8] |= 1 << (idx % 8)
+        dataoffset = _align_up(overhead + len(bitmap), MAXALIGN)
+        data_start = dataoffset
+    else:
+        bitmap = b""
+        dataoffset = 0
+        data_start = _align_up(overhead, MAXALIGN)
+    out = bytearray()
+    out += struct.pack("<iiiii", 1, dataoffset, oid, n, 1)
+    out += bitmap
+    out += b"\x00" * (data_start - 4 - len(out))
+    pos = data_start  # datum-relative
+    for v in values:
+        if v is None:
+            continue
+        sv = _to_storage(v, elemkind)
+        npos = _align_up(pos, ealign)
+        out += b"\x00" * (npos - pos)
+        if typlen > 0:
+            out += struct.pack(_pack_fmt(elemkind), sv)
+            pos = npos + typlen
+        else:
+            out += struct.pack("<I", (len(sv) + 4) << 2) + sv
+            pos = npos + 4 + len(sv)
+    return bytes(out)
+
+
+def pg_array_decode(payload: bytes, elemkind: str, typlen: int,
+                    ealign: int) -> list:
+    """Inverse of :func:`pg_array_encode`; accepts short varlena
+    element headers too (PG packs them since 8.3). 1-D only — the
+    reference corpus (data_types.source) uses 1-D arrays; multi-dim
+    raises loudly."""
+    ndim, dataoffset, _oid = struct.unpack_from("<iii", payload, 0)
+    if ndim == 0:
+        return []
+    if ndim != 1:
+        raise ValueError(
+            f"cstore arrays: only 1-D supported (ndim={ndim})")
+    n, _lb = struct.unpack_from("<ii", payload, 12)
+    hasnull = dataoffset != 0
+    if hasnull:
+        bitmap = payload[20:20 + (n + 7) // 8]
+        present = [bool(bitmap[idx // 8] & (1 << (idx % 8)))
+                   for idx in range(n)]
+        data_start = dataoffset
+    else:
+        present = [True] * n
+        data_start = _align_up(4 + 20, MAXALIGN)
+    pos = data_start  # datum-relative; payload index = pos - 4
+    out = []
+    for idx in range(n):
+        if not present[idx]:
+            out.append(None)
+            continue
+        if typlen > 0:
+            pos = _align_up(pos, ealign)
+            raw = struct.unpack_from(_pack_fmt(elemkind), payload,
+                                     pos - 4)[0]
+            pos += typlen
+        else:
+            b0 = payload[pos - 4] if pos - 4 < len(payload) else 0
+            if b0 & 0x01:  # short varlena: no alignment padding
+                total = b0 >> 1
+                raw = bytes(payload[pos - 4 + 1:pos - 4 + total])
+            else:
+                pos = _align_up(pos, ealign)
+                (hdr,) = struct.unpack_from("<I", payload, pos - 4)
+                total = hdr >> 2
+                raw = bytes(payload[pos - 4 + 4:pos - 4 + total])
+            pos += total
+        out.append(_from_storage(raw, elemkind))
+    return out
+
+
+# ------------------------------------------- pg value-domain containers
+
+@dataclasses.dataclass(frozen=True)
+class PgInterval:
+    """PostgreSQL ``interval`` value domain — the public on-disk struct
+    (datatype/timestamp.h): int64 micros, int32 days, int32 months kept
+    as SEPARATE components (PG never normalizes days into months)."""
+    months: int
+    days: int
+    micros: int
+
+
+@dataclasses.dataclass(frozen=True)
+class PgRange:
+    """PostgreSQL range value: bounds (None = infinite), inclusivity
+    flags, and the distinguished empty range (rangetypes.h flags)."""
+    lower: object
+    upper: object
+    lower_inc: bool
+    upper_inc: bool
+    empty: bool
+
+
+@dataclasses.dataclass(frozen=True)
+class PgInet:
+    """PostgreSQL ``inet``: an address + netmask bit count."""
+    addr: object  # ipaddress.IPv4Address | IPv6Address
+    bits: int
+
+
+# ----------------------------------------------------- pg composite datums
+
+RECORD_OID = 2249        # pg_type: pseudo-type "record"
+_HEAP_HASNULL = 0x0001   # htup_details.h t_infomask bit
+
+
+def pg_composite_encode(values: tuple, kinds: list[str]) -> bytes:
+    """A field tuple (None = NULL field) -> the PostgreSQL composite
+    datum payload: a HeapTupleHeader serving as a varlena datum (the
+    public htup_details.h layout — vl_len overlays datum_len and is
+    stripped by the column writer's varlena framing): int32 typmod -1,
+    Oid typeid (RECORD), 6 zero ctid bytes, uint16 natts (infomask2),
+    uint16 infomask (HEAP_HASNULL when any field is NULL), uint8 t_hoff
+    = MAXALIGN(23 + bitmap), LSB-first null bitmap, then the fields
+    under standard attribute alignment rules."""
+    natts = len(kinds)
+    if len(values) != natts:
+        raise ValueError(
+            f"composite arity {len(values)} != {natts} fields")
+    hasnull = any(v is None for v in values)
+    bitmap = _bitmap([v is not None for v in values]) if hasnull else b""
+    t_hoff = _align_up(23 + len(bitmap), MAXALIGN)  # datum-relative
+    out = bytearray()
+    out += struct.pack("<iI", -1, RECORD_OID)       # typmod, typeid
+    out += b"\x00" * 6                              # t_ctid (zeroed)
+    out += struct.pack("<HHB", natts,
+                       _HEAP_HASNULL if hasnull else 0, t_hoff)
+    out += bitmap
+    out += b"\x00" * (t_hoff - 4 - len(out))
+    pos = t_hoff                                    # datum-relative
+    for v, k in zip(values, kinds):
+        if v is None:
+            continue
+        typlen, kalign = _elem_props(k)
+        sv = _to_storage(v, k)
+        npos = _align_up(pos, kalign)
+        out += b"\x00" * (npos - pos)
+        if typlen > 0:
+            out += struct.pack(_pack_fmt(k), sv)
+            pos = npos + typlen
+        else:
+            out += struct.pack("<I", (len(sv) + 4) << 2) + sv
+            pos = npos + 4 + len(sv)
+    return bytes(out)
+
+
+def pg_composite_decode(payload: bytes, kinds: list[str]) -> tuple:
+    """Inverse of :func:`pg_composite_encode`; accepts short varlena
+    field headers too (PG packs fields since 8.3)."""
+    natts, infomask = struct.unpack_from("<HH", payload, 14)
+    natts &= 0x07FF                                 # HEAP_NATTS_MASK
+    if natts != len(kinds):
+        raise ValueError(
+            f"composite datum has {natts} fields, schema {len(kinds)}")
+    t_hoff = payload[18]
+    if infomask & _HEAP_HASNULL:
+        present = _unbitmap(payload[19:19 + (natts + 7) // 8], natts)
+    else:
+        present = [True] * natts
+    pos = t_hoff              # datum-relative; payload index = pos - 4
+    out = []
+    for idx, k in enumerate(kinds):
+        if not present[idx]:
+            out.append(None)
+            continue
+        typlen, kalign = _elem_props(k)
+        if typlen > 0:
+            pos = _align_up(pos, kalign)
+            raw = struct.unpack_from(_pack_fmt(k), payload, pos - 4)[0]
+            pos += typlen
+        else:
+            b0 = payload[pos - 4]
+            if b0 & 0x01:     # short varlena: no alignment padding
+                total = b0 >> 1
+                raw = bytes(payload[pos - 4 + 1:pos - 4 + total])
+            else:
+                pos = _align_up(pos, kalign)
+                (hdr,) = struct.unpack_from("<I", payload, pos - 4)
+                total = hdr >> 2
+                raw = bytes(payload[pos - 4 + 4:pos - 4 + total])
+            pos += total
+        out.append(_from_storage(raw, k))
+    return tuple(out)
+
+
+# --------------------------------------------------------- pg range datums
+
+#: subtype kind -> builtin range type oid (pg_type catalog)
+_RANGE_OID = {"i": 3904, "q": 3926, "num": 3906, "ts": 3908,
+              "tstz": 3910, "date": 3912}
+#: rangetypes.h flag bits (flags byte is LAST in the datum)
+_RANGE_EMPTY, _RANGE_LB_INC, _RANGE_UB_INC = 0x01, 0x02, 0x04
+_RANGE_LB_INF, _RANGE_UB_INF = 0x08, 0x10
+
+
+def pg_range_encode(r: PgRange, subkind: str) -> bytes:
+    """A :class:`PgRange` -> the PostgreSQL range datum payload (public
+    rangetypes.c serialization): Oid rangetypid, the present bounds in
+    subtype attribute layout, then the flags byte LAST (unaligned)."""
+    out = bytearray(struct.pack("<I", _RANGE_OID[subkind]))
+    if r.empty:
+        out.append(_RANGE_EMPTY)
+        return bytes(out)
+    flags = 0
+    if r.lower is None:
+        flags |= _RANGE_LB_INF
+    elif r.lower_inc:
+        flags |= _RANGE_LB_INC
+    if r.upper is None:
+        flags |= _RANGE_UB_INF
+    elif r.upper_inc:
+        flags |= _RANGE_UB_INC
+    typlen, kalign = _elem_props(subkind)
+    pos = 8                   # datum-relative (vl_len 4 + oid 4)
+    for bound in (r.lower, r.upper):
+        if bound is None:
+            continue
+        sv = _to_storage(bound, subkind)
+        npos = _align_up(pos, kalign)
+        out += b"\x00" * (npos - pos)
+        if typlen > 0:
+            out += struct.pack(_pack_fmt(subkind), sv)
+            pos = npos + typlen
+        else:
+            out += struct.pack("<I", (len(sv) + 4) << 2) + sv
+            pos = npos + 4 + len(sv)
+    out.append(flags)
+    return bytes(out)
+
+
+def pg_range_decode(payload: bytes, subkind: str) -> PgRange:
+    """Inverse of :func:`pg_range_encode` (short varlena bounds
+    accepted)."""
+    flags = payload[-1]
+    if flags & _RANGE_EMPTY:
+        return PgRange(None, None, False, False, True)
+    typlen, kalign = _elem_props(subkind)
+    pos = 8
+
+    def read_bound():
+        nonlocal pos
+        if typlen > 0:
+            pos = _align_up(pos, kalign)
+            raw = struct.unpack_from(_pack_fmt(subkind), payload,
+                                     pos - 4)[0]
+            pos += typlen
+        else:
+            b0 = payload[pos - 4]
+            if b0 & 0x01:
+                total = b0 >> 1
+                raw = bytes(payload[pos - 4 + 1:pos - 4 + total])
+            else:
+                pos = _align_up(pos, kalign)
+                (hdr,) = struct.unpack_from("<I", payload, pos - 4)
+                total = hdr >> 2
+                raw = bytes(payload[pos - 4 + 4:pos - 4 + total])
+            pos += total
+        return _from_storage(raw, subkind)
+
+    lower = None if flags & _RANGE_LB_INF else read_bound()
+    upper = None if flags & _RANGE_UB_INF else read_bound()
+    return PgRange(lower, upper, bool(flags & _RANGE_LB_INC),
+                   bool(flags & _RANGE_UB_INC), False)
+
+
 # --------------------------------------------------------------- type serde
 
 #: spark-type-name -> (byval, typlen, align, pack-kind)
 #: PG catalog properties: bool (1,'c'), int2 (2,'s'), int4/date/float4
-#: (4,'i'), int8/timestamp/float8 (8,'d'), text (-1,'i')
+#: (4,'i'), int8/timestamp/float8 (8,'d'), text (-1,'i'); the corpus
+#: types added for data_types.source parity: time/timestamptz/money
+#: byval (8,'d'), interval by-ref fixed (16,'d'), uuid by-ref fixed
+#: (16,'c'), inet/varbit/bytea/json varlena (-1,'i')
 CSTORE_TYPES = {
     "boolean": (True, 1, 1, "b"),
     "smallint": (True, 2, 2, "h"),
@@ -315,30 +624,106 @@ CSTORE_TYPES = {
     "date": (True, 4, 4, "date"),
     "timestamp": (True, 8, 8, "ts"),
     "string": (False, -1, 4, "text"),
+    "time": (True, 8, 8, "time"),
+    "timestamptz": (True, 8, 8, "tstz"),
+    "interval": (False, 16, 8, "iv"),
+    "uuid": (False, 16, 1, "uuid"),
+    "inet": (False, -1, 4, "inet"),
+    "varbit": (False, -1, 4, "varbit"),
+    "bytea": (False, -1, 4, "bytea"),
+    "money": (True, 8, 8, "money"),
+    "json": (False, -1, 4, "json"),
 }
 
 _DECIMAL_NAME = re.compile(r"decimal\((\d+),(\d+)\)$")
+_ARRAY_NAME = re.compile(r"array<(.+)>$")
+_ENUM_NAME = re.compile(r"enum\((.+)\)$")
+_COMPOSITE_NAME = re.compile(r"composite\((.+)\)$")
+#: range type name -> bound subtype kind
+_RANGE_TYPE_NAMES = {"int4range": "i", "int8range": "q",
+                     "numrange": "num", "tsrange": "ts",
+                     "tstzrange": "tstz", "daterange": "date"}
+
+
+def _elem_props(elemkind: str) -> tuple[int, int]:
+    """(typlen, align) of a NESTED kind — an array element, composite
+    field, or range bound."""
+    if elemkind == "text" or elemkind == "num" or \
+            elemkind.startswith("num:"):
+        return -1, 4
+    if elemkind.startswith("enum:"):
+        return 4, 4
+    if elemkind.startswith("comp:") or elemkind.startswith("rng:"):
+        return -1, 8
+    for _name, (_bv, typlen, align, kind) in CSTORE_TYPES.items():
+        if kind == elemkind:
+            return typlen, align
+    raise ValueError(f"unknown nested kind {elemkind!r}")
 
 
 def cstore_type_props(name: str) -> tuple:
     """(byval, typlen, align, kind) for a cstore-storable type name.
     ``decimal(p,s)`` maps to PG ``numeric`` — varlena (typlen -1,
-    typalign 'i' = 4, pg_type catalog), kind ``num:p:s``. Anything
-    else raises the documented loud error (the reference stores any PG
-    type; this codec's honest scope is the 9 scalars + numeric)."""
+    typalign 'i' = 4, pg_type catalog), kind ``num:p:s``.
+    ``array<elem>`` maps to the PG 1-D array datum (varlena; typalign
+    'd' when the element is double-aligned, else 'i' — pg_type gives
+    array types the alignment their elements need), kind ``arr:elem``.
+    Anything else raises the documented loud error (the reference
+    stores any PG type; this codec's honest scope is the 9 scalars +
+    numeric + 1-D arrays of them)."""
     props = CSTORE_TYPES.get(name)
     if props is not None:
         return props
     m = _DECIMAL_NAME.match(name)
     if m:
         return (False, -1, 4, f"num:{m.group(1)}:{m.group(2)}")
+    m = _ARRAY_NAME.match(name)
+    if m:
+        _bv, _tl, _al, elemkind = cstore_type_props(m.group(1))
+        if elemkind.startswith("arr:"):
+            raise ValueError(
+                "cstore arrays: nested arrays not supported")
+        if elemkind.startswith(("comp:", "rng:", "enum:")):
+            raise ValueError(
+                "cstore arrays: element type must be a scalar")
+        _etl, ealign = _elem_props(elemkind)
+        return (False, -1, max(4, ealign), f"arr:{elemkind}")
+    if name in _RANGE_TYPE_NAMES:
+        # pg_type gives every builtin range type typalign 'd'
+        return (False, -1, 8, f"rng:{_RANGE_TYPE_NAMES[name]}")
+    m = _ENUM_NAME.match(name)
+    if m:
+        # PG enums are fixed-width datums (an oid); this codec stores
+        # the declared label ORDER as int32 — the same sort semantics
+        # (enum comparison is by sort position, not label text)
+        return (True, 4, 4, f"enum:{m.group(1)}")
+    m = _COMPOSITE_NAME.match(name)
+    if m:
+        kinds = []
+        for fld in m.group(1).split(","):
+            _b, _t, _a, k = cstore_type_props(fld.strip())
+            if "," in k or ":" in k:
+                raise ValueError(
+                    "cstore composite: fields must be simple scalar "
+                    f"types (got {fld.strip()!r})")
+            kinds.append(k)
+        return (False, -1, 8, "comp:" + ",".join(kinds))
     raise ValueError(
         f"cstore format does not store type {name!r}; supported: "
-        f"{sorted(CSTORE_TYPES)} + decimal(p,s)")
+        f"{sorted(CSTORE_TYPES)} + decimal(p,s) + array<elem> + "
+        "enum(labels) + composite(fields) + int4/int8/num/ts/tstz/"
+        "date ranges")
 
 #: PostgreSQL epoch (2000-01-01) offsets
 _PG_DATE_EPOCH_DAYS = 10957          # days from 1970-01-01 to 2000-01-01
 _PG_TS_EPOCH_MICROS = 946684800000000
+#: ±infinity sentinels (datatype/timestamp.h DT_NOBEGIN/NOEND,
+#: date.h DATEVAL_NOBEGIN/NOEND) — python domain uses float ±inf
+_TS_NOEND = (1 << 63) - 1
+_TS_NOBEGIN = -(1 << 63)
+_DATE_NOEND = (1 << 31) - 1
+_DATE_NOBEGIN = -(1 << 31)
+_INF = float("inf")
 
 
 def _align_up(n: int, align: int) -> int:
@@ -348,16 +733,70 @@ def _align_up(n: int, align: int) -> int:
 def _to_storage(value, kind):
     """python value -> storable primitive (int/float/bytes)."""
     if kind == "date":
+        if isinstance(value, float):
+            return _DATE_NOEND if value > 0 else _DATE_NOBEGIN
         return value.toordinal() - 730120  # date(2000,1,1).toordinal()
-    if kind == "ts":
+    if kind in ("ts", "tstz"):
+        if isinstance(value, float):
+            return _TS_NOEND if value > 0 else _TS_NOBEGIN
         import calendar
-        micros = (calendar.timegm(value.timetuple()) * 1_000_000
-                  + value.microsecond)
+        tt = (value.utctimetuple() if kind == "tstz"
+              else value.timetuple())
+        micros = calendar.timegm(tt) * 1_000_000 + value.microsecond
         return micros - _PG_TS_EPOCH_MICROS
+    if kind == "time":
+        return (((value.hour * 60 + value.minute) * 60 + value.second)
+                * 1_000_000 + value.microsecond)
     if kind == "text":
         return value.encode("utf-8")
+    if kind == "json":
+        return value.encode("utf-8")
+    if kind == "bytea":
+        return bytes(value)
+    if kind == "iv":
+        # interval struct: int64 micros, int32 days, int32 months
+        return struct.pack("<qii", value.micros, value.days,
+                           value.months)
+    if kind == "uuid":
+        return value.bytes
+    if kind == "money":
+        return value                      # int64 cents (cash.h)
+    if kind == "varbit":
+        # varbit: int32 bit length, then bits MSB-first within bytes
+        nbits = len(value)
+        packed = bytearray((nbits + 7) // 8)
+        for i, ch in enumerate(value):
+            if ch == "1":
+                packed[i // 8] |= 0x80 >> (i % 8)
+            elif ch != "0":
+                raise ValueError(f"varbit literal {value!r}")
+        return struct.pack("<i", nbits) + bytes(packed)
+    if kind == "inet":
+        # inet_struct: unsigned char family, bits, then the address
+        # (PGSQL_AF_INET = 2, +1 for v6)
+        fam = 2 if value.addr.version == 4 else 3
+        return bytes([fam, value.bits]) + value.addr.packed
+    if kind == "num":
+        # unscaled numeric (range bounds): keep the value's own dscale
+        exp = value.as_tuple().exponent
+        return pg_numeric_encode(value, max(0, -exp))
     if kind.startswith("num:"):
         return pg_numeric_encode(value, int(kind.rsplit(":", 1)[1]))
+    if kind.startswith("arr:"):
+        elemkind = kind[4:]
+        typlen, ealign = _elem_props(elemkind)
+        return pg_array_encode(value, elemkind, typlen, ealign)
+    if kind.startswith("enum:"):
+        labels = kind[5:].split(",")
+        try:
+            return labels.index(value)
+        except ValueError:
+            raise ValueError(
+                f"{value!r} is not a label of enum({kind[5:]})") from None
+    if kind.startswith("comp:"):
+        return pg_composite_encode(value, kind[5:].split(","))
+    if kind.startswith("rng:"):
+        return pg_range_encode(value, kind[4:])
     if kind == "b":
         return 1 if value else 0
     return value
@@ -366,23 +805,87 @@ def _to_storage(value, kind):
 def _from_storage(raw, kind):
     if kind == "date":
         import datetime
+        if raw >= _DATE_NOEND:
+            return _INF
+        if raw <= _DATE_NOBEGIN:
+            return -_INF
         return datetime.date.fromordinal(raw + 730120)
     if kind == "ts":
         import datetime
+        if raw >= _TS_NOEND:
+            return _INF
+        if raw <= _TS_NOBEGIN:
+            return -_INF
         micros = raw + _PG_TS_EPOCH_MICROS
         return datetime.datetime.utcfromtimestamp(micros / 1_000_000) \
             .replace(microsecond=micros % 1_000_000)
+    if kind == "tstz":
+        import datetime
+        if raw >= _TS_NOEND:
+            return _INF
+        if raw <= _TS_NOBEGIN:
+            return -_INF
+        return (datetime.datetime(2000, 1, 1,
+                                  tzinfo=datetime.timezone.utc)
+                + datetime.timedelta(microseconds=raw))
+    if kind == "time":
+        import datetime
+        secs, us = divmod(raw, 1_000_000)
+        mins, s = divmod(secs, 60)
+        h, m = divmod(mins, 60)
+        return datetime.time(h, m, s, us)
     if kind == "text":
         return raw.decode("utf-8")
+    if kind == "json":
+        return raw.decode("utf-8")
+    if kind == "bytea":
+        return raw
+    if kind == "iv":
+        t, d, m = struct.unpack("<qii", raw)
+        return PgInterval(m, d, t)
+    if kind == "uuid":
+        import uuid as uuid_mod
+        return uuid_mod.UUID(bytes=raw)
+    if kind == "money":
+        return raw
+    if kind == "varbit":
+        (nbits,) = struct.unpack_from("<i", raw, 0)
+        return "".join(
+            "1" if raw[4 + i // 8] & (0x80 >> (i % 8)) else "0"
+            for i in range(nbits))
+    if kind == "inet":
+        import ipaddress
+        return PgInet(ipaddress.ip_address(raw[2:]), raw[1])
+    if kind == "num":
+        return pg_numeric_decode(raw)
     if kind.startswith("num:"):
         return pg_numeric_decode(raw)
+    if kind.startswith("arr:"):
+        elemkind = kind[4:]
+        typlen, ealign = _elem_props(elemkind)
+        return pg_array_decode(raw, elemkind, typlen, ealign)
+    if kind.startswith("enum:"):
+        return kind[5:].split(",")[raw]
+    if kind.startswith("comp:"):
+        return pg_composite_decode(raw, kind[5:].split(","))
+    if kind.startswith("rng:"):
+        return pg_range_decode(raw, kind[4:])
     if kind == "b":
         return bool(raw)
     return raw
 
 
 _PACK = {"b": "<B", "h": "<h", "i": "<i", "q": "<q", "f": "<f", "d": "<d",
-         "date": "<i", "ts": "<q"}
+         "date": "<i", "ts": "<q", "tstz": "<q", "time": "<q",
+         "money": "<q", "iv": "<16s", "uuid": "<16s"}
+
+
+def _pack_fmt(kind: str) -> str:
+    """struct format of a fixed-width kind (enum kinds are dynamic —
+    always an int32 sort position)."""
+    if kind.startswith("enum:"):
+        return "<i"
+    return _PACK[kind]
 
 
 def pack_storage_raw(storage_val, typlen: int, kind: str) -> bytes:
@@ -390,13 +893,33 @@ def pack_storage_raw(storage_val, typlen: int, kind: str) -> bytes:
     layout, UNALIGNED (the skip-node min/max form,
     DatumToProtobufBinary)."""
     if typlen > 0:
-        return struct.pack(_PACK[kind], storage_val)
+        return struct.pack(_pack_fmt(kind), storage_val)
     return struct.pack("<I", (len(storage_val) + 4) << 2) + storage_val
 
 
 def serialize_datum_raw(value, typlen, kind) -> bytes:
     """One python-domain datum, UNALIGNED (see pack_storage_raw)."""
     return pack_storage_raw(_to_storage(value, kind), typlen, kind)
+
+
+def _minmax_key(kind):
+    """Skip-node min/max policy: a sort key for kinds whose python
+    domain orders like PG's comparator, None for kinds that get NO
+    min/max nodes (optional in the proto — nothing prunes on them).
+    text/bytea compare bytewise (memcmp in PG; byte order here, never
+    collation — the da_DK hazard); date/ts/tstz key on STORAGE so the
+    ±infinity sentinels order against finite values; numerics and
+    by-value scalars order by python value directly. Compound or
+    non-ordered kinds (arrays, composites, ranges, interval, uuid,
+    inet, varbit, json, enum) emit no nodes."""
+    if kind in ("date", "ts", "tstz"):
+        return lambda v: _to_storage(v, kind)
+    if kind == "text":
+        return lambda v: _to_storage(v, kind)
+    if kind in ("b", "h", "i", "q", "f", "d", "time", "money",
+                "bytea", "num") or kind.startswith("num:"):
+        return lambda v: v
+    return None
 
 
 def serialize_datum(value, typlen, align, kind) -> bytes:
@@ -419,7 +942,7 @@ def deserialize_datums(buf: bytes, exists: list[bool], typlen: int,
             out.append(None)
             continue
         if typlen > 0:
-            raw = struct.unpack_from(_PACK[kind], buf, pos)[0]
+            raw = struct.unpack_from(_pack_fmt(kind), buf, pos)[0]
             pos += typlen
         else:
             b0 = buf[pos]
@@ -560,11 +1083,8 @@ def write_cstore_file(path: str, rows: list[tuple], type_names: list[str],
                     for v in block if v is not None)
                 vbuf, comp = _compress_block(vbuf, compression)
                 present = [v for v in block if v is not None]
-                if present:
-                    # text min/max compare in ENCODED (byte) order —
-                    # numerics and by-value types in VALUE order
-                    key = ((lambda v: _to_storage(v, kind))
-                           if kind == "text" else (lambda v: v))
+                key = _minmax_key(kind)
+                if present and key is not None:
                     mm = (serialize_datum_raw(min(present, key=key),
                                               typlen, kind),
                           serialize_datum_raw(max(present, key=key),
@@ -599,16 +1119,32 @@ def _arrow_stripe_blocks(stripe, types, block_row_count: int,
             ebuf = np.packbits(valid, bitorder="little").tobytes()
             pres = arr.drop_null()
             mm = None
-            if kind == "text" or kind.startswith("num:"):
+            if typlen < 0:
                 # varlena path (per-datum by design). text min/max
                 # compare in encoded-byte order; numerics in Decimal
-                # value order (their encoding doesn't sort bytewise)
+                # value order (their encoding doesn't sort bytewise);
+                # arrays carry NO min/max nodes
                 if kind == "text":
                     vals = [v.encode("utf-8")
                             for v in pres.to_pylist()]
                     if vals:
                         mm = (pack_storage_raw(min(vals), typlen, kind),
                               pack_storage_raw(max(vals), typlen, kind))
+                elif kind.startswith("arr:"):
+                    elemkind = kind[4:]
+                    etl, eal = _elem_props(elemkind)
+                    vals = [pg_array_encode(v, elemkind, etl, eal)
+                            for v in pres.to_pylist()]
+                elif kind == "bytea":
+                    # bytea compares bytewise (memcmp) — min/max valid
+                    vals = [bytes(v) for v in pres.to_pylist()]
+                    if vals:
+                        mm = (pack_storage_raw(min(vals), typlen, kind),
+                              pack_storage_raw(max(vals), typlen, kind))
+                elif not kind.startswith("num:"):
+                    raise ValueError(
+                        f"arrow writer: varlena kind {kind!r} is not "
+                        "Spark-expressible")
                 else:
                     scale = int(kind.rsplit(":", 1)[1])
                     decs = pres.to_pylist()
@@ -738,7 +1274,7 @@ def read_footer(path: str):
 def deserialize_datum_raw(buf: bytes, typlen: int, kind: str):
     """Decode one UNALIGNED datum (skip-node min/max)."""
     if typlen > 0:
-        return _from_storage(struct.unpack_from(_PACK[kind], buf, 0)[0],
+        return _from_storage(struct.unpack_from(_pack_fmt(kind), buf, 0)[0],
                              kind)
     b0 = buf[0]
     if b0 & 0x01:
@@ -905,10 +1441,12 @@ def _pa_type(kind: str):
     if kind.startswith("num:"):
         _n, p, s = kind.split(":")
         return pa.decimal128(int(p), int(s))
+    if kind.startswith("arr:"):
+        return pa.list_(_pa_type(kind[4:]))
     return {"b": pa.bool_(), "h": pa.int16(), "i": pa.int32(),
             "q": pa.int64(), "f": pa.float32(), "d": pa.float64(),
             "date": pa.date32(), "ts": pa.timestamp("us"),
-            "text": pa.string()}[kind]
+            "text": pa.string(), "bytea": pa.binary()}[kind]
 
 
 def _decode_block_arrow(vbuf: bytes, ebuf: bytes, rowcount: int,
@@ -927,6 +1465,14 @@ def _decode_block_arrow(vbuf: bytes, ebuf: bytes, rowcount: int,
         vals = deserialize_datums(vbuf, exists.tolist(), typlen, align,
                                   kind)
         return pa.array(vals, type=pa.string())
+    if kind.startswith("arr:"):
+        vals = deserialize_datums(vbuf, exists.tolist(), typlen, align,
+                                  kind)
+        return pa.array(vals, type=_pa_type(kind))
+    if kind == "bytea":
+        vals = deserialize_datums(vbuf, exists.tolist(), typlen, align,
+                                  kind)
+        return pa.array(vals, type=pa.binary())
     if kind.startswith("num:"):
         # varlena walk like text; a foreign datum whose dscale exceeds
         # the declared column scale would have to round — raise loudly

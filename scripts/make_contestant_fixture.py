@@ -33,6 +33,18 @@ from cstore_fdw_spark.sources.cstore_format import write_cstore_file  # noqa: E4
 CSV_PATH = "/root/reference/data/contestants.1.csv"
 OUT = os.path.join(REPO, "tests", "fixtures", "contestant.cstore")
 TYPES = ["string", "date", "integer", "double", "string", "string"]
+#: second fixture: achievements as a REAL PG text[] array datum
+OUT_ARR = os.path.join(REPO, "tests", "fixtures",
+                       "contestant_arrays.cstore")
+TYPES_ARR = ["string", "date", "integer", "double", "string",
+             "array<string>"]
+
+
+def _parse_pg_array(lit: str) -> list[str]:
+    """'{a,b}' -> ['a','b']; '{}' -> [] (the corpus uses unquoted
+    single-letter elements, so a plain split suffices)."""
+    body = lit.strip()[1:-1]
+    return [e for e in body.split(",") if e] if body else []
 
 
 def load_rows(path: str = CSV_PATH) -> list[tuple]:
@@ -45,6 +57,10 @@ def load_rows(path: str = CSV_PATH) -> list[tuple]:
     return rows
 
 
+def load_rows_arrays(path: str = CSV_PATH) -> list[tuple]:
+    return [r[:5] + (_parse_pg_array(r[5]),) for r in load_rows(path)]
+
+
 def main() -> None:
     os.makedirs(os.path.dirname(OUT), exist_ok=True)
     rows = load_rows()
@@ -53,6 +69,10 @@ def main() -> None:
     print(f"wrote {len(rows)} rows -> {OUT} "
           f"({os.path.getsize(OUT)} + "
           f"{os.path.getsize(OUT + '.footer')} footer bytes)")
+    write_cstore_file(OUT_ARR, load_rows_arrays(), TYPES_ARR,
+                      compression="pglz")
+    print(f"wrote {len(rows)} rows -> {OUT_ARR} "
+          f"({os.path.getsize(OUT_ARR)} bytes)")
 
 
 if __name__ == "__main__":

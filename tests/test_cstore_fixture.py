@@ -65,3 +65,30 @@ def test_committed_fixture_through_spark_source(spark):
     top = (df.filter(F.col("percentile") > 98.0)
            .agg(F.count(F.lit(1)).alias("n")).collect()[0].n)
     assert top == sum(1 for r in rows if r[3] > 98.0)
+
+
+def test_committed_arrays_fixture_reads_bit_exactly(spark):
+    """Second committed artifact: the same corpus with achievements as
+    a REAL PG text[] array datum (utils/array.h layout) — proves array
+    decode against past-writer bytes, and serves it through Spark."""
+    import pyspark.sql.functions as F
+
+    from cstore_fdw_spark.sources.cstore_datasource import register_cstore
+    from cstore_fdw_spark.sources.cstore_format import read_cstore_file
+    from scripts.make_contestant_fixture import (
+        OUT_ARR, TYPES_ARR, load_rows_arrays)
+
+    assert os.path.exists(OUT_ARR), \
+        "run scripts/make_contestant_fixture.py and commit the output"
+    rows = load_rows_arrays()
+    assert list(read_cstore_file(OUT_ARR, TYPES_ARR)) == rows
+    register_cstore(spark)
+    df = spark.read.format("cstore").schema(
+        "handle STRING, birthdate DATE, rating INT, percentile DOUBLE, "
+        "country STRING, achievements ARRAY<STRING>").load(OUT_ARR)
+    got = {r.handle: r.achievements for r in df.collect()}
+    for handle, _bd, _r, _p, _c, ach in rows:
+        assert got[handle] == ach
+    # array function surface over the served fixture
+    n = df.filter(F.array_contains("achievements", "a")).count()
+    assert n == sum(1 for r in rows if "a" in r[5])

@@ -169,14 +169,15 @@ def test_cstore_unsupported_type_is_loud(spark, tmp_path):
     from cstore_fdw_spark.sources.cstore_datasource import register_cstore
 
     register_cstore(spark)
-    df = spark.createDataFrame([(1, [1, 2])], "a INT, arr ARRAY<INT>")
+    df = spark.createDataFrame([(1, {"k": 2})], "a INT, m MAP<STRING,INT>")
     with pytest.raises(Exception, match="does not support column type"):
         # python data sources accept only append/overwrite save modes
         df.write.format("cstore").mode("overwrite").save(
             str(tmp_path / "bad"))
     assert sorted(CSTORE_TYPES) == [
-        "bigint", "boolean", "date", "double", "float", "integer",
-        "smallint", "string", "timestamp"]
+        "bigint", "boolean", "bytea", "date", "double", "float",
+        "inet", "integer", "interval", "json", "money", "smallint",
+        "string", "time", "timestamp", "timestamptz", "uuid", "varbit"]
 
 
 def test_catalog_managed_cstore_table_lifecycle(spark, tmp_path):

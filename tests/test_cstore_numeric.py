@@ -165,4 +165,4 @@ def test_cstore_unsupported_decimal_is_loud():
 
     assert cstore_type_props("decimal(18,2)")[1] == -1
     with pytest.raises(ValueError, match="does not store"):
-        cstore_type_props("interval")
+        cstore_type_props("map<string,int>")
