@@ -1464,3 +1464,58 @@ def vector_knn_label_vote(spark, sf_dir):
             .filter(F.col("rn") == 1)
             .select("query_id", F.col("label").alias("predicted_label"),
                     "votes"))
+
+
+_ORACLE_DOT = ("list_dot_product(a.embedding::DOUBLE[], "
+               "b.embedding::DOUBLE[])")
+
+
+@register(
+    "vector_mips_topk",
+    category="similarity",
+    allow_bnlj=True,  # corpus x broadcast |queries|-row query set
+    oracle=f"""
+    SELECT query_id, neighbor_id, rank, score FROM (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             {_ORACLE_DOT} AS score,
+             CAST(ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                    ORDER BY {_ORACLE_DOT} DESC, b.vec_id) AS BIGINT)
+               AS rank
+      FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
+      WHERE a.vec_id < {N_QUERIES}) t
+    WHERE rank <= {TOP_K}
+    """)
+def vector_mips_topk(spark, sf_dir):
+    """Maximum-inner-product top-k (MIPS) — the retrieval scoring of
+    dot-product-trained dual encoders (DPR/DSSM-style retrievers, where
+    score = <q, d> and the norm CARRIES signal): unlike cosine, a
+    high-norm candidate legitimately outranks a closer-by-angle
+    low-norm one, so this is a distinct operator, not a cosine variant.
+    Brute-force exact baseline matching ann_cosine_topk's shape: the
+    query set broadcasts, the candidate corpus streams once, the only
+    shuffle carries k·|queries| result rows. No norms are computed at
+    all (MIPS needs none — half the per-pair flops of cosine).
+
+    Scale: embarrassingly parallel scan, same as ann_cosine_topk; for
+    sublinear MIPS the standard reduction (Shrivastava & Li '14,
+    asymmetric LSH) appends sqrt(M²−||x||²) to candidates and 0 to
+    queries, turning MIPS into cosine search — after which the
+    registered ann_lsh_bucketed / IVFADC paths apply unchanged. The
+    raw double dot product hash-matches DuckDB's list_dot_product
+    (identical left-fold order), the same exactness contract as the
+    cosine family."""
+    e = table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qvec"))
+    c = e.select(F.col("vec_id").alias("neighbor_id"),
+                 F.col("embedding").alias("cvec"))
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(),
+                                               "neighbor_id")
+    return (c.join(F.broadcast(q),
+                   F.col("neighbor_id") != F.col("query_id"))
+            .select("query_id", "neighbor_id",
+                    dot(F.col("qvec"), F.col("cvec")).alias("score"))
+            .withColumn("rank", F.row_number().over(w).cast("long"))
+            .filter(F.col("rank") <= TOP_K)
+            .select("query_id", "neighbor_id", "rank", "score"))

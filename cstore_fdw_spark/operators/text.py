@@ -223,6 +223,8 @@ def text_winnow_fingerprint(spark, sf_dir):
     transform. Gram hashes use the portable md5 scheme
     (functions.portable_hash), so the DuckDB oracle recomputes the exact
     fingerprint sets. Output: (doc_id, n_fingerprints, min_fp, max_fp)."""
+    from pyspark.sql.window import Window
+
     from cstore_fdw_spark.functions.portable_hash import spark_h60
 
     d = table(spark, sf_dir, "documents")
@@ -1759,3 +1761,116 @@ def text_quality_quantile_filter(spark, sf_dir):
                  F.sum(F.when(kept, F.col("n_tokens")).otherwise(0))
                  .cast("long").alias("kept_tokens"))
             .orderBy("lang"))
+
+
+_DSIR_B = 512          # hashed feature buckets (Xie et al. use 10^4;
+                       # 512 keeps the sf0.01 model table dense)
+_DSIR_SCALE = 10_000   # fixed-point permyriad for the ratio weights
+_DSIR_TOPN = 40
+
+
+def _dsir_oracle() -> str:
+    from cstore_fdw_spark.functions.portable_hash import duck_h60
+
+    bkt = duck_h60("arr[i] || ' ' || arr[i + 1]")
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, lang, source, STRING_SPLIT(text, ' ') AS arr
+      FROM documents),
+    bg AS (
+      SELECT doc_id, lang, source, {bkt} % {_DSIR_B} AS bkt,
+             COUNT(*) AS m
+      FROM tok, LATERAL UNNEST(generate_series(1, len(arr) - 1)) u(i)
+      GROUP BY doc_id, lang, source, bkt),
+    raw AS (SELECT bkt, SUM(m) AS c_r FROM bg GROUP BY bkt),
+    tgt AS (SELECT bkt, SUM(m) AS c_t FROM bg WHERE lang = 'en'
+            GROUP BY bkt),
+    model AS (
+      SELECT raw.bkt, c_r, COALESCE(c_t, 0) AS c_t,
+             SUM(c_r) OVER () AS n_r,
+             SUM(COALESCE(c_t, 0)) OVER () AS n_t
+      FROM raw LEFT JOIN tgt ON raw.bkt = tgt.bkt),
+    wm AS (
+      SELECT bkt, (c_t + 1) * (n_r + {_DSIR_B}) * {_DSIR_SCALE}
+                  // ((c_r + 1) * (n_t + {_DSIR_B})) AS w_fx
+      FROM model),
+    scored AS (
+      SELECT doc_id, lang, source,
+             CAST(SUM(m) AS BIGINT) AS n_bigrams,
+             CAST(SUM(m * w_fx) AS BIGINT) AS dsir_score
+      FROM bg JOIN wm ON bg.bkt = wm.bkt
+      GROUP BY doc_id, lang, source)
+    SELECT doc_id, lang, source, n_bigrams, dsir_score
+    FROM scored ORDER BY dsir_score DESC, doc_id LIMIT {_DSIR_TOPN}
+    """
+
+
+@register(
+    "text_dsir_importance",
+    category="text",
+    oracle=_dsir_oracle())
+def text_dsir_importance(spark, sf_dir):
+    """DSIR data selection (Xie et al. '23, Data Selection for Language
+    Models via Importance Resampling): rank raw-corpus documents by how
+    target-like their hashed n-gram features are, using importance
+    weights from a target/raw ratio of smoothed feature counts. Target
+    here = the corpus's English slice (the 'domain data' stand-in);
+    features = word bigrams hashed into 512 buckets (the paper's hashed
+    n-gram generative model). Per-bucket weight is the add-one-smoothed
+    ratio ((c_t+1)/(N_t+B)) / ((c_r+1)/(N_r+B)) in exact integer
+    permyriad — cross-multiplied, never divided early — and a doc's
+    score is the occurrence-weighted SUM of its bucket weights (the
+    additive surrogate for the paper's log-likelihood ratio: log-space
+    floats are not cross-engine deterministic, and the induced ranking
+    drives the same top-N resample). Output: the top 40 docs by
+    (score DESC, doc_id) — the batch DSIR selects for a training mix.
+
+    Scale: the corpus tokenizes ONCE into a per-(doc, bucket) rollup
+    that serves BOTH the model counts and the scoring join (the
+    text_ngram_lm_score discipline); the model is a 512-row table, its
+    totals come from a window over those {B} rows (one single-partition
+    exchange of 512 rows, never corpus-sized), and the scoring join is
+    bucket-keyed against that tiny table — AQE broadcasts it. The
+    final top-N is a TakeOrdered, not a global sort. At 10^12-bigram
+    scale the int64 cross-product (c_t+1)·(N_r+B)·10^4 overflows:
+    switch the weight expression to DECIMAL(38,0) — the plan shape is
+    unchanged. Fixture-free: model and selection derive from the same
+    corpus the driver hashes."""
+    from pyspark.sql.window import Window
+
+    from cstore_fdw_spark.functions.portable_hash import spark_h60
+
+    d = table(spark, sf_dir, "documents")
+    bg_structs = F.expr(
+        "transform(sequence(1, size(arr) - 1),"
+        " i -> concat(arr[i - 1], ' ', arr[i]))")
+    bg = (d.select("doc_id", "lang", "source",
+                   F.split("text", " ").alias("arr"))
+          .select("doc_id", "lang", "source",
+                  F.explode(bg_structs).alias("bigram"))
+          .select("doc_id", "lang", "source",
+                  F.expr(f"{spark_h60('bigram')} % {_DSIR_B}")
+                  .alias("bkt"))
+          .groupBy("doc_id", "lang", "source", "bkt")
+          .agg(F.count(F.lit(1)).alias("m")))
+    raw = bg.groupBy("bkt").agg(F.sum("m").alias("c_r"))
+    tgt = (bg.filter(F.col("lang") == "en")
+           .groupBy("bkt").agg(F.sum("m").alias("c_t")))
+    wtot = Window.partitionBy()   # over the B-row model table only
+    model = (raw.join(tgt, "bkt", "left")
+             .select("bkt", "c_r",
+                     F.coalesce("c_t", F.lit(0)).alias("c_t"))
+             .withColumn("n_r", F.sum("c_r").over(wtot))
+             .withColumn("n_t", F.sum("c_t").over(wtot))
+             .select("bkt", F.expr(
+                 f"(c_t + 1) * (n_r + {_DSIR_B}) * {_DSIR_SCALE}"
+                 f" DIV ((c_r + 1) * (n_t + {_DSIR_B}))").alias("w_fx")))
+    scored = (bg.join(model, "bkt")
+              .groupBy("doc_id", "lang", "source")
+              .agg(F.sum("m").cast("long").alias("n_bigrams"),
+                   F.sum(F.col("m") * F.col("w_fx")).cast("long")
+                   .alias("dsir_score")))
+    return (scored.orderBy(F.col("dsir_score").desc(), "doc_id")
+            .limit(_DSIR_TOPN)
+            .select("doc_id", "lang", "source", "n_bigrams",
+                    "dsir_score"))

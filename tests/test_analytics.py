@@ -1301,3 +1301,53 @@ def test_ima_adpcm_codec_contract():
     from cstore_fdw_spark.operators.multimodal import wav_encode_ulaw
     with pytest.raises(ValueError, match="0x7"):
         wav_decode_ima_adpcm(wav_encode_ulaw(8000, [0, 1, 2]))
+
+
+def test_mips_plan_broadcasts_queries_and_differs_from_cosine(spark, sf_dir):
+    """vector_mips_topk must broadcast the query set (candidate corpus
+    streams once — no corpus-sized shuffle) and must score by the RAW
+    inner product, never the normalized cosine (the synthetic corpus's
+    gaussian embeddings have concentrated norms, so the top-3 RANKINGS
+    can legitimately coincide — the scores cannot)."""
+    from cstore_fdw_spark.operators import load_all
+    from cstore_fdw_spark.plans.verify import explain_str
+
+    reg = load_all()
+    mips = reg["vector_mips_topk"].builder(spark, sf_dir)
+    plan = explain_str(mips, "simple")
+    assert "Broadcast" in plan, plan[:1500]
+    # the only Exchange feeds the per-query window over k*|queries| rows
+    assert plan.count("Exchange") <= 2, plan[:2000]
+    cos = reg["ann_cosine_topk"].builder(spark, sf_dir)
+    m = {(r.query_id, r.neighbor_id): r.score for r in mips.collect()}
+    c = {(r.query_id, r.neighbor_id): r.cos for r in cos.collect()}
+    shared = set(m) & set(c)
+    assert shared, "no overlapping (query, neighbor) pairs to compare"
+    # unnormalized: dot != dot/(|q||c|) for every shared pair (norms
+    # are ~sqrt(dim)*sigma != 1 on this corpus), and a cosine is
+    # bounded by 1 while the matching dot here is not forced to be
+    assert all(abs(m[k] - c[k]) > 1e-9 for k in shared), \
+        "MIPS scores collapsed onto the cosine scores"
+
+
+def test_dsir_model_is_bucket_bounded_and_target_heavy(spark, sf_dir):
+    """text_dsir_importance: the importance model must stay bucket-
+    bounded (no corpus-sized anchor), the final selection must be a
+    TakeOrdered (never a global sort), and the selected docs must skew
+    toward the target distribution (lang='en') relative to the corpus —
+    the whole point of importance resampling."""
+    from cstore_fdw_spark.operators import load_all
+    from cstore_fdw_spark.plans.verify import explain_str
+    from pyspark.sql import functions as F
+
+    reg = load_all()
+    df = reg["text_dsir_importance"].builder(spark, sf_dir)
+    plan = explain_str(df, "simple")
+    assert "TakeOrderedAndProject" in plan, plan[:1500]
+    rows = df.collect()
+    assert 0 < len(rows) <= 40
+    assert all(r.dsir_score >= 0 for r in rows)
+    sel_en = sum(1 for r in rows if r.lang == "en") / len(rows)
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus_en = (d.filter(F.col("lang") == "en").count() / d.count())
+    assert sel_en > corpus_en, (sel_en, corpus_en)
