@@ -515,3 +515,104 @@ def timeseries_trending_ratio(spark, sf_dir):
                     F.expr("(n_recent * 1000) div greatest(n_prior, 1)")
                     .alias("trend_permille"))
             .orderBy(F.col("trend_permille").desc(), "event_type"))
+
+
+#: Holt smoothing horizon: hourly buckets folded per event type (the
+#: recursion depth of the oracle, NOT a corpus bound)
+HOLT_HOURS = 48
+
+
+def _holt_oracle() -> str:
+    return f"""
+    WITH RECURSIVE hourly AS (
+      SELECT event_type AS s, DATE_TRUNC('hour', ts) AS h,
+             SUM(CAST(ROUND(value * 100) AS BIGINT)) AS x
+      FROM events GROUP BY 1, 2),
+    ranked AS (
+      SELECT s, x,
+             ROW_NUMBER() OVER (PARTITION BY s ORDER BY h) AS rn
+      FROM hourly),
+    deltas AS (SELECT s, x, rn FROM ranked WHERE rn <= {HOLT_HOURS}),
+    rec(s, rn, l, b) AS (
+      SELECT s, 1, x, CAST(0 AS BIGINT) FROM deltas WHERE rn = 1
+      UNION ALL
+      SELECT r.s, r.rn + 1,
+             (3 * d.x + 7 * (r.l + r.b)) // 10,
+             ((((3 * d.x + 7 * (r.l + r.b)) // 10) - r.l)
+              + 9 * r.b) // 10
+      FROM rec r JOIN deltas d ON d.s = r.s AND d.rn = r.rn + 1),
+    last AS (SELECT s, MAX(rn) AS mr FROM rec GROUP BY s)
+    SELECT rec.s AS event_type, CAST(last.mr AS BIGINT) AS n_hours,
+           CAST(rec.l AS BIGINT) AS level_fx,
+           CAST(rec.b AS BIGINT) AS trend_fx,
+           CAST(rec.l + 3 * rec.b AS BIGINT) AS forecast3_fx
+    FROM rec JOIN last ON rec.s = last.s AND rec.rn = last.mr
+    ORDER BY event_type
+    """
+
+
+@register(
+    "timeseries_holt_smoothing",
+    category="events",
+    oracle=_holt_oracle())
+def timeseries_holt_smoothing(spark, sf_dir):
+    """Holt double-exponential smoothing per event type (Holt '57, the
+    classic level+trend forecaster): hourly value totals fold through
+      l_t = (3·x_t + 7·(l_t-1 + b_t-1)) div 10     (alpha = 0.3)
+      b_t = ((l_t − l_t-1) + 9·b_t-1) div 10       (beta  = 0.1)
+    in exact integer cents (div truncates toward zero in BOTH engines —
+    verified; l−l_prev and b go negative on cooling series, so floor
+    semantics would diverge), initialized l_1 = x_1, b_1 = 0. Output
+    per type: hours folded, final level/trend, and the 3-hour-ahead
+    forecast l + 3·b. The recurrence is non-linear in the sense that
+    matters for SQL: each step divides (rounds) BEFORE the next step
+    consumes it, so no window/prefix-sum formulation exists and the
+    DuckDB oracle must step the same automaton via WITH RECURSIVE (the
+    recursive_clamped_balance / ADPCM discipline).
+
+    Spark side: this is the applyInPandas tier of the custom-operator
+    ladder — a genuinely stateful per-key fold the built-in operators
+    can't express. The hourly rollup is ONE corpus shuffle; the fold
+    then regroups |event_type| keys × ≤{HOLT_HOURS} rows each (the
+    Arrow transfer is model-sized, never corpus-sized) and runs the
+    integer recurrence in python ints (no float drift, no int64
+    surprise before ~2^59 hourly cents). At 100 TB the same shape
+    holds: state per key is O(1), steps are time-bounded, and a
+    1000-executor cluster folds every key in parallel."""
+    e = table(spark, sf_dir, "events")
+    hourly = (e.select("event_type",
+                       F.date_trunc("hour", "ts").alias("h"),
+                       F.expr("CAST(ROUND(value * 100) AS BIGINT)")
+                       .alias("cents"))
+              .groupBy("event_type", "h")
+              .agg(F.sum("cents").alias("x")))
+    w = Window.partitionBy("event_type").orderBy("h")
+    ranked = (hourly.withColumn("rn", F.row_number().over(w))
+              .filter(F.col("rn") <= HOLT_HOURS)
+              .select("event_type", "rn", "x"))
+
+    schema = ("event_type string, n_hours long, level_fx long, "
+              "trend_fx long, forecast3_fx long")
+
+    def fold(pdf):
+        import pandas as pd
+
+        def tdiv(a, n):
+            q = abs(a) // n
+            return q if a >= 0 else -q
+
+        pdf = pdf.sort_values("rn")
+        xs = [int(v) for v in pdf["x"]]
+        level, trend = xs[0], 0
+        for x in xs[1:]:
+            prev = level
+            level = tdiv(3 * x + 7 * (level + trend), 10)
+            trend = tdiv((level - prev) + 9 * trend, 10)
+        return pd.DataFrame(
+            [[pdf["event_type"].iloc[0], len(xs), level, trend,
+              level + 3 * trend]],
+            columns=["event_type", "n_hours", "level_fx", "trend_fx",
+                     "forecast3_fx"])
+
+    return (ranked.groupBy("event_type").applyInPandas(fold, schema)
+            .orderBy("event_type"))

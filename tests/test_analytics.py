@@ -1351,3 +1351,33 @@ def test_dsir_model_is_bucket_bounded_and_target_heavy(spark, sf_dir):
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
     corpus_en = (d.filter(F.col("lang") == "en").count() / d.count())
     assert sel_en > corpus_en, (sel_en, corpus_en)
+
+
+def test_holt_smoothing_truncating_div_edge_is_live(spark, sf_dir):
+    """timeseries_holt_smoothing: the corpus fold must actually
+    exercise NEGATIVE trend state (where truncating vs flooring
+    division diverge — the recurrence's one cross-engine hazard), the
+    per-key fold must stay hour-bounded, and the forecast must be the
+    documented linear extrapolation of the final state. Plus a direct
+    spec pin that DuckDB's ``//`` matches the fold's truncating tdiv on
+    negatives (python's ``//`` floors — the fold must NOT use it)."""
+    import duckdb
+
+    from cstore_fdw_spark.operators import load_all
+
+    reg = load_all()
+    rows = reg["timeseries_holt_smoothing"].builder(spark, sf_dir).collect()
+    assert rows and all(1 <= r.n_hours <= 48 for r in rows)
+    assert any(r.trend_fx < 0 for r in rows), \
+        "no cooling series — the truncation edge is untested by the oracle"
+    assert all(r.forecast3_fx == r.level_fx + 3 * r.trend_fx for r in rows)
+
+    def tdiv(a, n):
+        q = abs(a) // n
+        return q if a >= 0 else -q
+
+    cases = [-17, -15, -10, -7, -3, 0, 3, 7, 15, 17]
+    duck = duckdb.sql(
+        "SELECT " + ", ".join(f"({a}) // 10" for a in cases)).fetchone()
+    assert list(duck) == [tdiv(a, 10) for a in cases]
+    assert (-7) // 10 != tdiv(-7, 10)  # python floor would diverge
