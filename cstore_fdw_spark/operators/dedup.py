@@ -1031,3 +1031,119 @@ def dedup_url_canonical(spark, sf_dir):
             .agg(F.count(F.lit(1)).alias("n_docs"),
                  F.min("doc_id").alias("keeper_doc_id"))
             .filter(F.col("n_docs") > 1))
+
+
+# ------------------------------------------- directional containment
+
+#: word-n-gram width and containment threshold for subset detection
+CONTAINMENT_G = 3
+CONTAINMENT_TAU = 0.8
+
+_WORD_GRAM_ARR = (
+    f"array_distinct(transform(sequence(1, size(arr) - {CONTAINMENT_G - 1}),"
+    f" i -> concat_ws(' ', slice(arr, i, {CONTAINMENT_G}))))")
+
+
+@register(
+    "text_ngram_containment",
+    category="dedup",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, lang, STRING_SPLIT(text, ' ') AS arr
+      FROM documents WHERE text <> ''),
+    grams AS (
+      SELECT DISTINCT doc_id, lang,
+             ARRAY_TO_STRING(list_slice(arr, i, i + {CONTAINMENT_G - 1}),
+                             ' ') AS gr
+      FROM tok,
+           LATERAL UNNEST(generate_series(1, len(arr) - {CONTAINMENT_G - 1}))
+             u(i)
+      WHERE len(arr) >= {CONTAINMENT_G}),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM grams a JOIN grams b
+        ON a.gr = b.gr AND a.lang = b.lang AND a.doc_id <> b.doc_id
+      GROUP BY 1, 2)
+    SELECT p.doc_a, p.doc_b, CAST(p.n_common AS BIGINT) AS n_common,
+           CAST(sa.n AS BIGINT) AS size_a, CAST(sb.n AS BIGINT) AS size_b,
+           CAST(p.n_common AS DOUBLE) / sa.n AS containment
+    FROM pairs p
+    JOIN sizes sa ON sa.doc_id = p.doc_a
+    JOIN sizes sb ON sb.doc_id = p.doc_b
+    WHERE CAST(p.n_common AS DOUBLE) / sa.n >= {CONTAINMENT_TAU}
+    """)
+def text_ngram_containment(spark, sf_dir):
+    """DIRECTIONAL containment C(a→b) = |A∩B| / |A| over distinct word
+    3-gram sets: is document a mostly CONTAINED in document b? The
+    asymmetric sibling of the Jaccard family — Jaccard misses a short
+    doc swallowed by a long one (the union term drowns it), yet that is
+    exactly the contamination/quotation/boilerplate-subset case a
+    training pipeline must catch (benchmark-inside-crawl, quoted-reply
+    chains, templated wrappers around copied bodies).
+
+    Candidate generation is an A-side-only prefix filter: a pair with
+    overlap ≥ o = ⌈τ·|A|⌉ must, by pigeonhole over the global rarity
+    order, share one of A's |A| − o + 1 RAREST grams — and because the
+    B side joins its FULL gram list (not a prefix), a prefix
+    non-collision is DEFINITIVE absence, so 'shares ≥ 1 A-prefix gram'
+    is already lossless (no overlap-accumulation bound needed, unlike
+    the two-sided Jaccard PPJoin). Skew safety falls out of the same
+    rarity order: the join only ever keys on A's rarest grams, whose
+    posting lists are short by construction — hot grams ('the of and')
+    never become join keys. Exact verification then intersects the two
+    cached hash sets per surviving pair (whole-stage codegen
+    array_intersect, no explode). The oracle runs the UNFILTERED
+    inverted-index form, so the pruning itself is value-checked.
+    Output: (doc_a, doc_b, n_common, size_a, size_b, containment);
+    containment is one exact int/int division, deterministic IEEE."""
+    d = table(spark, sf_dir, "documents").filter(F.col("text") != "")
+    item_sets = (spread(d)
+                 .select("doc_id", "lang", F.split("text", " ").alias("arr"))
+                 .filter(F.size("arr") >= CONTAINMENT_G)
+                 .select("doc_id", "lang",
+                         F.expr(_WORD_GRAM_ARR).alias("items")))
+    tau = CONTAINMENT_TAU
+    set_fine_coalescing(item_sets.sparkSession)
+    sets = track_cache(
+        item_sets.select(
+            "doc_id", "lang",
+            F.sort_array(F.expr(
+                "transform(items, x -> xxhash64(x))")).alias("iset"))
+        .withColumn("n_s", F.size("iset").cast("long"))
+        .persist())
+    sets.count()   # eager materialization (see ppjoin_jaccard_pairs)
+    ex = sets.select("doc_id", "lang", "n_s",
+                     F.explode("iset").alias("ih"))
+    freq = ex.groupBy("lang", "ih").agg(F.count(F.lit(1)).alias("gf"))
+    wdoc = Window.partitionBy("doc_id").orderBy("gf", "ih")
+    prefix = (ex.join(freq, ["lang", "ih"])
+              .withColumn("rn", F.row_number().over(wdoc))
+              .filter(F.col("rn") <= F.col("n_s")
+                      - F.ceil(F.lit(tau) * F.col("n_s")) + 1)
+              .select("doc_id", "lang", "ih")
+              .persist())
+    track_cache(prefix)
+    prefix.count()
+    posting = ex.select(F.col("doc_id").alias("doc_b"), "lang", "ih")
+    cand = (prefix.alias("pa").join(
+                posting.alias("pb"),
+                (F.col("pa.ih") == F.col("pb.ih"))
+                & (F.col("pa.lang") == F.col("pb.lang"))
+                & (F.col("pa.doc_id") != F.col("pb.doc_b")))
+            .select(F.col("pa.doc_id").alias("doc_a"),
+                    F.col("pb.doc_b").alias("doc_b"))
+            .distinct())
+    sa = sets.select(F.col("doc_id").alias("doc_a"),
+                     F.col("iset").alias("set_a"),
+                     F.col("n_s").alias("size_a"))
+    sb = sets.select(F.col("doc_id").alias("doc_b"),
+                     F.col("iset").alias("set_b"),
+                     F.col("n_s").alias("size_b"))
+    n_common = F.size(F.array_intersect("set_a", "set_b"))
+    cont = n_common.cast("double") / F.col("size_a")
+    return (cand.join(sa, "doc_a").join(sb, "doc_b")
+            .select("doc_a", "doc_b",
+                    n_common.cast("long").alias("n_common"),
+                    "size_a", "size_b", cont.alias("containment"))
+            .filter(F.col("containment") >= tau))

@@ -1381,3 +1381,58 @@ def test_holt_smoothing_truncating_div_edge_is_live(spark, sf_dir):
         "SELECT " + ", ".join(f"({a}) // 10" for a in cases)).fetchone()
     assert list(duck) == [tdiv(a, 10) for a in cases]
     assert (-7) // 10 != tdiv(-7, 10)  # python floor would diverge
+
+
+def test_ngram_containment_corpus_consistency_and_cache_clean(spark, sf_dir):
+    """text_ngram_containment on the corpus: every emitted score must
+    be the exact directional ratio n_common/size_a against its own
+    reported sizes; the corpus's planted near-dups are full-doc copies,
+    so their containment pairs must come out mutual; and the op's
+    persists must be returned to the cache tracker (clear_caches
+    leaves no persistent RDDs)."""
+    from cstore_fdw_spark.operators import clear_caches, load_all
+
+    reg = load_all()
+    rows = reg["text_ngram_containment"].builder(spark, sf_dir).collect()
+    assert rows, "corpus has planted near-dup pairs; none found"
+    got = {(r.doc_a, r.doc_b) for r in rows}
+    for r in rows:
+        assert r.containment == r.n_common / r.size_a
+        assert r.containment >= 0.8
+        assert r.n_common <= min(r.size_a, r.size_b)
+    assert got == {(b, a) for a, b in got}, \
+        "corpus near-dups are full-doc copies — pairs must be mutual"
+    clear_caches(spark)
+    assert len(spark.sparkContext._jsc.getPersistentRDDs()) == 0
+
+
+def test_ngram_containment_strict_subset_is_one_directional(
+        spark, tmp_path):
+    """The directional case symmetric Jaccard structurally misses: doc
+    10 is a strict prefix of doc 20, so 10→20 must qualify at
+    containment 1.0 while 20→10 must NOT (and its Jaccard union score
+    would also fail) — proven on a crafted documents table fed through
+    the registered builder."""
+    from cstore_fdw_spark.operators import clear_caches, load_all
+
+    words = [f"w{i}" for i in range(24)]
+    small = " ".join(words)
+    big = " ".join(words + [f"x{i}" for i in range(40)])
+    (spark.createDataFrame(
+        [(10, small, "en", "src0", len(small)),
+         (20, big, "en", "src0", len(big)),
+         (30, " ".join(f"z{i}" for i in range(30)), "en", "src0", 1)],
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long")
+     .write.mode("overwrite").parquet(str(tmp_path / "documents.parquet")))
+    reg = load_all()
+    rows = reg["text_ngram_containment"].builder(spark, str(tmp_path)) \
+        .collect()
+    got = {(r.doc_a, r.doc_b): r for r in rows}
+    assert set(got) == {(10, 20)}, got
+    r = got[(10, 20)]
+    assert r.containment == 1.0 and r.n_common == r.size_a
+    # the reverse direction misses the bar by construction
+    assert r.n_common / r.size_b < 0.8
+    clear_caches(spark)
+    assert len(spark.sparkContext._jsc.getPersistentRDDs()) == 0
