@@ -573,7 +573,7 @@ def timeseries_holt_smoothing(spark, sf_dir):
     Spark side: this is the applyInPandas tier of the custom-operator
     ladder — a genuinely stateful per-key fold the built-in operators
     can't express. The hourly rollup is ONE corpus shuffle; the fold
-    then regroups |event_type| keys × ≤{HOLT_HOURS} rows each (the
+    then regroups |event_type| keys × ≤48 rows each (the
     Arrow transfer is model-sized, never corpus-sized) and runs the
     integer recurrence in python ints (no float drift, no int64
     surprise before ~2^59 hourly cents). At 100 TB the same shape

@@ -570,11 +570,12 @@ def star_join_broadcast_by_estimate(spark, sf_dir):
                  to_dbl(dsum("o_totalprice")).alias("revenue")))
 
 
-def _cstore_fmt_artifact(spark, sf_dir):
-    """Build (once per sf_dir, marker-guarded) the cstore v1.7 copy of
-    three lineitem columns used by the scan_cstore_* queries; returns
-    (path, ddl). The write cost is a maintained artifact reported in
-    bench bring-up as index_build_sec, like the ANN codebooks."""
+def _cstore_artifact(spark, sf_dir, tag, build_df):
+    """Build (once per sf_dir, marker-guarded) a cstore v1.7 copy of a
+    corpus projection used by the scan_cstore_* queries; returns the
+    artifact path. ``build_df`` is called only on a cache miss. The
+    write cost is a maintained artifact reported in bench bring-up as
+    index_build_sec, like the ANN codebooks."""
     import hashlib
     import os
     import tempfile
@@ -583,20 +584,29 @@ def _cstore_fmt_artifact(spark, sf_dir):
 
     register_cstore(spark)
     key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
-    path = os.path.join(tempfile.gettempdir(), f"cstore_fmt_{key}")
+    path = os.path.join(tempfile.gettempdir(), f"cstore_{tag}_{key}")
     marker = os.path.join(path, "_built")
-    ddl = "l_returnflag STRING, qty BIGINT, l_shipdate TIMESTAMP"
     if not os.path.exists(marker):
-        (table(spark, sf_dir, "lineitem")
-         .select("l_returnflag",
-                 F.round("l_quantity").cast("long").alias("qty"),
-                 "l_shipdate")
+        (build_df()
          .write.format("cstore")
          .option("stripe_row_count", "150000")
          .option("block_row_count", "10000")
          .mode("overwrite").save(path))
         with open(marker, "w") as fh:
             fh.write(os.path.abspath(sf_dir))
+    return path
+
+
+def _cstore_fmt_artifact(spark, sf_dir):
+    """The three-lineitem-column artifact shared by the format
+    roundtrip and pruned-projection queries; returns (path, ddl)."""
+    ddl = "l_returnflag STRING, qty BIGINT, l_shipdate TIMESTAMP"
+    path = _cstore_artifact(
+        spark, sf_dir, "fmt",
+        lambda: table(spark, sf_dir, "lineitem").select(
+            "l_returnflag",
+            F.round("l_quantity").cast("long").alias("qty"),
+            "l_shipdate"))
     return path, ddl
 
 
@@ -711,25 +721,10 @@ def scan_cstore_decimal_roundtrip(spark, sf_dir):
     projection-pushdown path as every other column; numeric skip-node
     bounds are collation-free, so block skipping applies (unlike
     text)."""
-    import hashlib
-    import os
-    import tempfile
-
-    from cstore_fdw_spark.sources.cstore_datasource import register_cstore
-
-    register_cstore(spark)
-    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
-    path = os.path.join(tempfile.gettempdir(), f"cstore_dec_{key}")
-    marker = os.path.join(path, "_built")
-    if not os.path.exists(marker):
-        (table(spark, sf_dir, "lineitem")
-         .select("l_returnflag", dec("l_extendedprice").alias("price"))
-         .write.format("cstore")
-         .option("stripe_row_count", "150000")
-         .option("block_row_count", "10000")
-         .mode("overwrite").save(path))
-        with open(marker, "w") as fh:
-            fh.write(os.path.abspath(sf_dir))
+    path = _cstore_artifact(
+        spark, sf_dir, "dec",
+        lambda: table(spark, sf_dir, "lineitem").select(
+            "l_returnflag", dec("l_extendedprice").alias("price")))
     back = (spark.read.format("cstore")
             .schema("l_returnflag STRING, price DECIMAL(12,2)")
             .load(path))
@@ -768,25 +763,10 @@ def scan_cstore_array_roundtrip(spark, sf_dir):
     Scale: array columns ride the same per-stripe parallel scan,
     projection pushdown, and pglz path as scalars; the explode happens
     JVM-side after the scan."""
-    import hashlib
-    import os
-    import tempfile
-
-    from cstore_fdw_spark.sources.cstore_datasource import register_cstore
-
-    register_cstore(spark)
-    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
-    path = os.path.join(tempfile.gettempdir(), f"cstore_arr_{key}")
-    marker = os.path.join(path, "_built")
-    if not os.path.exists(marker):
-        (table(spark, sf_dir, "embeddings")
-         .select("vec_id", "embedding", "label")
-         .write.format("cstore")
-         .option("stripe_row_count", "150000")
-         .option("block_row_count", "10000")
-         .mode("overwrite").save(path))
-        with open(marker, "w") as fh:
-            fh.write(os.path.abspath(sf_dir))
+    path = _cstore_artifact(
+        spark, sf_dir, "arr",
+        lambda: table(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding", "label"))
     back = (spark.read.format("cstore")
             .schema("vec_id BIGINT, embedding ARRAY<FLOAT>, label INT")
             .load(path))

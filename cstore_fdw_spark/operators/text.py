@@ -223,8 +223,6 @@ def text_winnow_fingerprint(spark, sf_dir):
     transform. Gram hashes use the portable md5 scheme
     (functions.portable_hash), so the DuckDB oracle recomputes the exact
     fingerprint sets. Output: (doc_id, n_fingerprints, min_fp, max_fp)."""
-    from pyspark.sql.window import Window
-
     from cstore_fdw_spark.functions.portable_hash import spark_h60
 
     d = table(spark, sf_dir, "documents")
@@ -1355,6 +1353,7 @@ def text_ngram_lm_score(spark, sf_dir):
         "transform(sequence(1, size(arr) - 1),"
         " i -> struct(arr[i - 1] AS w1, arr[i] AS w2))")
     bg = (d.select("doc_id", F.split("text", " ").alias("arr"))
+          .filter(F.size("arr") >= 2)   # sequence(1,0) is DESCENDING
           .select("doc_id", F.explode(bg_structs).alias("b"))
           .groupBy("doc_id", F.col("b.w1").alias("w1"),
                    F.col("b.w2").alias("w2"))
@@ -1655,6 +1654,7 @@ def text_pmi_collocations(spark, sf_dir):
         "transform(sequence(1, size(arr) - 1),"
         " i -> struct(arr[i - 1] AS w1, arr[i] AS w2))")
     bg = (d.select(F.split("text", " ").alias("arr"))
+          .filter(F.size("arr") >= 2)   # sequence(1,0) is DESCENDING
           .select(F.explode(bg_structs).alias("b"))
           .groupBy(F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
           .agg(F.count(F.lit(1)).alias("c12")))
@@ -1828,7 +1828,7 @@ def text_dsir_importance(spark, sf_dir):
     Scale: the corpus tokenizes ONCE into a per-(doc, bucket) rollup
     that serves BOTH the model counts and the scoring join (the
     text_ngram_lm_score discipline); the model is a 512-row table, its
-    totals come from a window over those {B} rows (one single-partition
+    totals come from a window over those 512 rows (one single-partition
     exchange of 512 rows, never corpus-sized), and the scoring join is
     bucket-keyed against that tiny table — AQE broadcasts it. The
     final top-N is a TakeOrdered, not a global sort. At 10^12-bigram
@@ -1846,6 +1846,7 @@ def text_dsir_importance(spark, sf_dir):
         " i -> concat(arr[i - 1], ' ', arr[i]))")
     bg = (d.select("doc_id", "lang", "source",
                    F.split("text", " ").alias("arr"))
+          .filter(F.size("arr") >= 2)   # sequence(1,0) is DESCENDING
           .select("doc_id", "lang", "source",
                   F.explode(bg_structs).alias("bigram"))
           .select("doc_id", "lang", "source",

@@ -305,6 +305,27 @@ def pg_numeric_decode(payload: bytes) -> Decimal:
 
 MAXALIGN = 8
 
+
+def _read_varlena(buf, pos: int, align: int, shift: int):
+    """Read ONE nested varlena datum: ``pos`` is the walk's
+    datum-relative position, buffer index = ``pos - shift`` (shift 4
+    when ``buf`` excludes the enclosing datum's own 4-byte varlena
+    header, 0 when positions are direct buffer indexes). Accepts both
+    the 1-byte short header (PG packs nested varlenas since 8.3 — no
+    alignment padding) and the aligned 4-byte header; padding bytes are
+    always 0x00 (even), and a 4-byte header's low byte has bit0 clear,
+    so the short-header test is unambiguous. Returns (raw, new_pos)."""
+    b0 = buf[pos - shift]
+    if b0 & 0x01:
+        total = b0 >> 1
+        if total == 0:
+            raise ValueError("malformed short varlena header (length 0)")
+        return bytes(buf[pos - shift + 1:pos - shift + total]), pos + total
+    pos = _align_up(pos, align)
+    (hdr,) = struct.unpack_from("<I", buf, pos - shift)
+    total = hdr >> 2
+    return bytes(buf[pos - shift + 4:pos - shift + total]), pos + total
+
 #: element kind -> pg_type oid (public catalog constants)
 _ELEM_OID = {"b": 16, "h": 21, "i": 23, "q": 20, "f": 700, "d": 701,
              "date": 1082, "ts": 1114, "text": 25, "num": 1700,
@@ -397,16 +418,7 @@ def pg_array_decode(payload: bytes, elemkind: str, typlen: int,
                                      pos - 4)[0]
             pos += typlen
         else:
-            b0 = payload[pos - 4] if pos - 4 < len(payload) else 0
-            if b0 & 0x01:  # short varlena: no alignment padding
-                total = b0 >> 1
-                raw = bytes(payload[pos - 4 + 1:pos - 4 + total])
-            else:
-                pos = _align_up(pos, ealign)
-                (hdr,) = struct.unpack_from("<I", payload, pos - 4)
-                total = hdr >> 2
-                raw = bytes(payload[pos - 4 + 4:pos - 4 + total])
-            pos += total
+            raw, pos = _read_varlena(payload, pos, ealign, 4)
         out.append(_from_storage(raw, elemkind))
     return out
 
@@ -512,16 +524,7 @@ def pg_composite_decode(payload: bytes, kinds: list[str]) -> tuple:
             raw = struct.unpack_from(_pack_fmt(k), payload, pos - 4)[0]
             pos += typlen
         else:
-            b0 = payload[pos - 4]
-            if b0 & 0x01:     # short varlena: no alignment padding
-                total = b0 >> 1
-                raw = bytes(payload[pos - 4 + 1:pos - 4 + total])
-            else:
-                pos = _align_up(pos, kalign)
-                (hdr,) = struct.unpack_from("<I", payload, pos - 4)
-                total = hdr >> 2
-                raw = bytes(payload[pos - 4 + 4:pos - 4 + total])
-            pos += total
+            raw, pos = _read_varlena(payload, pos, kalign, 4)
         out.append(_from_storage(raw, k))
     return tuple(out)
 
@@ -588,16 +591,7 @@ def pg_range_decode(payload: bytes, subkind: str) -> PgRange:
                                      pos - 4)[0]
             pos += typlen
         else:
-            b0 = payload[pos - 4]
-            if b0 & 0x01:
-                total = b0 >> 1
-                raw = bytes(payload[pos - 4 + 1:pos - 4 + total])
-            else:
-                pos = _align_up(pos, kalign)
-                (hdr,) = struct.unpack_from("<I", payload, pos - 4)
-                total = hdr >> 2
-                raw = bytes(payload[pos - 4 + 4:pos - 4 + total])
-            pos += total
+            raw, pos = _read_varlena(payload, pos, kalign, 4)
         return _from_storage(raw, subkind)
 
     lower = None if flags & _RANGE_LB_INF else read_bound()
@@ -734,10 +728,16 @@ def _to_storage(value, kind):
     """python value -> storable primitive (int/float/bytes)."""
     if kind == "date":
         if isinstance(value, float):
+            if value != _INF and value != -_INF:
+                raise ValueError(
+                    f"date column: float {value!r} is not ±infinity")
             return _DATE_NOEND if value > 0 else _DATE_NOBEGIN
         return value.toordinal() - 730120  # date(2000,1,1).toordinal()
     if kind in ("ts", "tstz"):
         if isinstance(value, float):
+            if value != _INF and value != -_INF:
+                raise ValueError(
+                    f"timestamp column: float {value!r} is not ±infinity")
             return _TS_NOEND if value > 0 else _TS_NOBEGIN
         import calendar
         tt = (value.utctimetuple() if kind == "tstz"
@@ -945,15 +945,7 @@ def deserialize_datums(buf: bytes, exists: list[bool], typlen: int,
             raw = struct.unpack_from(_pack_fmt(kind), buf, pos)[0]
             pos += typlen
         else:
-            b0 = buf[pos]
-            if b0 & 0x01:  # 1-byte short varlena: (len<<1)|1
-                total = b0 >> 1
-                raw = bytes(buf[pos + 1:pos + total])
-            else:          # 4-byte header: len<<2
-                (hdr,) = struct.unpack_from("<I", buf, pos)
-                total = hdr >> 2
-                raw = bytes(buf[pos + 4:pos + total])
-            pos += total
+            raw, pos = _read_varlena(buf, pos, align, 0)
         pos = _align_up(pos, align)
         out.append(_from_storage(raw, kind))
     return out
@@ -1276,11 +1268,8 @@ def deserialize_datum_raw(buf: bytes, typlen: int, kind: str):
     if typlen > 0:
         return _from_storage(struct.unpack_from(_pack_fmt(kind), buf, 0)[0],
                              kind)
-    b0 = buf[0]
-    if b0 & 0x01:
-        return _from_storage(bytes(buf[1:b0 >> 1]), kind)
-    (hdr,) = struct.unpack_from("<I", buf, 0)
-    return _from_storage(bytes(buf[4:hdr >> 2]), kind)
+    raw, _pos = _read_varlena(buf, 0, 1, 0)
+    return _from_storage(raw, kind)
 
 
 def read_stripe(fh, stripe, type_names: list[str],

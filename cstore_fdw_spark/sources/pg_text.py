@@ -328,7 +328,16 @@ def _render_tstz(v) -> str:
 def _render_interval(v: PgInterval) -> str:
     """POSTGRES_VERBOSE output (the corpus display setting):
     ``@ 4 hours``, ``@ 0``, ``@ 1 mon 2 days 00:00:01 ago``-style
-    components; zero components are omitted."""
+    components; zero components are omitted. Uniform-sign intervals
+    only — PG renders mixed signs per-component (``@ 1 mon -1 hours``);
+    rather than risk a silently-wrong rendering this raises loudly
+    (the binary codec round-trips mixed signs fine; only the psql
+    display form is scoped)."""
+    nonzero = [x for x in (v.months, v.days, v.micros) if x]
+    if any(x < 0 for x in nonzero) and any(x > 0 for x in nonzero):
+        raise ValueError(
+            f"interval verbose render: mixed-sign components {v!r} "
+            "not supported (PG renders per-component signs)")
     parts = []
     if v.months:
         y, m = divmod(abs(v.months), 12)

@@ -41,10 +41,11 @@ TYPES_ARR = ["string", "date", "integer", "double", "string",
 
 
 def _parse_pg_array(lit: str) -> list[str]:
-    """'{a,b}' -> ['a','b']; '{}' -> [] (the corpus uses unquoted
-    single-letter elements, so a plain split suffices)."""
-    body = lit.strip()[1:-1]
-    return [e for e in body.split(",") if e] if body else []
+    """'{a,b}' -> ['a','b'] via the shared PG literal parser (handles
+    quoting/NULL/escapes if the corpus ever grows them)."""
+    from cstore_fdw_spark.sources.pg_text import parse_pg_array
+
+    return parse_pg_array(lit, lambda t: t)
 
 
 def load_rows(path: str = CSV_PATH) -> list[tuple]:

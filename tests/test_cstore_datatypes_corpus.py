@@ -280,3 +280,44 @@ def test_spark_binary_bytea_round_trip(spark, tmp_path):
     back = (spark.read.format("cstore")
             .schema("k BIGINT, payload BINARY").load(path))
     assert back.orderBy("k").collect() == df.orderBy("k").collect()
+
+
+def test_wrong_typed_float_and_mixed_interval_are_loud(tmp_path):
+    """Only ±infinity floats are sentinel-storable in date/timestamp
+    columns — an epoch-seconds float must raise, not silently become
+    'infinity'; and the verbose interval renderer refuses mixed-sign
+    components rather than emitting a numerically wrong form."""
+    from cstore_fdw_spark.sources.pg_text import render_pg_value
+
+    with pytest.raises(ValueError, match="infinity"):
+        write_cstore_file(str(tmp_path / "bad_ts.cstore"),
+                          [(1, 1723708800.0)], ["integer", "timestamp"])
+    with pytest.raises(ValueError, match="infinity"):
+        write_cstore_file(str(tmp_path / "bad_date.cstore"),
+                          [(1, 0.5)], ["integer", "date"])
+    with pytest.raises(ValueError, match="mixed"):
+        render_pg_value(PgInterval(1, 0, -3_600_000_000), "iv")
+    # uniform signs still render
+    assert render_pg_value(PgInterval(0, 0, -3_600_000_000), "iv") == \
+        "@ 1 hour ago"
+
+
+def test_datatypes_fixture_writer_is_byte_deterministic(tmp_path):
+    """Regenerating any corpus fixture must reproduce the COMMITTED
+    bytes exactly (data AND footer): the writer is deterministic, so a
+    codec change that reshapes the on-disk layout of any kind shows up
+    as a byte diff here and forces a conscious fixture regeneration —
+    the write-side twin of the read-compatibility pin above."""
+    from scripts.make_datatypes_fixture import (
+        CORPUS_TABLES, OUT_DIR, load_corpus_rows)
+
+    for name, (csv_name, type_names) in CORPUS_TABLES.items():
+        committed = os.path.join(OUT_DIR, f"{name}.cstore")
+        fresh = str(tmp_path / f"{name}.cstore")
+        write_cstore_file(fresh, load_corpus_rows(csv_name, type_names),
+                          type_names, compression="pglz")
+        for suffix in ("", ".footer"):
+            with open(committed + suffix, "rb") as a, \
+                    open(fresh + suffix, "rb") as b:
+                assert a.read() == b.read(), \
+                    f"{name}{suffix}: writer bytes drifted from fixture"
