@@ -616,3 +616,82 @@ def timeseries_holt_smoothing(spark, sf_dir):
 
     return (ranked.groupBy("event_type").applyInPandas(fold, schema)
             .orderBy("event_type"))
+
+
+@register(
+    "timeseries_cusum_changepoint",
+    category="events",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, DATE_TRUNC('hour', ts) AS h,
+             SUM(CAST(ROUND(value * 100) AS BIGINT)) AS x
+      FROM events GROUP BY 1, 2),
+    seq AS (
+      SELECT event_type, h, x,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY h) AS rn,
+             SUM(x) OVER (PARTITION BY event_type ORDER BY h
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS s_i,
+             SUM(x) OVER (PARTITION BY event_type) AS s_n,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM hourly),
+    dev AS (
+      SELECT event_type, h, rn, n,
+             ABS(n * s_i - rn * s_n) AS d
+      FROM seq WHERE rn < n),
+    pick AS (
+      SELECT event_type, h AS cp_hour, CAST(rn AS BIGINT) AS cp_rn,
+             CAST(n AS BIGINT) AS n_hours, CAST(d AS BIGINT) AS d_max,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY d DESC, rn) AS pk
+      FROM dev)
+    SELECT event_type, cp_hour, cp_rn, n_hours, d_max
+    FROM pick WHERE pk = 1 ORDER BY event_type
+    """)
+def timeseries_cusum_changepoint(spark, sf_dir):
+    """Offline CUSUM changepoint localization per event type (Page '54
+    cumulative sums; the max-deviation estimator of the classic
+    at-most-one-changepoint formulation): over the hourly value series,
+    the changepoint estimate is argmax_i |n·S_i − i·S_n| — the point
+    where the prefix mean diverges most from the global mean, with the
+    comparison CROSS-MULTIPLIED (n·S_i vs i·S_n) so the statistic is
+    exact int64 arithmetic instead of mean differences in floats; ties
+    break to the earliest hour, and the trivial i = n endpoint (always
+    deviation 0) is excluded. Output per type: the changepoint hour,
+    its 1-based index, the series length, and the deviation statistic.
+
+    Scale: one map-side-combined shuffle builds the hourly rollup; the
+    prefix sums are per-key ordered windows over time-BOUNDED series
+    (hours per type grows with wall time, not corpus size — the same
+    argument as timeseries_holt_smoothing), and the argmax is a second
+    window over those same rows, no extra shuffle of the corpus. All
+    integers, so the oracle hash-matches bit for bit."""
+    e = table(spark, sf_dir, "events")
+    hourly = (e.select("event_type",
+                       F.date_trunc("hour", "ts").alias("h"),
+                       F.expr("CAST(ROUND(value * 100) AS BIGINT)")
+                       .alias("cents"))
+              .groupBy("event_type", "h")
+              .agg(F.sum("cents").alias("x")))
+    word = Window.partitionBy("event_type").orderBy("h")
+    wcum = word.rowsBetween(Window.unboundedPreceding,
+                            Window.currentRow)
+    wall = Window.partitionBy("event_type")
+    seq = (hourly
+           .withColumn("rn", F.row_number().over(word))
+           .withColumn("s_i", F.sum("x").over(wcum))
+           .withColumn("s_n", F.sum("x").over(wall))
+           .withColumn("n", F.count(F.lit(1)).over(wall)))
+    dev = (seq.filter(F.col("rn") < F.col("n"))
+           .withColumn("d", F.abs(F.col("n") * F.col("s_i")
+                                  - F.col("rn") * F.col("s_n"))))
+    wpick = Window.partitionBy("event_type").orderBy(F.col("d").desc(),
+                                                     "rn")
+    return (dev.withColumn("pk", F.row_number().over(wpick))
+            .filter(F.col("pk") == 1)
+            .select("event_type", F.col("h").alias("cp_hour"),
+                    F.col("rn").cast("long").alias("cp_rn"),
+                    F.col("n").cast("long").alias("n_hours"),
+                    F.col("d").cast("long").alias("d_max"))
+            .orderBy("event_type"))

@@ -1462,3 +1462,29 @@ def test_alsh_mips_consistent_with_exact_mips(spark, sf_dir):
     for (q, _n), s in alsh.items():
         if q in best_exact:
             assert s <= best_exact[q], (q, s, best_exact[q])
+
+
+def test_cusum_changepoint_localizes_planted_shift(spark, tmp_path):
+    """A clean level shift (20 hours at 1.00, then 20 at 5.00) must be
+    localized exactly at the boundary (rn=20): for a step series the
+    CUSUM statistic |n·S_i − i·S_n| is maximized at the step."""
+    import datetime
+
+    from cstore_fdw_spark.operators import load_all
+
+    base = datetime.datetime(2024, 3, 1)
+    rows = []
+    for i in range(40):
+        rows.append((i, base + datetime.timedelta(hours=i, minutes=5),
+                     1, "shift", 1.0 if i < 20 else 5.0, "{}"))
+    (spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+     .write.mode("overwrite").parquet(str(tmp_path / "events.parquet")))
+    reg = load_all()
+    out = reg["timeseries_cusum_changepoint"].builder(
+        spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.event_type, r.cp_rn, r.n_hours) == ("shift", 20, 40)
+    assert r.cp_hour == base + datetime.timedelta(hours=19)
