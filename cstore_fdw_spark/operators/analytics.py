@@ -1108,3 +1108,75 @@ def market_basket_lift(spark, sf_dir):
             .orderBy(F.col("n_pairs").desc(),
                      F.col("lift_permille").desc(), "part1", "part2")
             .limit(MB_TOP))
+
+
+@register(
+    "stats_gini_concentration",
+    category="analytics",
+    oracle="""
+    WITH spend AS (
+      SELECT c.c_custkey AS ck, n.n_regionkey AS rk,
+             SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS cents
+      FROM orders o
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      GROUP BY 1, 2),
+    ranked AS (
+      SELECT rk, cents,
+             ROW_NUMBER() OVER (PARTITION BY rk
+                                ORDER BY cents, ck) AS i,
+             COUNT(*) OVER (PARTITION BY rk) AS n,
+             SUM(cents) OVER (PARTITION BY rk) AS tot
+      FROM spend)
+    SELECT CAST(rk AS BIGINT) AS regionkey,
+           CAST(MAX(n) AS BIGINT) AS n_customers,
+           CAST(MAX(tot) AS BIGINT) AS total_cents,
+           CAST((2 * SUM(i * cents) - (MAX(n) + 1) * MAX(tot)) * 1000
+                // (MAX(n) * MAX(tot)) AS BIGINT) AS gini_permille
+    FROM ranked GROUP BY rk ORDER BY regionkey
+    """)
+def stats_gini_concentration(spark, sf_dir):
+    """Gini concentration of customer spend per region — the classic
+    inequality coefficient via the rank formulation of the Lorenz
+    integral: G = (2·Σ i·x_(i) − (n+1)·Σx) / (n·Σx) over customers
+    ranked ascending by spend. Everything is exact int64 — spend in
+    cents, ranks from a deterministic (cents, custkey) order (tied
+    values make Σ i·x permutation-invariant within the tie block, so
+    the tie-break is belt-and-braces), and the final ratio an integer
+    permille — so the DuckDB oracle hash-matches bit for bit.
+
+    Scale: one orders→customer rollup shuffle (map-side combined),
+    a broadcast-sized nation join, then ONE per-region window pass
+    for rank/count/total and a region-keyed final aggregate — no
+    per-pair work (the naive mean-absolute-difference Gini is O(n²);
+    the rank form is O(n log n) sort the window already pays).
+    Monotone sanity: a region where every customer spends equally
+    gives 0; all-spend-on-one-customer approaches 1000 permille."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    spend = (o.join(c, o["o_custkey"] == c["c_custkey"])
+             .join(F.broadcast(n),
+                   c["c_nationkey"] == n["n_nationkey"])
+             .select(F.col("c_custkey").alias("ck"),
+                     F.col("n_regionkey").alias("rk"),
+                     F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)")
+                     .alias("ocents"))
+             .groupBy("ck", "rk")
+             .agg(F.sum("ocents").alias("cents")))
+    word = Window.partitionBy("rk").orderBy("cents", "ck")
+    wall = Window.partitionBy("rk")
+    ranked = (spend
+              .withColumn("i", F.row_number().over(word))
+              .withColumn("n", F.count(F.lit(1)).over(wall))
+              .withColumn("tot", F.sum("cents").over(wall)))
+    return (ranked.groupBy("rk")
+            .agg(F.max("n").alias("n"), F.max("tot").alias("tot"),
+                 F.sum(F.col("i") * F.col("cents")).alias("ix"))
+            .select(F.col("rk").cast("long").alias("regionkey"),
+                    F.col("n").cast("long").alias("n_customers"),
+                    F.col("tot").cast("long").alias("total_cents"),
+                    F.expr("(2 * ix - (n + 1) * tot) * 1000"
+                           " DIV (n * tot)").cast("long")
+                    .alias("gini_permille"))
+            .orderBy("regionkey"))

@@ -1488,3 +1488,41 @@ def test_cusum_changepoint_localizes_planted_shift(spark, tmp_path):
     r = out[0]
     assert (r.event_type, r.cp_rn, r.n_hours) == ("shift", 20, 40)
     assert r.cp_hour == base + datetime.timedelta(hours=19)
+
+
+def test_gini_extremes_on_crafted_regions(spark, tmp_path):
+    """Equal spend must give Gini 0; maximal concentration must give
+    the finite-n ceiling ~(n−1)/n (749 permille for n=4 after floor
+    division) — the two closed-form anchors of the rank formulation."""
+    from cstore_fdw_spark.operators import load_all
+
+    (spark.createDataFrame(
+        [(0, "N0", 0, ""), (1, "N1", 1, "")],
+        "n_nationkey long, n_name string, n_regionkey long, "
+        "n_comment string")
+     .write.mode("overwrite").parquet(str(tmp_path / "nation.parquet")))
+    custs = [(k, f"C{k}", "", 0, "", 0.0, "", "") for k in range(4)] + \
+            [(k, f"C{k}", "", 1, "", 0.0, "", "") for k in range(4, 8)]
+    (spark.createDataFrame(
+        custs, "c_custkey long, c_name string, c_address string, "
+               "c_nationkey long, c_phone string, c_acctbal double, "
+               "c_mktsegment string, c_comment string")
+     .write.mode("overwrite").parquet(str(tmp_path / "customer.parquet")))
+    spends = {0: 100.0, 1: 100.0, 2: 100.0, 3: 100.0,
+              4: 0.01, 5: 0.01, 6: 0.01, 7: 400.0}
+    orders = [(i, ck, "O", sp, "1995-01-01", "", "", 0, "")
+              for i, (ck, sp) in enumerate(spends.items())]
+    (spark.createDataFrame(
+        orders, "o_orderkey long, o_custkey long, o_orderstatus string, "
+                "o_totalprice double, o_orderdate string, "
+                "o_orderpriority string, o_clerk string, "
+                "o_shippriority long, o_comment string")
+     .write.mode("overwrite").parquet(str(tmp_path / "orders.parquet")))
+    reg = load_all()
+    out = {r.regionkey: r for r in
+           reg["stats_gini_concentration"].builder(
+               spark, str(tmp_path)).collect()}
+    assert out[0].gini_permille == 0
+    assert out[0].n_customers == 4 and out[0].total_cents == 40000
+    # cents [1,1,1,40000]: (2*160006 - 5*40003)*1000 // (4*40003) = 749
+    assert out[1].gini_permille == 749
