@@ -674,6 +674,15 @@ def timeseries_cusum_changepoint(spark, sf_dir):
                        .alias("cents"))
               .groupBy("event_type", "h")
               .agg(F.sum("cents").alias("x")))
+    return cusum_changepoints(hourly)
+
+
+def cusum_changepoints(hourly):
+    """The CUSUM finisher over a (event_type, h, x) hourly rollup —
+    shared by the batch query above and the streaming twin
+    (streaming/analytics.py): the rollup is a mergeable SUM, so a
+    complete-mode stream maintains the identical hourly state and this
+    SAME window pass localizes the identical changepoints."""
     word = Window.partitionBy("event_type").orderBy("h")
     wcum = word.rowsBetween(Window.unboundedPreceding,
                             Window.currentRow)

@@ -51,3 +51,48 @@ def run_sketch_available_now(spark: SparkSession, sf_dir: str,
              .trigger(availableNow=True).start())
         q.awaitTermination(120)
     return spark.table(query_name)
+
+
+# ------------------------------------------------ CUSUM changepoint twin
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events parquet (micro-batch per file
+    in tests; Kafka/files on a real deployment)."""
+    # stream-rewrite-guard: exempt — READ-ONLY fixture parquet, not a
+    # catalog table (same rationale as read_lineitem_stream above).
+    return (spark.readStream.schema(
+        spark.read.parquet(f"{sf_dir}/events.parquet").schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir))
+
+
+def hourly_cents_stream(events: DataFrame) -> DataFrame:
+    """Maintain the per-(type, hour) cents rollup over the stream: the
+    CUSUM statistic's ONLY state is this mergeable SUM — bounded by
+    |event_type| × hours seen (wall time, not rows), which is what
+    makes the changepoint monitor affordable on an unbounded stream."""
+    return (events
+            .select("event_type",
+                    F.date_trunc("hour", "ts").alias("h"),
+                    F.expr("CAST(ROUND(value * 100) AS BIGINT)")
+                    .alias("cents"))
+            .groupBy("event_type", "h")
+            .agg(F.sum("cents").alias("x")))
+
+
+def run_cusum_available_now(spark: SparkSession, sf_dir: str,
+                            query_name: str = "cusum_hourly") -> DataFrame:
+    """Drain the streamed hourly rollup with Trigger.AvailableNow into a
+    memory sink, then run the SAME cusum_changepoints finisher the
+    batch query uses — bit-identical localization by construction."""
+    from cstore_fdw_spark.operators.events import cusum_changepoints
+
+    out = hourly_cents_stream(read_events_stream(spark, sf_dir))
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (out.writeStream.format("memory").queryName(query_name)
+             .outputMode("complete")
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+    return cusum_changepoints(spark.table(query_name))

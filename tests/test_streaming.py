@@ -603,3 +603,19 @@ def test_streaming_hdr_sketch_equals_batch(spark, sf_dir):
         .collect())
     assert streamed == batch
     assert len(streamed) > 10  # a real multi-bucket histogram
+
+
+def test_cusum_streaming_twin_matches_batch(spark, sf_dir):
+    """The streamed CUSUM changepoint monitor must localize the
+    IDENTICAL changepoints as the batch query: its only state is the
+    mergeable hourly SUM (bounded by |event_type| x wall-time hours),
+    and the finisher is literally shared code — the same
+    batch/streaming-twin contract as the HDR sketch above."""
+    from cstore_fdw_spark.operators import load_all
+    from cstore_fdw_spark.streaming.analytics import run_cusum_available_now
+
+    reg = load_all()
+    batch = reg["timeseries_cusum_changepoint"].builder(spark, sf_dir) \
+        .collect()
+    streamed = run_cusum_available_now(spark, sf_dir).collect()
+    assert streamed == batch
