@@ -704,3 +704,50 @@ def cusum_changepoints(hourly):
                     F.col("n").cast("long").alias("n_hours"),
                     F.col("d").cast("long").alias("d_max"))
             .orderBy("event_type"))
+
+
+@register(
+    "timeseries_retention_cohorts",
+    category="events",
+    oracle="""
+    WITH uw AS (
+      SELECT DISTINCT user_id,
+             CAST(DATE_TRUNC('week', ts) AS DATE) AS w
+      FROM events),
+    cohorts AS (
+      SELECT user_id, MIN(w) AS cohort FROM uw GROUP BY user_id)
+    SELECT cohort AS cohort_week,
+           CAST(DATE_DIFF('day', cohort, w) // 7 AS BIGINT)
+             AS weeks_since,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM uw JOIN cohorts USING (user_id)
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """)
+def timeseries_retention_cohorts(spark, sf_dir):
+    """Weekly retention cohort table — the product-analytics staple:
+    users grouped by their FIRST active ISO week (both engines truncate
+    weeks to Monday), then for every later week the count of cohort
+    members still active. weeks_since is the exact day difference
+    floor-divided by 7 (non-negative by construction, so truncating
+    and flooring division agree); per-user-per-week activity is
+    DISTINCT'd first, so each (cohort, weeks_since) cell counts one
+    row per retained user — plain COUNT(*), no countDistinct shuffle.
+
+    Scale: ONE user_id-keyed shuffle serves both the per-user distinct
+    week set and the MIN-week cohort assignment (the join re-uses the
+    clustering); the final rollup is cohorts × weeks — calendar-
+    bounded, not row-bounded. The cohort table is the input to every
+    retention curve/triangle; downstream ratios are one more
+    broadcast-join against the weeks_since = 0 column."""
+    e = table(spark, sf_dir, "events")
+    uw = (e.select("user_id",
+                   F.date_trunc("week", "ts").cast("date").alias("w"))
+          .distinct())
+    cohorts = uw.groupBy("user_id").agg(F.min("w").alias("cohort"))
+    return (uw.join(cohorts, "user_id")
+            .select(F.col("cohort").alias("cohort_week"),
+                    F.expr("datediff(w, cohort) DIV 7").cast("long")
+                    .alias("weeks_since"))
+            .groupBy("cohort_week", "weeks_since")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+            .orderBy("cohort_week", "weeks_since"))
