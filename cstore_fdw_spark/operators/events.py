@@ -751,3 +751,70 @@ def timeseries_retention_cohorts(spark, sf_dir):
             .groupBy("cohort_week", "weeks_since")
             .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
             .orderBy("cohort_week", "weeks_since"))
+
+
+@register(
+    "timeseries_autocorr_lag1",
+    category="events",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, DATE_TRUNC('hour', ts) AS h,
+             SUM(CAST(ROUND(value * 100) AS BIGINT)) AS x
+      FROM events GROUP BY 1, 2),
+    centered AS (
+      SELECT event_type, h,
+             COUNT(*) OVER (PARTITION BY event_type) AS n,
+             COUNT(*) OVER (PARTITION BY event_type) * x
+               - SUM(x) OVER (PARTITION BY event_type) AS c
+      FROM hourly),
+    paired AS (
+      SELECT event_type, n, c,
+             LEAD(c) OVER (PARTITION BY event_type ORDER BY h) AS cn
+      FROM centered)
+    SELECT event_type, CAST(MAX(n) AS BIGINT) AS n_hours,
+           CAST(SUM(CASE WHEN cn IS NOT NULL THEN c * cn ELSE 0 END)
+                * 1000 // SUM(c * c) AS BIGINT) AS autocorr_permille
+    FROM paired GROUP BY event_type
+    HAVING SUM(c * c) > 0 ORDER BY event_type
+    """)
+def timeseries_autocorr_lag1(spark, sf_dir):
+    """Lag-1 autocorrelation of the hourly value series per event type —
+    the smoothness/seasonality screen (is load persistent hour over
+    hour, or white noise?). The estimator is the standard
+    Σ(x_t−μ)(x_t+1−μ) / Σ(x_t−μ)² with every term CROSS-MULTIPLIED by
+    n (c_t = n·x_t − S is integer-exact; the μ division never happens),
+    emitted as integer permille — negative values allowed, and both
+    engines' integer division truncates toward zero (the Holt
+    discipline), so the oracle hash-matches bit for bit. Constant
+    series (denominator 0) drop out via HAVING.
+
+    Scale: one map-side-combined rollup shuffle, then per-key windows
+    over time-BOUNDED hourly series (the CUSUM/Holt argument) and a
+    keyed final aggregate. Overflow headroom: Σc² needs
+    n³·x̄² < 2^63 — beyond ~10^5 hours × 10^5-cent means, promote the
+    products to DECIMAL(38,0); the plan shape is unchanged."""
+    e = table(spark, sf_dir, "events")
+    hourly = (e.select("event_type",
+                       F.date_trunc("hour", "ts").alias("h"),
+                       F.expr("CAST(ROUND(value * 100) AS BIGINT)")
+                       .alias("cents"))
+              .groupBy("event_type", "h")
+              .agg(F.sum("cents").alias("x")))
+    wall = Window.partitionBy("event_type")
+    word = Window.partitionBy("event_type").orderBy("h")
+    centered = (hourly
+                .withColumn("n", F.count(F.lit(1)).over(wall))
+                .withColumn("c", F.col("n") * F.col("x")
+                            - F.sum("x").over(wall)))
+    paired = centered.withColumn("cn", F.lead("c").over(word))
+    return (paired.groupBy("event_type")
+            .agg(F.max("n").cast("long").alias("n_hours"),
+                 F.sum(F.when(F.col("cn").isNotNull(),
+                              F.col("c") * F.col("cn"))
+                       .otherwise(F.lit(0))).alias("num"),
+                 F.sum(F.col("c") * F.col("c")).alias("den"))
+            .filter(F.col("den") > 0)
+            .select("event_type", "n_hours",
+                    F.expr("num * 1000 DIV den").cast("long")
+                    .alias("autocorr_permille"))
+            .orderBy("event_type"))
