@@ -1673,3 +1673,47 @@ def vector_alsh_mips_topk(spark, sf_dir):
             .withColumn("rank", F.row_number().over(w).cast("long"))
             .filter(F.col("rank") <= TOP_K)
             .select("query_id", "neighbor_id", "rank", "score"))
+
+
+@register(
+    "vector_label_centroid_sums",
+    category="similarity",
+    oracle="""
+    SELECT label, CAST(i - 1 AS BIGINT) AS dim,
+           CAST(SUM(CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1000000)
+                         AS BIGINT)) AS BIGINT) AS sum_fx,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(SUM(CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1000000)
+                         AS BIGINT)) // COUNT(*) AS BIGINT) AS mean_fx
+    FROM embeddings,
+         LATERAL UNNEST(generate_series(1, len(embedding))) u(i)
+    GROUP BY label, i ORDER BY label, dim
+    """)
+def vector_label_centroid_sums(spark, sf_dir):
+    """Per-label class centroids in fixed point — the primitive behind
+    SemDeDup cluster assignment, k-NN prototype baselines, and
+    embedding-drift monitoring (compare per-class centroids across
+    snapshots). Raw float SUMs are order-nondeterministic across
+    partitions (the engine's no-raw-float-aggregates rule), so each
+    coordinate quantizes to round(e·10^6) FIRST — integer sums are
+    then associative/commutative and the centroid (sum_fx DIV n) is
+    exact, hash-matching DuckDB bit for bit; both engines' integer
+    division truncates toward zero (negative coordinates included).
+
+    Scale: ONE posexplode + map-side-combined groupBy — the shuffle
+    carries |labels|·DIM partial rows per task, not the corpus; output
+    is |labels|·DIM rows (bounded). Quantization bias is < 0.5e-6 per
+    coordinate — negligible against embedding noise, and consistent
+    across snapshots because the quantizer is fixed."""
+    e = table(spark, sf_dir, "embeddings")
+    ex = e.select("label", F.posexplode("embedding"))
+    fx = F.expr("CAST(ROUND(CAST(col AS DOUBLE) * 1000000) AS BIGINT)")
+    return (ex.select("label", F.col("pos").cast("long").alias("dim"),
+                      fx.alias("efx"))
+            .groupBy("label", "dim")
+            .agg(F.sum("efx").alias("sum_fx"),
+                 F.count(F.lit(1)).cast("long").alias("n_vecs"))
+            .select("label", "dim", "sum_fx", "n_vecs",
+                    F.expr("sum_fx DIV n_vecs").cast("long")
+                    .alias("mean_fx"))
+            .orderBy("label", "dim"))
