@@ -140,6 +140,13 @@ class CStoreReader(DataSourceReader):
                 raise ValueError(
                     f"column_positions has {len(self.positions)} "
                     f"entries for {len(data_fields)} schema columns")
+            bad = [p for p in self.positions if p < 0]
+            if bad:
+                # a negative position would silently index byte spans
+                # from the END of the skip/value tables — garbage rows,
+                # not an error
+                raise ValueError(
+                    f"column_positions must be non-negative: {bad}")
         #: per-column [(op, value), ...] retained for block skipping
         self.ranges: dict[int, list] = {}
 

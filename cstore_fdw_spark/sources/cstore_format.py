@@ -26,7 +26,7 @@ import dataclasses
 import os
 import re
 import struct
-from decimal import Decimal, localcontext
+from decimal import Decimal, ROUND_HALF_UP, localcontext
 
 # ------------------------------------------------------------ protobuf wire
 
@@ -247,7 +247,14 @@ def pg_numeric_encode(dec: Decimal, dscale: int) -> bytes:
         raise ValueError("cstore numeric: NaN/Infinity not storable")
     neg = dec < 0
     a = -dec if neg else dec
-    int_part, _, frac_part = f"{a:.{dscale}f}".partition(".")
+    # narrow to dscale the way PG does — round half AWAY from zero
+    # (numeric.c's round_var); an f-string would banker's-round
+    with localcontext() as ctx:
+        ctx.prec = max(len(a.as_tuple().digits) + dscale + 2, 38)
+        a = a.quantize(Decimal(1).scaleb(-dscale),
+                       rounding=ROUND_HALF_UP)
+    int_part, _, frac_part = f"{a:f}".partition(".")
+    frac_part = frac_part.ljust(dscale, "0")[:dscale] if dscale else ""
     istr = "0" * ((-len(int_part)) % 4) + int_part
     fstr = frac_part + "0" * ((-len(frac_part)) % 4)
     digits = [int(istr[i:i + 4]) for i in range(0, len(istr), 4)] + \
@@ -1115,7 +1122,18 @@ def _arrow_stripe_blocks(stripe, types, block_row_count: int,
                 # varlena path (per-datum by design). text min/max
                 # compare in encoded-byte order; numerics in Decimal
                 # value order (their encoding doesn't sort bytewise);
-                # arrays carry NO min/max nodes
+                # arrays carry NO min/max nodes.
+                # WRITE POLICY, text min/max: emitted in UTF-8 BYTE
+                # order, i.e. under a recorded C-collation assumption.
+                # The reference computes them under the column's
+                # collation (cstore_writer.c:845-849; its da_DK
+                # regression input/block_filtering.source:62-71 pins
+                # why that matters). Our own reader never prunes on
+                # text bounds, so this engine is unaffected; a file
+                # handed back to PostgreSQL must be attached to a
+                # column with COLLATE "C" (or the bounds ignored), or
+                # an 'aa'<x<'az' style predicate under da_DK could
+                # over-prune. README "interop" states the same.
                 if kind == "text":
                     vals = [v.encode("utf-8")
                             for v in pres.to_pylist()]
@@ -1167,6 +1185,13 @@ def _arrow_stripe_blocks(stripe, types, block_row_count: int,
                 elif kind == "b":
                     st = pres.cast(pa.uint8()).to_numpy(
                         zero_copy_only=False).astype("u1")
+                elif kind not in _NP_DTYPE:
+                    # time/tstz/money/interval/uuid etc: fixed width on
+                    # disk but no Spark type — same loud error as the
+                    # varlena branch, not a bare KeyError
+                    raise ValueError(
+                        f"arrow writer: fixed-width kind {kind!r} is "
+                        "not Spark-expressible")
                 else:
                     st = pres.to_numpy(zero_copy_only=False).astype(
                         _NP_DTYPE[kind])
@@ -1482,6 +1507,12 @@ def _decode_block_arrow(vbuf: bytes, ebuf: bytes, rowcount: int,
                     f"{s} without rounding; declare decimal(p,{-v.as_tuple().exponent})")
             out.append(qv)
         return pa.array(out, type=pa.decimal128(int(p), int(s)))
+    if kind not in _NP_DTYPE:
+        # fixed-width on disk, but no Spark-expressible type (time/
+        # tstz/money/interval/uuid/...): loud, like the varlena branch
+        raise ValueError(
+            f"arrow reader: fixed-width kind {kind!r} is not "
+            "Spark-expressible; read via read_cstore_file instead")
     assert typlen == align  # contiguity precondition for frombuffer
     n_present = int(exists.sum())
     raw = np.frombuffer(vbuf, dtype=_NP_DTYPE[kind], count=n_present)

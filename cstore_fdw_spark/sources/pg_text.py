@@ -85,6 +85,11 @@ def _parse_tstz(text: str) -> object:
         return _parse_ts(text)
     # the zone suffix starts at the last +/- past the date part
     zone_at = max(text.rfind("+"), text.rfind("-", 10))
+    if zone_at < 0:
+        # zoneless input is valid COPY text under a session timezone;
+        # the corpus pins TimeZone=GMT, so read it as UTC rather than
+        # slicing off the last digit
+        return _parse_ts(text).replace(tzinfo=datetime.timezone.utc)
     body, zone = text[:zone_at], text[zone_at:]
     parts = zone[1:].split(":")
     minutes = int(parts[0]) * 60 + (int(parts[1]) if len(parts) > 1 else 0)
@@ -425,8 +430,11 @@ def _render_inet(v: PgInet) -> str:
 
 
 def _render_num(d: Decimal) -> str:
-    s = str(d)
-    return s
+    # psql prints numerics as plain digits, never scientific notation:
+    # Decimal('1E+2') must render '100', not '1E+2'
+    if d.as_tuple().exponent >= 0:
+        return f"{d:f}"
+    return str(d)
 
 
 _SCALAR_RENDER = {

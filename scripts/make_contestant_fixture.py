@@ -6,9 +6,11 @@ layout (``input/create.source:35-38``: handle TEXT, birthdate DATE,
 rating INT, percentile FLOAT, country CHAR(3), achievements TEXT[]),
 compressed pglz like ``contestant_compressed``.
 
-TEXT[] has no cstore-codec mapping (documented type-breadth gap); the
-fixture stores the PG array literal as text, which is exactly what the
-CSV carries.
+Two fixtures are written: ``contestant.cstore`` keeps achievements as
+the raw PG array *literal* in a text column (what the CSV carries, and
+what this script produced before the codec grew array support), and
+``contestant_arrays.cstore`` stores it as a REAL ``array<string>``
+datum via the codec's PG 1-D array layout — both layouts stay pinned.
 
 The point of COMMITTING the binary (rather than writing it fresh in
 the test): the round-trip test then proves every future revision of

@@ -321,3 +321,23 @@ def test_datatypes_fixture_writer_is_byte_deterministic(tmp_path):
                     open(fresh + suffix, "rb") as b:
                 assert a.read() == b.read(), \
                     f"{name}{suffix}: writer bytes drifted from fixture"
+
+
+def test_pg_text_tstz_zoneless_and_plain_numeric_render():
+    """Two COPY-text boundary fixes stay pinned: a zoneless timestamptz
+    (valid input under a session timezone; corpus pins GMT) parses as
+    UTC instead of mis-slicing the last digit, and positive-exponent
+    numerics render as plain digits the way psql does."""
+    import datetime
+    from decimal import Decimal
+
+    from cstore_fdw_spark.sources.pg_text import (_parse_tstz,
+                                                  render_pg_value)
+
+    got = _parse_tstz("2024-03-05 10:20:30")
+    assert got == datetime.datetime(2024, 3, 5, 10, 20, 30,
+                                    tzinfo=datetime.timezone.utc)
+    got = _parse_tstz("2024-03-05 10:20:30.5")
+    assert got.microsecond == 500000 and got.tzinfo is not None
+    assert render_pg_value(Decimal("1E+2"), "num:5:0") == "100"
+    assert render_pg_value(Decimal("-2.5E+3"), "num:6:0") == "-2500"

@@ -679,3 +679,34 @@ def test_catalog_cstore_pruned_read(spark, tmp_path):
     m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
     assert m and set(x.split(":")[0] for x in m.group(1).split(",")) == \
         {"a", "c"}
+
+
+def test_column_positions_negative_is_rejected(spark, tmp_path):
+    """A negative column_positions entry would silently read byte spans
+    from the END of the skip/value tables (Python negative indexing) —
+    must raise instead."""
+    from cstore_fdw_spark.sources.cstore_datasource import (
+        register_cstore)
+    from cstore_fdw_spark.sources.cstore_format import write_cstore_file
+
+    register_cstore(spark)
+    path = str(tmp_path / "neg.cstore")
+    write_cstore_file(path, [(1, "a"), (2, "b")],
+                      ["integer", "string"])
+    df = (spark.read.format("cstore")
+          .schema("v INT")
+          .option("column_positions", "-1")
+          .load(path))
+    with pytest.raises(Exception, match="non-negative"):
+        df.collect()
+
+
+def test_arrow_paths_reject_non_spark_fixed_width_kinds():
+    """Fixed-width kinds with no Spark type (time/money/uuid/...) get
+    the documented loud unsupported-type error on the arrow read path,
+    not a bare KeyError."""
+    from cstore_fdw_spark.sources.cstore_format import (
+        _decode_block_arrow)
+
+    with pytest.raises(ValueError, match="not\\s+Spark-expressible"):
+        _decode_block_arrow(b"\x00" * 8, b"\x01", 1, 8, 8, "time")

@@ -166,3 +166,20 @@ def test_cstore_unsupported_decimal_is_loud():
     assert cstore_type_props("decimal(18,2)")[1] == -1
     with pytest.raises(ValueError, match="does not store"):
         cstore_type_props("map<string,int>")
+
+
+def test_pg_numeric_encode_rounds_half_away_from_zero():
+    """Narrowing to the declared dscale uses PG's rounding (numeric.c
+    round_var: half AWAY from zero), not Python's banker's rounding:
+    1.25 @ dscale 1 must store 1.3 (an f-string would give 1.2)."""
+    from decimal import Decimal
+
+    from cstore_fdw_spark.sources.cstore_format import (
+        pg_numeric_decode, pg_numeric_encode)
+
+    for src, dscale, want in [("1.25", 1, "1.3"), ("-1.25", 1, "-1.3"),
+                              ("0.5", 0, "1"), ("-0.5", 0, "-1"),
+                              ("2.675", 2, "2.68"),
+                              ("1.2349999", 3, "1.235")]:
+        got = pg_numeric_decode(pg_numeric_encode(Decimal(src), dscale))
+        assert got == Decimal(want), (src, dscale, got)
