@@ -286,6 +286,10 @@ class CStoreCatalog:
         from cstore_fdw_spark.sources.cstore_datasource import (
             register_cstore)
         register_cstore(spark)
+        #: temp-view names THIS catalog created (sql_view / sql shadow
+        #: rebinds): sql() only ever replaces views it owns — a user's
+        #: same-named temp view is never silently shadowed
+        self._owned_views: set[str] = set()
 
     # ---------------------------------------------------------- paths/meta
     def table_path(self, name: str) -> str:
@@ -1817,7 +1821,87 @@ class CStoreCatalog:
         """Register the table as a temp view for spark.sql queries."""
         view = view_name or name
         self.read(name).createOrReplaceTempView(view)
+        self._owned_views.add(view.lower())
         return view
+
+    def sql(self, query: str) -> DataFrame:
+        """``spark.sql`` with the reference's automatic column pruning
+        on cstore-format tables (A2, ``cstore_fdw.c:1841-1941``: EVERY
+        query's ColumnList prunes the scan, not just callers of
+        ``read(columns=...)``).
+
+        Parquet/orc tables need nothing here — Catalyst's ColumnPruning
+        reaches their scan's ReadSchema natively. The v1.7 binary
+        format reads through the python DataSource API, which has no
+        pruning pushdown, so this method closes the gap: analyze the
+        query once against the current bindings, resolve which columns
+        of each cstore table the plan actually references
+        (:func:`plans.prune.referenced_table_columns` — the analyzed-
+        plan walk), re-bind those names to pruned readers
+        (``read(columns=...)`` → ``column_positions`` option), re-run,
+        then restore the original bindings. Unwanted columns' skip
+        lists are never parsed and their exists/value buffers never
+        read (byte-span-proven in tests/test_cstore_format.py).
+
+        Safety rails: a name is only re-bound when it resolves to the
+        catalog-shaped full-width relation AND is either a session-
+        catalog registration (``register_table``) or a temp view this
+        catalog itself created (``sql_view``) — a user's own same-named
+        temp view is left alone (the query then runs exactly as
+        ``spark.sql`` would). Qualified references (``db.t``) bypass
+        the temp-view shadow and stay unpruned-but-correct."""
+        from cstore_fdw_spark.plans.prune import (boundary_schema,
+                                                  referenced_table_columns)
+
+        df = self.spark.sql(query)
+        cls = df._jdf.queryExecution().analyzed().getClass().getSimpleName()
+        if "Command" in cls:
+            # INSERT/CREATE/... executed eagerly above — re-running the
+            # text would double-execute the side effect
+            return df
+        cands: dict[str, str] = {}
+        for name in self.list_tables():
+            meta = self._load_meta(name)
+            if self._format(meta) != "cstore":
+                continue
+            for n in {name, *meta.registered_names}:
+                cands[n.lower()] = name
+        if not cands:
+            return df
+        needed = referenced_table_columns(df, set(cands))
+        temp_views = {t.name.lower() for t in
+                      self.spark.catalog.listTables()
+                      if t.isTemporary} if needed else set()
+        shadows: list[tuple[str, bool]] = []
+        for alias, cols in needed.items():
+            name = cands[alias]
+            full = self._load_meta(name).schema().fieldNames()
+            is_view = alias in temp_views
+            if is_view and alias not in self._owned_views:
+                continue  # user-owned view: hands off
+            if boundary_schema(df, alias) != list(full):
+                continue  # name no longer resolves to the full table
+            if set(cols) >= set(full):
+                continue  # full-width query: nothing to prune
+            keep = [c for c in full if c in cols]
+            if not keep:
+                # SELECT COUNT(*): rows-only — read the cheapest
+                # column as the row-multiplicity carrier
+                keep = [_cheapest_column(self._load_meta(name).schema())]
+            self.read(name, columns=keep).createOrReplaceTempView(alias)
+            self._owned_views.add(alias)
+            shadows.append((alias, is_view))
+        if not shadows:
+            return df
+        pruned = self.spark.sql(query)  # resolves against the shadows
+        for alias, was_view in shadows:
+            if was_view:
+                # restore the full-width sql_view binding
+                self.read(cands[alias]).createOrReplaceTempView(alias)
+            else:
+                self.spark.catalog.dropTempView(alias)
+                self._owned_views.discard(alias)
+        return pruned
 
     def metadata_df(self) -> DataFrame:
         """One row of catalog metadata per table: (table_name, size_bytes,
@@ -2328,6 +2412,17 @@ class CStoreCatalog:
             frac = ((min(hi, b_hi) - max(lo, b_lo)) / (b_hi - b_lo))
             total += per_bucket * max(0.0, min(1.0, frac))
         return int(round(total))
+
+
+def _cheapest_column(schema: T.StructType) -> str:
+    """The narrowest column to scan when a query needs row multiplicity
+    only (COUNT(*)): fixed-width beats varlena, narrow beats wide —
+    the reference's own rows-only reads walk skip lists instead, but a
+    pruned 1-column read is the closest Spark-side analog."""
+    width = {"boolean": 1, "short": 2, "integer": 4, "float": 4,
+             "date": 4, "long": 8, "double": 8, "timestamp": 8}
+    return min(schema.fields,
+               key=lambda f_: width.get(f_.dataType.typeName(), 64)).name
 
 
 def _data_files(path: str, fmt: str):
