@@ -522,6 +522,26 @@ def timeseries_trending_ratio(spark, sf_dir):
 HOLT_HOURS = 48
 
 
+def holt_tdiv(a: int, n: int) -> int:
+    """Truncate-toward-zero integer division — python's ``//`` FLOORS,
+    while Spark ``div`` / DuckDB ``//`` truncate; the fold's negative
+    intermediates (cooling series) make the difference observable."""
+    q = abs(a) // n
+    return q if a >= 0 else -q
+
+
+def holt_step(level: int, trend: int, x: int) -> tuple[int, int]:
+    """ONE Holt update in exact integer cents (alpha=0.3, beta=0.1):
+    the literal step shared by the batch fold below and the streaming
+    twin (``streaming/stateful.py``) — the same shared-finisher
+    discipline as ``cusum_changepoints``, so twin equality is by
+    construction, not by parallel reimplementation."""
+    prev = level
+    level = holt_tdiv(3 * x + 7 * (level + trend), 10)
+    trend = holt_tdiv((level - prev) + 9 * trend, 10)
+    return level, trend
+
+
 def _holt_oracle() -> str:
     return f"""
     WITH RECURSIVE hourly AS (
@@ -597,17 +617,11 @@ def timeseries_holt_smoothing(spark, sf_dir):
     def fold(pdf):
         import pandas as pd
 
-        def tdiv(a, n):
-            q = abs(a) // n
-            return q if a >= 0 else -q
-
         pdf = pdf.sort_values("rn")
         xs = [int(v) for v in pdf["x"]]
         level, trend = xs[0], 0
         for x in xs[1:]:
-            prev = level
-            level = tdiv(3 * x + 7 * (level + trend), 10)
-            trend = tdiv((level - prev) + 9 * trend, 10)
+            level, trend = holt_step(level, trend, x)
         return pd.DataFrame(
             [[pdf["event_type"].iloc[0], len(xs), level, trend,
               level + 3 * trend]],
