@@ -727,9 +727,18 @@ def _cached_codebook(spark, sf_dir, tag, params, build):
                       .encode()).hexdigest()[:16]
     path = os.path.join(tempfile.gettempdir(), f"cstore_cb_{tag}_{key}")
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
-        build().coalesce(1).write.mode("overwrite").parquet(path)
+        df = build()
+        if tag not in CORPUS_SIZED_TAGS:
+            # codebooks are model-sized: one file reads in one task
+            df = df.coalesce(1)
+        df.write.mode("overwrite").parquet(path)
         TRAINED_TAGS.append(tag)
     return spark.read.parquet(path)
+
+
+#: artifact tags whose frame is corpus-sized (one row per vector) —
+#: written with the plan's own partitioning, never coalesce(1)
+CORPUS_SIZED_TAGS = frozenset({"ivfcodes"})
 
 
 #: codebook tags trained (artifact cache miss) since import — lets the
@@ -1296,9 +1305,23 @@ def _ivfadc_adc(spark, sf_dir):
         return F.array_min(arr)["k"].cast("int")
 
     jseq = F.sequence(F.lit(0), F.lit(PQ_M - 1))
-    coded = (resid.crossJoin(F.broadcast(seeds1))
-             .select("vec_id", "cell",
-                     F.transform(jseq, code_j).alias("codes")))
+    # --- the INDEX itself is the third maintained artifact: in a
+    # deployed IVFADC the per-vector (home cell, PQ codes) pair IS the
+    # index FAISS stores on disk — recomputing it per query repeats the
+    # N×nlist coarse assignment, the one corpus-superlinear stage
+    # (measured: the r12 scale-slope bench flagged exactly this,
+    # SCALE_MEASURED.md). Cached, serving reads N (vec_id, cell,
+    # codes<8 x int>) rows linearly and scores only probed candidates;
+    # the assignment cost moves into index_build_sec where every real
+    # deployment pays it. Codes are a deterministic function of
+    # (corpus, both trained codebooks) — pq_params embeds the coarse
+    # params, so any trainer change re-keys the codes too; ints
+    # round-trip parquet exactly, so the oracles can't tell.
+    coded = _cached_codebook(
+        spark, sf_dir, "ivfcodes", ("codes",) + pq_params,
+        lambda: (resid.crossJoin(F.broadcast(seeds1))
+                 .select("vec_id", "cell",
+                         F.transform(jseq, code_j).alias("codes"))))
     qresid = (probes
               .join(F.broadcast(cents_ivf.select("cell", "centroid")),
                     "cell")
