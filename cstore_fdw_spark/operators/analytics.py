@@ -1180,3 +1180,147 @@ def stats_gini_concentration(spark, sf_dir):
                            " DIV (n * tot)").cast("long")
                     .alias("gini_permille"))
             .orderBy("regionkey"))
+
+
+def _class_balance_oracle() -> str:
+    from cstore_fdw_spark.functions.portable_hash import duck_h60
+    h = duck_h60("CAST(vec_id AS VARCHAR)")
+    return f"""
+    WITH target AS (
+      SELECT MIN(n) AS k FROM (
+        SELECT COUNT(*) AS n FROM embeddings GROUP BY label)),
+    ranked AS (
+      SELECT vec_id, label,
+             ROW_NUMBER() OVER (PARTITION BY label
+                                ORDER BY {h}, vec_id) AS rk
+      FROM embeddings)
+    SELECT r.vec_id, CAST(r.label AS INT) AS label
+    FROM ranked r CROSS JOIN target t WHERE r.rk <= t.k
+    """
+
+
+@register(
+    "sample_class_balance",
+    category="analytics",
+    oracle=_class_balance_oracle())
+def sample_class_balance(spark, sf_dir):
+    """Class-balanced downsampling over the labeled embedding corpus:
+    every label is cut to the SMALLEST class's size, the classic
+    rebalance before training a classifier head (or rebalancing domain
+    mixes) — majority classes can't drown minority gradients. Selection
+    ranks within each label by portable hash of vec_id (the
+    sample_stratified_hash discipline): reproducible across engines,
+    runs, and topologies — never an RNG — and re-running after the
+    corpus grows keeps previously chosen rows selected with high
+    probability (rank by a fixed hash moves only at the boundary).
+
+    Scale: the min class size is a tiny two-level aggregate (broadcast
+    as a 1-row anchor); selection is exact top-k-per-group — expressed
+    as ONE rank window (per-label shuffle). At 100 TB with huge
+    classes, swap the full sort for the two-phase threshold trick
+    (per-partition top-k, union, re-rank) without changing this
+    contract; |labels| here is 10, so the window is the right plan."""
+    from cstore_fdw_spark.functions.portable_hash import spark_h60
+
+    e = table(spark, sf_dir, "embeddings")
+    k = (e.groupBy("label").agg(F.count(F.lit(1)).alias("n"))
+         .agg(F.min("n").alias("k")))
+    w = Window.partitionBy("label").orderBy(
+        F.expr(spark_h60("cast(vec_id as string)")), "vec_id")
+    return (e.select("vec_id", "label")
+            .withColumn("rk", F.row_number().over(w))
+            .join(F.broadcast(k), F.col("rk") <= F.col("k"))
+            .select("vec_id", F.col("label").cast("int").alias("label")))
+
+
+#: recurring co-purchase graph: part pairs sharing >= this many orders
+_TRIANGLE_SUPPORT = 2
+
+
+@register(
+    "stats_triangle_count",
+    category="analytics",
+    oracle=f"""
+    WITH pairs AS (
+      SELECT a.l_partkey AS u, b.l_partkey AS v
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING COUNT(*) >= {_TRIANGLE_SUPPORT}),
+    und AS (SELECT u, v FROM pairs UNION SELECT v AS u, u AS v FROM pairs),
+    deg AS (SELECT u AS node, COUNT(*) AS d FROM und GROUP BY 1),
+    ori AS (
+      SELECT CASE WHEN (da.d, p.u) < (db.d, p.v) THEN p.u ELSE p.v END AS s,
+             CASE WHEN (da.d, p.u) < (db.d, p.v) THEN p.v ELSE p.u END AS t
+      FROM pairs p JOIN deg da ON da.node = p.u
+                   JOIN deg db ON db.node = p.v),
+    wedge AS (
+      SELECT e1.t AS b, e2.t AS c
+      FROM ori e1 JOIN ori e2 ON e1.s = e2.s AND e1.t < e2.t),
+    tri AS (
+      SELECT COUNT(*) AS n_triangles FROM wedge
+      JOIN ori e3 ON e3.s = wedge.b AND e3.t = wedge.c),
+    wn AS (SELECT COUNT(*) AS n_wedges FROM wedge)
+    SELECT (SELECT COUNT(*) FROM deg) AS n_nodes,
+           (SELECT COUNT(*) FROM pairs) AS n_edges,
+           wn.n_wedges, tri.n_triangles,
+           CASE WHEN wn.n_wedges > 0
+                THEN tri.n_triangles * 1000 // wn.n_wedges
+                ELSE 0 END AS closure_permille
+    FROM tri CROSS JOIN wn
+    """)
+def stats_triangle_count(spark, sf_dir):
+    """Exact triangle counting on the recurring co-purchase graph
+    (parts sharing ≥ {support} orders), via degree-ordered wedge
+    counting — the Cohen / Schank-Wagner "node-iterator++" orientation:
+    every undirected edge points low→high in the (degree, node) total
+    order, so each triangle is counted EXACTLY once and the wedge
+    fan-out per node is bounded by its ORIENTED out-degree ≤ O(√E)
+    instead of its raw degree — the difference between a celebrity
+    node generating deg² wedges and the theoretical-optimal E^1.5
+    bound. Also emits the global closure rate (triangles per wedge,
+    exact permille) — the graph-health number this statistic feeds.
+
+    Scale: the edge list is one self-join of lineitem grouped per
+    order (orders partition naturally; the support filter prunes the
+    random-co-occurrence tail early), degrees one aggregate, and both
+    triangle joins are equi-joins on node keys — every stage
+    shuffle-partitioned by graph keys, no broadcast of anything
+    corpus-sized, the 1-row summary folds last.
+
+    Reference scope note: graph analytics is beyond cstore_fdw's own
+    surface (extension family, like pagerank_bipartite_3iter)."""
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (a.join(b, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+                    & (F.col("a.l_partkey") < F.col("b.l_partkey")))
+             .groupBy(F.col("a.l_partkey").alias("u"),
+                      F.col("b.l_partkey").alias("v"))
+             .agg(F.count(F.lit(1)).alias("w"))
+             .filter(F.col("w") >= _TRIANGLE_SUPPORT)
+             .select("u", "v"))
+    und = pairs.unionByName(
+        pairs.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    deg = und.groupBy(F.col("u").alias("node")).agg(
+        F.count(F.lit(1)).alias("d"))
+    da = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
+    db = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
+    lo = F.struct("du", "u") < F.struct("dv", "v")
+    ori = (pairs.join(da, "u").join(db, "v")
+           .select(F.when(lo, F.col("u")).otherwise(F.col("v")).alias("s"),
+                   F.when(lo, F.col("v")).otherwise(F.col("u")).alias("t")))
+    e1, e2 = ori.alias("e1"), ori.alias("e2")
+    wedge = (e1.join(e2, (F.col("e1.s") == F.col("e2.s"))
+                     & (F.col("e1.t") < F.col("e2.t")))
+             .select(F.col("e1.t").alias("b"), F.col("e2.t").alias("c")))
+    e3 = ori.select(F.col("s").alias("b"), F.col("t").alias("c"))
+    tri = wedge.join(e3, ["b", "c"]).agg(
+        F.count(F.lit(1)).alias("n_triangles"))
+    summary = (deg.agg(F.count(F.lit(1)).alias("n_nodes"))
+               .crossJoin(pairs.agg(F.count(F.lit(1)).alias("n_edges")))
+               .crossJoin(wedge.agg(F.count(F.lit(1)).alias("n_wedges")))
+               .crossJoin(tri))
+    return summary.select(
+        "n_nodes", "n_edges", "n_wedges", "n_triangles",
+        F.when(F.col("n_wedges") > 0,
+               F.expr("n_triangles * 1000 DIV n_wedges"))
+        .otherwise(F.lit(0)).cast("long").alias("closure_permille"))

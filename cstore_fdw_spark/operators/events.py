@@ -832,3 +832,337 @@ def timeseries_autocorr_lag1(spark, sf_dir):
                     F.expr("num * 1000 DIV den").cast("long")
                     .alias("autocorr_permille"))
             .orderBy("event_type"))
+
+
+@register(
+    "timeseries_mannkendall_trend",
+    category="events",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, DATE_TRUNC('hour', ts) AS h,
+             SUM(CAST(ROUND(value * 100) AS BIGINT)) AS x
+      FROM events GROUP BY 1, 2),
+    pairs AS (
+      SELECT a.event_type,
+             CASE WHEN b.x > a.x THEN 1
+                  WHEN b.x < a.x THEN -1 ELSE 0 END AS sg
+      FROM hourly a JOIN hourly b
+        ON a.event_type = b.event_type AND a.h < b.h),
+    n AS (SELECT event_type, COUNT(*) AS n_hours FROM hourly GROUP BY 1)
+    SELECT n.event_type, CAST(n.n_hours AS BIGINT) AS n_hours,
+           CAST(SUM(p.sg) AS BIGINT) AS s_stat,
+           CAST(SUM(CASE WHEN p.sg = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS concordant,
+           CAST(SUM(CASE WHEN p.sg = -1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS discordant,
+           CAST(SUM(CASE WHEN p.sg = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS ties
+    FROM pairs p JOIN n ON p.event_type = n.event_type
+    GROUP BY n.event_type, n.n_hours ORDER BY n.event_type
+    """)
+def timeseries_mannkendall_trend(spark, sf_dir):
+    """Mann-Kendall monotonic-trend test per event type (Mann '45,
+    Kendall's tau family): S = Σ_{i<j} sign(x_j − x_i) over the hourly
+    value series — the standard nonparametric "is load trending?"
+    statistic, robust to outliers and distribution-free. S, the
+    concordant/discordant/tie counts, and n are all exact integers; the
+    variance/z normalization is a constant-time driver-side formula and
+    is left to the caller (keeping every emitted column engine-exact).
+
+    Scale: ONE map-side-combined corpus shuffle (the hourly rollup);
+    the pair stage self-joins the |type| × hours model table — bounded
+    by wall time (30 d → 720 hours → ≤ 259 k pairs/key), never by
+    corpus rows, and each key's pairs stay in one partition of an
+    equi-join on event_type. At 10× the retention window the pair stage
+    is still ~26 M rows/key: if that ever dominates, the O(n log n)
+    inversion-count form (merge-sort fold per key) drops in without
+    changing this operator's contract."""
+    e = table(spark, sf_dir, "events")
+    hourly = (e.select("event_type",
+                       F.date_trunc("hour", "ts").alias("h"),
+                       F.expr("CAST(ROUND(value * 100) AS BIGINT)")
+                       .alias("cents"))
+              .groupBy("event_type", "h")
+              .agg(F.sum("cents").alias("x")))
+    a, b = hourly.alias("a"), hourly.alias("b")
+    sg = (F.when(F.col("b.x") > F.col("a.x"), 1)
+          .when(F.col("b.x") < F.col("a.x"), -1).otherwise(0))
+    pairs = (a.join(b, (F.col("a.event_type") == F.col("b.event_type"))
+                    & (F.col("a.h") < F.col("b.h")))
+             .select(F.col("a.event_type").alias("event_type"),
+                     sg.alias("sg")))
+    n = hourly.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_hours"))
+    return (pairs.groupBy("event_type")
+            .agg(F.sum("sg").cast("long").alias("s_stat"),
+                 F.sum(F.when(F.col("sg") == 1, 1).otherwise(0))
+                 .cast("long").alias("concordant"),
+                 F.sum(F.when(F.col("sg") == -1, 1).otherwise(0))
+                 .cast("long").alias("discordant"),
+                 F.sum(F.when(F.col("sg") == 0, 1).otherwise(0))
+                 .cast("long").alias("ties"))
+            .join(n, "event_type")
+            .select("event_type", F.col("n_hours").cast("long")
+                    .alias("n_hours"),
+                    "s_stat", "concordant", "discordant", "ties")
+            .orderBy("event_type"))
+
+
+@register(
+    "timeseries_seasonal_decompose",
+    category="events",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, DATE_TRUNC('hour', ts) AS h,
+             SUM(CAST(ROUND(value * 100) AS BIGINT)) AS x
+      FROM events GROUP BY 1, 2),
+    seas AS (
+      SELECT event_type, EXTRACT(HOUR FROM h) AS hod,
+             SUM(x) AS s, COUNT(*) AS m
+      FROM hourly GROUP BY 1, 2),
+    seas_fx AS (
+      SELECT event_type, hod, (s * 10000) // m AS fx FROM seas),
+    peak AS (
+      SELECT event_type, hod AS peak_hod, fx AS peak_seasonal_fx,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY fx DESC, hod) AS pk
+      FROM seas_fx),
+    dev AS (
+      SELECT hourly.event_type, hourly.h,
+             hourly.x * 10000 - seas_fx.fx AS dev_fx
+      FROM hourly JOIN seas_fx
+        ON hourly.event_type = seas_fx.event_type
+       AND EXTRACT(HOUR FROM hourly.h) = seas_fx.hod),
+    anom AS (
+      SELECT event_type, h AS anomaly_hour, dev_fx AS anomaly_dev_fx,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY ABS(dev_fx) DESC, h) AS pk
+      FROM dev)
+    SELECT peak.event_type, CAST(peak.peak_hod AS BIGINT) AS peak_hod,
+           CAST(peak.peak_seasonal_fx AS BIGINT) AS peak_seasonal_fx,
+           anom.anomaly_hour,
+           CAST(anom.anomaly_dev_fx AS BIGINT) AS anomaly_dev_fx
+    FROM peak JOIN anom ON peak.event_type = anom.event_type
+    WHERE peak.pk = 1 AND anom.pk = 1 ORDER BY peak.event_type
+    """)
+def timeseries_seasonal_decompose(spark, sf_dir):
+    """Hour-of-day seasonal decomposition per event type — the
+    seasonal-naive baseline every ops dashboard runs: the seasonal
+    component is the mean hourly total per hour-of-day (emitted in
+    exact fixed point: (Σx·10⁴) div m — both engines' integer division
+    truncates, the Holt discipline), the reported anomaly is the hour
+    whose residual against its own hour-of-day baseline is largest in
+    absolute value (dev = x·10⁴ − seasonal_fx, integer-exact; ties
+    break to the earliest hour). Output per type: the peak
+    hour-of-day with its seasonal level, and the worst anomaly hour
+    with its signed deviation.
+
+    Scale: ONE map-side-combined corpus shuffle (the hourly rollup);
+    everything after runs on the |type| × hours model table — the
+    hod profile is |type| × 24 and joins back broadcast-sized, the two
+    argmax windows partition by event_type over wall-time-bounded
+    series. No corpus-sized exchange after the rollup."""
+    e = table(spark, sf_dir, "events")
+    hourly = (e.select("event_type",
+                       F.date_trunc("hour", "ts").alias("h"),
+                       F.expr("CAST(ROUND(value * 100) AS BIGINT)")
+                       .alias("cents"))
+              .groupBy("event_type", "h")
+              .agg(F.sum("cents").alias("x")))
+    seas = (hourly.withColumn("hod", F.hour("h").cast("long"))
+            .groupBy("event_type", "hod")
+            .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("m"))
+            .withColumn("fx", F.expr("(s * 10000) DIV m"))
+            .select("event_type", "hod", "fx"))
+    wpeak = Window.partitionBy("event_type").orderBy(
+        F.col("fx").desc(), "hod")
+    peak = (seas.withColumn("pk", F.row_number().over(wpeak))
+            .filter("pk = 1")
+            .select("event_type", F.col("hod").alias("peak_hod"),
+                    F.col("fx").alias("peak_seasonal_fx")))
+    dev = (hourly.withColumn("hod", F.hour("h").cast("long"))
+           .join(F.broadcast(seas), ["event_type", "hod"])
+           .select("event_type", "h",
+                   (F.col("x") * 10000 - F.col("fx")).alias("dev_fx")))
+    wanom = Window.partitionBy("event_type").orderBy(
+        F.abs(F.col("dev_fx")).desc(), "h")
+    anom = (dev.withColumn("pk", F.row_number().over(wanom))
+            .filter("pk = 1")
+            .select("event_type", F.col("h").alias("anomaly_hour"),
+                    "dev_fx"))
+    return (peak.join(anom, "event_type")
+            .select("event_type",
+                    F.col("peak_hod").cast("long").alias("peak_hod"),
+                    F.col("peak_seasonal_fx").cast("long")
+                    .alias("peak_seasonal_fx"),
+                    "anomaly_hour",
+                    F.col("dev_fx").cast("long")
+                    .alias("anomaly_dev_fx"))
+            .orderBy("event_type"))
+
+
+#: LTTB output size per key: first + last point + one point per
+#: interior bucket
+LTTB_POINTS = 24
+_LTTB_B = LTTB_POINTS - 2  # interior buckets
+
+
+def _lttb_oracle() -> str:
+    return f"""
+    WITH RECURSIVE hourly AS (
+      SELECT event_type, DATE_TRUNC('hour', ts) AS h,
+             SUM(CAST(ROUND(value * 100) AS BIGINT)) AS x
+      FROM events GROUP BY 1, 2),
+    ser AS (
+      SELECT event_type, h, x,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY h) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM hourly),
+    pts AS (SELECT * FROM ser WHERE n >= {LTTB_POINTS}),
+    buck AS (
+      SELECT event_type, rn, x, n,
+             ((rn - 2) * {_LTTB_B}) // (n - 2) AS b
+      FROM pts WHERE rn >= 2 AND rn <= n - 1),
+    bsum AS (
+      SELECT event_type, b, SUM(rn) AS sx, SUM(x) AS sy,
+             COUNT(*) AS m
+      FROM buck GROUP BY 1, 2),
+    lastp AS (SELECT event_type, rn AS lrn, x AS lx
+              FROM pts WHERE rn = n),
+    anchor AS (
+      SELECT d.event_type, d.b,
+             COALESCE(s.sx, l.lrn) AS ax, COALESCE(s.sy, l.lx) AS ay,
+             COALESCE(s.m, 1) AS m
+      FROM (SELECT DISTINCT event_type, b FROM buck) d
+      LEFT JOIN bsum s ON s.event_type = d.event_type
+                      AND s.b = d.b + 1
+      JOIN lastp l ON l.event_type = d.event_type),
+    prevp AS (
+      SELECT event_type, 0 AS b, rn AS prev_rn, x AS px
+      FROM pts WHERE rn = 1
+      UNION ALL
+      SELECT event_type, b + 1 AS b, rn AS prev_rn, x AS px
+      FROM buck),
+    scored AS (
+      SELECT c.event_type, c.b, p.prev_rn, c.rn AS cand_rn,
+             ABS((p.prev_rn * a.m - a.ax) * (c.x - p.px)
+                 - (p.prev_rn - c.rn) * (a.ay - p.px * a.m)) AS s
+      FROM buck c
+      JOIN prevp p ON p.event_type = c.event_type AND p.b = c.b
+      JOIN anchor a ON a.event_type = c.event_type AND a.b = c.b),
+    best AS (
+      SELECT event_type, b, prev_rn, cand_rn,
+             ROW_NUMBER() OVER (PARTITION BY event_type, b, prev_rn
+                                ORDER BY s DESC, cand_rn) AS rk
+      FROM scored),
+    walk AS (
+      SELECT event_type, 1 AS step, CAST(1 AS BIGINT) AS sel_rn
+      FROM (SELECT DISTINCT event_type FROM pts)
+      UNION ALL
+      SELECT w.event_type, w.step + 1, CAST(b.cand_rn AS BIGINT)
+      FROM walk w
+      JOIN best b ON b.event_type = w.event_type
+                 AND b.b = w.step - 1
+                 AND b.prev_rn = w.sel_rn AND b.rk = 1),
+    sel AS (
+      SELECT event_type, step AS sel_idx, sel_rn FROM walk
+      UNION ALL
+      SELECT event_type, {LTTB_POINTS} AS sel_idx, lrn FROM lastp)
+    SELECT s.event_type, CAST(s.sel_idx AS BIGINT) AS sel_idx,
+           CAST(s.sel_rn AS BIGINT) AS rn, p.h, p.x AS x_cents
+    FROM sel s JOIN pts p ON p.event_type = s.event_type
+                         AND p.rn = s.sel_rn
+    ORDER BY s.event_type, s.sel_idx
+    """
+
+
+@register(
+    "timeseries_downsample_lttb",
+    category="events",
+    oracle=_lttb_oracle())
+def timeseries_downsample_lttb(spark, sf_dir):
+    """Largest-Triangle-Three-Buckets downsampling (Steinarsson '13 —
+    the de-facto time-series plotting reducer in Grafana/Influx): the
+    hourly value series per event type is reduced to {LTTB_POINTS}
+    visually-dominant points — first and last always kept, and per
+    interior bucket the point forming the LARGEST triangle with the
+    previously selected point and the NEXT bucket's mean. All
+    arithmetic is exact: the time axis is the hour's rank, and the
+    triangle-area comparison is cross-multiplied by the next bucket's
+    count m (area·2·m = |(pₓ·m − ΣX)(cy − pᵧ) − (pₓ − cx)(ΣY − pᵧ·m)|)
+    so the bucket MEAN is never divided — ties break to the earliest
+    hour, and the DuckDB oracle walks the identical chain with a
+    recursive CTE over a pre-ranked (bucket, prev, cand) best table
+    (windows in plain CTEs, pure joins in the recursive term).
+
+    Spark side: the selection is a sequential fold — each bucket's
+    winner depends on the previous winner — so no window/prefix form
+    exists and this sits on the justified applyInPandas stateful tier
+    (the Holt discipline): ONE map-side-combined corpus shuffle for
+    the hourly rollup, then per-key folds over wall-time-bounded
+    series (≤ ~720 points/key here), O(points) state, python-int
+    exact. Keys shorter than {LTTB_POINTS} hours are passed through
+    untouched by real deployments; here they are excluded (both
+    engines) to keep the contract total."""
+    e = table(spark, sf_dir, "events")
+    hourly = (e.select("event_type",
+                       F.date_trunc("hour", "ts").alias("h"),
+                       F.expr("CAST(ROUND(value * 100) AS BIGINT)")
+                       .alias("cents"))
+              .groupBy("event_type", "h")
+              .agg(F.sum("cents").alias("x")))
+    wall = Window.partitionBy("event_type")
+    word = Window.partitionBy("event_type").orderBy("h")
+    ser = (hourly.withColumn("rn", F.row_number().over(word))
+           .withColumn("n", F.count(F.lit(1)).over(wall))
+           .filter(F.col("n") >= LTTB_POINTS))
+
+    schema = ("event_type string, sel_idx long, rn long, h timestamp, "
+              "x_cents long")
+
+    def fold(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values("rn")
+        rns = [int(v) for v in pdf["rn"]]
+        xs = [int(v) for v in pdf["x"]]
+        hs = list(pdf["h"])
+        n = len(rns)
+        nb = _LTTB_B
+        buckets: dict[int, list[int]] = {}
+        for i in range(n):
+            if 2 <= rns[i] <= n - 1:
+                buckets.setdefault(((rns[i] - 2) * nb) // (n - 2),
+                                   []).append(i)
+        sel = [0]                       # indices into the series
+        prev = 0
+        for b in range(nb):
+            cands = buckets.get(b)
+            if not cands:
+                continue  # unreachable when n >= LTTB_POINTS
+            nxt = buckets.get(b + 1)
+            if b + 1 < nb and nxt:
+                ax = sum(rns[i] for i in nxt)
+                ay = sum(xs[i] for i in nxt)
+                m = len(nxt)
+            else:
+                ax, ay, m = rns[n - 1], xs[n - 1], 1
+            p_rn, p_x = rns[prev], xs[prev]
+            best_i, best_s = None, -1
+            for i in cands:
+                s = abs((p_rn * m - ax) * (xs[i] - p_x)
+                        - (p_rn - rns[i]) * (ay - p_x * m))
+                if s > best_s:
+                    best_i, best_s = i, s
+            sel.append(best_i)
+            prev = best_i
+        sel.append(n - 1)
+        et = pdf["event_type"].iloc[0]
+        return pd.DataFrame(
+            [[et, k + 1, rns[i], hs[i], xs[i]]
+             for k, i in enumerate(sel)],
+            columns=["event_type", "sel_idx", "rn", "h", "x_cents"])
+
+    return (ser.groupBy("event_type").applyInPandas(fold, schema)
+            .orderBy("event_type", "sel_idx"))

@@ -1526,3 +1526,84 @@ def test_gini_extremes_on_crafted_regions(spark, tmp_path):
     assert out[0].n_customers == 4 and out[0].total_cents == 40000
     # cents [1,1,1,40000]: (2*160006 - 5*40003)*1000 // (4*40003) = 749
     assert out[1].gini_permille == 749
+
+
+def test_lttb_selects_planted_spike_and_endpoints(spark):
+    """timeseries_downsample_lttb: on a crafted flat series with one
+    violent spike, LTTB must keep the first point, the last point, and
+    the spike (the largest-triangle property that makes it the standard
+    plotting reducer) — and emit exactly LTTB_POINTS points per key."""
+    from datetime import datetime, timedelta
+
+    from cstore_fdw_spark.operators.events import (LTTB_POINTS,
+                                                   timeseries_downsample_lttb)
+
+    # 96 hourly events, value 10.0 except hour 37's 500.0 spike
+    base = datetime(2024, 1, 1)
+    rows = [(i, base + timedelta(hours=i), 7, "click",
+             500.0 if i == 37 else 10.0, "{}") for i in range(96)]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    import tempfile
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(f"{d}/events.parquet")
+        out = timeseries_downsample_lttb(spark, d).collect()
+    assert len(out) == LTTB_POINTS
+    rns = [r.rn for r in out]
+    assert rns[0] == 1 and rns[-1] == 96
+    assert rns == sorted(rns)
+    assert any(r.rn == 38 and r.x_cents == 50000 for r in out), \
+        "the spike (rn 38) must be selected"
+
+
+def test_triangle_count_on_crafted_graph(spark, tmp_path):
+    """stats_triangle_count: a hand-built order log whose recurring
+    co-purchase graph is K4 plus a pendant edge has exactly C(4,3)=4
+    triangles; the degree-ordered orientation must count each once."""
+    import itertools
+
+    from cstore_fdw_spark.operators.analytics import stats_triangle_count
+
+    rows = []
+    ok = 0
+    # each part pair of K4 (parts 1-4) co-occurs in TWO orders (support
+    # gate); pendant edge (4,5) also twice
+    for a, b in list(itertools.combinations([1, 2, 3, 4], 2)) + [(4, 5)]:
+        for _ in range(2):
+            rows += [(ok, a), (ok, b)]
+            ok += 1
+    df = spark.createDataFrame(
+        [(o, p, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", None)
+         for o, p in rows],
+        "l_orderkey long, l_partkey long, l_suppkey long, "
+        "l_linenumber int, l_quantity double, l_extendedprice double, "
+        "l_discount double, l_tax double, l_returnflag string, "
+        "l_linestatus string, l_shipdate timestamp")
+    d = str(tmp_path)
+    df.write.parquet(f"{d}/lineitem.parquet")
+    (row,) = stats_triangle_count(spark, d).collect()
+    assert row.n_nodes == 5 and row.n_edges == 7
+    assert row.n_triangles == 4, row
+
+
+def test_class_balance_exact_counts_and_determinism(spark, sf_dir):
+    """sample_class_balance: every label comes back at exactly the min
+    class size, and the selection is bit-stable across runs (hash
+    ranks, not RNG)."""
+    from pyspark.sql import functions as F
+
+    from cstore_fdw_spark.operators import load_all
+
+    reg = load_all()
+    out = reg["sample_class_balance"].builder(spark, sf_dir)
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    k = (e.groupBy("label").count().agg(F.min("count")).collect()[0][0])
+    per = {r.label: r["count"] for r in out.groupBy("label").count()
+           .collect()}
+    assert set(per.values()) == {k}, per
+    a = sorted(map(tuple, out.collect()))
+    b = sorted(map(tuple,
+                   reg["sample_class_balance"].builder(spark, sf_dir)
+                   .collect()))
+    assert a == b
