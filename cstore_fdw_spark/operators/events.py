@@ -969,6 +969,16 @@ def timeseries_seasonal_decompose(spark, sf_dir):
                        .alias("cents"))
               .groupBy("event_type", "h")
               .agg(F.sum("cents").alias("x")))
+    return seasonal_decompose_from_hourly(hourly)
+
+
+def seasonal_decompose_from_hourly(hourly):
+    """The seasonal-decompose finisher over a (event_type, h, x) hourly
+    frame — shared LITERALLY by the batch query above and the streaming
+    twin (``streaming/analytics.run_seasonal_available_now``), the
+    CUSUM shared-finisher discipline: the hourly rollup is the
+    operator's ONLY state (a mergeable SUM, |type| x wall-time hours),
+    so the streamed and batch decompositions agree by construction."""
     seas = (hourly.withColumn("hod", F.hour("h").cast("long"))
             .groupBy("event_type", "hod")
             .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("m"))
@@ -988,9 +998,15 @@ def timeseries_seasonal_decompose(spark, sf_dir):
         F.abs(F.col("dev_fx")).desc(), "h")
     anom = (dev.withColumn("pk", F.row_number().over(wanom))
             .filter("pk = 1")
-            .select("event_type", F.col("h").alias("anomaly_hour"),
-                    "dev_fx"))
-    return (peak.join(anom, "event_type")
+            # renamed join key: peak and anom descend from the SAME
+            # leaf (one hourly frame), and over a memory-sink view the
+            # two branches carry identical exprIds — a bare
+            # join("event_type") is then ambiguous (the batch parquet
+            # path re-keys per scan and hides this)
+            .select(F.col("event_type").alias("et_anom"),
+                    F.col("h").alias("anomaly_hour"), "dev_fx"))
+    return (peak.join(anom, peak["event_type"] == anom["et_anom"])
+            .drop("et_anom")
             .select("event_type",
                     F.col("peak_hod").cast("long").alias("peak_hod"),
                     F.col("peak_seasonal_fx").cast("long")
@@ -1166,3 +1182,151 @@ def timeseries_downsample_lttb(spark, sf_dir):
 
     return (ser.groupBy("event_type").applyInPandas(fold, schema)
             .orderBy("event_type", "sel_idx"))
+# staged: appended to events.py AFTER preflight completes
+
+
+@register(
+    "timeseries_funnel_threestep",
+    category="events",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, MIN(ts) AS t1 FROM events
+      WHERE event_type = 'signup' GROUP BY user_id),
+    c AS (
+      SELECT e.user_id, MIN(e.ts) AS t2
+      FROM events e JOIN s ON e.user_id = s.user_id
+      WHERE e.event_type = 'click' AND e.ts > s.t1
+      GROUP BY e.user_id),
+    p AS (
+      SELECT e.user_id, MIN(e.ts) AS t3
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.t2
+      GROUP BY e.user_id),
+    j AS (
+      SELECT s.user_id, s.t1, c.t2, p.t3
+      FROM s LEFT JOIN c ON c.user_id = s.user_id
+             LEFT JOIN p ON p.user_id = s.user_id)
+    SELECT COUNT(*) AS stage1_users,
+           COUNT(t2) AS stage2_users,
+           COUNT(t3) AS stage3_users,
+           COUNT(t3) * 1000 // COUNT(*) AS conversion_permille,
+           CAST(COALESCE(SUM(CASE WHEN t3 IS NOT NULL THEN
+                 (EPOCH_US(t3) - EPOCH_US(t1)) // 1000000 END), 0)
+                AS BIGINT) AS total_convert_seconds
+    FROM j
+    """)
+def timeseries_funnel_threestep(spark, sf_dir):
+    """Three-step strict-order funnel (signup -> later click -> later
+    purchase), the canonical product-analytics measurement: per user
+    the EARLIEST signup anchors the funnel, the earliest click strictly
+    after it reaches stage 2, the earliest purchase strictly after THAT
+    reaches stage 3. Emits per-stage user counts, the end-to-end
+    conversion rate in exact integer permille, and total
+    time-to-convert in whole seconds (epoch-microsecond difference,
+    integer division — both engines truncate).
+
+    Scale: stage anchors are aggregate-then-join — each stage filters
+    the corpus to ONE event type before grouping, so the three
+    user-keyed shuffles carry stage-sized frames (monotonically
+    shrinking down the funnel), never the raw corpus twice; all three
+    joins share the user_id key, so co-partitioning is reused. The
+    final rollup is a 1-row fold. (The streaming CEP twin of the
+    2-step prefix lives in streaming/stateful.py.)"""
+    e = table(spark, sf_dir, "events")
+    s = (e.filter(F.col("event_type") == "signup")
+         .groupBy("user_id").agg(F.min("ts").alias("t1")))
+    c = (e.filter(F.col("event_type") == "click")
+         .join(s, "user_id")
+         .filter(F.col("ts") > F.col("t1"))
+         .groupBy("user_id").agg(F.min("ts").alias("t2")))
+    p = (e.filter(F.col("event_type") == "purchase")
+         .join(c, "user_id")
+         .filter(F.col("ts") > F.col("t2"))
+         .groupBy("user_id").agg(F.min("ts").alias("t3")))
+    j = (s.join(c.select("user_id", "t2"), "user_id", "left")
+         .join(p.select("user_id", "t3"), "user_id", "left"))
+    return j.agg(
+        F.count(F.lit(1)).cast("long").alias("stage1_users"),
+        F.count("t2").cast("long").alias("stage2_users"),
+        F.count("t3").cast("long").alias("stage3_users"),
+        F.expr("count(t3) * 1000 DIV count(*)").cast("long")
+        .alias("conversion_permille"),
+        F.coalesce(F.sum(F.when(F.col("t3").isNotNull(),
+                                F.expr("(unix_micros(t3) - unix_micros(t1))"
+                                       " DIV 1000000"))),
+                   F.lit(0)).cast("long").alias("total_convert_seconds"))
+
+
+@register(
+    "timeseries_theilsen_slope",
+    category="events",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, DATE_TRUNC('hour', ts) AS h,
+             SUM(CAST(ROUND(value * 100) AS BIGINT)) AS x
+      FROM events GROUP BY 1, 2),
+    seq AS (
+      SELECT event_type, x,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY h) AS rn
+      FROM hourly),
+    slopes AS (
+      SELECT a.event_type,
+             (b.x - a.x) * 1000 // (b.rn - a.rn) AS s_permille
+      FROM seq a JOIN seq b
+        ON a.event_type = b.event_type AND a.rn < b.rn),
+    ranked AS (
+      SELECT event_type, s_permille,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY s_permille) AS rk,
+             COUNT(*) OVER (PARTITION BY event_type) AS np
+      FROM slopes)
+    SELECT event_type, CAST(np AS BIGINT) AS n_pairs,
+           CAST(s_permille AS BIGINT) AS theilsen_slope_permille
+    FROM ranked WHERE rk = (np + 1) // 2 ORDER BY event_type
+    """)
+def timeseries_theilsen_slope(spark, sf_dir):
+    """Theil-Sen slope per event type — the robust trend ESTIMATOR
+    completing the Mann-Kendall DETECTOR (the canonical nonparametric
+    pair: MK says whether load trends, Theil-Sen says how fast,
+    unaffected by up to ~29% outliers): the median of all pairwise
+    slopes (x_j − x_i)/(j − i) over the hourly cents series. Each
+    slope is fixed to exact integer permille BEFORE the median
+    (truncating division — identical in both engines, the Holt
+    discipline) and the median is the LOWER median (rank ⌈n/2⌉), so
+    every emitted value is engine-exact with no rational-midpoint
+    averaging.
+
+    Scale: identical shape to timeseries_mannkendall_trend — one
+    map-side-combined corpus rollup, then the pair stage self-joins
+    only the |type| x hours model table (wall-time-bounded, ≤ 259 k
+    pairs/key at 30 days) and one per-key rank window picks the
+    median. The O(n log n) Theil-Sen variants exist if retention ever
+    grows 100x; at any realistic monitoring window the model table is
+    the whole cost."""
+    e = table(spark, sf_dir, "events")
+    hourly = (e.select("event_type",
+                       F.date_trunc("hour", "ts").alias("h"),
+                       F.expr("CAST(ROUND(value * 100) AS BIGINT)")
+                       .alias("cents"))
+              .groupBy("event_type", "h")
+              .agg(F.sum("cents").alias("x")))
+    word = Window.partitionBy("event_type").orderBy("h")
+    seq = hourly.withColumn("rn", F.row_number().over(word)) \
+        .select("event_type", "rn", "x")
+    a, b = seq.alias("a"), seq.alias("b")
+    slopes = (a.join(b, (F.col("a.event_type") == F.col("b.event_type"))
+                     & (F.col("a.rn") < F.col("b.rn")))
+              .select(F.col("a.event_type").alias("event_type"),
+                      F.expr("(b.x - a.x) * 1000 DIV (b.rn - a.rn)")
+                      .alias("s_permille")))
+    wrank = Window.partitionBy("event_type").orderBy("s_permille")
+    wall = Window.partitionBy("event_type")
+    return (slopes.withColumn("rk", F.row_number().over(wrank))
+            .withColumn("np", F.count(F.lit(1)).over(wall))
+            .filter(F.col("rk") == F.expr("(np + 1) DIV 2"))
+            .select("event_type", F.col("np").cast("long")
+                    .alias("n_pairs"),
+                    F.col("s_permille").cast("long")
+                    .alias("theilsen_slope_permille"))
+            .orderBy("event_type"))

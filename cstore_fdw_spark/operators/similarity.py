@@ -1740,3 +1740,58 @@ def vector_label_centroid_sums(spark, sf_dir):
                     F.expr("sum_fx DIV n_vecs").cast("long")
                     .alias("mean_fx"))
             .orderBy("label", "dim"))
+
+
+def _recall_oracle() -> str:
+    from cstore_fdw_spark.operators import REGISTRY
+
+    exact = REGISTRY["ann_cosine_topk"].oracle
+    approx = REGISTRY["ann_lsh_bucketed"].oracle
+    return f"""
+    WITH exact_k AS ({exact}),
+    approx_k AS ({approx})
+    SELECT e.query_id, COUNT(a.neighbor_id) AS hits,
+           CAST({TOP_K} AS BIGINT) AS k,
+           COUNT(a.neighbor_id) * 1000 // {TOP_K} AS recall_permille
+    FROM exact_k e LEFT JOIN approx_k a
+      ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+    GROUP BY e.query_id ORDER BY e.query_id
+    """
+
+
+@register(
+    "vector_recall_at_k",
+    category="similarity",
+    allow_bnlj=True,  # inherits ann_cosine_topk's broadcast query set
+    oracle=_recall_oracle())
+def vector_recall_at_k(spark, sf_dir):
+    """Retrieval-quality EVALUATION as a first-class operator:
+    recall@k of the LSH-bucketed index against exact brute-force
+    cosine, per query — the number every ANN deployment monitors
+    before trusting an index (the quality gates in
+    tests/test_properties.py run the same comparison as assertions;
+    this puts it under the oracle as a queryable, schedulable job).
+    Composes the two REGISTERED operators literally — the exact tier
+    and the approximate tier — and scores the overlap of their top-k
+    sets in exact integer permille; the oracle nests both operators'
+    own oracle texts, so the eval can never drift from what the
+    operators actually return.
+
+    Scale: both inputs are |queries| x k frames (the expensive work
+    happens inside the composed operators, each already
+    broadcast/bucket-bounded); the overlap join and the per-query
+    rollup are model-sized. Run it on a sampled query set in
+    production — the shape is unchanged."""
+    exact = ann_cosine_topk(spark, sf_dir).select(
+        "query_id", "neighbor_id")
+    approx = ann_lsh_bucketed(spark, sf_dir).select(
+        F.col("query_id").alias("aq"), F.col("neighbor_id").alias("an"))
+    return (exact.join(approx, (F.col("query_id") == F.col("aq"))
+                       & (F.col("neighbor_id") == F.col("an")), "left")
+            .groupBy("query_id")
+            .agg(F.count("an").alias("hits"))
+            .select("query_id", "hits",
+                    F.lit(TOP_K).cast("long").alias("k"),
+                    F.expr(f"hits * 1000 DIV {TOP_K}").cast("long")
+                    .alias("recall_permille"))
+            .orderBy("query_id"))

@@ -96,3 +96,37 @@ def run_cusum_available_now(spark: SparkSession, sf_dir: str,
              .trigger(availableNow=True).start())
         q.awaitTermination(120)
     return cusum_changepoints(spark.table(query_name))
+
+
+# ------------------------------------------- seasonal-decompose twin
+
+def run_seasonal_available_now(spark: SparkSession, sf_dir: str,
+                               query_name: str = "seasonal_hourly"
+                               ) -> DataFrame:
+    """Streaming twin of ``timeseries_seasonal_decompose``: maintain
+    the per-(type, hour) cents rollup over the stream (the SAME
+    ``hourly_cents_stream`` state the CUSUM monitor uses — one
+    mergeable SUM bounded by |event_type| x wall-time hours), drain
+    with Trigger.AvailableNow, then run the LITERALLY shared
+    ``seasonal_decompose_from_hourly`` finisher — peak hour-of-day and
+    worst residual anomaly identical to batch by construction."""
+    from cstore_fdw_spark.operators.events import (
+        seasonal_decompose_from_hourly)
+
+    out = hourly_cents_stream(read_events_stream(spark, sf_dir))
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (out.writeStream.format("memory").queryName(query_name)
+             .outputMode("complete")
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+    t = spark.table(query_name)
+    # rebind the drained rollup as a local relation: the finisher
+    # self-joins its input (seasonal profile back onto the hours), and
+    # Spark's self-join disambiguation breaks on memory-sink Views
+    # (INTERNAL_ERROR: conflicting references) where a parquet-backed
+    # frame re-keys per scan. The rollup is MODEL-sized by contract
+    # (|event_type| x wall-time hours), so the bounded collect is the
+    # vocabulary-bounded tier, not a corpus collect.
+    hourly = spark.createDataFrame(t.collect(), t.schema)
+    return seasonal_decompose_from_hourly(hourly)

@@ -669,3 +669,19 @@ def test_holt_fold_step_is_batch_step():
     assert "holt_step(" in inspect.getsource(st._holt_fold)
     assert "holt_step(" in inspect.getsource(
         ev.timeseries_holt_smoothing)
+
+
+def test_seasonal_streaming_twin_matches_batch(spark, sf_dir):
+    """The streamed seasonal decomposition must land on the IDENTICAL
+    (peak hour-of-day, anomaly hour, deviation) as the batch query: its
+    only state is the mergeable hourly SUM and the finisher is
+    literally shared code — the CUSUM/HDR twin contract."""
+    from cstore_fdw_spark.operators import load_all
+    from cstore_fdw_spark.streaming.analytics import (
+        run_seasonal_available_now)
+
+    reg = load_all()
+    batch = reg["timeseries_seasonal_decompose"].builder(spark, sf_dir) \
+        .collect()
+    streamed = run_seasonal_available_now(spark, sf_dir).collect()
+    assert streamed == batch
