@@ -1330,3 +1330,87 @@ def timeseries_theilsen_slope(spark, sf_dir):
                     F.col("s_permille").cast("long")
                     .alias("theilsen_slope_permille"))
             .orderBy("event_type"))
+
+
+#: stationary-distribution fixed-point scale and unrolled iterations
+MARKOV_SCALE = 10 ** 12
+MARKOV_ITERS = 3
+
+
+def _markov_stationary_oracle() -> str:
+    it = """it{k} AS (
+      SELECT c.to_type AS event_type,
+             SUM((m.mass * c.n) // c.r) AS mass
+      FROM it{p} m JOIN c ON c.from_type = m.event_type
+      GROUP BY 1)"""
+    its = ",\n    ".join(it.format(k=k, p=k - 1)
+                         for k in range(1, MARKOV_ITERS + 1))
+    return f"""
+    WITH s AS (
+      SELECT user_id, event_type,
+             LEAD(event_type) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS next_type
+      FROM events),
+    cnt AS (
+      SELECT event_type AS from_type, next_type AS to_type,
+             COUNT(*) AS n
+      FROM s WHERE next_type IS NOT NULL GROUP BY 1, 2),
+    c AS (
+      SELECT from_type, to_type, n,
+             SUM(n) OVER (PARTITION BY from_type) AS r
+      FROM cnt),
+    it0 AS (
+      SELECT from_type AS event_type,
+             {MARKOV_SCALE} // (SELECT COUNT(DISTINCT from_type)
+                                FROM cnt) AS mass
+      FROM cnt GROUP BY from_type),
+    {its}
+    SELECT event_type, CAST(mass AS BIGINT) AS stationary_mass_fx
+    FROM it{MARKOV_ITERS} ORDER BY event_type
+    """
+
+
+@register(
+    "stats_markov_stationary",
+    category="events",
+    oracle=_markov_stationary_oracle())
+def stats_markov_stationary(spark, sf_dir):
+    """Stationary distribution of the user-journey Markov chain
+    (events_markov_transitions' matrix) by fixed-point power iteration
+    — where does a long random session SPEND its time, the
+    steady-state companion to the one-step transition view. Three
+    unrolled iterations of pi' = pi P in BIGINT fixed point
+    (mass x 10^12), every contribution floored per (from, to) term
+    ((mass_i * n_ij) div R_i — the pagerank_bipartite_3iter
+    discipline), so the DuckDB oracle's unrolled CTE chain
+    hash-matches bit for bit.
+
+    Scale: the corpus shuffles ONCE (the user-keyed lead window that
+    events_markov_transitions already pays); everything after runs on
+    the |types|^2 count matrix — each iteration joins a |types|-row
+    mass frame to it. At 100 TB the matrix is still 25 rows."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    e = table(spark, sf_dir, "events")
+    s = e.select("event_type",
+                 F.lead("event_type").over(w).alias("next_type"))
+    cnt = (s.filter(F.col("next_type").isNotNull())
+           .groupBy(F.col("event_type").alias("from_type"),
+                    F.col("next_type").alias("to_type"))
+           .agg(F.count(F.lit(1)).alias("n")))
+    wr = Window.partitionBy("from_type")
+    c = cnt.withColumn("r", F.sum("n").over(wr))
+    n_types = cnt.select("from_type").distinct().count()  # model-sized
+    mass = (c.select("from_type").distinct()
+            .select(F.col("from_type").alias("event_type"),
+                    F.lit(MARKOV_SCALE // n_types).alias("mass")))
+    for _ in range(MARKOV_ITERS):
+        mass = (mass.join(F.broadcast(c),
+                          mass["event_type"] == c["from_type"])
+                .select(F.col("to_type").alias("event_type"),
+                        F.expr("(mass * n) DIV r").alias("contrib"))
+                .groupBy("event_type")
+                .agg(F.sum("contrib").alias("mass")))
+    return (mass.select("event_type",
+                        F.col("mass").cast("long")
+                        .alias("stationary_mass_fx"))
+            .orderBy("event_type"))
