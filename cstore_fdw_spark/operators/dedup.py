@@ -154,10 +154,23 @@ def ppjoin_jaccard_pairs(item_sets: DataFrame, tau: float) -> DataFrame:
     # persist: the self-join below would otherwise rebuild the whole
     # freq-aggregate + rarity window on BOTH sides (verified in the
     # executed plan — no subtree reuse without materialization)
+    from fractions import Fraction
+
+    fr = Fraction(tau).limit_denominator(10 ** 6)
+    tp, tq = fr.numerator, fr.denominator        # probing:  ⌈τ·n⌉
+    ip, iq = 2 * tp, tp + tq                     # indexing: ⌈2τ/(1+τ)·n⌉
+    ap, aq = tp, tp + tq                         # overlap:  ⌈τ/(1+τ)·s⌉
+
+    def ceil_mul(col, p, q):
+        # exact ⌈p·col/q⌉ for positive ints; the double quotient is
+        # exact-or-safe (p·col ≤ 2^53 and true non-integer quotients
+        # sit ≥ 1/q away from integers, so floor can never overshoot)
+        return F.floor((p * col + (q - 1)) / q).cast("long")
+
     prefix = (ex.join(freq, ["lang", "ih"])
               .withColumn("rn", F.row_number().over(wdoc))
               .filter(F.col("rn") <= F.col("n_s")
-                      - F.ceil(F.lit(tau) * F.col("n_s")) + 1)
+                      - ceil_mul(F.col("n_s"), tp, tq) + 1)
               .select("doc_id", "lang", "ih", "rn", "n_s")
               .persist())
     track_cache(prefix)
@@ -173,18 +186,35 @@ def ppjoin_jaccard_pairs(item_sets: DataFrame, tau: float) -> DataFrame:
     # is the difference between verifying thousands and verifying
     # hundreds of thousands of candidates. Length filter in the join:
     # |A| ≥ ⌈τ·|B|⌉ (else jaccard < τ regardless of overlap).
+    # INDEXING prefix on the shorter side (Xiao WWW'08 §3.3): pairs are
+    # generated canonically shorter-side-first (the (n_s, doc_id) total
+    # order), and for the shorter record x of a τ-pair the overlap is
+    # α ≥ ⌈2τ/(1+τ)·|x|⌉ (since |y| ≥ |x|), so the collision the
+    # pigeonhole guarantees already lies inside x's SHORTER
+    # |x| − ⌈2τ/(1+τ)·|x|⌉ + 1 prefix — at τ=0.8 that is ~0.11·n vs the
+    # probing prefix's ~0.2·n, cutting collision rows almost in half on
+    # gram-dense corpora (the stage SCALE_MEASURED.md shows grows ~N²
+    # on bounded vocabularies). All ceilings are EXACT integer
+    # arithmetic ((p·n + q − 1) div q over the rationalized τ,
+    # ``ceil_mul`` above): the float form ceil(2τ/(1+τ)·n) OVERSHOOTS
+    # the true ceiling at ~3% of lengths (0.888…9 > 8/9), which would
+    # silently drop true pairs.
     pa, pb = prefix.alias("pa"), prefix.alias("pb")
+    shorter_first = (F.struct(F.col("pa.n_s"), F.col("pa.doc_id"))
+                     < F.struct(F.col("pb.n_s"), F.col("pb.doc_id")))
     collisions = (
         pa.join(pb, (F.col("pa.ih") == F.col("pb.ih"))
                 & (F.col("pa.lang") == F.col("pb.lang"))
-                & (F.col("pa.doc_id") < F.col("pb.doc_id"))
-                & (F.col("pa.n_s") >= F.ceil(F.lit(tau) * F.col("pb.n_s")))
-                & (F.col("pb.n_s") >= F.ceil(F.lit(tau) * F.col("pa.n_s"))))
+                & shorter_first
+                & (F.col("pa.rn") <= F.col("pa.n_s")
+                   - ceil_mul(F.col("pa.n_s"), ip, iq) + 1)
+                & (F.col("pa.n_s") >= ceil_mul(F.col("pb.n_s"), tp, tq))
+                & (F.col("pb.n_s") >= ceil_mul(F.col("pa.n_s"), tp, tq)))
         .select(F.col("pa.doc_id").alias("doc_a"),
                 F.col("pb.doc_id").alias("doc_b"),
                 F.col("pa.rn").alias("rn_a"), F.col("pb.rn").alias("rn_b"),
                 F.col("pa.n_s").alias("n_a"), F.col("pb.n_s").alias("n_b")))
-    alpha = F.ceil(F.lit(tau) / (1 + tau) * (F.col("n_a") + F.col("n_b")))
+    alpha = ceil_mul(F.col("n_a") + F.col("n_b"), ap, aq)
     cand = (collisions
             .groupBy("doc_a", "doc_b")
             .agg(F.count(F.lit(1)).alias("c"),
@@ -193,7 +223,11 @@ def ppjoin_jaccard_pairs(item_sets: DataFrame, tau: float) -> DataFrame:
             .filter((F.col("c") + F.least(F.col("n_a") - F.col("mra"),
                                           F.col("n_b") - F.col("mrb")))
                     >= alpha)
-            .select("doc_a", "doc_b"))
+            # canonical output order is by doc_id (the oracle's
+            # a.doc_id < b.doc_id), not by the length order pairs were
+            # generated in
+            .select(F.least("doc_a", "doc_b").alias("doc_a"),
+                    F.greatest("doc_a", "doc_b").alias("doc_b")))
     # exact overlap on surviving candidates — long-array intersection in
     # whole-stage codegen, not an exploded item join (the explode form
     # multiplies candidates by items-per-doc and was the dominant cost
