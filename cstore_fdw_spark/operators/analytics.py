@@ -1240,6 +1240,10 @@ _TRIANGLE_SUPPORT = 2
 @register(
     "stats_triangle_count",
     category="analytics",
+    bench=True,  # graph-analytics family representative in the headline set
+    allow_bnlj=True,  # the final 1-row summary anchors (n_nodes x
+    #                   n_edges x n_wedges x triangles) cross-join —
+    #                   each side is a single aggregate row
     oracle=f"""
     WITH pairs AS (
       SELECT a.l_partkey AS u, b.l_partkey AS v

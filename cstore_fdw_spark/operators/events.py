@@ -1096,6 +1096,7 @@ def _lttb_oracle() -> str:
 @register(
     "timeseries_downsample_lttb",
     category="events",
+    bench=True,  # the stateful-fold tier's representative in the headline set
     oracle=_lttb_oracle())
 def timeseries_downsample_lttb(spark, sf_dir):
     """Largest-Triangle-Three-Buckets downsampling (Steinarsson '13 —

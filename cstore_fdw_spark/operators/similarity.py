@@ -14,7 +14,8 @@ import hashlib
 from pyspark.sql import Column, functions as F
 from pyspark.sql.window import Window
 
-from cstore_fdw_spark.operators import register, table, track_cache
+from cstore_fdw_spark.operators import (register, spread, table,
+                                        track_cache)
 
 N_QUERIES = 5    # demo query set: vec_id < 5
 TOP_K = 3
@@ -1795,3 +1796,117 @@ def vector_recall_at_k(spark, sf_dir):
                     F.expr(f"hits * 1000 DIV {TOP_K}").cast("long")
                     .alias("recall_permille"))
             .orderBy("query_id"))
+
+
+#: PCA power iteration: fixed-point scale, iterations, int64 headroom
+#: (|c| <= 2*FX, |w| <= FX, |d'| <= |c|*FX*DIM/FX = 2*FX*DIM, so
+#: u <= 2*FX * 2*FX*DIM * N -- promote to DECIMAL beyond N ~ 3e4)
+PCA_FX = 10 ** 6
+PCA_ITERS = 3
+
+
+def _pca_oracle() -> str:
+    c_cte = f"""
+    ex AS (
+      SELECT vec_id,
+             UNNEST(RANGE(1, LEN(embedding) + 1)) AS j,
+             CAST(ROUND(UNNEST(embedding::DOUBLE[]) * {PCA_FX})
+                  AS BIGINT) AS s
+      FROM embeddings),
+    mu AS (SELECT j, SUM(s) // COUNT(*) AS m FROM ex GROUP BY j),
+    c AS (SELECT ex.vec_id, ex.j, ex.s - mu.m AS cv
+          FROM ex JOIN mu ON mu.j = ex.j),
+    w0 AS (SELECT j, CAST({PCA_FX} AS BIGINT) AS w FROM mu)"""
+    its = []
+    for k in range(1, PCA_ITERS + 1):
+        its.append(f"""
+    d{k} AS (
+      SELECT c.vec_id, SUM(c.cv * w{k - 1}.w) // {PCA_FX} AS dp
+      FROM c JOIN w{k - 1} ON w{k - 1}.j = c.j GROUP BY c.vec_id),
+    u{k} AS (
+      SELECT c.j, SUM(c.cv * d{k}.dp) AS u
+      FROM c JOIN d{k} ON d{k}.vec_id = c.vec_id GROUP BY c.j),
+    m{k} AS (SELECT GREATEST(MAX(ABS(u)) // {PCA_FX}, 1) AS m FROM u{k}),
+    w{k} AS (SELECT j, u // m AS w FROM u{k} CROSS JOIN m{k})""")
+    return f"""
+    WITH {c_cte},{",".join(its)}
+    SELECT j - 1 AS dim, CAST(w AS BIGINT) AS loading_fx
+    FROM w{PCA_ITERS} ORDER BY dim
+    """
+
+
+@register(
+    "vector_pca_power_iteration",
+    category="similarity",
+    oracle=_pca_oracle())
+def vector_pca_power_iteration(spark, sf_dir):
+    """Top principal direction of the MEAN-CENTERED embedding corpus by
+    three power iterations — the spectral primitive under whitening,
+    spectral dedup (SemDeDup's cluster axes), and outlier-direction
+    monitoring. Everything is exact BIGINT fixed point so the DuckDB
+    oracle hash-matches bit for bit: vectors scale to 10^6
+    (Round-parity), the per-dimension mean subtracts as a truncated
+    integer division, each iteration computes d_i = (c_i . w) div 10^6
+    per row and u = sum_i c_i * d_i per dimension, then renormalizes by
+    the max-|u| octave (u div max(|u| div 10^6, 1)) — data-dependent
+    scaling with no IEEE division anywhere (the pagerank/Holt
+    discipline applied to linear algebra). Initialized from the
+    all-ones direction; 3 iterations give the demo-grade dominant
+    direction, the iteration count is a constant, not a tuning.
+
+    Scale: the centered corpus is built ONCE (rows carry the full
+    64-array, persisted via track_cache); each iteration is (a) a PURE
+    MAP-SIDE dot against the 64-literal w (zip_with fold — no join, no
+    shuffle), and (b) ONE map-side-combined 64-key aggregate for u.
+    The only driver traffic is the 64-row w vector per iteration (the
+    vocabulary-bounded collect tier). At 100 TB: 3 corpus passes, each
+    one aggregate shuffle carrying 64 partials per task — the textbook
+    distributed power iteration."""
+    e = table(spark, sf_dir, "embeddings")
+    ex = (spread(e).select(
+        "vec_id",
+        F.expr(f"transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE)"
+               f" * {PCA_FX}) AS BIGINT))").alias("sv")))
+    mu_rows = (ex.select(F.posexplode("sv").alias("j", "s"))
+               .groupBy("j")
+               .agg(F.expr("SUM(s) DIV COUNT(*)").alias("m"))
+               .orderBy("j").collect())           # 64 rows
+    mu = [int(r.m) for r in mu_rows]
+    dim = len(mu)
+    mu_arr = F.array(*[F.lit(v) for v in mu])
+    c = track_cache(
+        ex.select("vec_id",
+                  F.zip_with("sv", mu_arr, lambda x, y: x - y)
+                  .alias("cv")).persist())
+    c.count()
+
+    w = [PCA_FX] * dim
+    for _ in range(PCA_ITERS):
+        w_arr = F.array(*[F.lit(int(v)) for v in w])
+        d = F.expr(f"aggregate(zip_with(cv, {_sql_long_array(w)}, "
+                   f"(x, y) -> x * y), CAST(0 AS BIGINT), "
+                   f"(acc, t) -> acc + t) DIV {PCA_FX}")
+        u_rows = (c.select(d.alias("dp"), F.posexplode("cv")
+                           .alias("j", "cval"))
+                  .groupBy("j")
+                  .agg(F.sum(F.col("cval") * F.col("dp")).alias("u"))
+                  .orderBy("j").collect())        # 64 rows
+        u = [int(r.u) for r in u_rows]
+        m = max(max(abs(v) for v in u) // PCA_FX, 1)
+        w = [holt_like_tdiv(v, m) for v in u]
+    out = [(j, int(w[j])) for j in range(dim)]
+    return spark.createDataFrame(out, "dim int, loading_fx long") \
+        .select(F.col("dim").cast("long").alias("dim"), "loading_fx") \
+        .orderBy("dim")
+
+
+def _sql_long_array(vals) -> str:
+    return ("array(" + ", ".join(f"CAST({int(v)} AS BIGINT)"
+                                 for v in vals) + ")")
+
+
+def holt_like_tdiv(a: int, n: int) -> int:
+    """Truncate-toward-zero division matching Spark DIV / DuckDB //
+    (python // floors; u goes negative on anti-aligned dimensions)."""
+    q = abs(a) // n
+    return q if a >= 0 else -q
