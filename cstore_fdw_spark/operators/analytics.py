@@ -1328,3 +1328,88 @@ def stats_triangle_count(spark, sf_dir):
         F.when(F.col("n_wedges") > 0,
                F.expr("n_triangles * 1000 DIV n_wedges"))
         .otherwise(F.lit(0)).cast("long").alias("closure_permille"))
+
+
+def _train_test_oracle() -> str:
+    from cstore_fdw_spark.functions.portable_hash import duck_h60
+    h = duck_h60("CAST(vec_id AS VARCHAR)")
+    return f"""
+    WITH ranked AS (
+      SELECT vec_id, label,
+             ROW_NUMBER() OVER (PARTITION BY label
+                                ORDER BY {h}, vec_id) AS rk,
+             COUNT(*) OVER (PARTITION BY label) AS n
+      FROM embeddings)
+    SELECT vec_id, CAST(label AS INT) AS label,
+           CASE WHEN rk <= (n * 8) // 10 THEN 'train' ELSE 'test' END
+             AS split
+    FROM ranked
+    """
+
+
+@register(
+    "sample_train_test_split",
+    category="analytics",
+    oracle=_train_test_oracle())
+def sample_train_test_split(spark, sf_dir):
+    """Stratified 80/20 train/test split with EXACT per-label counts:
+    within each label, rows rank by portable hash (reproducible, no
+    RNG — the sample_stratified_hash discipline) and the first
+    floor(0.8·n) go to train. Rank-based splitting guarantees the
+    per-class proportions exactly (hash-threshold splits only hit them
+    in expectation — a small class can land 70/30 by chance, which is
+    precisely what stratification is meant to prevent).
+
+    Scale: one rank window per label (the same top-k-per-group shape
+    as sample_class_balance; two-phase select-k drops in for huge
+    classes); the split column is a pure expression over (rank, n)."""
+    from cstore_fdw_spark.functions.portable_hash import spark_h60
+
+    e = table(spark, sf_dir, "embeddings")
+    w = Window.partitionBy("label").orderBy(
+        F.expr(spark_h60("cast(vec_id as string)")), "vec_id")
+    wall = Window.partitionBy("label")
+    return (e.select("vec_id", "label")
+            .withColumn("rk", F.row_number().over(w))
+            .withColumn("n", F.count(F.lit(1)).over(wall))
+            .select("vec_id", F.col("label").cast("int").alias("label"),
+                    F.when(F.col("rk") <= F.expr("(n * 8) DIV 10"),
+                           "train").otherwise("test").alias("split")))
+
+
+def _grouped_holdout_oracle() -> str:
+    from cstore_fdw_spark.functions.portable_hash import duck_h60
+    h = duck_h60("source")
+    return f"""
+    SELECT doc_id, source,
+           CASE WHEN {h} % 10 < 8 THEN 'train' ELSE 'holdout' END
+             AS split
+    FROM documents
+    """
+
+
+@register(
+    "sample_grouped_holdout",
+    category="analytics",
+    oracle=_grouped_holdout_oracle())
+def sample_grouped_holdout(spark, sf_dir):
+    """GROUP-level holdout: every document from the same source lands
+    on the same side of the split (hash the GROUP key, not the row
+    key) — the leakage-safe evaluation split for correlated data. A
+    row-level split puts near-identical documents from one crawl
+    domain on both sides and the eval leaks; scikit-learn's
+    GroupShuffleSplit exists for exactly this reason, and a training
+    corpus's unit of correlation is the source/domain.
+
+    Scale: ZERO shuffles — the split is a pure projection (hash of a
+    row column against a literal), so it composes map-side into any
+    downstream pipeline; group membership is consistent across
+    executors, epochs, and engines because the hash is the portable
+    md5 scheme, never an RNG."""
+    from cstore_fdw_spark.functions.portable_hash import spark_h60
+
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", "source",
+        F.when(F.expr(spark_h60("source")) % 10 < 8, "train")
+        .otherwise("holdout").alias("split"))
