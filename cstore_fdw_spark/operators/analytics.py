@@ -1413,3 +1413,74 @@ def sample_grouped_holdout(spark, sf_dir):
         "doc_id", "source",
         F.when(F.expr(spark_h60("source")) % 10 < 8, "train")
         .otherwise("holdout").alias("split"))
+
+
+@register(
+    "stats_iqr_outliers",
+    category="analytics",
+    oracle="""
+    WITH cents AS (
+      SELECT event_type AS g,
+             CAST(ROUND(value * 100) AS BIGINT) AS c,
+             event_id
+      FROM events),
+    ranked AS (
+      SELECT g, c, event_id,
+             ROW_NUMBER() OVER (PARTITION BY g
+                                ORDER BY c, event_id) AS rk,
+             COUNT(*) OVER (PARTITION BY g) AS n
+      FROM cents),
+    q AS (
+      SELECT g,
+             MAX(CASE WHEN rk = (n + 3) // 4 THEN c END) AS q1,
+             MAX(CASE WHEN rk = (3 * n + 1) // 4 THEN c END) AS q3
+      FROM ranked GROUP BY g)
+    SELECT r.g AS event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_outliers,
+           CAST(MIN(r.c) AS BIGINT) AS min_outlier_cents,
+           CAST(MAX(r.c) AS BIGINT) AS max_outlier_cents
+    FROM ranked r JOIN q ON q.g = r.g
+    WHERE 2 * r.c < 2 * q.q1 - 3 * (q.q3 - q.q1)
+       OR 2 * r.c > 2 * q.q3 + 3 * (q.q3 - q.q1)
+    GROUP BY r.g ORDER BY r.g
+    """)
+def stats_iqr_outliers(spark, sf_dir):
+    """Tukey-fence outlier detection over event values per type — the
+    data-cleaning primitive every quality pipeline runs before fitting
+    anything: values outside [q1 - 1.5*IQR, q3 + 1.5*IQR] of their
+    group (the exponential-tailed value column genuinely produces
+    them; uniform columns never can — their fences exceed the range).
+    Quartiles are EXACT rank statistics (rank (n+3) div 4 and
+    (3n+1) div 4 of the (cents, event_id)-ordered group — a
+    deterministic discrete-quantile convention both engines step
+    identically), and the 1.5*IQR fences are cross-multiplied by 2 so
+    no fractional value ever materializes (2c < 2q1 - 3(q3 - q1)).
+
+    Scale: one rank window per group plus a broadcast-sized quartile
+    table joined back — two passes over the corpus, both partitioned
+    by the group key; the distributed-percentile machinery
+    (percentile_exact, distributed_cumsum) swaps in when groups stop
+    fitting a partition."""
+    e = table(spark, sf_dir, "events")
+    cents = e.select(
+        F.col("event_type").alias("g"),
+        F.expr("CAST(ROUND(value * 100) AS BIGINT)").alias("c"),
+        "event_id")
+    w = Window.partitionBy("g").orderBy("c", "event_id")
+    wall = Window.partitionBy("g")
+    ranked = (cents.withColumn("rk", F.row_number().over(w))
+              .withColumn("n", F.count(F.lit(1)).over(wall)))
+    q = (ranked.groupBy("g")
+         .agg(F.max(F.when(F.col("rk") == F.expr("(n + 3) DIV 4"),
+                           F.col("c"))).alias("q1"),
+              F.max(F.when(F.col("rk") == F.expr("(3 * n + 1) DIV 4"),
+                           F.col("c"))).alias("q3")))
+    j = ranked.join(F.broadcast(q), "g")
+    out = j.filter(
+        (2 * F.col("c") < 2 * F.col("q1") - 3 * (F.col("q3") - F.col("q1")))
+        | (2 * F.col("c") > 2 * F.col("q3") + 3 * (F.col("q3") - F.col("q1"))))
+    return (out.groupBy(F.col("g").alias("event_type"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n_outliers"),
+                 F.min("c").cast("long").alias("min_outlier_cents"),
+                 F.max("c").cast("long").alias("max_outlier_cents"))
+            .orderBy("event_type"))

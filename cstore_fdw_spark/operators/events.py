@@ -1415,3 +1415,92 @@ def stats_markov_stationary(spark, sf_dir):
                         F.col("mass").cast("long")
                         .alias("stationary_mass_fx"))
             .orderBy("event_type"))
+
+
+#: SMA crossover windows (hours): fast and slow moving averages
+SMA_FAST = 6
+SMA_SLOW = 24
+
+
+@register(
+    "timeseries_sma_crossover",
+    category="events",
+    oracle=f"""
+    WITH hourly AS (
+      SELECT event_type, DATE_TRUNC('hour', ts) AS h,
+             SUM(CAST(ROUND(value * 100) AS BIGINT)) AS x
+      FROM events GROUP BY 1, 2),
+    win AS (
+      SELECT event_type, h,
+             SUM(x) OVER (PARTITION BY event_type ORDER BY h
+                          ROWS BETWEEN {SMA_FAST - 1} PRECEDING
+                          AND CURRENT ROW) AS sf,
+             COUNT(*) OVER (PARTITION BY event_type ORDER BY h
+                            ROWS BETWEEN {SMA_FAST - 1} PRECEDING
+                            AND CURRENT ROW) AS nf,
+             SUM(x) OVER (PARTITION BY event_type ORDER BY h
+                          ROWS BETWEEN {SMA_SLOW - 1} PRECEDING
+                          AND CURRENT ROW) AS ss,
+             COUNT(*) OVER (PARTITION BY event_type ORDER BY h
+                            ROWS BETWEEN {SMA_SLOW - 1} PRECEDING
+                            AND CURRENT ROW) AS ns,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY h) AS rn
+      FROM hourly),
+    sgn AS (
+      SELECT event_type, h, rn,
+             CASE WHEN sf * ns > ss * nf THEN 1
+                  WHEN sf * ns < ss * nf THEN -1 ELSE 0 END AS s
+      FROM win WHERE rn >= {SMA_SLOW}),
+    cx AS (
+      SELECT event_type, h, s,
+             LAG(s) OVER (PARTITION BY event_type ORDER BY h) AS ps
+      FROM sgn)
+    SELECT event_type, h AS cross_hour,
+           CAST(s AS BIGINT) AS direction
+    FROM cx WHERE ps IS NOT NULL AND s <> 0 AND ps <> 0 AND s <> ps
+    ORDER BY event_type, cross_hour
+    """)
+def timeseries_sma_crossover(spark, sf_dir):
+    """Moving-average crossover detection per event type — the classic
+    momentum signal (golden/death cross): hours where the fast
+    {SMA_FAST}-hour mean crosses the slow {SMA_SLOW}-hour mean. Means
+    are never divided: the comparison is CROSS-MULTIPLIED
+    (sum_fast·n_slow vs sum_slow·n_fast — exact int64, the
+    autocorrelation discipline), signs lag by one hour, and a
+    crossover is a strict sign flip (zero-sign hours break runs, so
+    touching the mean without crossing emits nothing). Warm-up rows
+    (fewer than {SMA_SLOW} hours of history) are excluded on both
+    engines.
+
+    Scale: one map-side-combined corpus rollup, then per-key windows
+    over the wall-time-bounded hourly series — the CUSUM/Holt shape;
+    output is event-sized (crossovers), not series-sized."""
+    e = table(spark, sf_dir, "events")
+    hourly = (e.select("event_type",
+                       F.date_trunc("hour", "ts").alias("h"),
+                       F.expr("CAST(ROUND(value * 100) AS BIGINT)")
+                       .alias("cents"))
+              .groupBy("event_type", "h")
+              .agg(F.sum("cents").alias("x")))
+    word = Window.partitionBy("event_type").orderBy("h")
+    wf = word.rowsBetween(-(SMA_FAST - 1), 0)
+    ws = word.rowsBetween(-(SMA_SLOW - 1), 0)
+    win = (hourly
+           .withColumn("sf", F.sum("x").over(wf))
+           .withColumn("nf", F.count(F.lit(1)).over(wf))
+           .withColumn("ss", F.sum("x").over(ws))
+           .withColumn("ns", F.count(F.lit(1)).over(ws))
+           .withColumn("rn", F.row_number().over(word))
+           .filter(F.col("rn") >= SMA_SLOW))
+    sgn = win.withColumn(
+        "s", F.when(F.col("sf") * F.col("ns") > F.col("ss") * F.col("nf"),
+                    1)
+        .when(F.col("sf") * F.col("ns") < F.col("ss") * F.col("nf"), -1)
+        .otherwise(0))
+    cx = sgn.withColumn("ps", F.lag("s").over(word))
+    return (cx.filter(F.col("ps").isNotNull() & (F.col("s") != 0)
+                      & (F.col("ps") != 0) & (F.col("s") != F.col("ps")))
+            .select("event_type", F.col("h").alias("cross_hour"),
+                    F.col("s").cast("long").alias("direction"))
+            .orderBy("event_type", "cross_hour"))
