@@ -290,6 +290,9 @@ class CStoreCatalog:
         #: rebinds): sql() only ever replaces views it owns — a user's
         #: same-named temp view is never silently shadowed
         self._owned_views: set[str] = set()
+        #: sql_view's view→table mapping, so sql()'s auto-pruning also
+        #: matches views registered under a different name than the table
+        self._view_aliases: dict[str, str] = {}
 
     # ---------------------------------------------------------- paths/meta
     def table_path(self, name: str) -> str:
@@ -1818,10 +1821,15 @@ class CStoreCatalog:
         return self._load_meta(name).write_epoch
 
     def sql_view(self, name: str, view_name: str | None = None) -> str:
-        """Register the table as a temp view for spark.sql queries."""
+        """Register the table as a temp view for spark.sql queries.
+
+        The view→table mapping is recorded so :meth:`sql`'s automatic
+        column pruning also reaches views whose name differs from the
+        table's (``sql_view('t', view_name='other')``)."""
         view = view_name or name
         self.read(name).createOrReplaceTempView(view)
         self._owned_views.add(view.lower())
+        self._view_aliases[view.lower()] = name
         return view
 
     def sql(self, query: str) -> DataFrame:
@@ -1860,12 +1868,18 @@ class CStoreCatalog:
             # text would double-execute the side effect
             return df
         cands: dict[str, str] = {}
-        for name in self.list_tables():
+        live = set(self.list_tables())
+        for name in live:
             meta = self._load_meta(name)
             if self._format(meta) != "cstore":
                 continue
             for n in {name, *meta.registered_names}:
                 cands[n.lower()] = name
+        # views created via sql_view(name, view_name=...) under a name
+        # that differs from the table's — prune those too
+        for view, name in self._view_aliases.items():
+            if name in live and self._format(self._load_meta(name)) == "cstore":
+                cands.setdefault(view, name)
         if not cands:
             return df
         needed = referenced_table_columns(df, set(cands))
@@ -1873,34 +1887,40 @@ class CStoreCatalog:
                       self.spark.catalog.listTables()
                       if t.isTemporary} if needed else set()
         shadows: list[tuple[str, bool]] = []
-        for alias, cols in needed.items():
-            name = cands[alias]
-            full = self._load_meta(name).schema().fieldNames()
-            is_view = alias in temp_views
-            if is_view and alias not in self._owned_views:
-                continue  # user-owned view: hands off
-            if boundary_schema(df, alias) != list(full):
-                continue  # name no longer resolves to the full table
-            if set(cols) >= set(full):
-                continue  # full-width query: nothing to prune
-            keep = [c for c in full if c in cols]
-            if not keep:
-                # SELECT COUNT(*): rows-only — read the cheapest
-                # column as the row-multiplicity carrier
-                keep = [_cheapest_column(self._load_meta(name).schema())]
-            self.read(name, columns=keep).createOrReplaceTempView(alias)
-            self._owned_views.add(alias)
-            shadows.append((alias, is_view))
-        if not shadows:
-            return df
-        pruned = self.spark.sql(query)  # resolves against the shadows
-        for alias, was_view in shadows:
-            if was_view:
-                # restore the full-width sql_view binding
-                self.read(cands[alias]).createOrReplaceTempView(alias)
-            else:
-                self.spark.catalog.dropTempView(alias)
-                self._owned_views.discard(alias)
+        # try/finally: if a later read()/createOrReplaceTempView or the
+        # pruned re-run raises, every shadow already created must be
+        # restored — a leaked shadow would permanently narrow the
+        # session's view of a full-width table
+        try:
+            for alias, cols in needed.items():
+                name = cands[alias]
+                full = self._load_meta(name).schema().fieldNames()
+                is_view = alias in temp_views
+                if is_view and alias not in self._owned_views:
+                    continue  # user-owned view: hands off
+                if boundary_schema(df, alias) != list(full):
+                    continue  # name no longer resolves to the full table
+                if set(cols) >= set(full):
+                    continue  # full-width query: nothing to prune
+                keep = [c for c in full if c in cols]
+                if not keep:
+                    # SELECT COUNT(*): rows-only — read the cheapest
+                    # column as the row-multiplicity carrier
+                    keep = [_cheapest_column(self._load_meta(name).schema())]
+                self.read(name, columns=keep).createOrReplaceTempView(alias)
+                self._owned_views.add(alias)
+                shadows.append((alias, is_view))
+            if not shadows:
+                return df
+            pruned = self.spark.sql(query)  # resolves against the shadows
+        finally:
+            for alias, was_view in shadows:
+                if was_view:
+                    # restore the full-width sql_view binding
+                    self.read(cands[alias]).createOrReplaceTempView(alias)
+                else:
+                    self.spark.catalog.dropTempView(alias)
+                    self._owned_views.discard(alias)
         return pruned
 
     def metadata_df(self) -> DataFrame:

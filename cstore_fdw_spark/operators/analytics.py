@@ -1202,6 +1202,9 @@ def _class_balance_oracle() -> str:
 @register(
     "sample_class_balance",
     category="analytics",
+    allow_bnlj=True,  # the min-class-size k is a 1-row aggregate
+    #                   anchor: rk <= k against a broadcast single row
+    #                   plans a nested loop over exactly one row
     oracle=_class_balance_oracle())
 def sample_class_balance(spark, sf_dir):
     """Class-balanced downsampling over the labeled embedding corpus:

@@ -1183,7 +1183,6 @@ def timeseries_downsample_lttb(spark, sf_dir):
 
     return (ser.groupBy("event_type").applyInPandas(fold, schema)
             .orderBy("event_type", "sel_idx"))
-# staged: appended to events.py AFTER preflight completes
 
 
 @register(

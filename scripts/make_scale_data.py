@@ -32,6 +32,7 @@ Usage: python scripts/make_scale_data.py 0.1 0.3 1.0 [--out DIR]
 from __future__ import annotations
 
 import argparse
+import hashlib
 import json
 import os
 
@@ -55,8 +56,10 @@ DAY_US = 86_400_000_000  # one day in microseconds
 
 
 def _rng(seed: int, g: float, table: str) -> np.random.Generator:
-    return np.random.default_rng(
-        abs(hash((seed, round(g * 1000), table))) % (2**63))
+    # hashlib, not hash(): str hashing is randomized per process
+    # (PYTHONHASHSEED), which would break --seed reproducibility
+    key = hashlib.md5(f"{seed}|{round(g * 1000)}|{table}".encode()).digest()
+    return np.random.default_rng(int.from_bytes(key[:8], "little"))
 
 
 def _ts_us(rng, n: int, start: str, days: float) -> pa.Array:

@@ -147,3 +147,44 @@ def test_sql_autoprune_self_join_unions_instances(spark, wide_cat):
             .collect())
     assert sorted(map(tuple, out.collect())) == sorted(map(tuple, want))
     spark.catalog.dropTempView("wide6")
+
+
+def test_sql_autoprune_renamed_view_pruned(spark, wide_cat):
+    """sql_view(name, view_name=...) records the alias→table mapping,
+    so queries against the differently-named view ALSO prune."""
+    cat, df = wide_cat
+    cat.sql_view("wide6", view_name="w6alias")
+    out = cat.sql("select max(d) as m from w6alias")
+    (cols,) = _dsv2_leaf_columns(out)
+    assert set(cols) == {"d", "__cstore_epoch"}
+    assert out.collect()[0].m == df.agg(F.max("d")).collect()[0][0]
+    # binding restored full-width under the alias
+    (cols_full,) = _dsv2_leaf_columns(spark.sql("select * from w6alias"))
+    assert {"a", "b", "c", "d", "e", "f"} <= set(cols_full)
+    spark.catalog.dropTempView("w6alias")
+
+
+def test_sql_autoprune_restores_bindings_on_error(spark, wide_cat,
+                                                  monkeypatch):
+    """If the pruned re-run raises AFTER shadows were created, the
+    finally block restores every binding — no narrowed schema leaks
+    into the session."""
+    cat, df = wide_cat
+    cat.sql_view("wide6")
+    real_sql = spark.sql
+    calls = {"n": 0}
+
+    def flaky(q, *a, **k):
+        calls["n"] += 1
+        if calls["n"] == 2:  # the pruned re-run
+            raise RuntimeError("injected: pruned re-run failed")
+        return real_sql(q, *a, **k)
+
+    monkeypatch.setattr(spark, "sql", flaky)
+    with pytest.raises(RuntimeError, match="injected"):
+        cat.sql("select max(d) as m from wide6")
+    monkeypatch.undo()
+    # the full-width sql_view binding is back
+    (cols_full,) = _dsv2_leaf_columns(spark.sql("select * from wide6"))
+    assert {"a", "b", "c", "d", "e", "f"} <= set(cols_full)
+    spark.catalog.dropTempView("wide6")
