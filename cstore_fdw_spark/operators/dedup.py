@@ -87,8 +87,69 @@ def dedup_exact_hash(spark, sf_dir):
 
 TOKEN_JACCARD_TAU = 0.8
 
+#: average posting-list length (docs per distinct item) above which the
+#: exact PPJoin tier is declared saturated: collision rows grow like
+#: Σ_item posting_len², so once the item space stops growing with the
+#: corpus every new doc collides with a constant fraction of ALL docs —
+#: measured α ≈ 2.3 on the driver-shaped bounded-vocabulary corpus
+#: (SCALE_MEASURED.md: grams flat at 1,885 keys while collision rows
+#: grew 7.9 M → 768 M across a 10× corpus step). 256 clears diverse
+#: corpora (posting lists stay O(dup-cluster size), single digits) by
+#: two orders of magnitude while firing well before the measured
+#: blow-up regime (g1.0 sits at ~4,500 docs/gram).
+SATURATION_POSTINGS_PER_ITEM = 256
 
-def ppjoin_jaccard_pairs(item_sets: DataFrame, tau: float) -> DataFrame:
+
+class JaccardSaturationWarning(UserWarning):
+    """The exact Jaccard tier is running on a saturated item space —
+    candidate density is growing ~N²; the calibrated approximate tier
+    (``dedup_minhash_lsh``, measured α ≈ 0.48) is the scale path."""
+
+
+def _saturation_guard(freq: DataFrame, n_docs: int,
+                      on_saturation: str) -> None:
+    """Detect item-space saturation from the (lang, item)→frequency
+    table the prefix stage already builds, and warn/raise per
+    ``on_saturation``. One 1-row aggregate over the cached sets — the
+    corpus itself is never re-scanned, and the whole check is skipped
+    under ``'ignore'``.
+
+    The metric is the mean posting-list length ``Σ freq / #items`` =
+    docs per distinct item. Diverse corpora keep it O(duplication
+    factor) regardless of N; a bounded vocabulary makes it grow
+    linearly with N (Heaps' law with exponent → 0), which is exactly
+    the condition under which prefix-collision rows go quadratic
+    (SCALE_MEASURED.md, dedup_ngram_jaccard g0.1→g1.0)."""
+    if on_saturation == "ignore":
+        return
+    if on_saturation not in ("warn", "raise"):
+        raise ValueError(
+            f"on_saturation must be 'warn'|'raise'|'ignore', "
+            f"got {on_saturation!r}")
+    row = freq.agg(F.count(F.lit(1)).alias("n_items"),
+                   F.sum("gf").alias("postings")).collect()[0]
+    n_items = row.n_items or 1
+    docs_per_item = (row.postings or 0) / n_items
+    if docs_per_item <= SATURATION_POSTINGS_PER_ITEM:
+        return
+    msg = (
+        f"exact Jaccard tier is saturated: {n_items} distinct items "
+        f"across {n_docs} docs = {docs_per_item:.0f} docs per item "
+        f"(threshold {SATURATION_POSTINGS_PER_ITEM}). Prefix-collision "
+        f"candidates grow ~N² once the item space stops growing with "
+        f"the corpus (measured α≈2.3, SCALE_MEASURED.md) — no exact "
+        f"algorithm can skip pairs that genuinely share items. Use "
+        f"dedup_minhash_lsh (τ-calibrated banding, measured α≈0.48) "
+        f"for low-diversity corpora at scale, or pass "
+        f"on_saturation='ignore' to accept the cost.")
+    if on_saturation == "raise":
+        raise RuntimeError(msg)
+    import warnings
+    warnings.warn(msg, JaccardSaturationWarning, stacklevel=3)
+
+
+def ppjoin_jaccard_pairs(item_sets: DataFrame, tau: float,
+                         on_saturation: str = "warn") -> DataFrame:
     """Exact Jaccard-≥-τ pairs over a (doc_id, lang, items: array<string>)
     per-doc set table via PPJoin-style prefix filtering (Xiao et al.,
     WWW'08) — the shared engine for both the word-token and char-n-gram
@@ -139,7 +200,7 @@ def ppjoin_jaccard_pairs(item_sets: DataFrame, tau: float) -> DataFrame:
     # 2-4x outlier runs). One count() over the freshly cached columnar
     # batches costs ~the materialization alone and makes every consumer
     # a guaranteed cache hit.
-    sets.count()
+    n_docs = sets.count()
     # one exploded (doc_id, lang, n_s, ih) view over the cached sets —
     # re-derived per consumer as pure CPU over cached arrays
     ex = sets.select("doc_id", "lang", "n_s",
@@ -150,6 +211,9 @@ def ppjoin_jaccard_pairs(item_sets: DataFrame, tau: float) -> DataFrame:
     # 64-bit hash instead of the item string changes which items land
     # in prefixes but not losslessness)
     freq = ex.groupBy("lang", "ih").agg(F.count(F.lit(1)).alias("gf"))
+    # saturation guard: a bounded item space makes the collision stage
+    # ~N² (measured); detect it from `freq` before paying for the join
+    _saturation_guard(freq, n_docs, on_saturation)
     wdoc = Window.partitionBy("doc_id").orderBy("gf", "ih")
     # persist: the self-join below would otherwise rebuild the whole
     # freq-aggregate + rarity window on BOTH sides (verified in the
@@ -332,7 +396,12 @@ def dedup_ngram_jaccard(spark, sf_dir):
     dedup_token_jaccard), via the shared PPJoin prefix-filtered pipeline
     (see :func:`ppjoin_jaccard_pairs`; char-gram posting lists are dense,
     so the prefix filter matters even more here). Jaccard from exact int
-    counts so the double division is deterministic."""
+    counts so the double division is deterministic.
+
+    The shared engine's saturation guard warns (names the calibrated
+    dedup_minhash_lsh tier) when the gram space stops growing with the
+    corpus — the measured-α≈2.3 regime a bounded-vocabulary 100 TB
+    corpus would silently hit (SCALE_MEASURED.md)."""
     d = table(spark, sf_dir, "documents").filter(F.col("text") != "")
     # spread BEFORE the gram projection (see dedup_token_jaccard)
     g = spread(d).select("doc_id", "lang",

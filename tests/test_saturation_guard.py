@@ -1,0 +1,84 @@
+"""Gram-space saturation guard for the exact Jaccard tier.
+
+SCALE_MEASURED.md measured dedup_ngram_jaccard at α ≈ 2.3 on the
+driver-shaped bounded-vocabulary corpus: the distinct-gram space sits
+flat (1,885 keys) while prefix-collision rows grow N². No exact
+algorithm can skip pairs that genuinely share rare grams, so the
+engine's job is to DETECT the condition (mean posting-list length from
+the freq table the prefix stage already builds) and warn/raise, naming
+the calibrated approximate tier (dedup_minhash_lsh, measured α ≈ 0.48).
+
+These tests prove: a bounded-vocab corpus triggers the guard, a
+diverse-vocab corpus of the same size does not, on_saturation=
+'raise'|'ignore' behave as documented, and the guarded operators'
+results are unchanged (the warning never alters the pair set).
+"""
+import warnings
+
+import pyspark.sql.functions as F
+import pytest
+
+from cstore_fdw_spark.operators.dedup import (
+    SATURATION_POSTINGS_PER_ITEM, JaccardSaturationWarning,
+    ppjoin_jaccard_pairs)
+
+
+def _corpus(spark, n_docs: int, vocab: int):
+    """n_docs docs whose token sets draw from a `vocab`-word space.
+    Tiny vocab → every token's posting list spans ~all docs (saturated);
+    vocab >> n_docs → posting lists stay O(1) (diverse)."""
+    return (spark.range(n_docs)
+            .select(F.col("id").alias("doc_id"), F.lit("en").alias("lang"),
+                    F.expr(f"array_distinct(transform(sequence(0, 19), "
+                           f"j -> concat('w', pmod(id * 7 + j, {vocab}))))")
+                    .alias("items")))
+
+
+def test_bounded_vocab_triggers_warning(spark):
+    # 20 distinct items/doc from a 24-word space over 600 docs:
+    # postings ≈ 12,000 over ≤24 items ≈ 500 docs/item > threshold
+    sets = _corpus(spark, 600, 24)
+    with pytest.warns(JaccardSaturationWarning, match="dedup_minhash_lsh"):
+        ppjoin_jaccard_pairs(sets, 0.8)
+
+
+def test_diverse_vocab_is_silent(spark):
+    # same size corpus, 1M-word space: posting lists are ~1 doc long
+    sets = _corpus(spark, 600, 1_000_000)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", JaccardSaturationWarning)
+        df = ppjoin_jaccard_pairs(sets, 0.8)
+        df.count()  # the full pipeline still runs clean
+
+
+def test_on_saturation_raise_and_ignore(spark):
+    sets = _corpus(spark, 600, 24)
+    with pytest.raises(RuntimeError, match="saturated"):
+        ppjoin_jaccard_pairs(sets, 0.8, on_saturation="raise")
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", JaccardSaturationWarning)
+        ppjoin_jaccard_pairs(sets, 0.8, on_saturation="ignore")
+    with pytest.raises(ValueError, match="on_saturation"):
+        ppjoin_jaccard_pairs(sets, 0.8, on_saturation="route")
+
+
+def test_warning_never_changes_results(spark):
+    """The guarded run returns the identical pair set as 'ignore' —
+    the guard is observability, not a semantics switch."""
+    sets = _corpus(spark, 300, 24)
+
+    def pairs(mode):
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore", JaccardSaturationWarning)
+            df = ppjoin_jaccard_pairs(sets, 0.8, on_saturation=mode)
+            return sorted((r.doc_a, r.doc_b, r.n_common)
+                          for r in df.collect())
+
+    assert pairs("warn") == pairs("ignore")
+
+
+def test_threshold_is_sane():
+    """Diverse corpora (posting lists O(dup-cluster size), single
+    digits) clear the threshold by orders of magnitude; the measured
+    blow-up regime (~4,500 docs/gram at g1.0) is far above it."""
+    assert 32 <= SATURATION_POSTINGS_PER_ITEM <= 1024
