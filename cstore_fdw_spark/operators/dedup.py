@@ -487,10 +487,15 @@ def lsh_verified_pairs(e: DataFrame, tau: float,
     propagation folds its own dropDuplicates into the edge-partitioning
     exchange) get the same answer one exchange cheaper; callers that
     COUNT pairs must keep the default."""
-    from cstore_fdw_spark.operators.similarity import cosine, lsh_buckets
+    from cstore_fdw_spark.operators.similarity import (
+        cosine, lsh_bits_for, lsh_buckets)
 
+    # occupancy-targeted bit count from the corpus row count (parquet-
+    # footer count, no data scan): per-(label, table, bucket) occupancy
+    # stays ~constant as N grows, so candidate pairs stay flat-per-row
     sig = (e.select("vec_id", "label",
-                    F.posexplode(lsh_buckets("embedding")))
+                    F.posexplode(lsh_buckets("embedding",
+                                             lsh_bits_for(e.count()))))
            .select("vec_id", "label",
                    F.struct(F.col("pos").alias("t"),
                             F.col("col").alias("b")).alias("tb")))
@@ -533,26 +538,23 @@ def embedding_lsh_dedup(e: DataFrame, tau: float) -> DataFrame:
 
 def _lsh_pairs_ctes() -> str:
     """Shared DuckDB CTE block replicating :func:`lsh_verified_pairs`:
-    inline ±1 planes → buckets → (label, table, bucket) candidates →
-    exact-cosine verification. Ends with a ``pairs(vec_a, vec_b)`` CTE."""
+    inline ±1 planes → occupancy-targeted bit count from COUNT(*)
+    (lsh_bits_sql, same integer thresholds as lsh_bits_for) → buckets →
+    (label, table, bucket) candidates → exact-cosine verification.
+    Ends with a ``pairs(vec_a, vec_b)`` CTE."""
     from cstore_fdw_spark.operators.similarity import (
-        LSH_BITS, LSH_TABLES, _ORACLE_COS, _plane_matrix)
+        LSH_MAX_BITS, _ORACLE_COS, _planes_values_sql, lsh_bits_sql)
 
-    planes = _plane_matrix()
-    rows = []
-    for t in range(LSH_TABLES):
-        for j in range(LSH_BITS):
-            arr = ", ".join("1.0" if v > 0 else "-1.0"
-                            for v in planes[t * LSH_BITS + j])
-            rows.append(f"({t}, {1 << j}, [{arr}]::DOUBLE[])")
-    return f"""planes(t, w, plane) AS (VALUES
-      {",".join(rows)}),
+    return f"""planes(t, j, w, plane) AS (VALUES
+      {_planes_values_sql(LSH_MAX_BITS)}),
+    {lsh_bits_sql()},
     buck AS (
       SELECT e.vec_id, e.label, p.t,
              CAST(SUM(CASE WHEN list_dot_product(e.embedding::DOUBLE[],
                                                  p.plane) > 0
                       THEN p.w ELSE 0 END) AS BIGINT) AS b
-      FROM embeddings e, planes p
+      FROM embeddings e, planes p, nb
+      WHERE p.j < nb.bits
       GROUP BY 1, 2, 3),
     cand AS (
       SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b

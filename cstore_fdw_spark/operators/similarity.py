@@ -109,27 +109,64 @@ def cosine_pairs_threshold(spark, sf_dir):
 
 #: L hash tables of b bits each (classic E2LSH layout): a vector lands in
 #: one bucket per table; candidates = union over tables. b sizes bucket
-#: occupancy (~N/2^b per table), L buys recall. At 100 TB raise b with
-#: corpus size and L with the recall target.
+#: occupancy (~N/2^b per table), L buys recall. The bit count is
+#: OCCUPANCY-TARGETED (VERDICT r12 task 3): derived from the corpus row
+#: count so per-table bucket occupancy — and hence candidate pairs per
+#: row — stays ~constant as N grows, instead of every bucket growing
+#: linearly with the corpus. LSH_BITS is the floor (small/gate corpora
+#: keep the historical 6-bit layout bit-for-bit).
 LSH_BITS = 6
 LSH_TABLES = 6
 DIM = 64
+#: target vectors per (table, bucket); bits = smallest b with
+#: N <= occupancy·2^b. 64 keeps within-bucket verify work trivially
+#: cache-resident while bounding candidates at ~N·L·occupancy/2.
+LSH_TARGET_OCCUPANCY = 64
+#: fixture-range cap (64·2^16 ≈ 4.2 M vectors); at true 100 TB scale
+#: raise it — the plane construction below extends to any j.
+LSH_MAX_BITS = 16
 
 
-def _plane_matrix():
-    """(LSH_TABLES·LSH_BITS, DIM) ±1 matrix, SHA-256-derived —
-    deterministic, no RNG state, reproducible across sessions."""
+def lsh_bits_for(n_rows: int) -> int:
+    """Occupancy-targeted bit count: the smallest b in
+    [LSH_BITS, LSH_MAX_BITS] with ``n_rows <= LSH_TARGET_OCCUPANCY·2^b``.
+    Pure integer comparisons (no float log2) so the DuckDB oracles can
+    replicate the choice exactly from ``COUNT(*)``."""
+    for b in range(LSH_BITS, LSH_MAX_BITS + 1):
+        if n_rows <= LSH_TARGET_OCCUPANCY << b:
+            return b
+    return LSH_MAX_BITS
+
+
+def lsh_bits_sql(corpus_sql: str = "SELECT COUNT(*) FROM embeddings") -> str:
+    """A DuckDB CTE body computing :func:`lsh_bits_for` over the corpus —
+    integer threshold table, COALESCE to the cap; names the result
+    ``nb(bits)``."""
+    vals = ", ".join(
+        f"({b}, {LSH_TARGET_OCCUPANCY << b})"
+        for b in range(LSH_BITS, LSH_MAX_BITS + 1))
+    return (f"nb(bits) AS (SELECT COALESCE(MIN(b), {LSH_MAX_BITS}) "
+            f"FROM (VALUES {vals}) AS caps(b, cap) "
+            f"WHERE ({corpus_sql}) <= cap)")
+
+
+def _plane_matrix(nbits: int = LSH_BITS):
+    """(LSH_TABLES·nbits, DIM) ±1 matrix, SHA-256-derived —
+    deterministic, no RNG state, reproducible across sessions. Plane
+    (t, j) depends only on its own key, so a wider matrix extends the
+    narrower one row-for-row (adaptive bit counts never move the
+    existing planes)."""
     import numpy as np
     rows = []
     for t in range(LSH_TABLES):
-        for j in range(LSH_BITS):
+        for j in range(nbits):
             rows.append([1.0 if hashlib.sha256(
                 f"cstore-lsh-{t}-{j}-{k}".encode()).digest()[0] & 1 else -1.0
                 for k in range(DIM)])
     return np.asarray(rows)
 
 
-def lsh_buckets(vec_col_name: str) -> Column:
+def lsh_buckets(vec_col_name: str, nbits: int = LSH_BITS) -> Column:
     """array of per-table bucket ids (index = table): bit j of table t's
     bucket = sign(vec · plane_{t,j}).
 
@@ -151,43 +188,53 @@ def lsh_buckets(vec_col_name: str) -> Column:
     def buckets_of(vecs):
         import numpy as np
         import pandas as pd
-        planes = _plane_matrix()                       # (L*B, DIM)
+        planes = _plane_matrix(nbits)                  # (L*B, DIM)
         V = np.stack(vecs.to_numpy()).astype(np.float64)   # (n, DIM)
         acc = np.zeros((len(V), planes.shape[0]))      # (n, L*B)
         for k in range(planes.shape[1]):               # ordered fold
             acc += V[:, k:k + 1] * planes[None, :, k]
         bits = acc > 0
-        bits = bits.reshape(len(V), LSH_TABLES, LSH_BITS)
-        weights = (1 << np.arange(LSH_BITS)).astype(np.int64)
+        bits = bits.reshape(len(V), LSH_TABLES, nbits)
+        weights = (1 << np.arange(nbits)).astype(np.int64)
         out = bits @ weights                            # (n, L)
         return pd.Series(list(out))
 
     return buckets_of(vec_col_name)
 
 
+def _planes_values_sql(max_bits: int) -> str:
+    """The SHA-256-derived ±1 hyperplanes as inline DuckDB VALUES rows
+    ``(t, j, w, plane)`` up to ``max_bits`` per table — the adaptive bit
+    count then filters ``j < bits`` (plane (t, j) never changes, so the
+    literal block is a superset of every bit count's matrix)."""
+    planes = _plane_matrix(max_bits)
+    rows = []
+    for t in range(LSH_TABLES):
+        for j in range(max_bits):
+            arr = ", ".join("1.0" if v > 0 else "-1.0"
+                            for v in planes[t * max_bits + j])
+            rows.append(f"({t}, {j}, {1 << j}, [{arr}]::DOUBLE[])")
+    return ",\n      ".join(rows)
+
+
 def _lsh_oracle() -> str:
     """DuckDB replica of the LSH pipeline: the ±1 hyperplanes are inlined
     as literal DOUBLE[] rows (same SHA-256-derived matrix the pandas UDF
-    uses), bucket bits from list_dot_product signs (bit-exact vs the
-    UDF's ordered fold), then the identical candidate-union + exact
-    cosine re-rank."""
-    planes = _plane_matrix()
-    rows = []
-    for t in range(LSH_TABLES):
-        for j in range(LSH_BITS):
-            arr = ", ".join("1.0" if v > 0 else "-1.0"
-                            for v in planes[t * LSH_BITS + j])
-            rows.append(f"({t}, {1 << j}, [{arr}]::DOUBLE[])")
-    vals = ",\n      ".join(rows)
+    uses), the occupancy-targeted bit count is recomputed from COUNT(*)
+    via the same integer thresholds (lsh_bits_sql), bucket bits from
+    list_dot_product signs (bit-exact vs the UDF's ordered fold), then
+    the identical candidate-union + exact cosine re-rank."""
     return f"""
-    WITH planes(t, w, plane) AS (VALUES
-      {vals}),
+    WITH planes(t, j, w, plane) AS (VALUES
+      {_planes_values_sql(LSH_MAX_BITS)}),
+    {lsh_bits_sql()},
     buck AS (
       SELECT e.vec_id, p.t,
              CAST(SUM(CASE WHEN list_dot_product(e.embedding::DOUBLE[],
                                                  p.plane) > 0
                       THEN p.w ELSE 0 END) AS BIGINT) AS b
-      FROM embeddings e, planes p
+      FROM embeddings e, planes p, nb
+      WHERE p.j < nb.bits
       GROUP BY 1, 2),
     cand AS (
       SELECT DISTINCT qa.vec_id AS query_id, ca.vec_id AS neighbor_id
@@ -220,10 +267,15 @@ def ann_lsh_bucketed(spark, sf_dir):
     construction, high on clustered real embeddings. The hyperplane
     projections fold in dimension order (see lsh_buckets), so the DuckDB
     oracle recomputes the identical buckets, candidates, and ranking.
+    The bit count is occupancy-targeted (lsh_bits_for over the corpus
+    row count — a parquet-footer count, no data scan): occupancy per
+    (table, bucket) stays ~LSH_TARGET_OCCUPANCY as N grows, so candidate
+    pairs stay flat-per-row instead of growing linearly per bucket.
     Output: (query_id, neighbor_id, rank, cos)."""
     e = table(spark, sf_dir, "embeddings")
+    bits = lsh_bits_for(e.count())
     sig = (e.select("vec_id", "embedding",
-                    F.posexplode(lsh_buckets("embedding")),
+                    F.posexplode(lsh_buckets("embedding", bits)),
                     F.sqrt(dot(F.col("embedding"), F.col("embedding")))
                     .alias("norm"))
            .select("vec_id", "embedding", "norm",

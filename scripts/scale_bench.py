@@ -49,7 +49,26 @@ HEAVY = {
     "dedup_simhash": "documents",
     "ann_lsh_bucketed": "embeddings",
     "training_mix_pipeline": "documents",
+    # relational core (VERDICT r12 task 2): the host-executor surface the
+    # reference's users actually query — measured, not argued
+    "q1_pricing_summary": "lineitem",
+    "q3_shipping_priority": "lineitem",
+    "q9_product_type_profit": "lineitem",
+    "q18_large_volume_customer": "lineitem",
+    "q21_suppliers_kept_waiting": "lineitem",
+    "events_sessionize": "events",
+    "scan_cstore_format_roundtrip": "lineitem",
 }
+
+#: the r12-measured set (kept re-runnable standalone via --queries)
+LLM_HEAVY = [
+    "dedup_ngram_jaccard", "dedup_connected_components",
+    "pagerank_bipartite_3iter", "dedup_minhash_lsh", "vector_ivf_pq_topk",
+    "dedup_simhash", "ann_lsh_bucketed", "training_mix_pipeline"]
+RELATIONAL_CORE = [
+    "q1_pricing_summary", "q3_shipping_priority", "q9_product_type_profit",
+    "q18_large_volume_customer", "q21_suppliers_kept_waiting",
+    "events_sessionize", "scan_cstore_format_roundtrip"]
 
 
 def table_rows(d: str, name: str) -> int:
@@ -86,6 +105,11 @@ def main() -> None:
         spark.read.parquet(f"{d}/lineitem.parquet").limit(1).count()
         t0 = time.perf_counter()
         ensure_index_artifacts(spark, d)  # offline build, reported apart
+        if "scan_cstore_format_roundtrip" in names:
+            # marker-guarded v1.7 file-set write happens at builder
+            # construction — prebuild so the timed runs measure SERVING
+            # (bench.py's bring-up discipline)
+            registry["scan_cstore_format_roundtrip"].builder(spark, d)
         index_build[label] = round(time.perf_counter() - t0, 3)
         clear_caches(spark)
         for n in names:
