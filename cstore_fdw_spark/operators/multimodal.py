@@ -7,12 +7,14 @@ REAL stdlib ones: PNG pixel decode (all five filters, 8/16-bit, color
 types 0/2/3/4/6, sequential and Adam7-interlaced — struct+zlib), GIF
 pixel decode (full variable-width LZW, color tables, extension walk),
 image header parsing (PNG/JPEG SOFn/GIF), WAV/PCM audio decode (RIFF
-chunk walk, 16-bit energy), and Y4M video decode (FRAME walk, 4:2:0
-planes). The deterministic-fake decode survives only in the generic
-``decode_meta``/``frame_sample`` plumbing demos (clearly marked); the
-genuinely library-bound shapes are exactly the DCT/entropy codecs —
-JPEG pixels (optional-PIL fallback), MP3/AAC, H.264/VP9 — each behind
-an honest scope error. Everything around the codecs — binary schema,
+chunk walk, 16-bit energy), FLAC lossless audio encode+decode (linear
+prediction + Rice coding, ``flac_codec.py``), and Y4M video decode
+(FRAME walk, 4:2:0 planes). The deterministic-fake decode survives only
+in the generic ``decode_meta``/``frame_sample`` plumbing demos (clearly
+marked); the genuinely library-bound shapes are exactly the
+psychoacoustic/motion codecs — MP3/AAC (MDCT), H.264/VP9 — each behind
+an honest scope error (JPEG has its own from-scratch baseline +
+progressive decoder in ``jpeg_codec.py``). Everything around the codecs — binary schema,
 metadata struct, Arrow batch iteration, UDF signatures,
 partition-parallel execution — is real and tested.
 
@@ -2358,6 +2360,124 @@ def multimodal_wav_adpcm_energy(spark, sf_dir):
             rows = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 samples = wav_decode_ima_adpcm(bytes(payload))
+                rows.append((int(doc_id), len(samples), sum(samples),
+                             sum(s * s for s in samples)))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "n_samples", "sample_sum",
+                               "energy"])
+
+    return media.mapInPandas(
+        decode, "doc_id long, n_samples long, sample_sum long, "
+                "energy long")
+
+
+# --------------------------------------------------- audio/FLAC (lossless)
+
+
+def _flac_signal(doc_id: int, n: int) -> list[int]:
+    """Closed-form 16-bit PCM whose 64-sample blocks cycle through the
+    four FLAC subframe shapes: constant, pseudo-random (verbatim),
+    smooth ramp + bounded wiggle (fixed order 2), and a decaying ramp
+    (LPC order 2). The DuckDB oracle recomputes this formula verbatim."""
+    out = []
+    for k in range(n):
+        b, j = k // 64, k % 64
+        if b % 4 == 0:
+            v = ((doc_id * 37) % 2001) - 1000
+        elif b % 4 == 1:
+            v = ((doc_id * 31 + k * 17) % 4001) - 2000
+        elif b % 4 == 2:
+            v = (doc_id % 200) + 3 * j + ((k * k + doc_id) % 7) - 3
+        else:
+            v = 500 - 2 * j + ((k * doc_id) % 5)
+        out.append(v)
+    return out
+
+
+def _flac_plan(b: int, block: list[int]) -> dict:
+    """Per-block subframe plan: forces every decoder path — all four
+    subframe types, both Rice parameter widths, partition order 1 on
+    even-sized blocks, and (via wasted-bits auto-detect on constant
+    blocks whose value is even) the wasted-bits shift."""
+    t = b % 4
+    po = 1 if len(block) % 2 == 0 and len(block) // 2 > 2 else 0
+    if t == 0:
+        return {"type": "constant"}
+    if t == 1:
+        return {"type": "verbatim"}
+    if t == 2:
+        return {"type": "fixed", "order": 2, "partition_order": po}
+    return {"type": "lpc", "order": 2, "qlp": [3, -1], "shift": 1,
+            "precision": 4, "partition_order": po, "residual_method": 1}
+
+
+@register(
+    "multimodal_flac_energy",
+    category="multimodal",
+    oracle="""
+    WITH docs AS (SELECT doc_id FROM documents WHERE doc_id % 37 = 0),
+    ks AS (
+      SELECT d.doc_id, g.k,
+        CASE g.k // 64
+          WHEN 0 THEN ((d.doc_id * 37) % 2001) - 1000
+          WHEN 1 THEN ((d.doc_id * 31 + g.k * 17) % 4001) - 2000
+          WHEN 2 THEN (d.doc_id % 200) + 3 * (g.k % 64)
+                      + ((g.k * g.k + d.doc_id) % 7) - 3
+          ELSE 500 - 2 * (g.k % 64) + ((g.k * d.doc_id) % 5)
+        END AS v
+      FROM docs d, LATERAL (SELECT UNNEST(generate_series(
+               0, 199 + (d.doc_id % 57))) AS k) g)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_samples,
+           CAST(SUM(v) AS BIGINT) AS sample_sum,
+           CAST(SUM(v * v) AS BIGINT) AS energy
+    FROM ks GROUP BY doc_id ORDER BY doc_id
+    """)
+def multimodal_flac_energy(spark, sf_dir):
+    """Fourth audio codec, and the first LOSSLESS compressed one: FLAC
+    (RFC 9639) encode + decode from scratch (``flac_codec.py`` — linear
+    prediction, Rice partitions, CRC-8/CRC-16, STREAMINFO MD5). Every
+    37th document gets a real multi-frame FLAC stream of a closed-form
+    signal whose four 64-sample blocks force all four subframe types
+    (constant with wasted bits, verbatim, fixed order 2 with partition
+    order 1, LPC order 2 under the 5-bit Rice method); the decode stage
+    walks the genuine bit format, verifying every CRC and the stream
+    MD5. Because FLAC is lossless the oracle never models the codec:
+    DuckDB recomputes the closed-form PCM and the encode→decode round
+    trip must reproduce it bit-exactly. MP3/AAC/Opus (psychoacoustic
+    MDCT) remain the honest library-bound audio boundary — lossless
+    audio no longer is.
+
+    Scale: per-row Arrow projections like the whole codec family; the
+    bit automaton runs inside the batch, no shuffle sees audio bytes."""
+    from cstore_fdw_spark.operators.flac_codec import (flac_decode,
+                                                       flac_encode)
+
+    d = (table(spark, sf_dir, "documents")
+         .filter(F.col("doc_id") % 37 == 0).select("doc_id"))
+
+    def encode(batches):
+        import pandas as pd
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                n = 200 + (doc_id % 57)
+                payloads.append(flac_encode(_flac_signal(doc_id, n),
+                                            plan=_flac_plan))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"],
+                                "payload": payloads})
+
+    media = d.mapInPandas(encode, "doc_id long, payload binary")
+
+    def decode(batches):
+        import pandas as pd
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                sr, bps, samples = flac_decode(bytes(payload))
+                if (sr, bps) != (8000, 16):
+                    raise ValueError("unexpected FLAC stream parameters")
                 rows.append((int(doc_id), len(samples), sum(samples),
                              sum(s * s for s in samples)))
             yield pd.DataFrame(

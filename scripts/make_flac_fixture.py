@@ -1,0 +1,38 @@
+#!/usr/bin/env python
+"""Regenerate the committed FLAC byte-pin fixture.
+
+Writes ``tests/fixtures/flac/doc0370.flac``: the exact stream the
+``multimodal_flac_energy`` query encodes for doc_id 370 (all four
+subframe types, partition order 1, 5-bit Rice method, wasted bits on
+the constant block). ``tests/test_flac.py`` asserts a fresh encode is
+byte-identical to the committed file, so any drift in the bit format
+fails loudly. Deterministic: no RNG, no timestamps.
+"""
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from cstore_fdw_spark.operators.flac_codec import flac_decode, flac_encode  # noqa: E402
+from cstore_fdw_spark.operators.multimodal import _flac_plan, _flac_signal  # noqa: E402
+
+DOC_ID = 370
+
+
+def main() -> None:
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out_dir = os.path.join(repo, "tests", "fixtures", "flac")
+    os.makedirs(out_dir, exist_ok=True)
+    samples = _flac_signal(DOC_ID, 200 + (DOC_ID % 57))
+    payload = flac_encode(samples, plan=_flac_plan)
+    assert flac_decode(payload)[2] == samples
+    path = os.path.join(out_dir, f"doc{DOC_ID:04d}.flac")
+    with open(path, "wb") as f:
+        f.write(payload)
+    print(f"{path}: {len(payload)} bytes for {len(samples)} samples")
+
+
+if __name__ == "__main__":
+    main()
