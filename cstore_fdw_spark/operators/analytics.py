@@ -1487,3 +1487,259 @@ def stats_iqr_outliers(spark, sf_dir):
                  F.min("c").cast("long").alias("min_outlier_cents"),
                  F.max("c").cast("long").alias("max_outlier_cents"))
             .orderBy("event_type"))
+
+
+# ------------------------------------------------ HyperLogLog (portable)
+
+#: HLL geometry: p=10 -> m=1024 registers, 22 rank bits, registers
+#: scaled by 2^24 so the harmonic sum is exact int64, alpha_1024 in
+#: Q16 fixed point (0.7213/(1+1.079/1024) ~= 47226/65536).
+HLL_M = 1024
+HLL_RANK_BITS = 22
+HLL_SCALE = 1 << 24
+HLL_ALPHA_Q16 = 47226
+#: 47226 * 2^20 (m^2) * 2^24 (scale) / 2^16 (Q16) = 47226 * 2^28
+HLL_EST_NUM = HLL_ALPHA_Q16 * (1 << 28)
+
+
+def _hll_rho_sql(w: str) -> str:
+    """rho(w) = (trailing zeros of the 22-bit word) + 1, w = 0 -> 23 —
+    a pure CASE/modulo chain both engines evaluate identically. The
+    trailing-zero rank is the PCSA/Flajolet-Martin convention; its
+    geometric distribution is the same one HLL's leading-zero form
+    uses, so the published alpha constants apply unchanged."""
+    arms = " ".join(
+        f"WHEN ({w}) % {1 << k} = {1 << (k - 1)} THEN {k}"
+        for k in range(1, HLL_RANK_BITS + 1))
+    return f"CASE {arms} ELSE {HLL_RANK_BITS + 1} END"
+
+
+def _hll_oracle() -> str:
+    from cstore_fdw_spark.functions.portable_hash import duck_h60
+    h = duck_h60("CAST(l_orderkey AS VARCHAR)")
+    rho = _hll_rho_sql(f"(h // {HLL_M}) % {1 << HLL_RANK_BITS}")
+    return f"""
+    WITH hashed AS (
+      SELECT l_returnflag AS grp, {h} AS h FROM lineitem),
+    regs AS (
+      SELECT grp, h % {HLL_M} AS reg, MAX({rho}) AS m_rho
+      FROM hashed GROUP BY grp, reg),
+    grid AS (
+      SELECT DISTINCT grp, UNNEST(generate_series(0, {HLL_M - 1})) AS reg
+      FROM hashed),
+    filled AS (
+      SELECT g.grp, COALESCE(r.m_rho, 0) AS m_rho
+      FROM grid g LEFT JOIN regs r ON r.grp = g.grp AND r.reg = g.reg)
+    SELECT grp AS l_returnflag,
+           CAST(SUM(CASE WHEN m_rho = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS zero_registers,
+           CAST(SUM({HLL_SCALE} // (1 << m_rho)) AS BIGINT) AS denom,
+           CAST({HLL_EST_NUM} // SUM({HLL_SCALE} // (1 << m_rho))
+                AS BIGINT) AS distinct_estimate
+    FROM filled GROUP BY grp ORDER BY grp
+    """
+
+
+@register(
+    "sketch_hyperloglog_distinct",
+    category="analytics",
+    oracle=_hll_oracle())
+def sketch_hyperloglog_distinct(spark, sf_dir):
+    """HyperLogLog distinct-count sketch (Flajolet et al. 2007), fully
+    portable and integer-exact: estimate distinct orders per return
+    flag from the line-item fact table with a 1024-register sketch
+    instead of an exact distinct shuffle (~11k distinct per group at
+    sf0.01 — safely above the 2.5m small-range threshold where the raw
+    estimator is unbiased). The register index is the low 10 bits of the portable md5
+    hash (the same h60 scheme every signature operator uses — DuckDB
+    recomputes identical values); the rank is the trailing-zero count
+    of the next 22 bits (the PCSA convention — same geometric law, so
+    HLL's alpha_m applies); the harmonic mean is computed EXACTLY by
+    scaling each 2^-M term to the integer 2^24 // 2^M, and the final
+    estimate uses alpha_1024 in Q16 fixed point — no IEEE float
+    anywhere, so Spark and DuckDB agree bit-for-bit. Standard error
+    1.04/sqrt(1024) ~ 3.3% (asserted against the exact count in
+    tests). Raw estimate only — the small-range linear-counting branch
+    needs ln() and is deliberately left out; zero_registers is emitted
+    so a caller can apply it.
+
+    Scale: THE 100 TB distinct-count story — the corpus is touched
+    once, the shuffle carries at most |groups| x 1024 register rows
+    (map-side combined by the partial MAX), and the estimate is a
+    5-row projection. An exact COUNT(DISTINCT) shuffles every distinct
+    key; this shuffles 4 KB per group no matter how many trillions of
+    rows flow in."""
+    from cstore_fdw_spark.functions.portable_hash import spark_h60
+
+    li = table(spark, sf_dir, "lineitem")
+    h = spark_h60("cast(l_orderkey as string)")
+    rho = _hll_rho_sql(f"(h div {HLL_M}) % {1 << HLL_RANK_BITS}")
+    hashed = li.select(F.col("l_returnflag").alias("grp"),
+                       F.expr(h).alias("h"))
+    regs = (hashed
+            .select("grp", (F.col("h") % HLL_M).alias("reg"),
+                    F.expr(rho).alias("rho"))
+            .groupBy("grp", "reg").agg(F.max("rho").alias("m_rho")))
+    # full 1024-register grid per group: explode a sequence literal over
+    # the distinct groups taken from the SKETCH frame (<= |groups|*1024
+    # rows), not the corpus — one corpus pass total
+    grid = (regs.select("grp").distinct()
+            .select("grp", F.explode(
+                F.sequence(F.lit(0), F.lit(HLL_M - 1))).alias("reg")))
+    filled = (grid.join(regs, ["grp", "reg"], "left")
+              .select("grp", F.coalesce("m_rho", F.lit(0)).alias("m_rho")))
+    term = F.expr(f"{HLL_SCALE} div shiftleft(1L, m_rho)")
+    return (filled.groupBy("grp")
+            .agg(F.sum(F.when(F.col("m_rho") == 0, 1).otherwise(0))
+                 .cast("long").alias("zero_registers"),
+                 F.sum(term).cast("long").alias("denom"))
+            .select(F.col("grp").alias("l_returnflag"),
+                    "zero_registers", "denom",
+                    F.expr(f"CAST({HLL_EST_NUM} div denom AS BIGINT)")
+                    .alias("distinct_estimate"))
+            .orderBy("l_returnflag"))
+
+
+def _temperature_mix_oracle() -> str:
+    from cstore_fdw_spark.functions.portable_hash import duck_h60
+    h = duck_h60("CAST(doc_id AS VARCHAR)")
+    return f"""
+    WITH cnts AS (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM documents GROUP BY lang),
+    quotas AS (
+      SELECT lang,
+             ((SELECT COUNT(*) // 5 FROM documents) * cnt * cnt)
+               // (SELECT SUM(cnt * cnt) FROM cnts) AS quota
+      FROM cnts),
+    ranked AS (
+      SELECT doc_id, lang,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY {h}, doc_id) AS rn
+      FROM documents)
+    SELECT r.doc_id, r.lang
+    FROM ranked r JOIN quotas q ON q.lang = r.lang
+    WHERE r.rn <= q.quota
+    ORDER BY r.lang, r.doc_id
+    """
+
+
+@register(
+    "sample_temperature_mix",
+    category="analytics",
+    allow_bnlj=True,  # two 1-row broadcast anchors (budget K, weight sum)
+    oracle=_temperature_mix_oracle())
+def sample_temperature_mix(spark, sf_dir):
+    """Temperature-weighted dataset mixing — the sampling step every
+    multi-source LLM training pipeline runs: re-draw a K-document
+    budget across languages with weights cnt^(1/T) instead of raw
+    proportions. T = 1/2 here (weight = cnt², sharpening toward
+    high-resource languages) because it is the exponent that stays
+    INTEGER-exact end to end; the mechanism — weights → integer
+    quotas → lowest-portable-hash quota take per group — is
+    temperature-agnostic (a fractional T swaps in a fixed-point pow
+    table, nothing else changes). The per-group take is rank-by-md5,
+    not an RNG, so the sample is reproducible across engines, epochs,
+    and retries, and any document's membership can be audited.
+
+    Scale: one count aggregate (|lang| rows, map-side combined), a
+    broadcast quota table, and one rank window per lang partition.
+    The window sort is the cost driver at 100 TB; for truly giant
+    groups swap the exact rank for a hash-threshold take (keep rows
+    with h < quota/cnt · 2^60 — constant-time, no sort) at the price
+    of a binomially-distributed quota."""
+    from cstore_fdw_spark.functions.portable_hash import spark_h60
+
+    d = table(spark, sf_dir, "documents")
+    total = d.groupBy().agg(
+        (F.count(F.lit(1)).cast("long") / 5).cast("long").alias("k"))
+    cnts = d.groupBy("lang").agg(F.count(F.lit(1)).cast("long")
+                                 .alias("cnt"))
+    wsum = cnts.groupBy().agg(F.sum(F.col("cnt") * F.col("cnt"))
+                              .alias("wsum"))
+    quotas = (cnts.crossJoin(F.broadcast(wsum))
+              .crossJoin(F.broadcast(total))
+              .select("lang", F.expr("k * cnt * cnt div wsum")
+                      .alias("quota")))
+    h = F.expr(spark_h60("cast(doc_id as string)"))
+    w = Window.partitionBy("lang").orderBy(h.asc(), F.col("doc_id").asc())
+    ranked = d.select("doc_id", "lang",
+                      F.row_number().over(w).alias("rn"))
+    return (ranked.join(F.broadcast(quotas), "lang")
+            .filter(F.col("rn") <= F.col("quota"))
+            .select("doc_id", "lang")
+            .orderBy("lang", "doc_id"))
+
+
+@register(
+    "stats_chi_square_independence",
+    category="analytics",
+    oracle="""
+    WITH cells AS (
+      SELECT c.c_mktsegment AS segment, r.r_name AS region,
+             CAST(COUNT(*) AS BIGINT) AS obs
+      FROM customer c
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey
+      GROUP BY segment, region),
+    tot AS (
+      SELECT segment, region, obs,
+             SUM(obs) OVER (PARTITION BY segment) AS rt,
+             SUM(obs) OVER (PARTITION BY region) AS ct,
+             SUM(obs) OVER () AS n
+      FROM cells)
+    SELECT segment, region, obs,
+           CAST((rt * ct * 1000000) // n AS BIGINT) AS expected_ppm,
+           CAST(((obs * 1000000 - (rt * ct * 1000000) // n) // 1000)
+                * ((obs * 1000000 - (rt * ct * 1000000) // n) // 1000)
+                // ((rt * ct * 1000000) // n) AS BIGINT)
+             AS chi2_contrib
+    FROM tot ORDER BY segment, region
+    """)
+def stats_chi_square_independence(spark, sf_dir):
+    """Pearson chi-square test of independence over the market-segment
+    x region contingency table (customer joined through the broadcast
+    nation->region dimensions) — the categorical-drift / association
+    check a data-quality pipeline runs between a sampled corpus and
+    its parent. Per-cell contributions (obs - exp)^2 / exp are
+    computed in deterministic fixed point: expected counts in parts
+    per million (rt*ct*10^6 // n — int64-safe to ~3M rows), the
+    deviation pre-scaled back by 10^3 before squaring so the square
+    stays in int64, then divided by the ppm expectation — every step
+    an identical integer expression in both engines, so the oracle
+    match is bit-exact (no IEEE division anywhere). The chi-square
+    statistic is SUM(chi2_contrib) + cell count over the result; dof =
+    (|segments|-1)(|regions|-1).
+
+    Scale: the corpus aggregates once into a |segments| x |regions|
+    cell table (25 rows here — map-side combined); the marginals are
+    windows over that bounded model table, never over corpus rows; the
+    dimension joins broadcast."""
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region")
+    cells = (c.join(F.broadcast(n),
+                    n["n_nationkey"] == c["c_nationkey"])
+             .join(F.broadcast(r),
+                   r["r_regionkey"] == n["n_regionkey"])
+             .groupBy(F.col("c_mktsegment").alias("segment"),
+                      F.col("r_name").alias("region"))
+             .agg(F.count(F.lit(1)).cast("long").alias("obs")))
+    ws = Window.partitionBy("segment")
+    wr = Window.partitionBy("region")
+    wall = Window.partitionBy()
+    tot = cells.select(
+        "segment", "region", "obs",
+        F.sum("obs").over(ws).alias("rt"),
+        F.sum("obs").over(wr).alias("ct"),
+        F.sum("obs").over(wall).alias("n"))
+    e_ppm = F.expr("rt * ct * 1000000 div n")
+    contrib = F.expr(
+        "((obs * 1000000 - rt * ct * 1000000 div n) div 1000)"
+        " * ((obs * 1000000 - rt * ct * 1000000 div n) div 1000)"
+        " div (rt * ct * 1000000 div n)")
+    return (tot.select(
+        "segment", "region", "obs",
+        e_ppm.cast("long").alias("expected_ppm"),
+        contrib.cast("long").alias("chi2_contrib"))
+        .orderBy("segment", "region"))

@@ -1252,3 +1252,66 @@ def text_ngram_containment(spark, sf_dir):
                     n_common.cast("long").alias("n_common"),
                     "size_a", "size_b", cont.alias("containment"))
             .filter(F.col("containment") >= tau))
+
+
+# ---------------------------------------------------- edit-distance tier
+
+#: prefix-block + length-bucket candidate keys for the Levenshtein tier
+_LEV_PREFIX = 24
+_LEV_LEN_BUCKET = 16
+_LEV_TAU = 12
+
+
+@register(
+    "text_dedup_levenshtein",
+    category="dedup",
+    oracle=f"""
+    WITH b AS (
+      SELECT doc_id, lang, text,
+             substr(text, 1, {_LEV_PREFIX}) AS pfx,
+             n_chars // {_LEV_LEN_BUCKET} AS lb
+      FROM documents)
+    SELECT a.doc_id AS doc_a, c.doc_id AS doc_b,
+           CAST(levenshtein(a.text, c.text) AS BIGINT) AS edit_distance
+    FROM b a JOIN b c
+      ON a.lang = c.lang AND a.pfx = c.pfx AND a.lb = c.lb
+     AND a.doc_id < c.doc_id
+    WHERE levenshtein(a.text, c.text) <= {_LEV_TAU}
+    ORDER BY doc_a, doc_b
+    """)
+def text_dedup_levenshtein(spark, sf_dir):
+    """Edit-distance near-dup tier: pairs whose Levenshtein distance
+    is <= 12, found by equality blocking on (lang, first-24-chars,
+    16-char length bucket) — the cheap key under which true
+    edit-near-dups almost always collide (a <= 12-edit pair differing
+    inside the first 24 characters AND across a length-bucket boundary
+    is the only recall loss; MinHash/SimHash cover that regime). The
+    verify step is Spark's built-in ``levenshtein`` — whole-stage-
+    codegen DP on the JVM, no Python. DuckDB's ``levenshtein`` is
+    byte-based while Spark's is codepoint-based; this corpus is pure
+    ASCII (they agree exactly), which the oracle relies on —
+    documented, not assumed silently.
+
+    Scale: candidates are bounded per (lang, prefix, bucket) block —
+    the same equality-join blocking shape as the exact-Jaccard tier,
+    so the gram-saturation caveat applies on low-diversity corpora:
+    prefix blocks stop multiplying when the vocabulary saturates and
+    block sizes then grow linearly. The saturation guard pattern
+    (docs-per-distinct-block-key threshold) routes to the signature
+    tiers exactly as in dedup_ngram_jaccard."""
+    d = table(spark, sf_dir, "documents")
+    b = d.select("doc_id", "lang", "text",
+                 F.substring("text", 1, _LEV_PREFIX).alias("pfx"),
+                 (F.col("n_chars") / _LEV_LEN_BUCKET).cast("long")
+                 .alias("lb"))
+    a, c = b.alias("a"), b.alias("c")
+    lev = F.levenshtein(F.col("a.text"), F.col("c.text"))
+    return (a.join(c, (F.col("a.lang") == F.col("c.lang"))
+                   & (F.col("a.pfx") == F.col("c.pfx"))
+                   & (F.col("a.lb") == F.col("c.lb"))
+                   & (F.col("a.doc_id") < F.col("c.doc_id")))
+            .select(F.col("a.doc_id").alias("doc_a"),
+                    F.col("c.doc_id").alias("doc_b"),
+                    lev.cast("long").alias("edit_distance"))
+            .filter(F.col("edit_distance") <= _LEV_TAU)
+            .orderBy("doc_a", "doc_b"))

@@ -1503,3 +1503,92 @@ def timeseries_sma_crossover(spark, sf_dir):
             .select("event_type", F.col("h").alias("cross_hour"),
                     F.col("s").cast("long").alias("direction"))
             .orderBy("event_type", "cross_hour"))
+
+
+@register(
+    "timeseries_anomaly_mad",
+    category="events",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type,
+             CAST(date_trunc('hour', ts) AS TIMESTAMP) AS h,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM events GROUP BY event_type, h),
+    rc AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+                                   ORDER BY cnt, h) AS rk,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM hourly),
+    med AS (
+      SELECT event_type,
+             MAX(CASE WHEN rk = (n + 1) // 2 THEN cnt END)
+             + MAX(CASE WHEN rk = (n + 2) // 2 THEN cnt END) AS med2
+      FROM rc GROUP BY event_type),
+    dev AS (
+      SELECT rc.event_type, rc.h, rc.cnt,
+             ABS(2 * rc.cnt - m.med2) AS d2,
+             ROW_NUMBER() OVER (PARTITION BY rc.event_type
+                                ORDER BY ABS(2 * rc.cnt - m.med2), rc.h)
+               AS rk,
+             COUNT(*) OVER (PARTITION BY rc.event_type) AS n
+      FROM rc JOIN med m ON m.event_type = rc.event_type),
+    mad AS (
+      SELECT event_type,
+             MAX(CASE WHEN rk = (n + 1) // 2 THEN d2 END)
+             + MAX(CASE WHEN rk = (n + 2) // 2 THEN d2 END) AS mad4
+      FROM dev GROUP BY event_type)
+    SELECT d.event_type, d.h AS hour_start, d.cnt,
+           CAST(d.d2 AS BIGINT) AS dev2, CAST(a.mad4 AS BIGINT) AS mad4
+    FROM dev d JOIN mad a ON a.event_type = d.event_type
+    WHERE 2 * d.d2 > 3 * a.mad4
+    ORDER BY d.event_type, d.h
+    """)
+def timeseries_anomaly_mad(spark, sf_dir):
+    """Robust anomaly screening on the hourly event-count series:
+    flag hours whose count deviates from the per-type MEDIAN by more
+    than 3 MADs (median absolute deviation) — the robust twin of the
+    Tukey-fence screen (stats_iqr_outliers) and the alerting primitive
+    monitoring stacks run on counter series, immune to the very
+    anomalies it hunts (unlike z-scores, whose mean/stddev the outlier
+    itself drags). All statistics are EXACT rank medians in doubled
+    units so nothing fractional ever materializes: med2 = lower+upper
+    middle of counts (2x median), d2 = |2*cnt - med2| (2x deviation),
+    mad4 = lower+upper middle of d2 (4x MAD), and the 3-MAD fence is
+    the cross-multiplied integer test 2*d2 > 3*mad4. Both engines step
+    the identical rank convention, so the match is value-exact.
+
+    Scale: the series is the |event_type| x hours MODEL table (bounded
+    by wall time, not corpus rows) — the corpus is touched once by the
+    hourly aggregate; both rank windows and both join-backs run on the
+    model table only, the same shape as the Mann-Kendall and Theil-Sen
+    stages."""
+    e = table(spark, sf_dir, "events")
+    hourly = (e.groupBy("event_type",
+                        F.date_trunc("hour", "ts").alias("h"))
+              .agg(F.count(F.lit(1)).cast("long").alias("cnt")))
+    wrk = Window.partitionBy("event_type").orderBy("cnt", "h")
+    wn = Window.partitionBy("event_type")
+    rc = (hourly.withColumn("rk", F.row_number().over(wrk))
+          .withColumn("n", F.count(F.lit(1)).over(wn)))
+    med = (rc.groupBy("event_type")
+           .agg((F.max(F.when(F.col("rk") == F.expr("(n + 1) DIV 2"),
+                              F.col("cnt")))
+                 + F.max(F.when(F.col("rk") == F.expr("(n + 2) DIV 2"),
+                                F.col("cnt")))).alias("med2")))
+    dev = (rc.join(F.broadcast(med), "event_type")
+           .select("event_type", "h", "cnt",
+                   F.abs(2 * F.col("cnt") - F.col("med2")).alias("d2")))
+    wdev = Window.partitionBy("event_type").orderBy("d2", "h")
+    devr = (dev.withColumn("rk", F.row_number().over(wdev))
+            .withColumn("n", F.count(F.lit(1)).over(wn)))
+    mad = (devr.groupBy("event_type")
+           .agg((F.max(F.when(F.col("rk") == F.expr("(n + 1) DIV 2"),
+                              F.col("d2")))
+                 + F.max(F.when(F.col("rk") == F.expr("(n + 2) DIV 2"),
+                                F.col("d2")))).alias("mad4")))
+    return (dev.join(F.broadcast(mad), "event_type")
+            .filter(2 * F.col("d2") > 3 * F.col("mad4"))
+            .select("event_type", F.col("h").alias("hour_start"), "cnt",
+                    F.col("d2").cast("long").alias("dev2"),
+                    F.col("mad4").cast("long").alias("mad4"))
+            .orderBy("event_type", "hour_start"))

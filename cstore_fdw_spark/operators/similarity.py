@@ -1962,3 +1962,79 @@ def holt_like_tdiv(a: int, n: int) -> int:
     (python // floors; u goes negative on anti-aligned dimensions)."""
     q = abs(a) // n
     return q if a >= 0 else -q
+
+
+# --------------------------------------------- binary (sign-bit) quantize
+
+_HAMMING_K = 5
+
+_DUCK_PACK_LO = ("list_sum(list_transform(generate_series(0, 31), "
+                 "j -> CASE WHEN embedding[j + 1] >= 0 "
+                 "THEN (CAST(1 AS BIGINT) << j) ELSE 0 END))")
+_DUCK_PACK_HI = ("list_sum(list_transform(generate_series(32, 63), "
+                 "j -> CASE WHEN embedding[j + 1] >= 0 "
+                 "THEN (CAST(1 AS BIGINT) << (j - 32)) ELSE 0 END))")
+
+
+@register(
+    "vector_hamming_topk",
+    category="similarity",
+    bench=True,
+    allow_bnlj=True,  # corpus × broadcast |queries|-row binary query set
+    oracle=f"""
+    WITH codes AS (
+      SELECT vec_id,
+             {_DUCK_PACK_LO} AS c_lo,
+             {_DUCK_PACK_HI} AS c_hi
+      FROM embeddings)
+    SELECT query_id, neighbor_id, rank, hamming FROM (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             CAST(bit_count(xor(q.c_lo, c.c_lo))
+                  + bit_count(xor(q.c_hi, c.c_hi)) AS BIGINT) AS hamming,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY bit_count(xor(q.c_lo, c.c_lo))
+                        + bit_count(xor(q.c_hi, c.c_hi)), c.vec_id)
+               AS BIGINT) AS rank
+      FROM codes q JOIN codes c ON c.vec_id <> q.vec_id
+      WHERE q.vec_id < {_HAMMING_K}) t
+    WHERE rank <= {TOP_K}
+    """)
+def vector_hamming_topk(spark, sf_dir):
+    """Binary (sign-bit) quantization + Hamming top-k: each 64-dim
+    float vector collapses to TWO int64 words (bit j = sign of
+    dimension j, packed 32 per word so every shift stays in positive
+    int64 range on both engines), and nearest neighbors are ranked by
+    ``bit_count(xor(...))`` — pure JVM whole-stage-codegen arithmetic,
+    no Python, no floats after the one-time packing pass. Sign-bit
+    codes are the extreme end of the quantization ladder the PQ family
+    covers (256 bytes -> 16 bytes -> here 16 BYTES TOTAL per vector):
+    Hamming distance on sign bits is a monotone proxy for angular
+    distance (Charikar 2002, the same guarantee the SimHash dedup tier
+    uses), so it serves as a coarse filter or a memory-bound ANN tier.
+
+    Scale: THE cheapest serving tier — a 100 TB corpus of 64-dim
+    floats becomes 16 bytes/vector of codes (a 1.6 TB scan), the
+    corpus is streamed once against the broadcast query codes, and
+    only k·|queries| rows ever shuffle. The packing pass is a
+    map-side projection any column store can cache."""
+    e = table(spark, sf_dir, "embeddings")
+    pack_lo = ("aggregate(sequence(0, 31), 0L, (acc, j) -> acc + "
+               "CASE WHEN element_at(embedding, j + 1) >= 0 "
+               "THEN shiftleft(1L, j) ELSE 0L END)")
+    pack_hi = ("aggregate(sequence(32, 63), 0L, (acc, j) -> acc + "
+               "CASE WHEN element_at(embedding, j + 1) >= 0 "
+               "THEN shiftleft(1L, j - 32) ELSE 0L END)")
+    codes = e.select("vec_id", F.expr(pack_lo).alias("c_lo"),
+                     F.expr(pack_hi).alias("c_hi"))
+    q = (codes.filter(F.col("vec_id") < _HAMMING_K)
+         .select(F.col("vec_id").alias("query_id"),
+                 F.col("c_lo").alias("q_lo"), F.col("c_hi").alias("q_hi")))
+    dist = F.expr("bit_count(q_lo ^ c_lo) + bit_count(q_hi ^ c_hi)")
+    w = Window.partitionBy("query_id").orderBy("hamming", "neighbor_id")
+    return (codes.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+            .select("query_id", F.col("vec_id").alias("neighbor_id"),
+                    dist.cast("long").alias("hamming"))
+            .withColumn("rank", F.row_number().over(w).cast("long"))
+            .filter(F.col("rank") <= TOP_K)
+            .select("query_id", "neighbor_id", "rank", "hamming"))

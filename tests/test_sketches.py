@@ -1,0 +1,178 @@
+"""Behavioral tests for the round-13 sketch / sampling / robust-stats
+operators (the oracle gate proves engine parity; these prove the
+STATISTICS do what the docstrings claim)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from cstore_fdw_spark.operators import load_all
+
+
+@pytest.fixture(scope="module")
+def registry():
+    return load_all()
+
+
+def test_hll_estimate_within_error_bound(spark, registry):
+    """Raw-HLL standard error at m=1024 is ~3.3%; assert every group's
+    estimate is within 2 sigma of the exact distinct count. Pinned to
+    sf0.01 (not the test default sf0.001): the raw estimator needs
+    n >= 2.5m ~ 2.6k distinct per group to be unbiased, which sf0.01's
+    ~11k meets and sf0.001's ~1.1k deliberately does not (that regime
+    is covered by the bias-direction test below)."""
+    sf01 = "/root/testdata/sf0.01"
+    est = {r["l_returnflag"]: r["distinct_estimate"]
+           for r in registry["sketch_hyperloglog_distinct"]
+           .builder(spark, sf01).collect()}
+    li = spark.read.parquet(f"{sf01}/lineitem.parquet")
+    truth = {r["l_returnflag"]: r["d"] for r in
+             li.groupBy("l_returnflag")
+             .agg(F.countDistinct("l_orderkey").alias("d")).collect()}
+    assert set(est) == set(truth)
+    for flag, t in truth.items():
+        assert abs(est[flag] - t) / t < 0.066, (flag, est[flag], t)
+
+
+def test_hll_small_range_bias_is_the_documented_direction(spark, sf_dir,
+                                                          registry):
+    """Below the 2.5m threshold the raw estimator OVERESTIMATES (the
+    docstring points callers at zero_registers + linear counting for
+    that regime) — pin the direction so the caveat stays true."""
+    est = {r["l_returnflag"]: r for r in
+           registry["sketch_hyperloglog_distinct"]
+           .builder(spark, sf_dir).collect()}
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    truth = {r["l_returnflag"]: r["d"] for r in
+             li.groupBy("l_returnflag")
+             .agg(F.countDistinct("l_orderkey").alias("d")).collect()}
+    if min(truth.values()) >= 2560:
+        pytest.skip("test sf not in the small-range regime")
+    for flag, t in truth.items():
+        assert est[flag]["distinct_estimate"] > t
+        assert est[flag]["zero_registers"] > 0  # linear counting viable
+
+
+def test_hll_sketch_size_is_bounded(spark, sf_dir, registry):
+    """The whole point: the sketch frame carries at most
+    |groups| * 1024 rows regardless of corpus size."""
+    out = registry["sketch_hyperloglog_distinct"].builder(spark, sf_dir)
+    rows = out.collect()
+    assert len(rows) <= 3  # one per return flag
+    for r in rows:
+        assert 0 <= r["zero_registers"] <= 1024
+        # denom bounds: all-zero registers -> 1024 * 2^24; all-max -> 1024*2
+        assert 2 * 1024 <= r["denom"] <= 1024 * (1 << 24)
+
+
+def test_temperature_mix_quota_shape(spark, sf_dir, registry):
+    """T=1/2 mixing must sharpen toward the high-resource language:
+    en's sampled share must exceed its corpus share, every quota must
+    be respected exactly, and the total must not exceed the budget."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    total = d.count()
+    corpus = {r["lang"]: r["c"] for r in
+              d.groupBy("lang").agg(F.count(F.lit(1)).alias("c")).collect()}
+    out = registry["sample_temperature_mix"].builder(spark, sf_dir)
+    sampled = {r["lang"]: r["c"] for r in
+               out.groupBy("lang").agg(F.count(F.lit(1)).alias("c"))
+               .collect()}
+    k = total // 5
+    wsum = sum(c * c for c in corpus.values())
+    for lang, c in corpus.items():
+        quota = k * c * c // wsum
+        assert sampled.get(lang, 0) == quota, lang
+    assert sum(sampled.values()) <= k
+    en_share = sampled["en"] / sum(sampled.values())
+    assert en_share > corpus["en"] / total  # sharpened
+
+
+def test_mix_is_deterministic(spark, sf_dir, registry):
+    a = sorted(registry["sample_temperature_mix"].builder(spark, sf_dir)
+               .collect())
+    b = sorted(registry["sample_temperature_mix"].builder(spark, sf_dir)
+               .collect())
+    assert a == b
+
+
+def test_hamming_topk_tracks_cosine(spark, sf_dir, registry):
+    """Charikar's guarantee, empirically: a query's Hamming top-3 must
+    have markedly higher true cosine than the corpus average pair."""
+    top = registry["vector_hamming_topk"].builder(spark, sf_dir).collect()
+    assert {r["query_id"] for r in top} == {0, 1, 2, 3, 4}
+    for r in top:
+        assert 0 <= r["hamming"] <= 64
+        assert r["neighbor_id"] != r["query_id"]
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    vecs = {r["vec_id"]: r["embedding"] for r in e.collect()}
+
+    def cos(a, b):
+        num = sum(x * y for x, y in zip(a, b))
+        den = (sum(x * x for x in a) ** 0.5) * (sum(y * y for y in b) ** 0.5)
+        return num / den
+
+    top1 = [r for r in top if r["rank"] == 1]
+    mean_top1 = sum(cos(vecs[r["query_id"]], vecs[r["neighbor_id"]])
+                    for r in top1) / len(top1)
+    # corpus baseline: mean cosine of an arbitrary fixed pair sample
+    ids = sorted(vecs)[:40]
+    base = [cos(vecs[a], vecs[b]) for a in ids[:5] for b in ids[20:40]]
+    assert mean_top1 > (sum(base) / len(base)) + 0.15
+
+
+def test_mad_anomalies_actually_deviate(spark, sf_dir, registry):
+    """Every flagged hour must sit strictly outside 3 MADs, and the
+    doubled-unit deviation must reconcile with the hour's count."""
+    rows = registry["timeseries_anomaly_mad"].builder(spark, sf_dir) \
+        .collect()
+    assert rows, "no anomalies flagged at this sf"
+    by_type = {}
+    for r in rows:
+        assert 2 * r["dev2"] > 3 * r["mad4"]
+        by_type.setdefault(r["event_type"], set()).add(r["mad4"])
+    # mad4 is one number per event_type series
+    assert all(len(v) == 1 for v in by_type.values())
+
+
+def test_chi_square_independent_data_small_statistic(spark, sf_dir,
+                                                     registry):
+    """segment and region are generated independently, so the summed
+    statistic must be unremarkable for 16 dof (far below the 0.001
+    critical value ~39); and marginal identities must hold."""
+    rows = registry["stats_chi_square_independence"] \
+        .builder(spark, sf_dir).collect()
+    assert len(rows) == 25
+    chi2 = sum(r["chi2_contrib"] for r in rows)
+    assert chi2 < 39, chi2
+    n = sum(r["obs"] for r in rows)
+    ppm_total = sum(r["expected_ppm"] for r in rows)
+    # expectations are floor-truncated ppm counts: sum within 25 ulps
+    assert n * 1_000_000 - 25 <= ppm_total <= n * 1_000_000
+
+
+def test_levenshtein_pairs_verified(spark, sf_dir, registry):
+    """Every emitted pair must truly be within the threshold (re-check
+    in Python), ordered, and de-duplicated."""
+    rows = registry["text_dedup_levenshtein"].builder(spark, sf_dir) \
+        .collect()
+    docs = {r["doc_id"]: r["text"] for r in
+            spark.read.parquet(f"{sf_dir}/documents.parquet").collect()}
+
+    def lev(a, b):
+        if len(a) < len(b):
+            a, b = b, a
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    seen = set()
+    for r in rows:
+        assert r["doc_a"] < r["doc_b"]
+        assert (r["doc_a"], r["doc_b"]) not in seen
+        seen.add((r["doc_a"], r["doc_b"]))
+        assert r["edit_distance"] <= 12
+        assert lev(docs[r["doc_a"]], docs[r["doc_b"]]) == r["edit_distance"]
