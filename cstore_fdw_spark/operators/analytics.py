@@ -9,7 +9,7 @@ case tolerates it.
 
 from __future__ import annotations
 
-from pyspark.sql import functions as F
+from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.window import Window
 
 from cstore_fdw_spark.operators import register, table
@@ -1568,18 +1568,35 @@ def sketch_hyperloglog_distinct(spark, sf_dir):
     (map-side combined by the partial MAX), and the estimate is a
     5-row projection. An exact COUNT(DISTINCT) shuffles every distinct
     key; this shuffles 4 KB per group no matter how many trillions of
-    rows flow in."""
+    rows flow in. The register rollup is a mergeable MAX — the same
+    property that merges it across partitions merges it across
+    micro-batches, so ``streaming.analytics.run_hll_available_now``
+    maintains the identical sketch on an unbounded stream and runs
+    THIS function's finisher (``hll_estimate_from_registers``)."""
+    return hll_estimate_from_registers(
+        hll_register_rollup(table(spark, sf_dir, "lineitem")))
+
+
+def hll_register_rollup(lineitem: DataFrame) -> DataFrame:
+    """(grp, reg, m_rho) sketch frame from the raw fact table — the
+    operator's ONLY state, a mergeable per-(group, register) MAX
+    bounded by |groups| x 1024 regardless of rows seen (shared
+    verbatim with the streaming twin)."""
     from cstore_fdw_spark.functions.portable_hash import spark_h60
 
-    li = table(spark, sf_dir, "lineitem")
     h = spark_h60("cast(l_orderkey as string)")
     rho = _hll_rho_sql(f"(h div {HLL_M}) % {1 << HLL_RANK_BITS}")
-    hashed = li.select(F.col("l_returnflag").alias("grp"),
-                       F.expr(h).alias("h"))
-    regs = (hashed
+    hashed = lineitem.select(F.col("l_returnflag").alias("grp"),
+                             F.expr(h).alias("h"))
+    return (hashed
             .select("grp", (F.col("h") % HLL_M).alias("reg"),
                     F.expr(rho).alias("rho"))
             .groupBy("grp", "reg").agg(F.max("rho").alias("m_rho")))
+
+
+def hll_estimate_from_registers(regs: DataFrame) -> DataFrame:
+    """Finisher: register frame -> per-group estimate (shared verbatim
+    between the batch operator and the streaming twin)."""
     # full 1024-register grid per group: explode a sequence literal over
     # the distinct groups taken from the SKETCH frame (<= |groups|*1024
     # rows), not the corpus — one corpus pass total

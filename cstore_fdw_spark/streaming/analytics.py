@@ -130,3 +130,43 @@ def run_seasonal_available_now(spark: SparkSession, sf_dir: str,
     # vocabulary-bounded tier, not a corpus collect.
     hourly = spark.createDataFrame(t.collect(), t.schema)
     return seasonal_decompose_from_hourly(hourly)
+
+
+# --------------------------------------------------- HyperLogLog twin
+
+def run_hll_available_now(spark: SparkSession, sf_dir: str,
+                          query_name: str = "hll_registers") -> DataFrame:
+    """Streaming twin of ``sketch_hyperloglog_distinct``: HLL registers
+    are a per-(group, register) MAX — mergeable across micro-batches by
+    the exact property that merges them across partitions — so a
+    complete-mode streaming aggregation maintains the IDENTICAL sketch
+    the batch query computes (state bounded by |groups| x 1024, never
+    by rows seen: the sketch's 100 TB contract, live on a stream).
+    Drain with Trigger.AvailableNow, then run the literally shared
+    ``hll_estimate_from_registers`` finisher."""
+    from cstore_fdw_spark.functions.portable_hash import spark_h60
+    from cstore_fdw_spark.operators.analytics import (
+        HLL_M, HLL_RANK_BITS, _hll_rho_sql, hll_estimate_from_registers)
+
+    li = read_lineitem_stream(spark, sf_dir)
+    h = spark_h60("cast(l_orderkey as string)")
+    rho = _hll_rho_sql(f"(h div {HLL_M}) % {1 << HLL_RANK_BITS}")
+    regs = (li.select(F.col("l_returnflag").alias("grp"),
+                      F.expr(h).alias("h"))
+            .select("grp", (F.col("h") % HLL_M).alias("reg"),
+                    F.expr(rho).alias("rho"))
+            .groupBy("grp", "reg").agg(F.max("rho").alias("m_rho")))
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (regs.writeStream.format("memory").queryName(query_name)
+             .outputMode("complete")
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+    t = spark.table(query_name)
+    # rebind the drained registers as a local relation (the finisher
+    # left-joins the register frame against a grid derived from itself,
+    # and memory-sink views break on self-join disambiguation — the
+    # same rationale as the seasonal twin; the frame is sketch-sized by
+    # construction, <= |groups| x 1024 rows)
+    regs_local = spark.createDataFrame(t.collect(), t.schema)
+    return hll_estimate_from_registers(regs_local)

@@ -685,3 +685,19 @@ def test_seasonal_streaming_twin_matches_batch(spark, sf_dir):
         .collect()
     streamed = run_seasonal_available_now(spark, sf_dir).collect()
     assert streamed == batch
+
+
+def test_hll_streaming_twin_matches_batch(spark, sf_dir):
+    """The streamed HLL sketch must produce the IDENTICAL per-group
+    (zero_registers, denom, distinct_estimate) as the batch query: its
+    only state is the mergeable per-(group, register) MAX and the
+    finisher is literally shared code — the CUSUM/HDR/seasonal twin
+    contract, now on the sketch family."""
+    from cstore_fdw_spark.operators import load_all
+    from cstore_fdw_spark.streaming.analytics import run_hll_available_now
+
+    reg = load_all()
+    batch = reg["sketch_hyperloglog_distinct"].builder(spark, sf_dir) \
+        .collect()
+    streamed = run_hll_available_now(spark, sf_dir).collect()
+    assert streamed == batch
