@@ -176,3 +176,23 @@ def test_levenshtein_pairs_verified(spark, sf_dir, registry):
         seen.add((r["doc_a"], r["doc_b"]))
         assert r["edit_distance"] <= 12
         assert lev(docs[r["doc_a"]], docs[r["doc_b"]]) == r["edit_distance"]
+
+
+def test_benford_screen_direction_and_completeness(spark, sf_dir,
+                                                   registry):
+    """TPC-H prices span barely two decades, so the screen must report
+    digit 1 UNDER Benford and digit 9 over; all nine digits present,
+    observed counts total the corpus, ppm shares sum to ~10^6."""
+    rows = {r["digit"]: r for r in
+            registry["stats_benford_first_digit"]
+            .builder(spark, sf_dir).collect()}
+    assert sorted(rows) == list(range(1, 10))
+    n = spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    assert sum(r["obs"] for r in rows.values()) == n
+    ppm = sum(r["obs_ppm"] for r in rows.values())
+    assert 1_000_000 - 9 <= ppm <= 1_000_000
+    assert rows[1]["deviation_ppm"] < 0
+    assert rows[9]["deviation_ppm"] > 0
+    # published Benford constants pinned
+    assert rows[1]["benford_ppm"] == 301030
+    assert sum(r["benford_ppm"] for r in rows.values()) == 1_000_000
