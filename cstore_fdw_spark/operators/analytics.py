@@ -1500,6 +1500,30 @@ HLL_SCALE = 1 << 24
 HLL_ALPHA_Q16 = 47226
 #: 47226 * 2^20 (m^2) * 2^24 (scale) / 2^16 (Q16) = 47226 * 2^28
 HLL_EST_NUM = HLL_ALPHA_Q16 * (1 << 28)
+#: small-range threshold: the paper switches to linear counting when
+#: the raw estimate is below 2.5m and any register is still zero
+HLL_LC_THRESHOLD = 5 * HLL_M // 2
+#: linear counting needs ln(m/V) for V in 1..m — 1024 PRE-ROUNDED ppm
+#: literals (the only irrational inputs, fixed at module definition and
+#: injected verbatim into both the Spark expression and the DuckDB
+#: oracle text, so no runtime log anywhere)
+import math as _math  # noqa: E402 — constant table below, not runtime math
+
+HLL_LC_LN_PPM = [round(_math.log(HLL_M / v) * 1_000_000)
+                 for v in range(1, HLL_M + 1)]
+
+
+def _hll_corrected_sql(raw: str, zeros: str, lc_lookup: str,
+                       idiv: str) -> str:
+    """Flajolet et al. §4 small-range correction, shared text shape for
+    both engines: linear counting m*ln(m/V) (via the pre-rounded ppm
+    table, floor division) when raw < 2.5m and V > 0, else raw.
+    ``idiv`` is the engine's integer-division token (Spark ``div``,
+    DuckDB ``//``) — all operands here are non-negative, where the two
+    operators agree."""
+    return (f"CASE WHEN ({zeros}) > 0 AND ({raw}) < {HLL_LC_THRESHOLD} "
+            f"THEN ({HLL_M} * {lc_lookup}) {idiv} 1000000 "
+            f"ELSE ({raw}) END")
 
 
 def _hll_rho_sql(w: str) -> str:
@@ -1529,14 +1553,22 @@ def _hll_oracle() -> str:
       FROM hashed),
     filled AS (
       SELECT g.grp, COALESCE(r.m_rho, 0) AS m_rho
-      FROM grid g LEFT JOIN regs r ON r.grp = g.grp AND r.reg = g.reg)
-    SELECT grp AS l_returnflag,
-           CAST(SUM(CASE WHEN m_rho = 0 THEN 1 ELSE 0 END) AS BIGINT)
-             AS zero_registers,
-           CAST(SUM({HLL_SCALE} // (1 << m_rho)) AS BIGINT) AS denom,
-           CAST({HLL_EST_NUM} // SUM({HLL_SCALE} // (1 << m_rho))
-                AS BIGINT) AS distinct_estimate
-    FROM filled GROUP BY grp ORDER BY grp
+      FROM grid g LEFT JOIN regs r ON r.grp = g.grp AND r.reg = g.reg),
+    sk AS (
+      SELECT grp,
+             CAST(SUM(CASE WHEN m_rho = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS zero_registers,
+             CAST(SUM({HLL_SCALE} // (1 << m_rho)) AS BIGINT) AS denom,
+             CAST({HLL_EST_NUM} // SUM({HLL_SCALE} // (1 << m_rho))
+                  AS BIGINT) AS raw_estimate
+      FROM filled GROUP BY grp)
+    SELECT grp AS l_returnflag, zero_registers, denom, raw_estimate,
+           CAST({_hll_corrected_sql(
+               "raw_estimate", "zero_registers",
+               "list_extract(" + str(HLL_LC_LN_PPM)
+               + ", CAST(zero_registers AS INT))", "//")}
+             AS BIGINT) AS distinct_estimate
+    FROM sk ORDER BY grp
     """
 
 
@@ -1560,9 +1592,13 @@ def sketch_hyperloglog_distinct(spark, sf_dir):
     estimate uses alpha_1024 in Q16 fixed point — no IEEE float
     anywhere, so Spark and DuckDB agree bit-for-bit. Standard error
     1.04/sqrt(1024) ~ 3.3% (asserted against the exact count in
-    tests). Raw estimate only — the small-range linear-counting branch
-    needs ln() and is deliberately left out; zero_registers is emitted
-    so a caller can apply it.
+    tests). The paper's §4 small-range correction is applied exactly:
+    when the raw estimate falls below 2.5m and zero registers remain,
+    the estimate switches to linear counting m*ln(m/V) — the ln values
+    are 1024 PRE-ROUNDED ppm literals (the only irrational inputs,
+    fixed at module definition and shared verbatim with the oracle
+    text), so even the correction is engine-exact integer arithmetic.
+    Both raw_estimate and the corrected distinct_estimate are emitted.
 
     Scale: THE 100 TB distinct-count story — the corpus is touched
     once, the shuffle carries at most |groups| x 1024 register rows
@@ -1607,13 +1643,19 @@ def hll_estimate_from_registers(regs: DataFrame) -> DataFrame:
     filled = (grid.join(regs, ["grp", "reg"], "left")
               .select("grp", F.coalesce("m_rho", F.lit(0)).alias("m_rho")))
     term = F.expr(f"{HLL_SCALE} div shiftleft(1L, m_rho)")
+    lc_lookup = (f"element_at(array({', '.join(map(str, HLL_LC_LN_PPM))}), "
+                 "CAST(zero_registers AS INT))")
     return (filled.groupBy("grp")
             .agg(F.sum(F.when(F.col("m_rho") == 0, 1).otherwise(0))
                  .cast("long").alias("zero_registers"),
                  F.sum(term).cast("long").alias("denom"))
+            .withColumn("raw_estimate",
+                        F.expr(f"CAST({HLL_EST_NUM} div denom AS BIGINT)"))
             .select(F.col("grp").alias("l_returnflag"),
-                    "zero_registers", "denom",
-                    F.expr(f"CAST({HLL_EST_NUM} div denom AS BIGINT)")
+                    "zero_registers", "denom", "raw_estimate",
+                    F.expr("CAST(" + _hll_corrected_sql(
+                        "raw_estimate", "zero_registers", lc_lookup,
+                        "div") + " AS BIGINT)")
                     .alias("distinct_estimate"))
             .orderBy("l_returnflag"))
 

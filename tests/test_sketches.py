@@ -15,14 +15,12 @@ def registry():
 
 def test_hll_estimate_within_error_bound(spark, registry):
     """Raw-HLL standard error at m=1024 is ~3.3%; assert every group's
-    estimate is within 2 sigma of the exact distinct count. Pinned to
-    sf0.01 (not the test default sf0.001): the raw estimator needs
-    n >= 2.5m ~ 2.6k distinct per group to be unbiased, which sf0.01's
-    ~11k meets and sf0.001's ~1.1k deliberately does not (that regime
-    is covered by the bias-direction test below)."""
+    estimate is within 2 sigma of the exact distinct count at sf0.01
+    (~11k distinct per group — the raw-estimator regime, so corrected
+    == raw there)."""
     sf01 = "/root/testdata/sf0.01"
-    est = {r["l_returnflag"]: r["distinct_estimate"]
-           for r in registry["sketch_hyperloglog_distinct"]
+    est = {r["l_returnflag"]: r for r in
+           registry["sketch_hyperloglog_distinct"]
            .builder(spark, sf01).collect()}
     li = spark.read.parquet(f"{sf01}/lineitem.parquet")
     truth = {r["l_returnflag"]: r["d"] for r in
@@ -30,14 +28,16 @@ def test_hll_estimate_within_error_bound(spark, registry):
              .agg(F.countDistinct("l_orderkey").alias("d")).collect()}
     assert set(est) == set(truth)
     for flag, t in truth.items():
-        assert abs(est[flag] - t) / t < 0.066, (flag, est[flag], t)
+        e = est[flag]["distinct_estimate"]
+        assert abs(e - t) / t < 0.066, (flag, e, t)
+        assert e == est[flag]["raw_estimate"]  # raw regime: no correction
 
 
-def test_hll_small_range_bias_is_the_documented_direction(spark, sf_dir,
-                                                          registry):
-    """Below the 2.5m threshold the raw estimator OVERESTIMATES (the
-    docstring points callers at zero_registers + linear counting for
-    that regime) — pin the direction so the caveat stays true."""
+def test_hll_small_range_linear_counting_corrects(spark, sf_dir,
+                                                  registry):
+    """Below the 2.5m threshold the raw estimator overestimates badly
+    (+20-30%); the paper's linear-counting branch must engage and land
+    within ~2 sigma of its own regime (~8% here)."""
     est = {r["l_returnflag"]: r for r in
            registry["sketch_hyperloglog_distinct"]
            .builder(spark, sf_dir).collect()}
@@ -48,8 +48,11 @@ def test_hll_small_range_bias_is_the_documented_direction(spark, sf_dir,
     if min(truth.values()) >= 2560:
         pytest.skip("test sf not in the small-range regime")
     for flag, t in truth.items():
-        assert est[flag]["distinct_estimate"] > t
-        assert est[flag]["zero_registers"] > 0  # linear counting viable
+        r = est[flag]
+        assert r["raw_estimate"] > t  # raw bias direction
+        assert r["zero_registers"] > 0
+        assert r["distinct_estimate"] != r["raw_estimate"]  # LC engaged
+        assert abs(r["distinct_estimate"] - t) / t < 0.08, (flag, r, t)
 
 
 def test_hll_sketch_size_is_bounded(spark, sf_dir, registry):
