@@ -1856,9 +1856,18 @@ def stats_benford_first_digit(spark, sf_dir):
     digits = li.select(
         F.expr("CAST(substr(CAST(CAST(ROUND(l_extendedprice * 100) AS "
                "BIGINT) AS STRING), 1, 1) AS BIGINT)").alias("digit"))
-    cells = (digits.groupBy("digit")
-             .agg(F.count(F.lit(1)).cast("long").alias("obs"))
-             .withColumn("n", F.sum("obs").over(Window.partitionBy())))
+    return benford_from_digit_counts(
+        digits.groupBy("digit")
+        .agg(F.count(F.lit(1)).cast("long").alias("obs")))
+
+
+def benford_from_digit_counts(counts: DataFrame) -> DataFrame:
+    """Finisher: (digit, obs) counts -> ppm comparison vs the Benford
+    literals (shared verbatim with the streaming twin — the 9-row
+    digit-count frame, a mergeable COUNT, is the operator's only
+    state)."""
+    cells = counts.withColumn(
+        "n", F.sum("obs").over(Window.partitionBy()))
     return (cells.select(
         "digit", "obs",
         F.expr("obs * 1000000 div n").cast("long").alias("obs_ppm"),

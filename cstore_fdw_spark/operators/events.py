@@ -10,7 +10,7 @@ carries a DuckDB oracle. The streaming module runs the same logic over
 
 from __future__ import annotations
 
-from pyspark.sql import functions as F
+from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.window import Window
 
 from cstore_fdw_spark.operators import register, table
@@ -1566,6 +1566,14 @@ def timeseries_anomaly_mad(spark, sf_dir):
     hourly = (e.groupBy("event_type",
                         F.date_trunc("hour", "ts").alias("h"))
               .agg(F.count(F.lit(1)).cast("long").alias("cnt")))
+    return mad_anomalies_from_hourly(hourly)
+
+
+def mad_anomalies_from_hourly(hourly) -> DataFrame:
+    """Finisher: (event_type, h, cnt) hourly rollup -> anomalous hours
+    (shared verbatim with the streaming twin — the rollup, a mergeable
+    COUNT bounded by |event_type| x wall-time hours, is the operator's
+    only state)."""
     wrk = Window.partitionBy("event_type").orderBy("cnt", "h")
     wn = Window.partitionBy("event_type")
     rc = (hourly.withColumn("rk", F.row_number().over(wrk))

@@ -170,3 +170,66 @@ def run_hll_available_now(spark: SparkSession, sf_dir: str,
     # construction, <= |groups| x 1024 rows)
     regs_local = spark.createDataFrame(t.collect(), t.schema)
     return hll_estimate_from_registers(regs_local)
+
+
+# --------------------------------------------- MAD anomaly-screen twin
+
+def run_mad_anomaly_available_now(spark: SparkSession, sf_dir: str,
+                                  query_name: str = "mad_hourly"
+                                  ) -> DataFrame:
+    """Streaming twin of ``timeseries_anomaly_mad``: the screen's only
+    state is the per-(type, hour) event COUNT — a mergeable SUM bounded
+    by |event_type| x wall-time hours, the same rollup contract as the
+    CUSUM/seasonal twins — maintained in complete mode, drained with
+    Trigger.AvailableNow, then run through the literally shared
+    ``mad_anomalies_from_hourly`` finisher (exact rank medians over the
+    drained model table)."""
+    from cstore_fdw_spark.operators.events import mad_anomalies_from_hourly
+
+    ev = read_events_stream(spark, sf_dir)
+    hourly = (ev.groupBy("event_type",
+                         F.date_trunc("hour", "ts").alias("h"))
+              .agg(F.count(F.lit(1)).cast("long").alias("cnt")))
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (hourly.writeStream.format("memory").queryName(query_name)
+             .outputMode("complete")
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+    t = spark.table(query_name)
+    # model-sized rebind (|type| x hours): the finisher joins the rollup
+    # against frames derived from itself — same memory-sink self-join
+    # rationale as the seasonal and HLL twins
+    hourly_local = spark.createDataFrame(t.collect(), t.schema)
+    return mad_anomalies_from_hourly(hourly_local)
+
+
+# ------------------------------------------------- Benford-screen twin
+
+def run_benford_available_now(spark: SparkSession, sf_dir: str,
+                              query_name: str = "benford_digits"
+                              ) -> DataFrame:
+    """Streaming twin of ``stats_benford_first_digit``: the screen's
+    only state is NINE digit counters — the smallest streaming state in
+    the repo — maintained in complete mode over the lineitem stream and
+    finished by the literally shared ``benford_from_digit_counts``
+    (drift monitoring on a live ingest feed is exactly where a Benford
+    screen earns its keep)."""
+    from cstore_fdw_spark.operators.analytics import (
+        benford_from_digit_counts)
+
+    li = read_lineitem_stream(spark, sf_dir)
+    digits = li.select(
+        F.expr("CAST(substr(CAST(CAST(ROUND(l_extendedprice * 100) AS "
+               "BIGINT) AS STRING), 1, 1) AS BIGINT)").alias("digit"))
+    counts = (digits.groupBy("digit")
+              .agg(F.count(F.lit(1)).cast("long").alias("obs")))
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (counts.writeStream.format("memory").queryName(query_name)
+             .outputMode("complete")
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+    t = spark.table(query_name)
+    counts_local = spark.createDataFrame(t.collect(), t.schema)
+    return benford_from_digit_counts(counts_local)

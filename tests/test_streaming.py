@@ -701,3 +701,31 @@ def test_hll_streaming_twin_matches_batch(spark, sf_dir):
         .collect()
     streamed = run_hll_available_now(spark, sf_dir).collect()
     assert streamed == batch
+
+
+def test_mad_streaming_twin_matches_batch(spark, sf_dir):
+    """The streamed MAD anomaly screen must flag the IDENTICAL hours as
+    the batch query: its only state is the mergeable hourly COUNT and
+    the finisher is literally shared code."""
+    from cstore_fdw_spark.operators import load_all
+    from cstore_fdw_spark.streaming.analytics import (
+        run_mad_anomaly_available_now)
+
+    reg = load_all()
+    batch = reg["timeseries_anomaly_mad"].builder(spark, sf_dir).collect()
+    streamed = run_mad_anomaly_available_now(spark, sf_dir).collect()
+    assert streamed == batch
+
+
+def test_benford_streaming_twin_matches_batch(spark, sf_dir):
+    """The streamed Benford screen must report the IDENTICAL ppm table
+    as the batch query: nine mergeable counters + the shared finisher."""
+    from cstore_fdw_spark.operators import load_all
+    from cstore_fdw_spark.streaming.analytics import (
+        run_benford_available_now)
+
+    reg = load_all()
+    batch = reg["stats_benford_first_digit"].builder(spark, sf_dir) \
+        .collect()
+    streamed = run_benford_available_now(spark, sf_dir).collect()
+    assert streamed == batch
