@@ -2038,3 +2038,88 @@ def vector_hamming_topk(spark, sf_dir):
             .withColumn("rank", F.row_number().over(w).cast("long"))
             .filter(F.col("rank") <= TOP_K)
             .select("query_id", "neighbor_id", "rank", "hamming"))
+
+
+# ------------------------------------------- Matryoshka prefix retrieval
+
+_MRL_DIMS = 16
+_MRL_SHORTLIST = 32
+
+
+@register(
+    "vector_matryoshka_topk",
+    category="similarity",
+    allow_bnlj=True,  # corpus × broadcast |queries|-row query set
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id, embedding FROM embeddings WHERE vec_id < {N_QUERIES}),
+    coarse AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             list_dot_product(q.embedding[1:{_MRL_DIMS}]::DOUBLE[],
+                              c.embedding[1:{_MRL_DIMS}]::DOUBLE[])
+               AS pre_score,
+             c.embedding AS cvec, q.embedding AS qvec
+      FROM q JOIN embeddings c ON c.vec_id <> q.vec_id),
+    short AS (
+      SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (
+                 PARTITION BY query_id
+                 ORDER BY pre_score DESC, neighbor_id) AS pre_rank
+        FROM coarse) t
+      WHERE pre_rank <= {_MRL_SHORTLIST})
+    SELECT query_id, neighbor_id, rank, cos FROM (
+      SELECT query_id, neighbor_id,
+             list_dot_product(qvec::DOUBLE[], cvec::DOUBLE[]) /
+               (sqrt(list_dot_product(qvec::DOUBLE[], qvec::DOUBLE[])) *
+                sqrt(list_dot_product(cvec::DOUBLE[], cvec::DOUBLE[])))
+               AS cos,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY query_id
+               ORDER BY list_dot_product(qvec::DOUBLE[], cvec::DOUBLE[]) /
+                 (sqrt(list_dot_product(qvec::DOUBLE[], qvec::DOUBLE[])) *
+                  sqrt(list_dot_product(cvec::DOUBLE[], cvec::DOUBLE[])))
+                 DESC, neighbor_id) AS BIGINT) AS rank
+      FROM short) r
+    WHERE rank <= {TOP_K}
+    """)
+def vector_matryoshka_topk(spark, sf_dir):
+    """Matryoshka-representation retrieval (Kusupati et al. '22 — the
+    serving pattern behind MRL/truncatable embedding APIs): a COARSE
+    pass scores only the first 16 of 64 dimensions (a 4x-cheaper dot
+    against the broadcast queries — with MRL-trained embeddings the
+    prefix is a faithful low-rank surrogate; on this synthetic corpus
+    it is just a projection, which the docstring owns), keeps a
+    32-candidate shortlist per query, and an exact full-dimension
+    cosine re-ranks only the shortlist — the same shortlist->rerank
+    shape as vector_ivf_pq_rerank_topk, with dimension truncation
+    instead of quantization as the cheap tier. Both phases use ordered
+    float folds, so DuckDB's list_dot_product reproduces the scores
+    bit-for-bit; all tie-breaks are (score, vec_id)-deterministic.
+
+    Scale: the coarse scan touches 16/64 of the embedding bytes per
+    row (a column store can physically prune the prefix if stored as
+    sliced columns); the exact rerank touches 32 vectors per query
+    regardless of corpus size; only k·|queries| rows shuffle."""
+    e = table(spark, sf_dir, "embeddings")
+    q = (e.filter(F.col("vec_id") < N_QUERIES)
+         .select(F.col("vec_id").alias("query_id"),
+                 F.col("embedding").alias("qvec")))
+    c = e.select(F.col("vec_id").alias("neighbor_id"),
+                 F.col("embedding").alias("cvec"))
+    pre = dot(F.slice(F.col("qvec"), 1, _MRL_DIMS),
+              F.slice(F.col("cvec"), 1, _MRL_DIMS))
+    wpre = Window.partitionBy("query_id").orderBy(
+        F.col("pre_score").desc(), "neighbor_id")
+    short = (c.join(F.broadcast(q),
+                    F.col("neighbor_id") != F.col("query_id"))
+             .select("query_id", "neighbor_id", "qvec", "cvec",
+                     pre.alias("pre_score"))
+             .withColumn("pre_rank", F.row_number().over(wpre))
+             .filter(F.col("pre_rank") <= _MRL_SHORTLIST))
+    cos = cosine(F.col("qvec"), F.col("cvec"))
+    wfin = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), "neighbor_id")
+    return (short.select("query_id", "neighbor_id", cos.alias("cos"))
+            .withColumn("rank", F.row_number().over(wfin).cast("long"))
+            .filter(F.col("rank") <= TOP_K)
+            .select("query_id", "neighbor_id", "rank", "cos"))

@@ -199,3 +199,33 @@ def test_benford_screen_direction_and_completeness(spark, sf_dir,
     # published Benford constants pinned
     assert rows[1]["benford_ppm"] == 301030
     assert sum(r["benford_ppm"] for r in rows.values()) == 1_000_000
+
+
+def test_matryoshka_rerank_consistent_with_exact(spark, sf_dir,
+                                                 registry):
+    """Matryoshka retrieval can MISS exact neighbors (prefix recall is
+    data-dependent) but can never BEAT them: its best cosine per query
+    is bounded by the exact top-1, any overlap with the exact top-k
+    must agree on the cosine value, and within each query the ranks
+    order by true cosine."""
+    mrl = registry["vector_matryoshka_topk"].builder(spark, sf_dir) \
+        .collect()
+    exact = registry["ann_cosine_topk"].builder(spark, sf_dir).collect()
+    ex = {(r["query_id"], r["neighbor_id"]): r["cos"] for r in exact}
+    best_exact = {}
+    for r in exact:
+        if r["rank"] == 1:
+            best_exact[r["query_id"]] = r["cos"]
+    by_q = {}
+    for r in mrl:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert set(by_q) == {0, 1, 2, 3, 4}
+    for qid, rows in by_q.items():
+        rows.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+        assert rows[0]["cos"] <= best_exact[qid] + 1e-12
+        for a, b in zip(rows, rows[1:]):
+            assert a["cos"] >= b["cos"]
+        for r in rows:
+            if (qid, r["neighbor_id"]) in ex:
+                assert abs(r["cos"] - ex[(qid, r["neighbor_id"])]) < 1e-12
