@@ -509,8 +509,8 @@ def unpivot_status_counts(spark, sf_dir):
     category="agg",
     oracle="""
     SELECT event_type, COUNT(*) AS n,
-           CAST(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DECIMAL(18,6))
-                AS DOUBLE) AS total_value
+           CAST(CAST(CAST(SUM(CAST(value AS DECIMAL(12,2)))
+                AS DECIMAL(38,6)) AS STRING) AS DOUBLE) AS total_value
     FROM events GROUP BY event_type ORDER BY event_type
     """)
 def agg_salted_hot_key(spark, sf_dir):

@@ -30,16 +30,22 @@ def dsum(col: str | Column, typ: str = "decimal(12,2)") -> Column:
 
 
 def to_dbl(c: Column) -> Column:
-    """Narrow-then-cast: decimal → decimal(18,6) → double.
+    """Narrow-then-cast: decimal → decimal(38,6) → double.
 
-    Two constraints picked scale 6: (a) wide decimal→double casts are
-    double-rounded in DuckDB (int128 → double → /10^scale), so the unscaled
-    value must stay < 2^53 — precision 18/scale 6 on these data does;
-    (b) the narrowing rescale itself must be exact, or Spark (HALF_UP) and
-    DuckDB (HALF_EVEN) disagree on ties — our decimal inputs are 2-decimal
-    prices × 4-decimal factors, so every exact product has ≤ 6 decimals and
-    scale 6 never rounds."""
-    return c.cast("decimal(18,6)").cast("double")
+    Scale 6 keeps the narrowing rescale exact (or Spark HALF_UP and
+    DuckDB HALF_EVEN would disagree on ties) — our decimal inputs are
+    2-decimal prices × 4-decimal factors, so every exact product has
+    ≤ 6 decimals and scale 6 never rounds. Precision 38 (was 18) so
+    sums of squares survive any realistic scale-up — DECIMAL(18,6)
+    OVERFLOWED on the 150k-customer g1.0 fixture's Σ(acctbal²).
+    Spark's decimal→double is BigDecimal-backed and correctly rounded
+    at any width; the DuckDB twin (``_dbl``) must route through
+    VARCHAR because its native decimal→double is double-rounded
+    (int64/int128 → double, THEN /10^scale) — that broke at 1 ulp once
+    sum_charge's unscaled value crossed 2^53 at the 6M-row fixture.
+    Both found by the r13 g1.0 overflow sweep; green at sf0.01 by luck
+    of magnitude."""
+    return c.cast("decimal(38,6)").cast("double")
 
 
 # SQL-side equivalents of the helpers above (kept textually tiny so oracle
@@ -49,7 +55,14 @@ D4 = "DECIMAL(8,4)"
 
 
 def _dbl(expr: str) -> str:
-    return f"CAST(CAST({expr} AS DECIMAL(18,6)) AS DOUBLE)"
+    # VARCHAR hop: DuckDB's decimal→double is double-rounded (integer
+    # payload → double, then /10^scale), off by 1 ulp when the unscaled
+    # value exceeds 2^53; string→double is correctly rounded and so
+    # matches Spark's BigDecimal conversion at any magnitude. Precision
+    # 38 so sums of squares never overflow the narrow cast (see to_dbl
+    # — both failure modes caught by the r13 g1.0 overflow sweep).
+    return (f"CAST(CAST(CAST({expr} AS DECIMAL(38,6)) AS STRING) "
+            "AS DOUBLE)")
 
 
 # --------------------------------------------------------------------- scans

@@ -81,10 +81,10 @@ def window_lag_lead(spark, sf_dir):
     category="window",
     oracle="""
     SELECT o_custkey, o_orderkey,
-           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
+           CAST(CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
                 OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                AS DECIMAL(18,6)) AS DOUBLE) AS running_total
+                AS DECIMAL(38,6)) AS STRING) AS DOUBLE) AS running_total
     FROM orders
     """)
 def window_running_sum(spark, sf_dir):
