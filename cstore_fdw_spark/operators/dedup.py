@@ -263,15 +263,26 @@ def ppjoin_jaccard_pairs(item_sets: DataFrame, tau: float,
     # ``ceil_mul`` above): the float form ceil(2τ/(1+τ)·n) OVERSHOOTS
     # the true ceiling at ~3% of lengths (0.888…9 > 8/9), which would
     # silently drop true pairs.
-    pa, pb = prefix.alias("pa"), prefix.alias("pb")
-    shorter_first = (F.struct(F.col("pa.n_s"), F.col("pa.doc_id"))
-                     < F.struct(F.col("pb.n_s"), F.col("pb.doc_id")))
+    # the indexing-prefix cut references only pa columns: apply it ONCE
+    # per row BEFORE the join, not per evaluated pair inside the join's
+    # inner loop (at g1.0 that loop evaluates ~10^9 same-key pairs)
+    pa = (prefix.filter(F.col("rn") <= F.col("n_s")
+                        - ceil_mul(F.col("n_s"), ip, iq) + 1)
+          .alias("pa"))
+    pb = prefix.alias("pb")
+    # (n_s, doc_id) lexicographic order as FLAT scalar comparisons — the
+    # earlier struct(...) < struct(...) form allocated two InternalRow
+    # structs per evaluated pair inside the sort-merge inner loop, which
+    # at the g1.0 collision density (~10^9 evaluations) turned a 141 s
+    # stage into a GC-bound 30-minute one (r13 regression, caught by the
+    # 10x gate sweep and fixed here; pair sets identical by definition)
+    shorter_first = ((F.col("pa.n_s") < F.col("pb.n_s"))
+                     | ((F.col("pa.n_s") == F.col("pb.n_s"))
+                        & (F.col("pa.doc_id") < F.col("pb.doc_id"))))
     collisions = (
         pa.join(pb, (F.col("pa.ih") == F.col("pb.ih"))
                 & (F.col("pa.lang") == F.col("pb.lang"))
                 & shorter_first
-                & (F.col("pa.rn") <= F.col("pa.n_s")
-                   - ceil_mul(F.col("pa.n_s"), ip, iq) + 1)
                 & (F.col("pa.n_s") >= ceil_mul(F.col("pb.n_s"), tp, tq))
                 & (F.col("pb.n_s") >= ceil_mul(F.col("pa.n_s"), tp, tq)))
         .select(F.col("pa.doc_id").alias("doc_a"),
