@@ -1875,3 +1875,94 @@ def benford_from_digit_counts(counts: DataFrame) -> DataFrame:
         F.expr(f"obs * 1000000 div n - {_BENFORD_CASE}").cast("long")
         .alias("deviation_ppm"))
         .orderBy("digit"))
+
+
+def _hll_union_oracle() -> str:
+    from cstore_fdw_spark.functions.portable_hash import duck_h60
+    h = duck_h60("CAST(l_orderkey AS VARCHAR)")
+    rho = _hll_rho_sql(f"(h // {HLL_M}) % {1 << HLL_RANK_BITS}")
+    est = (f"CAST({HLL_EST_NUM} // SUM({HLL_SCALE} // (1 << m_rho)) "
+           "AS BIGINT)")
+    return f"""
+    WITH hashed AS (
+      SELECT l_returnflag AS grp, {h} AS h
+      FROM lineitem WHERE l_returnflag IN ('A', 'R')),
+    regs AS (
+      SELECT grp, h % {HLL_M} AS reg, MAX({rho}) AS m_rho
+      FROM hashed GROUP BY grp, reg),
+    grid AS (SELECT UNNEST(generate_series(0, {HLL_M - 1})) AS reg),
+    fa AS (
+      SELECT g.reg, COALESCE(r.m_rho, 0) AS m_rho
+      FROM grid g LEFT JOIN (SELECT * FROM regs WHERE grp = 'A') r
+        ON r.reg = g.reg),
+    fr AS (
+      SELECT g.reg, COALESCE(r.m_rho, 0) AS m_rho
+      FROM grid g LEFT JOIN (SELECT * FROM regs WHERE grp = 'R') r
+        ON r.reg = g.reg),
+    fu AS (
+      SELECT a.reg, GREATEST(a.m_rho, b.m_rho) AS m_rho
+      FROM fa a JOIN fr b ON b.reg = a.reg),
+    ea AS (SELECT {est} AS v FROM fa),
+    er AS (SELECT {est} AS v FROM fr),
+    eu AS (SELECT {est} AS v FROM fu)
+    SELECT ea.v AS est_a, er.v AS est_r, eu.v AS est_union,
+           CAST(ea.v + er.v - eu.v AS BIGINT) AS est_intersect
+    FROM ea, er, eu
+    """
+
+
+@register(
+    "sketch_hll_union_intersect",
+    category="analytics",
+    oracle=_hll_union_oracle())
+def sketch_hll_union_intersect(spark, sf_dir):
+    """HLL sketch ALGEBRA — the property that makes sketches the 100 TB
+    distinct-count story: two independently built register sets (orders
+    with returnflag A vs R) merge into their UNION's sketch by a
+    per-register MAX — no rescan, no re-shuffle, the same merge that
+    combines partitions, micro-batches, or month-old sketches from cold
+    storage — and the intersection estimate follows by
+    inclusion-exclusion (|A∩R| = |A|+|R|-|A∪R|, Flajolet et al. §5).
+    All three estimates use the exact integer pipeline of
+    sketch_hyperloglog_distinct (raw estimator here: both operands are
+    ~11k distinct at sf0.01, far above the small-range threshold; the
+    inclusion-exclusion difference inherits ~3x the per-sketch error —
+    emitted for the caller to judge, as with any HLL intersection).
+
+    Scale: the corpus is scanned once; everything after the
+    |flags| x 1024 register rollup is arithmetic on 1024-row frames."""
+    from cstore_fdw_spark.functions.portable_hash import spark_h60
+
+    li = (table(spark, sf_dir, "lineitem")
+          .filter(F.col("l_returnflag").isin("A", "R")))
+    h = spark_h60("cast(l_orderkey as string)")
+    rho = _hll_rho_sql(f"(h div {HLL_M}) % {1 << HLL_RANK_BITS}")
+    regs = (li.select(F.col("l_returnflag").alias("grp"),
+                      F.expr(h).alias("h"))
+            .select("grp", (F.col("h") % HLL_M).alias("reg"),
+                    F.expr(rho).alias("rho"))
+            .groupBy("reg")
+            .agg(F.max(F.when(F.col("grp") == "A", F.col("rho"))
+                       .otherwise(0)).alias("rho_a"),
+                 F.max(F.when(F.col("grp") == "R", F.col("rho"))
+                       .otherwise(0)).alias("rho_r")))
+    grid = (spark.range(HLL_M).select(F.col("id").alias("reg")))
+    filled = (grid.join(regs, "reg", "left")
+              .select(F.coalesce("rho_a", F.lit(0)).alias("rho_a"),
+                      F.coalesce("rho_r", F.lit(0)).alias("rho_r"),
+                      F.greatest(F.coalesce("rho_a", F.lit(0)),
+                                 F.coalesce("rho_r", F.lit(0)))
+                      .alias("rho_u")))
+
+    def est(col):
+        return F.expr(
+            f"CAST({HLL_EST_NUM} div SUM({HLL_SCALE} div "
+            f"shiftleft(1L, {col})) AS BIGINT)")
+
+    out = filled.agg(est("rho_a").alias("est_a"),
+                     est("rho_r").alias("est_r"),
+                     est("rho_u").alias("est_union"))
+    return out.select(
+        "est_a", "est_r", "est_union",
+        (F.col("est_a") + F.col("est_r") - F.col("est_union"))
+        .cast("long").alias("est_intersect"))

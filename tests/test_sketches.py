@@ -229,3 +229,25 @@ def test_matryoshka_rerank_consistent_with_exact(spark, sf_dir,
         for r in rows:
             if (qid, r["neighbor_id"]) in ex:
                 assert abs(r["cos"] - ex[(qid, r["neighbor_id"])]) < 1e-12
+
+
+def test_hll_set_algebra_tracks_truth(spark, registry):
+    """Union estimate must track exact |A ∪ R| within the per-sketch
+    error, and the inclusion-exclusion intersection within ~3x of it
+    (both relative to the union magnitude, the standard HLL-intersection
+    error model). Pinned to sf0.01 (raw-estimator regime)."""
+    sf01 = "/root/testdata/sf0.01"
+    row = registry["sketch_hll_union_intersect"] \
+        .builder(spark, sf01).collect()[0]
+    li = spark.read.parquet(f"{sf01}/lineitem.parquet")
+    a = {r["l_orderkey"] for r in
+         li.filter(F.col("l_returnflag") == "A")
+         .select("l_orderkey").distinct().collect()}
+    rr = {r["l_orderkey"] for r in
+          li.filter(F.col("l_returnflag") == "R")
+          .select("l_orderkey").distinct().collect()}
+    union, inter = len(a | rr), len(a & rr)
+    assert abs(row["est_union"] - union) / union < 0.066
+    assert abs(row["est_intersect"] - inter) < 0.15 * union
+    # merge consistency: union estimate can never exceed est_a + est_r
+    assert row["est_union"] <= row["est_a"] + row["est_r"]
