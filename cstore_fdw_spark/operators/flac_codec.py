@@ -6,7 +6,8 @@ Closes the one tractable entry on the library-bound audio list
 psychoacoustic/MDCT codecs that genuinely need a DSP library, but FLAC
 is a fully public, DCT-free bit format — linear prediction plus Rice
 entropy coding — sized like the QOI/ADPCM wins. Everything in the spec
-that a mono 16-bit stream can exercise is implemented for real:
+that a mono or stereo 16-bit stream can exercise is implemented for
+real:
 
 * stream layout: ``fLaC`` marker, STREAMINFO (including the MD5 of the
   unencoded little-endian PCM, which the decoder verifies), arbitrary
@@ -22,7 +23,10 @@ that a mono 16-bit stream can exercise is implemented for real:
   emits them whenever a block's samples share trailing zero bits);
 * Rice residual coding: both 4-bit (method 0) and 5-bit (method 1)
   parameter widths, partition orders > 0 (first partition shortened by
-  the predictor order), zigzag mapping, and the raw-bits escape code.
+  the predictor order), zigzag mapping, and the raw-bits escape code;
+* all four STEREO channel assignments (§9.1.3): independent L/R and
+  the left/side, right/side, and parity-exact mid/side decorrelated
+  layouts, the side subframe carrying its spec-mandated extra bit.
 
 The encoder is deliberately plan-driven (the caller chooses the
 subframe type per block) so the registered query can force every
@@ -382,25 +386,63 @@ def _write_subframe(w: BitWriter, block: list[int], bps: int,
     raise ValueError(f"unknown subframe type {stype!r}")
 
 
-def flac_encode(samples: list[int], sample_rate: int = 8000,
+#: stereo channel-assignment codes (RFC 9639 §9.1.3): independent L/R,
+#: and the three decorrelated layouts whose SIDE channel (L − R) carries
+#: bps+1 bits in its subframe.
+_STEREO_CODES = {"lr": 0b0001, "ls": 0b1000, "rs": 0b1001, "ms": 0b1010}
+
+
+def _stereo_transform(mode: str, left: list[int],
+                      right: list[int]) -> list[tuple[list[int], int]]:
+    """(coded-channel, extra-bits) pairs for a stereo block."""
+    side = [a - b for a, b in zip(left, right)]
+    if mode == "lr":
+        return [(left, 0), (right, 0)]
+    if mode == "ls":
+        return [(left, 0), (side, 1)]
+    if mode == "rs":
+        return [(side, 1), (right, 0)]
+    if mode == "ms":
+        mid = [(a + b) >> 1 for a, b in zip(left, right)]
+        return [(mid, 0), (side, 1)]
+    raise ValueError(f"unknown stereo mode {mode!r}")
+
+
+def flac_encode(samples, sample_rate: int = 8000,
                 blocksize: int = 64, bps: int = 16,
                 plan=None) -> bytes:
-    """Encode mono ``bps``-bit PCM as a FLAC stream (fixed blocksize).
+    """Encode ``bps``-bit PCM as a FLAC stream (fixed blocksize).
+
+    ``samples``: a flat list (mono) or a ``(left, right)`` tuple of
+    equal-length lists (stereo).
 
     ``plan(block_index, block) -> dict`` chooses the subframe per block:
     ``{"type": "constant"|"verbatim"|"fixed"|"lpc"|"auto", "order": n,
     "qlp": [...], "shift": s, "partition_order": p,
-    "residual_method": 0|1}``. Default: auto (constant where possible,
-    else fixed order 2, partition order 0).
+    "residual_method": 0|1}``; for stereo, ``block`` is the
+    ``(left, right)`` block pair and the dict may add ``"stereo":
+    "lr"|"ls"|"rs"|"ms"`` (default ``lr``) plus optional per-channel
+    overrides under ``"ch0"``/``"ch1"``. Default: auto (constant where
+    possible, else fixed order 2, partition order 0).
     """
-    n = len(samples)
+    stereo = isinstance(samples, tuple)
+    if stereo:
+        left, right = samples
+        if len(left) != len(right):
+            raise ValueError("stereo channels must have equal length")
+        chans = [list(left), list(right)]
+    else:
+        chans = [list(samples)]
+    n = len(chans[0])
     lo, hi = -(1 << (bps - 1)), (1 << (bps - 1)) - 1
-    if any(s < lo or s > hi for s in samples):
-        raise ValueError(f"sample out of {bps}-bit range")
-    pcm = b"".join(struct.pack("<h", s) for s in samples) if bps == 16 \
-        else b"".join(
-            (s & ((1 << bps) - 1)).to_bytes((bps + 7) // 8, "little")
-            for s in samples)
+    for ch in chans:
+        if any(s < lo or s > hi for s in ch):
+            raise ValueError(f"sample out of {bps}-bit range")
+    if bps != 16:
+        raise ValueError("frame header emits 16-bit code only")
+    # MD5 over the unencoded, channel-interleaved little-endian PCM
+    pcm = b"".join(struct.pack("<h", ch[i]) for i in range(n)
+                   for ch in chans)
     md5 = hashlib.md5(pcm).digest()
 
     # STREAMINFO (34 bytes): RFC 9639 §8.2
@@ -410,7 +452,7 @@ def flac_encode(samples: list[int], sample_rate: int = 8000,
     si.write(0, 24)                  # min framesize unknown
     si.write(0, 24)                  # max framesize unknown
     si.write(sample_rate, 20)
-    si.write(0, 3)                   # channels - 1 (mono)
+    si.write(len(chans) - 1, 3)
     si.write(bps - 1, 5)
     si.write(n, 36)
     streaminfo = si.getvalue() + md5
@@ -422,25 +464,34 @@ def flac_encode(samples: list[int], sample_rate: int = 8000,
 
     frame_no = 0
     for start in range(0, n, blocksize):
-        block = samples[start:start + blocksize]
-        bs = len(block)
+        blocks = [ch[start:start + blocksize] for ch in chans]
+        bs = len(blocks[0])
+        if stereo:
+            spec = plan(frame_no, (blocks[0], blocks[1])) if plan \
+                else {"type": "auto"}
+            mode = spec.get("stereo", "lr")
+            coded = _stereo_transform(mode, blocks[0], blocks[1])
+            chan_code = _STEREO_CODES[mode]
+        else:
+            spec = plan(frame_no, blocks[0]) if plan else {"type": "auto"}
+            coded = [(blocks[0], 0)]
+            chan_code = 0b0000
         w = BitWriter()
         w.write(0b11111111111110, 14)    # sync
         w.write(0, 1)                    # reserved
         w.write(0, 1)                    # fixed-blocksize stream
         w.write(0b0110, 4)               # blocksize: 8-bit value at end
         w.write(0b0000, 4)               # sample rate: from STREAMINFO
-        w.write(0b0000, 4)               # channels: mono
+        w.write(chan_code, 4)
         w.write(0b100, 3)                # sample size: 16-bit
-        if bps != 16:
-            raise ValueError("frame header emits 16-bit code only")
         w.write(0, 1)                    # reserved
         _write_coded_number(w, frame_no)
         w.write(bs - 1, 8)               # blocksize-1 (code 0110)
         header_bytes = w.getvalue()
         w.write(crc8(header_bytes), 8)
-        spec = plan(frame_no, block) if plan else {"type": "auto"}
-        _write_subframe(w, block, bps, spec)
+        for idx, (cblock, extra) in enumerate(coded):
+            cspec = spec.get(f"ch{idx}", spec)
+            _write_subframe(w, cblock, bps + extra, cspec)
         w.align()
         frame_bytes = w.getvalue()
         out += frame_bytes
@@ -504,10 +555,15 @@ _RATE_CODE = {1: 88_200, 2: 176_400, 3: 192_000, 4: 8_000, 5: 16_000,
 _SIZE_CODE = {1: 8, 2: 12, 4: 16, 5: 20, 6: 24, 7: 32}
 
 
-def flac_decode(payload: bytes) -> tuple[int, int, list[int]]:
-    """Decode a mono FLAC stream → (sample_rate, bits_per_sample,
-    samples). Verifies the sync codes, header CRC-8s, frame CRC-16s,
-    the STREAMINFO sample count, and the PCM MD5."""
+def flac_decode(payload: bytes):
+    """Decode a FLAC stream → ``(sample_rate, bits_per_sample,
+    samples)`` where ``samples`` is a flat list (mono) or a
+    ``(left, right)`` tuple (stereo) — the mirror of
+    :func:`flac_encode`'s input. Verifies the sync codes, header
+    CRC-8s, frame CRC-16s, the STREAMINFO sample count, and the PCM
+    MD5. All four stereo channel assignments decode (independent L/R
+    and the left/right/mid-side decorrelated layouts, whose SIDE
+    subframe carries bps+1 bits)."""
     if payload[:4] != b"fLaC":
         raise ValueError("flac: missing fLaC marker")
     pos = 4
@@ -533,12 +589,12 @@ def flac_decode(payload: bytes) -> tuple[int, int, list[int]]:
     bps = sr_info.read(5) + 1
     total = sr_info.read(36)
     md5_expect = streaminfo[18:34]
-    if channels != 1:
-        raise ValueError("flac: this decoder covers mono streams")
+    if channels not in (1, 2):
+        raise ValueError("flac: this decoder covers mono/stereo streams")
 
-    samples: list[int] = []
+    chans: list[list[int]] = [[] for _ in range(channels)]
     r = BitReader(payload, pos)
-    while len(samples) < total:
+    while len(chans[0]) < total:
         frame_start = r.byte_pos()
         if r.read(14) != 0b11111111111110:
             raise ValueError("flac: lost frame sync")
@@ -551,8 +607,13 @@ def flac_decode(payload: bytes) -> tuple[int, int, list[int]]:
         size_code = r.read(3)
         if r.read(1):
             raise ValueError("flac: frame reserved bit 2 set")
-        if chan_code != 0:
-            raise ValueError("flac: non-mono channel assignment")
+        if channels == 1:
+            if chan_code != 0:
+                raise ValueError("flac: non-mono channel assignment")
+        elif chan_code not in (0b0001, 0b1000, 0b1001, 0b1010):
+            raise ValueError(
+                f"flac: channel assignment {chan_code:04b} does not fit "
+                "a 2-channel stream")
         _read_coded_number(r)
         if bs_code == 0:
             raise ValueError("flac: reserved blocksize code")
@@ -575,20 +636,41 @@ def flac_decode(payload: bytes) -> tuple[int, int, list[int]]:
         expect_crc8 = r.read(8)
         if crc8(payload[frame_start:header_end]) != expect_crc8:
             raise ValueError("flac: frame header CRC-8 mismatch")
-        samples.extend(_read_subframe(r, blocksize, bps))
+        if channels == 1:
+            chans[0].extend(_read_subframe(r, blocksize, bps))
+        else:
+            # side channel (L−R) carries one extra bit: ch1 for
+            # left/side and mid/side, ch0 for right/side
+            extra0 = 1 if chan_code == 0b1001 else 0
+            extra1 = 1 if chan_code in (0b1000, 0b1010) else 0
+            c0 = _read_subframe(r, blocksize, bps + extra0)
+            c1 = _read_subframe(r, blocksize, bps + extra1)
+            if chan_code == 0b0001:          # independent L/R
+                left, right = c0, c1
+            elif chan_code == 0b1000:        # left/side
+                left = c0
+                right = [a - s for a, s in zip(c0, c1)]
+            elif chan_code == 0b1001:        # right/side
+                right = c1
+                left = [b + s for b, s in zip(c1, c0)]
+            else:                            # mid/side
+                # L+R = 2*mid + (side & 1) (L±R share parity)
+                left = [m + ((s + (s & 1)) >> 1)
+                        for m, s in zip(c0, c1)]
+                right = [a - s for a, s in zip(left, c1)]
+            chans[0].extend(left)
+            chans[1].extend(right)
         r.align()
         body_end = r.byte_pos()
         expect_crc16 = r.read(16)
         if crc16(payload[frame_start:body_end]) != expect_crc16:
             raise ValueError("flac: frame CRC-16 mismatch")
-    if len(samples) != total:
+    if any(len(ch) != total for ch in chans):
         raise ValueError("flac: sample count mismatch")
-    if bps == 16:
-        pcm = b"".join(struct.pack("<h", s) for s in samples)
-    else:
-        pcm = b"".join((s & ((1 << bps) - 1)).to_bytes((bps + 7) // 8,
-                                                       "little")
-                       for s in samples)
+    pcm = b"".join(struct.pack("<h", ch[i]) for i in range(total)
+                   for ch in chans)
     if hashlib.md5(pcm).digest() != md5_expect:
         raise ValueError("flac: PCM MD5 mismatch")
-    return sample_rate, bps, samples
+    if channels == 1:
+        return sample_rate, bps, chans[0]
+    return sample_rate, bps, (chans[0], chans[1])

@@ -2487,3 +2487,97 @@ def multimodal_flac_energy(spark, sf_dir):
     return media.mapInPandas(
         decode, "doc_id long, n_samples long, sample_sum long, "
                 "energy long")
+
+
+def _flac_stereo_signal(doc_id: int, n: int) -> tuple[list[int], list[int]]:
+    """Closed-form correlated stereo PCM: R tracks L within ±15, so the
+    decorrelated layouts (side = L−R) genuinely compress. The DuckDB
+    oracle recomputes this formula verbatim."""
+    left, right = [], []
+    for k in range(n):
+        lv = ((doc_id * 13 + k * 29) % 3001) - 1500
+        left.append(lv)
+        right.append(lv + ((doc_id + k) % 31) - 15)
+    return left, right
+
+
+def _flac_stereo_plan(b: int, blocks) -> dict:
+    """Cycle the four stereo channel assignments across blocks (offset
+    by nothing — every doc has >= 3 blocks, and the doc set covers all
+    residues, so every mode decodes somewhere at any sf)."""
+    return {"type": "auto",
+            "stereo": ("lr", "ls", "rs", "ms")[b % 4]}
+
+
+@register(
+    "multimodal_flac_stereo_energy",
+    category="multimodal",
+    oracle="""
+    WITH docs AS (SELECT doc_id FROM documents WHERE doc_id % 41 = 0),
+    ks AS (
+      SELECT d.doc_id, g.k,
+             ((d.doc_id * 13 + g.k * 29) % 3001) - 1500 AS lv,
+             ((d.doc_id * 13 + g.k * 29) % 3001) - 1500
+               + ((d.doc_id + g.k) % 31) - 15 AS rv
+      FROM docs d, LATERAL (SELECT UNNEST(generate_series(
+               0, 179 + (d.doc_id % 77))) AS k) g)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_samples,
+           CAST(SUM(lv) AS BIGINT) AS sum_left,
+           CAST(SUM(rv) AS BIGINT) AS sum_right,
+           CAST(SUM(lv * lv + rv * rv) AS BIGINT) AS energy
+    FROM ks GROUP BY doc_id ORDER BY doc_id
+    """)
+def multimodal_flac_stereo_energy(spark, sf_dir):
+    """STEREO FLAC (RFC 9639 §9.1.3): every 41st document gets a real
+    two-channel stream whose blocks cycle all four channel assignments
+    — independent L/R and the three decorrelated layouts (left/side,
+    right/side, mid/side), the side subframe carrying its spec-mandated
+    17th bit. The closed-form right channel tracks the left within ±15,
+    so mid-side coding genuinely compresses (asserted in pytest). The
+    decode stage reconstructs L/R through the real parity-exact
+    mid-side inverse and every CRC + the interleaved-PCM MD5 is
+    verified; losslessness again lets the oracle recompute the
+    closed-form PCM with no codec model.
+
+    Scale: same per-row Arrow projection shape as the whole family."""
+    from cstore_fdw_spark.operators.flac_codec import (flac_decode,
+                                                       flac_encode)
+
+    d = (table(spark, sf_dir, "documents")
+         .filter(F.col("doc_id") % 41 == 0).select("doc_id"))
+
+    def encode(batches):
+        import pandas as pd
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                n = 180 + (doc_id % 77)
+                payloads.append(flac_encode(
+                    _flac_stereo_signal(doc_id, n),
+                    plan=_flac_stereo_plan))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"],
+                                "payload": payloads})
+
+    media = d.mapInPandas(encode, "doc_id long, payload binary")
+
+    def decode(batches):
+        import pandas as pd
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                sr, bps, (left, right) = flac_decode(bytes(payload))
+                if (sr, bps) != (8000, 16):
+                    raise ValueError("unexpected FLAC stream parameters")
+                rows.append((int(doc_id), len(left), sum(left),
+                             sum(right),
+                             sum(v * v for v in left)
+                             + sum(v * v for v in right)))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "n_samples", "sum_left",
+                               "sum_right", "energy"])
+
+    return media.mapInPandas(
+        decode, "doc_id long, n_samples long, sum_left long, "
+                "sum_right long, energy long")

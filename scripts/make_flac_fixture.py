@@ -1,12 +1,17 @@
 #!/usr/bin/env python
 """Regenerate the committed FLAC byte-pin fixture.
 
-Writes ``tests/fixtures/flac/doc0370.flac``: the exact stream the
-``multimodal_flac_energy`` query encodes for doc_id 370 (all four
-subframe types, partition order 1, 5-bit Rice method, wasted bits on
-the constant block). ``tests/test_flac.py`` asserts a fresh encode is
-byte-identical to the committed file, so any drift in the bit format
-fails loudly. Deterministic: no RNG, no timestamps.
+Writes two byte-pin fixtures asserted byte-identical to fresh encodes
+by ``tests/test_flac.py`` (any drift in the bit format fails loudly):
+
+* ``tests/fixtures/flac/doc0370.flac`` — the mono stream the
+  ``multimodal_flac_energy`` query encodes for doc_id 370 (all four
+  subframe types, partition order 1, 5-bit Rice method, wasted bits);
+* ``tests/fixtures/flac/doc0410_stereo.flac`` — the stereo stream the
+  ``multimodal_flac_stereo_energy`` query encodes for doc_id 410 (all
+  four channel assignments incl. the 17-bit side subframes).
+
+Deterministic: no RNG, no timestamps.
 """
 from __future__ import annotations
 
@@ -16,9 +21,11 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from cstore_fdw_spark.operators.flac_codec import flac_decode, flac_encode  # noqa: E402
-from cstore_fdw_spark.operators.multimodal import _flac_plan, _flac_signal  # noqa: E402
+from cstore_fdw_spark.operators.multimodal import (  # noqa: E402
+    _flac_plan, _flac_signal, _flac_stereo_plan, _flac_stereo_signal)
 
 DOC_ID = 370
+STEREO_DOC_ID = 410
 
 
 def main() -> None:
@@ -32,6 +39,14 @@ def main() -> None:
     with open(path, "wb") as f:
         f.write(payload)
     print(f"{path}: {len(payload)} bytes for {len(samples)} samples")
+
+    lr = _flac_stereo_signal(STEREO_DOC_ID, 180 + (STEREO_DOC_ID % 77))
+    payload = flac_encode(lr, plan=_flac_stereo_plan)
+    assert flac_decode(payload)[2] == lr
+    path = os.path.join(out_dir, f"doc{STEREO_DOC_ID:04d}_stereo.flac")
+    with open(path, "wb") as f:
+        f.write(payload)
+    print(f"{path}: {len(payload)} bytes for {len(lr[0])} stereo samples")
 
 
 if __name__ == "__main__":

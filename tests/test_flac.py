@@ -142,3 +142,59 @@ def test_flac_energy_query_matches_closed_form(spark, sf_dir):
         assert r["n_samples"] == len(s)
         assert r["sample_sum"] == sum(s)
         assert r["energy"] == sum(v * v for v in s)
+
+
+STEREO_FIXTURE = os.path.join(os.path.dirname(__file__), "fixtures",
+                              "flac", "doc0410_stereo.flac")
+
+
+def test_stereo_all_channel_assignments_round_trip():
+    from cstore_fdw_spark.operators.multimodal import (
+        _flac_stereo_plan, _flac_stereo_signal)
+    rng = random.Random(5)
+    for mode in ("lr", "ls", "rs", "ms"):
+        for n in (1, 64, 200):
+            left = [rng.randrange(-32768, 32768) for _ in range(n)]
+            right = [rng.randrange(-32768, 32768) for _ in range(n)]
+            payload = flac_encode(
+                (left, right),
+                plan=lambda b, blk, m=mode: {"type": "auto", "stereo": m})
+            sr, bps, (dl, dr) = flac_decode(payload)
+            assert (dl, dr) == (left, right), (mode, n)
+    # the registered query's signal family (mode cycle + auto subframes)
+    for doc_id in (0, 41, 410, 4961):
+        lr = _flac_stereo_signal(doc_id, 180 + (doc_id % 77))
+        assert flac_decode(flac_encode(lr, plan=_flac_stereo_plan))[2] == lr
+
+
+def test_mid_side_parity_edges():
+    # odd L+R exercises the parity-recovery reconstruction
+    cases = [([1], [0]), ([0], [1]), ([-1], [0]), ([-32768], [32767]),
+             ([32767], [-32768]), ([5, -5, 3], [2, 2, -4])]
+    for left, right in cases:
+        payload = flac_encode((left, right),
+                              plan=lambda b, blk: {"type": "verbatim",
+                                                   "stereo": "ms"})
+        assert flac_decode(payload)[2] == (left, right), (left, right)
+
+
+def test_mid_side_compresses_correlated_channels():
+    rng = random.Random(9)
+    left = [int(800 * (1 if (k // 9) % 2 else -1)) + rng.randrange(-3, 4)
+            for k in range(256)]
+    right = [v + rng.randrange(-2, 3) for v in left]
+    enc_lr = flac_encode((left, right), plan=lambda b, blk: {
+        "type": "fixed", "order": 2, "stereo": "lr"})
+    enc_ms = flac_encode((left, right), plan=lambda b, blk: {
+        "type": "fixed", "order": 2, "stereo": "ms"})
+    assert len(enc_ms) < len(enc_lr)
+
+
+def test_committed_stereo_fixture_bytes_and_values():
+    from cstore_fdw_spark.operators.multimodal import (
+        _flac_stereo_plan, _flac_stereo_signal)
+    with open(STEREO_FIXTURE, "rb") as f:
+        committed = f.read()
+    lr = _flac_stereo_signal(410, 180 + (410 % 77))
+    assert flac_encode(lr, plan=_flac_stereo_plan) == committed
+    assert flac_decode(committed)[2] == lr
