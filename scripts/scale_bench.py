@@ -58,6 +58,9 @@ HEAVY = {
     "q21_suppliers_kept_waiting": "lineitem",
     "events_sessionize": "events",
     "scan_cstore_format_roundtrip": "lineitem",
+    # r13 additions to the bench set
+    "vector_hamming_topk": "embeddings",
+    "sketch_hyperloglog_distinct": "lineitem",
 }
 
 #: the r12-measured set (kept re-runnable standalone via --queries)
