@@ -8,9 +8,15 @@ both sides at sf0.01 and hash-compares.
 Determinism conventions (required for oracle hash-parity):
 - Aggregates over doubles go through exact DECIMAL arithmetic
   (``CAST(x AS DECIMAL(12,2))`` inputs, factors as ``DECIMAL(8,4)``), and
-  any final cast to DOUBLE first narrows to ``DECIMAL(18,4)`` — wide
-  decimal→double casts are double-rounded in DuckDB (int128 path) and
-  produce 1-ulp mismatches vs Spark's BigDecimal path.
+  any final cast to DOUBLE goes through ``relational.to_dbl`` on the Spark
+  side and ``relational._dbl`` in the oracle SQL — DECIMAL(38,6) plus a
+  STRING hop in DuckDB. These are the ONLY sanctioned decimal→double
+  paths: precision 38 because DECIMAL(18,6) overflowed on a g1.0
+  sum-of-squares, and the VARCHAR hop because DuckDB's native
+  decimal→double is double-rounded (integer payload → double, then
+  /10^scale) and off by 1 ulp once the unscaled value passes 2^53 —
+  both found only by the r13 10×-scale sweep. Do not hand-roll a
+  ``DECIMAL(18,4)``-style narrow cast in new operators.
 - Rankings/LIMIT always order by a key that is unique (add key columns as
   tie-breakers).
 - Collected lists are sorted (``array_sort(collect_list(..))``).

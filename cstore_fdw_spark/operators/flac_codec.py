@@ -440,6 +440,12 @@ def flac_encode(samples, sample_rate: int = 8000,
             raise ValueError(f"sample out of {bps}-bit range")
     if bps != 16:
         raise ValueError("frame header emits 16-bit code only")
+    if not 1 <= blocksize <= 256:
+        # the frame header uses code 0b0110 (8-bit blocksize-1); larger
+        # blocks would need code 0b0111 — reject up front instead of an
+        # opaque BitWriter overflow deep in the frame loop
+        raise ValueError("flac: blocksize must be in 1..256 "
+                         "(8-bit blocksize code)")
     # MD5 over the unencoded, channel-interleaved little-endian PCM
     pcm = b"".join(struct.pack("<h", ch[i]) for i in range(n)
                    for ch in chans)
@@ -569,10 +575,14 @@ def flac_decode(payload: bytes):
     pos = 4
     streaminfo = None
     while True:
+        if pos + 4 > len(payload):
+            raise ValueError("flac: truncated metadata block header")
         hdr = payload[pos:pos + 4]
         last, btype = hdr[0] >> 7, hdr[0] & 0x7F
         length = int.from_bytes(hdr[1:4], "big")
         body = payload[pos + 4:pos + 4 + length]
+        if len(body) != length:
+            raise ValueError("flac: truncated metadata block body")
         if btype == 0:
             streaminfo = body
         pos += 4 + length

@@ -198,3 +198,62 @@ def test_committed_stereo_fixture_bytes_and_values():
     lr = _flac_stereo_signal(410, 180 + (410 % 77))
     assert flac_encode(lr, plan=_flac_stereo_plan) == committed
     assert flac_decode(committed)[2] == lr
+
+
+def test_truncated_stream_raises_valueerror_not_indexerror():
+    with open(FIXTURE, "rb") as f:
+        payload = f.read()
+    # cut inside the metadata walk: right after the marker, and mid-body
+    for cut in (4, 6, 20):
+        with pytest.raises(ValueError, match="flac: truncated"):
+            flac_decode(payload[:cut])
+
+
+def test_encode_rejects_oversize_blocksize_up_front():
+    with pytest.raises(ValueError, match="blocksize must be in 1..256"):
+        flac_encode([0] * 300, blocksize=300)
+
+
+def test_reference_decoder_interop():
+    """Feed the committed fixtures to an INDEPENDENT decoder (flac/ffmpeg
+    binary or soundfile) and compare PCM — guards against a mirrored
+    encode/decode bug that bit-exact self-roundtrips can't see. Skips
+    where no reference implementation is installed (this container)."""
+    import shutil
+    import struct
+    import subprocess
+    import tempfile
+
+    from cstore_fdw_spark.operators.multimodal import (
+        _flac_plan, _flac_signal, _flac_stereo_plan, _flac_stereo_signal)
+
+    mono = _flac_signal(370, 180 + (370 % 77))
+    lr = _flac_stereo_signal(410, 180 + (410 % 77))
+    want = {FIXTURE: [mono], STEREO_FIXTURE: [lr[0], lr[1]]}
+
+    def decode_external(path, n_chan):
+        flac_bin = shutil.which("flac")
+        ffmpeg = shutil.which("ffmpeg")
+        if flac_bin:
+            raw = subprocess.run(
+                [flac_bin, "-d", "-c", "--force-raw-format",
+                 "--endian=little", "--sign=signed", path],
+                capture_output=True, check=True).stdout
+        elif ffmpeg:
+            raw = subprocess.run(
+                [ffmpeg, "-i", path, "-f", "s16le", "-"],
+                capture_output=True, check=True).stdout
+        else:
+            try:
+                import soundfile
+            except ImportError:
+                pytest.skip("no reference FLAC decoder available "
+                            "(flac, ffmpeg, soundfile all missing)")
+            data = soundfile.read(path, dtype="int16", always_2d=True)[0]
+            return [list(map(int, data[:, c])) for c in range(n_chan)]
+        flat = struct.unpack(f"<{len(raw) // 2}h", raw)
+        return [list(flat[c::n_chan]) for c in range(n_chan)]
+
+    for path, chans in want.items():
+        got = decode_external(path, len(chans))
+        assert got == chans, path

@@ -13,12 +13,27 @@ def registry():
     return load_all()
 
 
-def test_hll_estimate_within_error_bound(spark, registry):
+@pytest.fixture(scope="module")
+def sf001_dir():
+    """The sf0.01 tree, located as a SIBLING of the conftest SF_DIR so a
+    relocated fixture tree still resolves; skip (not hard-fail) when that
+    scale isn't present — these two tests need ~11k distinct/group (the
+    raw-estimator regime), which sf0.001 can't provide."""
+    import os
+
+    from tests.conftest import SF_DIR
+    cand = os.path.join(os.path.dirname(SF_DIR.rstrip("/")), "sf0.01")
+    if not os.path.exists(os.path.join(cand, "lineitem.parquet")):
+        pytest.skip(f"sf0.01 fixture tree not present at {cand}")
+    return cand
+
+
+def test_hll_estimate_within_error_bound(spark, registry, sf001_dir):
     """Raw-HLL standard error at m=1024 is ~3.3%; assert every group's
     estimate is within 2 sigma of the exact distinct count at sf0.01
     (~11k distinct per group — the raw-estimator regime, so corrected
     == raw there)."""
-    sf01 = "/root/testdata/sf0.01"
+    sf01 = sf001_dir
     est = {r["l_returnflag"]: r for r in
            registry["sketch_hyperloglog_distinct"]
            .builder(spark, sf01).collect()}
@@ -231,12 +246,12 @@ def test_matryoshka_rerank_consistent_with_exact(spark, sf_dir,
                 assert abs(r["cos"] - ex[(qid, r["neighbor_id"])]) < 1e-12
 
 
-def test_hll_set_algebra_tracks_truth(spark, registry):
+def test_hll_set_algebra_tracks_truth(spark, registry, sf001_dir):
     """Union estimate must track exact |A ∪ R| within the per-sketch
     error, and the inclusion-exclusion intersection within ~3x of it
     (both relative to the union magnitude, the standard HLL-intersection
     error model). Pinned to sf0.01 (raw-estimator regime)."""
-    sf01 = "/root/testdata/sf0.01"
+    sf01 = sf001_dir
     row = registry["sketch_hll_union_intersect"] \
         .builder(spark, sf01).collect()[0]
     li = spark.read.parquet(f"{sf01}/lineitem.parquet")
