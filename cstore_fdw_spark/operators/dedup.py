@@ -107,12 +107,13 @@ class JaccardSaturationWarning(UserWarning):
 
 
 def _saturation_guard(freq: DataFrame, n_docs: int,
-                      on_saturation: str) -> None:
+                      on_saturation: str) -> bool:
     """Detect item-space saturation from the (lang, item)→frequency
-    table the prefix stage already builds, and warn/raise per
+    table the prefix stage already builds, and warn/raise/route per
     ``on_saturation``. One 1-row aggregate over the cached sets — the
     corpus itself is never re-scanned, and the whole check is skipped
-    under ``'ignore'``.
+    under ``'ignore'``. Returns True when saturation was detected (the
+    ``'route'`` caller switches tiers on it).
 
     The metric is the mean posting-list length ``Σ freq / #items`` =
     docs per distinct item. Diverse corpora keep it O(duplication
@@ -121,31 +122,37 @@ def _saturation_guard(freq: DataFrame, n_docs: int,
     the condition under which prefix-collision rows go quadratic
     (SCALE_MEASURED.md, dedup_ngram_jaccard g0.1→g1.0)."""
     if on_saturation == "ignore":
-        return
-    if on_saturation not in ("warn", "raise"):
+        return False
+    if on_saturation not in ("warn", "raise", "route"):
         raise ValueError(
-            f"on_saturation must be 'warn'|'raise'|'ignore', "
+            f"on_saturation must be 'warn'|'raise'|'ignore'|'route', "
             f"got {on_saturation!r}")
     row = freq.agg(F.count(F.lit(1)).alias("n_items"),
                    F.sum("gf").alias("postings")).collect()[0]
     n_items = row.n_items or 1
     docs_per_item = (row.postings or 0) / n_items
     if docs_per_item <= SATURATION_POSTINGS_PER_ITEM:
-        return
+        return False
+    action = (
+        "Routing this call to that tier (rows carry approx=true)."
+        if on_saturation == "route" else
+        "Use dedup_minhash_lsh (or on_saturation='route') for "
+        "low-diversity corpora at scale, or pass "
+        "on_saturation='ignore' to accept the cost.")
     msg = (
         f"exact Jaccard tier is saturated: {n_items} distinct items "
         f"across {n_docs} docs = {docs_per_item:.0f} docs per item "
         f"(threshold {SATURATION_POSTINGS_PER_ITEM}). Prefix-collision "
         f"candidates grow ~N² once the item space stops growing with "
         f"the corpus (measured α≈2.3, SCALE_MEASURED.md) — no exact "
-        f"algorithm can skip pairs that genuinely share items. Use "
-        f"dedup_minhash_lsh (τ-calibrated banding, measured α≈0.48) "
-        f"for low-diversity corpora at scale, or pass "
-        f"on_saturation='ignore' to accept the cost.")
+        f"algorithm can skip pairs that genuinely share items. The "
+        f"τ-calibrated MinHash-LSH tier (measured α≈0.48) is the scale "
+        f"path. {action}")
     if on_saturation == "raise":
         raise RuntimeError(msg)
     import warnings
     warnings.warn(msg, JaccardSaturationWarning, stacklevel=3)
+    return True
 
 
 def ppjoin_jaccard_pairs(item_sets: DataFrame, tau: float,
@@ -165,6 +172,15 @@ def ppjoin_jaccard_pairs(item_sets: DataFrame, tau: float,
     inverted index drops the frequent items that dominate the blowup.
     The exact overlap is then counted over candidates only.
     Output: (doc_a, doc_b, n_common, size_a, size_b, jaccard).
+
+    ``on_saturation`` controls what happens when the item space is
+    saturated (mean posting-list length > SATURATION_POSTINGS_PER_ITEM,
+    the regime where collisions grow ~N²): ``'warn'`` (default) /
+    ``'raise'`` / ``'ignore'``, or ``'route'`` — fall through to the
+    τ-calibrated MinHash-LSH tier over the same item sets. Under
+    ``'route'`` the output always carries an ``approx`` boolean column:
+    false when the exact tier ran, true when routed (banding bounds
+    recall; the per-pair jaccard is still exactly verified ≥ τ).
 
     Callers pass ``item_sets`` already ``spread()`` (repartition before
     the item projection), so the set build runs at cluster parallelism
@@ -212,8 +228,29 @@ def ppjoin_jaccard_pairs(item_sets: DataFrame, tau: float,
     # in prefixes but not losslessness)
     freq = ex.groupBy("lang", "ih").agg(F.count(F.lit(1)).alias("gf"))
     # saturation guard: a bounded item space makes the collision stage
-    # ~N² (measured); detect it from `freq` before paying for the join
-    _saturation_guard(freq, n_docs, on_saturation)
+    # ~N² (measured); detect it from `freq` before paying for the join.
+    # Under 'route' a saturated corpus falls through to the τ-calibrated
+    # MinHash-LSH tier over the SAME item sets (the unattended-pipeline
+    # behavior the guard's own message recommends) instead of paying the
+    # measured 10⁴× collision blow-up; rows carry approx=true because
+    # banding bounds recall, though each returned pair's jaccard is still
+    # exact (verified over the full item sets, then filtered ≥ τ).
+    if _saturation_guard(freq, n_docs, on_saturation) \
+            and on_saturation == "route":
+        shingled = (item_sets
+                    .select("doc_id", "lang",
+                            F.col("items").alias("shingles"))
+                    .filter(F.size("shingles") > 0))
+        lang = shingled.select("doc_id", "lang")
+        la, lb = lang.alias("la"), lang.alias("lb")
+        return (minhash_pairs_from_shingled(
+                    shingled.select("doc_id", "shingles"), full=True)
+                .join(la, F.col("la.doc_id") == F.col("doc_a"))
+                .join(lb, (F.col("lb.doc_id") == F.col("doc_b"))
+                      & (F.col("lb.lang") == F.col("la.lang")))
+                .filter(F.col("jaccard") >= tau)
+                .select("doc_a", "doc_b", "n_common", "size_a", "size_b",
+                        "jaccard", F.lit(True).alias("approx")))
     wdoc = Window.partitionBy("doc_id").orderBy("gf", "ih")
     # persist: the self-join below would otherwise rebuild the whole
     # freq-aggregate + rarity window on BOTH sides (verified in the
@@ -316,11 +353,15 @@ def ppjoin_jaccard_pairs(item_sets: DataFrame, tau: float,
     n_common = F.size(F.array_intersect("set_a", "set_b"))
     jac = (n_common.cast("double")
            / (F.col("size_a") + F.col("size_b") - n_common))
-    return (cand.join(sa, "doc_a").join(sb, "doc_b")
-            .select("doc_a", "doc_b",
-                    n_common.cast("long").alias("n_common"),
-                    "size_a", "size_b", jac.alias("jaccard"))
-            .filter(F.col("jaccard") >= tau))
+    exact = (cand.join(sa, "doc_a").join(sb, "doc_b")
+             .select("doc_a", "doc_b",
+                     n_common.cast("long").alias("n_common"),
+                     "size_a", "size_b", jac.alias("jaccard"))
+             .filter(F.col("jaccard") >= tau))
+    if on_saturation == "route":
+        # 'route' callers always see the marker column, whichever tier ran
+        exact = exact.withColumn("approx", F.lit(False))
+    return exact
 
 
 @register(
@@ -699,14 +740,28 @@ def minhash_lsh_pairs(docs: DataFrame) -> DataFrame:
     8 arithmetic band keys per doc → bucket join on (band, band_key) →
     candidate pairs → exact Jaccard via 60-bit-hash join restricted to
     candidates. Output: (doc_a, doc_b, n_common_bands, jaccard)."""
-    # persist() materializes the per-shingle hashes once (the expensive
-    # shingle build + md5); signatures, band keys, sizes, and
-    # verification keys all derive from it. Docs with zero shingles
-    # (empty text) are excluded — their all-sentinel signatures would
-    # otherwise collide in every band (and Jaccard over empty sets is
-    # undefined); the oracle's explode drops them naturally.
+    # Docs with zero shingles (empty text) are excluded — their
+    # all-sentinel signatures would otherwise collide in every band (and
+    # Jaccard over empty sets is undefined); the oracle's explode drops
+    # them naturally.
     shingled = (shingle_arrays(spread(docs))
                 .filter(F.size("shingles") > 0))
+    return minhash_pairs_from_shingled(shingled)
+
+
+def minhash_pairs_from_shingled(shingled: DataFrame,
+                                full: bool = False) -> DataFrame:
+    """The MinHash+LSH+verify core over any (doc_id, shingles:
+    array<string>) set table — shared by :func:`minhash_lsh_pairs`
+    (word shingles from text) and the saturation ``route`` tier of
+    :func:`ppjoin_jaccard_pairs` (which feeds its caller's item arrays
+    directly, so the approximate tier answers the SAME set-similarity
+    question the exact tier would have). ``full=True`` additionally
+    returns the exact verified overlap and set sizes
+    (n_common, size_a, size_b) in the PPJoin output convention."""
+    # persist() materializes the per-shingle hashes once (the expensive
+    # shingle build + md5); signatures, band keys, sizes, and
+    # verification keys all derive from it.
     ex = track_cache(shingle_hashes(shingled).persist())
     # persist(), not localCheckpoint(), for the signature table: both are
     # materialized once and reused by every consumer (bands self-join,
@@ -767,12 +822,21 @@ def minhash_lsh_pairs(docs: DataFrame) -> DataFrame:
     zb = sizes.alias("zb")
     jac = (F.col("n_common").cast("double")
            / (F.col("za.n_sh") + F.col("zb.n_sh") - F.col("n_common")))
-    return (candidates
-            .join(common, ["doc_a", "doc_b"], "left")
-            .join(za, F.col("za.doc_id") == F.col("doc_a"))
-            .join(zb, F.col("zb.doc_id") == F.col("doc_b"))
-            .select("doc_a", "doc_b", "n_common_bands",
-                    F.coalesce(jac, F.lit(0.0)).alias("jaccard")))
+    joined = (candidates
+              .join(common, ["doc_a", "doc_b"], "left")
+              .join(za, F.col("za.doc_id") == F.col("doc_a"))
+              .join(zb, F.col("zb.doc_id") == F.col("doc_b")))
+    if full:
+        return joined.select(
+            "doc_a", "doc_b",
+            F.coalesce(F.col("n_common"), F.lit(0)).cast("long")
+            .alias("n_common"),
+            F.col("za.n_sh").alias("size_a"),
+            F.col("zb.n_sh").alias("size_b"),
+            "n_common_bands",
+            F.coalesce(jac, F.lit(0.0)).alias("jaccard"))
+    return joined.select("doc_a", "doc_b", "n_common_bands",
+                         F.coalesce(jac, F.lit(0.0)).alias("jaccard"))
 
 
 def _minhash_oracle() -> str:

@@ -59,7 +59,46 @@ def test_on_saturation_raise_and_ignore(spark):
         warnings.simplefilter("error", JaccardSaturationWarning)
         ppjoin_jaccard_pairs(sets, 0.8, on_saturation="ignore")
     with pytest.raises(ValueError, match="on_saturation"):
-        ppjoin_jaccard_pairs(sets, 0.8, on_saturation="route")
+        ppjoin_jaccard_pairs(sets, 0.8, on_saturation="reroute")
+
+
+def test_route_falls_through_to_minhash_tier(spark):
+    """Saturated corpus + 'route' returns exactly the pair set the
+    MinHash-LSH tier computes directly over the same item sets (same
+    doc pairs, same exactly-verified jaccard ≥ τ), marked approx."""
+    from cstore_fdw_spark.operators.dedup import (
+        minhash_pairs_from_shingled)
+    sets = _corpus(spark, 600, 24)
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", JaccardSaturationWarning)
+        routed = ppjoin_jaccard_pairs(sets, 0.8, on_saturation="route")
+    assert routed.columns == ["doc_a", "doc_b", "n_common", "size_a",
+                              "size_b", "jaccard", "approx"]
+    got = sorted((r.doc_a, r.doc_b, r.n_common, r.jaccard, r.approx)
+                 for r in routed.collect())
+    direct = minhash_pairs_from_shingled(
+        sets.select("doc_id", F.col("items").alias("shingles")),
+        full=True).filter(F.col("jaccard") >= 0.8)
+    want = sorted((r.doc_a, r.doc_b, r.n_common, r.jaccard, True)
+                  for r in direct.collect())
+    assert got == want
+    assert len(got) > 0  # 24-word vocab: collisions guaranteed
+
+
+def test_route_stays_exact_on_diverse_corpus(spark):
+    """Unsaturated corpus + 'route' runs the exact tier (approx=false)
+    and matches the 'ignore' run row-for-row."""
+    sets = _corpus(spark, 600, 1_000_000)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", JaccardSaturationWarning)
+        routed = ppjoin_jaccard_pairs(sets, 0.8, on_saturation="route")
+        exact = ppjoin_jaccard_pairs(sets, 0.8, on_saturation="ignore")
+    assert routed.columns == exact.columns + ["approx"]
+    got = sorted((r.doc_a, r.doc_b, r.n_common, r.jaccard, r.approx)
+                 for r in routed.collect())
+    want = sorted((r.doc_a, r.doc_b, r.n_common, r.jaccard, False)
+                  for r in exact.collect())
+    assert got == want
 
 
 def test_warning_never_changes_results(spark):
