@@ -132,6 +132,59 @@ def _aggregate(df: DataFrame, keys: list[str],
     return df.groupBy(*keys).agg(*_agg_exprs(measures))
 
 
+def create_hll_agg_view(catalog: CStoreCatalog, view: str, source: str,
+                        keys: list[str], column: str) -> None:
+    """Declare an incrementally-maintained HyperLogLog sketch view: the
+    state table is the (keys..., reg, m_rho) register rollup of
+    ``operators.analytics.hll_registers`` over ``column``, and the merge
+    kind is per-(keys, reg) MAX — the sketch algebra that combines
+    partitions and micro-batches also combines EPOCH DELTAS, so
+    ``refresh_agg_view`` maintains an always-current distinct-count
+    sketch from appends without ever rescanning history (the "archived
+    sketches" leg of HLL mergeability). Read the estimate with
+    :func:`hll_view_estimate`. Shares the single-table refresh skeleton:
+    epoch-delta scans, rewrite/identity full-recompute fallback, and the
+    crash-atomic pending commit."""
+    from cstore_fdw_spark.operators.analytics import hll_registers
+
+    smeta = catalog._load_meta(source)
+    fields = set(smeta.schema().fieldNames())
+    for c in keys + [column]:
+        if c not in fields:
+            raise CStoreError(
+                f'column "{c}" not in source table "{source}"')
+    if not keys:
+        raise CStoreError("hll agg view needs at least one key")
+    if column in keys:
+        raise CStoreError("the counted column cannot also be a key")
+    probe = hll_registers(catalog.read(source), keys, column)
+    catalog.create_table(view, probe.schema)
+    _save_spec(catalog, view, {
+        "kind": "hll", "source": source, "keys": keys, "column": column,
+        "last_epoch": 0, "source_created_at": smeta.created_at,
+        "pending": None, "version": 2})
+
+
+def hll_view_estimate(catalog: CStoreCatalog, view: str) -> DataFrame:
+    """Finish the maintained register table into per-group distinct
+    estimates — the batch operator's own finisher
+    (``hll_estimate_from_registers``) over the stored state, so a
+    dashboard read costs |groups| x 1024 rows, never a source scan."""
+    from cstore_fdw_spark.operators.analytics import (
+        hll_estimate_from_registers)
+
+    spec = _load_spec(catalog, view)
+    if spec.get("kind") != "hll":
+        raise CStoreError(f'"{view}" is not an HLL sketch view')
+    keys = spec["keys"]
+    regs = (catalog.read(view)
+            .select(F.struct(*keys).alias("grp"), "reg", "m_rho"))
+    est = hll_estimate_from_registers(regs)
+    return est.select(
+        *[F.col(f"l_returnflag.{k}").alias(k) for k in keys],
+        "zero_registers", "denom", "raw_estimate", "distinct_estimate")
+
+
 def create_agg_view(catalog: CStoreCatalog, view: str, source: str,
                     keys: list[str], measures: list[str]) -> None:
     """Declare an aggregate view: per-``keys`` group, ``n_rows`` plus
@@ -219,9 +272,34 @@ def refresh_agg_view(catalog: CStoreCatalog, view: str) -> dict[str, Any]:
 
 def _refresh_locked(catalog: CStoreCatalog, view: str) -> dict[str, Any]:
     spec = _load_spec(catalog, view)
+    if spec.get("kind") == "join":
+        raise CStoreError(
+            f'"{view}" is a join aggregate view — use '
+            "refresh_join_agg_view")
     _recover_pending(catalog, view, spec)
     smeta = catalog._load_meta(spec["source"])
-    keys, measures = spec["keys"], spec["measures"]
+    keys = spec["keys"]
+    if spec.get("kind") == "hll":
+        # MAX-merge state kind: the aggregate is the register rollup and
+        # the delta merge is per-(keys, reg) MAX — idempotent as well as
+        # mergeable, which is why the same crash-atomic commit tail needs
+        # no changes (a hypothetical re-merge couldn't even drift)
+        from cstore_fdw_spark.operators.analytics import hll_registers
+        column = spec["column"]
+
+        def _agg(df: DataFrame) -> DataFrame:
+            return hll_registers(df, keys, column)
+
+        merge_keys = keys + ["reg"]
+        merge_exprs = [F.max("m_rho").alias("m_rho")]
+    else:
+        measures = spec["measures"]
+
+        def _agg(df: DataFrame) -> DataFrame:
+            return _aggregate(df, keys, measures)
+
+        merge_keys = keys
+        merge_exprs = _merge_exprs(measures)
     last = int(spec["last_epoch"])
     cur = smeta.write_epoch
     # drop+recreate under the same name restarts the epoch counter: the
@@ -235,17 +313,16 @@ def _refresh_locked(catalog: CStoreCatalog, view: str) -> dict[str, Any]:
         # full recompute, pinned to the snapshot captured above: a
         # commit landing during execution stamps an epoch > cur and must
         # wait for the NEXT refresh (last_epoch records cur)
-        state = _aggregate(
-            catalog._read_files(smeta, catalog._visible_files(smeta)),
-            keys, measures)
+        state = _agg(
+            catalog._read_files(smeta, catalog._visible_files(smeta)))
         mode = "full"
     else:
         delta_files = [p for p in catalog._visible_files(smeta)
                        if _file_epoch(p) > last]
         delta = catalog._read_files(smeta, delta_files)
-        partial = _aggregate(delta, keys, measures)
+        partial = _agg(delta)
         state = (catalog.read(view).unionByName(partial)
-                 .groupBy(*keys).agg(*_merge_exprs(measures)))
+                 .groupBy(*merge_keys).agg(*merge_exprs))
         mode = "incremental"
     # write-ahead pending record: the state commit below will stamp the
     # view's next epoch; recovery uses that stamp as the commit marker

@@ -1614,21 +1614,30 @@ def sketch_hyperloglog_distinct(spark, sf_dir):
         hll_register_rollup(table(spark, sf_dir, "lineitem")))
 
 
-def hll_register_rollup(lineitem: DataFrame) -> DataFrame:
-    """(grp, reg, m_rho) sketch frame from the raw fact table — the
-    operator's ONLY state, a mergeable per-(group, register) MAX
-    bounded by |groups| x 1024 regardless of rows seen (shared
-    verbatim with the streaming twin)."""
+def hll_registers(df: DataFrame, keys: list[str],
+                  column: str) -> DataFrame:
+    """(keys..., reg, m_rho) register rollup over ANY frame: the
+    mergeable per-(group, register) MAX, bounded by |groups| x 1024
+    regardless of rows seen. Shared by the registered batch operator,
+    the streaming twin, and the incremental aggview state kind
+    (``aggview.create_hll_agg_view``) — one definition, so a sketch
+    built by any of the three merges bit-exactly with the others."""
     from cstore_fdw_spark.functions.portable_hash import spark_h60
 
-    h = spark_h60("cast(l_orderkey as string)")
+    h = spark_h60(f"cast({column} as string)")
     rho = _hll_rho_sql(f"(h div {HLL_M}) % {1 << HLL_RANK_BITS}")
-    hashed = lineitem.select(F.col("l_returnflag").alias("grp"),
-                             F.expr(h).alias("h"))
-    return (hashed
-            .select("grp", (F.col("h") % HLL_M).alias("reg"),
+    return (df.select(*keys, F.expr(h).alias("h"))
+            .select(*keys, (F.col("h") % HLL_M).alias("reg"),
                     F.expr(rho).alias("rho"))
-            .groupBy("grp", "reg").agg(F.max("rho").alias("m_rho")))
+            .groupBy(*keys, "reg").agg(F.max("rho").alias("m_rho")))
+
+
+def hll_register_rollup(lineitem: DataFrame) -> DataFrame:
+    """(grp, reg, m_rho) sketch frame from the raw fact table — the
+    operator's ONLY state (shared verbatim with the streaming twin)."""
+    return hll_registers(
+        lineitem.select(F.col("l_returnflag").alias("grp"), "l_orderkey"),
+        ["grp"], "l_orderkey")
 
 
 def hll_estimate_from_registers(regs: DataFrame) -> DataFrame:

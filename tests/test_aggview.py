@@ -443,3 +443,129 @@ def test_join_refresh_reads_only_delta_fact_files(spark, catalog,
     assert delta_reads, f"no delta-only fact read in {fact_reads}"
     assert _view2(catalog, "jv") == _jfull(spark, catalog,
                                            ["region"], ["x"])
+
+
+# ------------------------------------------------------ HLL sketch views
+
+def _hll_full_regs(catalog, source, keys, column):
+    from cstore_fdw_spark.operators.analytics import hll_registers
+    return sorted(tuple(r) for r in
+                  hll_registers(catalog.read(source), keys, column)
+                  .collect())
+
+
+def test_hll_view_delta_refresh_register_equality(spark, catalog):
+    """The maintained register table must be REGISTER-EQUAL to the
+    batch rollup over the full source after every incremental refresh —
+    the MAX-merge across epoch deltas is the same algebra that merges
+    partitions, so no tolerance, exact row equality."""
+    from cstore_fdw_spark.aggview import (
+        create_hll_agg_view, hll_view_estimate)
+    from cstore_fdw_spark.operators.analytics import (
+        hll_estimate_from_registers, hll_registers)
+
+    catalog.create_table("src", "g string, k long")
+    create_hll_agg_view(catalog, "v", "src", keys=["g"], column="k")
+
+    def batch(rows):
+        catalog.insert("src", spark.createDataFrame(
+            rows, "g string, k long"))
+
+    batch([("a", i) for i in range(200)] + [("b", i) for i in range(50)])
+    r = refresh_agg_view(catalog, "v")
+    assert r["mode"] == "incremental" and r["to_epoch"] == 1
+    assert _view(catalog) == _hll_full_regs(catalog, "src", ["g"], "k")
+
+    # second append: overlapping keys (a: 100 repeats + 100 new) + new
+    # group — repeats must not move any register (MAX idempotence)
+    batch([("a", i) for i in range(100, 400)] + [("c", 7)])
+    r = refresh_agg_view(catalog, "v")
+    assert r == {"mode": "incremental", "from_epoch": 1, "to_epoch": 2}
+    assert _view(catalog) == _hll_full_regs(catalog, "src", ["g"], "k")
+
+    # noop leaves state untouched
+    assert refresh_agg_view(catalog, "v")["mode"] == "noop"
+
+    # the view's estimate == the batch finisher over a full-source
+    # rollup (same registers in, same integer arithmetic through)
+    est_view = {r["g"]: r["distinct_estimate"]
+                for r in hll_view_estimate(catalog, "v").collect()}
+    batch_regs = hll_registers(
+        catalog.read("src").select(F.col("g").alias("grp"), "k"),
+        ["grp"], "k")
+    est_batch = {r["l_returnflag"]: r["distinct_estimate"]
+                 for r in hll_estimate_from_registers(batch_regs).collect()}
+    assert est_view == est_batch
+    # sanity: estimates track the exact distinct counts (small range ->
+    # linear counting regime, well within 10%)
+    exact = {r["g"]: r["d"] for r in
+             catalog.read("src").groupBy("g")
+             .agg(F.countDistinct("k").alias("d")).collect()}
+    for g, d in exact.items():
+        assert abs(est_view[g] - d) <= max(3, 0.1 * d), (g, est_view[g], d)
+
+
+def test_hll_view_rewrite_falls_back_to_full(spark, catalog):
+    from cstore_fdw_spark.aggview import create_hll_agg_view
+
+    catalog.create_table("src", "g string, k long")
+    create_hll_agg_view(catalog, "v", "src", keys=["g"], column="k")
+    catalog.insert("src", spark.createDataFrame(
+        [("a", i) for i in range(100)], "g string, k long"))
+    refresh_agg_view(catalog, "v")
+
+    # a rewrite collapses history: registers set by deleted rows must
+    # disappear, which only a full recompute can guarantee
+    catalog.delete_where("src", "k >= 50")
+    r = refresh_agg_view(catalog, "v")
+    assert r["mode"] == "full"
+    assert _view(catalog) == _hll_full_regs(catalog, "src", ["g"], "k")
+
+
+def test_hll_view_crash_before_state_commit_redoes_cleanly(
+        spark, catalog, monkeypatch):
+    """The shared crash-atomic commit tail, exercised on the MAX-merge
+    kind: a crash between the pending write and the state commit leaves
+    the old state intact, and the redo merges the delta exactly once."""
+    from cstore_fdw_spark.aggview import create_hll_agg_view
+
+    catalog.create_table("src", "g string, k long")
+    create_hll_agg_view(catalog, "v", "src", keys=["g"], column="k")
+    catalog.insert("src", spark.createDataFrame(
+        [("a", i) for i in range(40)], "g string, k long"))
+    refresh_agg_view(catalog, "v")
+    catalog.insert("src", spark.createDataFrame(
+        [("a", i) for i in range(40, 80)], "g string, k long"))
+
+    real_insert = catalog_mod.CStoreCatalog.insert
+
+    def crash_on_state_commit(self, name, df, overwrite=False):
+        if name == "v":
+            raise RuntimeError("injected crash before state commit")
+        return real_insert(self, name, df, overwrite)
+
+    monkeypatch.setattr(
+        catalog_mod.CStoreCatalog, "insert", crash_on_state_commit)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        refresh_agg_view(catalog, "v")
+    monkeypatch.setattr(catalog_mod.CStoreCatalog, "insert", real_insert)
+
+    r = refresh_agg_view(catalog, "v")
+    assert r["mode"] == "incremental" and r["from_epoch"] == 1
+    assert _view(catalog) == _hll_full_regs(catalog, "src", ["g"], "k")
+
+
+def test_hll_view_validation_and_kind_guards(spark, catalog):
+    from cstore_fdw_spark.aggview import (
+        create_hll_agg_view, hll_view_estimate)
+
+    catalog.create_table("src", "g string, k long")
+    with pytest.raises(CStoreError, match="not in source"):
+        create_hll_agg_view(catalog, "v", "src", ["g"], "nope")
+    with pytest.raises(CStoreError, match="at least one key"):
+        create_hll_agg_view(catalog, "v", "src", [], "k")
+    with pytest.raises(CStoreError, match="cannot also be a key"):
+        create_hll_agg_view(catalog, "v", "src", ["k"], "k")
+    create_agg_view(catalog, "plain_v", "src", ["g"], ["k"])
+    with pytest.raises(CStoreError, match="not an HLL sketch view"):
+        hll_view_estimate(catalog, "plain_v")
