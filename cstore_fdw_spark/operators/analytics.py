@@ -1975,3 +1975,168 @@ def sketch_hll_union_intersect(spark, sf_dir):
         "est_a", "est_r", "est_union",
         (F.col("est_a") + F.col("est_r") - F.col("est_union"))
         .cast("long").alias("est_intersect"))
+
+
+# ------------------------------------------- Count-Min / Bloom sketches
+
+#: Count-Min geometry (Cormode & Muthukrishnan '05): d=4 independent
+#: hash rows (the four 32-bit md5 windows — same digest, one hash per
+#: row) x w=512 counters. State is 2048 integers regardless of rows
+#: seen; point-estimate = MIN over the 4 rows; guaranteed est >= exact,
+#: and est <= exact + 2N/w with probability 1 - (1/2)^4 per query.
+CM_D = 4
+CM_W = 512
+
+
+def _countmin_oracle() -> str:
+    from cstore_fdw_spark.functions.portable_hash import duck_w32
+    key = "CAST(user_id AS VARCHAR)"
+    rows = " UNION ALL ".join(
+        f"SELECT user_id, {i} AS i, {duck_w32(key, i)} % {CM_W} AS b "
+        "FROM events" for i in range(CM_D))
+    probe_rows = " UNION ALL ".join(
+        f"SELECT user_id, {i} AS i, {duck_w32(key, i)} % {CM_W} AS b "
+        "FROM probes" for i in range(CM_D))
+    return f"""
+    WITH hashed AS ({rows}),
+    cm AS (
+      SELECT i, b, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM hashed GROUP BY i, b),
+    probes AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS exact_cnt
+      FROM events WHERE user_id % 37 = 0 GROUP BY user_id),
+    pb AS ({probe_rows})
+    SELECT p.user_id, p.exact_cnt,
+           CAST(MIN(c.cnt) AS BIGINT) AS est_cnt
+    FROM pb JOIN cm c ON c.i = pb.i AND c.b = pb.b
+    JOIN probes p ON p.user_id = pb.user_id
+    GROUP BY p.user_id, p.exact_cnt
+    """
+
+
+@register(
+    "sketch_countmin_user_counts",
+    category="analytics",
+    oracle=_countmin_oracle())
+def sketch_countmin_user_counts(spark, sf_dir):
+    """Count-Min frequency sketch (Cormode & Muthukrishnan 2005) over
+    the event stream's user_id: estimate per-user event counts from a
+    4x512-counter sketch instead of an exact per-key shuffle, evaluated
+    here on a deterministic probe set (user_id % 37 = 0) against the
+    exact counts so the one-sided guarantee (est_cnt >= exact_cnt,
+    over-count bounded by ~2N/w) is visible in the output. Hashing is
+    the portable 4-window md5 scheme, all arithmetic integer — the
+    DuckDB oracle recomputes the identical sketch and estimates.
+
+    Scale: THE bounded-state frequency story, the counting twin of the
+    HLL distinct sketch. The corpus is touched once; the per-(row,
+    bucket) COUNT combines map-side so at most d x w = 2048 rows per map
+    partition ever shuffle, and serving is a broadcast join against a
+    2048-row table. The sketch is sum-mergeable — across partitions,
+    micro-batches, and epoch deltas: its state IS a per-(i, b) count,
+    exactly the shape ``aggview.create_agg_view`` already maintains
+    incrementally (keys=[i, b], n_rows), so a lakehouse deployment gets
+    an always-current CM sketch from the existing crash-atomic refresh
+    with zero new machinery."""
+    from cstore_fdw_spark.functions.portable_hash import spark_w32
+
+    ev = table(spark, sf_dir, "events")
+    key = "cast(user_id as string)"
+    bucket_arr = F.array(*[
+        F.struct(F.lit(i).alias("i"),
+                 (F.expr(spark_w32(key, i)) % CM_W).alias("b"))
+        for i in range(CM_D)])
+    cm = (ev.select(F.explode(bucket_arr).alias("x"))
+          .groupBy(F.col("x.i").alias("i"), F.col("x.b").alias("b"))
+          .agg(F.count(F.lit(1)).cast("long").alias("cnt")))
+    probes = (ev.filter(F.col("user_id") % 37 == 0)
+              .groupBy("user_id")
+              .agg(F.count(F.lit(1)).cast("long").alias("exact_cnt")))
+    pb = probes.select("user_id", "exact_cnt",
+                       F.explode(bucket_arr).alias("x"))
+    return (pb.join(F.broadcast(cm),
+                    (F.col("x.i") == F.col("i"))
+                    & (F.col("x.b") == F.col("b")))
+            .groupBy("user_id", "exact_cnt")
+            .agg(F.min("cnt").cast("long").alias("est_cnt")))
+
+
+#: Bloom geometry: m=1024 bits, k=4 hash positions (the four 32-bit md5
+#: windows). Fixed m keeps the oracle deterministic; production sizes m
+#: to the expected key count (m/n ~ 10 bits/key for ~1% FP at k=4).
+BLOOM_M = 1024
+BLOOM_K = 4
+
+
+def _bloom_oracle() -> str:
+    from cstore_fdw_spark.functions.portable_hash import duck_w32
+    okey = "CAST(o_custkey AS VARCHAR)"
+    ckey = "CAST(c_custkey AS VARCHAR)"
+    obits = " UNION ALL ".join(
+        f"SELECT {duck_w32(okey, i)} % {BLOOM_M} AS bit FROM keys"
+        for i in range(BLOOM_K))
+    cbits = " UNION ALL ".join(
+        f"SELECT c_custkey, {duck_w32(ckey, i)} % {BLOOM_M} AS bit "
+        "FROM customer" for i in range(BLOOM_K))
+    return f"""
+    WITH keys AS (
+      SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'P'),
+    bits AS (SELECT DISTINCT bit FROM ({obits}) u),
+    probe AS ({cbits}),
+    hits AS (
+      SELECT p.c_custkey,
+             SUM(CASE WHEN b.bit IS NULL THEN 0 ELSE 1 END) AS nhit
+      FROM probe p LEFT JOIN bits b ON b.bit = p.bit
+      GROUP BY p.c_custkey)
+    SELECT h.c_custkey,
+           (h.nhit = {BLOOM_K}) AS bloom_member,
+           (k.o_custkey IS NOT NULL) AS has_orders
+    FROM hits h
+    LEFT JOIN keys k ON k.o_custkey = h.c_custkey
+    """
+
+
+@register(
+    "sketch_bloom_order_membership",
+    category="analytics",
+    oracle=_bloom_oracle())
+def sketch_bloom_order_membership(spark, sf_dir):
+    """Bloom-filter membership (Bloom 1970): does this customer have a
+    pending ('P') order? The filter is m=1024 bits set by k=4 portable
+    md5 positions over the pending orders' custkeys, stored as the
+    DISTINCT set-bit table (<= m rows no matter how many keys stream
+    in); every customer probes its 4 positions and is a member iff all
+    are set. The output carries the exact answer too, so the one-sided
+    guarantee is visible: bloom_member is always true when has_orders
+    is (no false negatives — asserted in tests); false positives are
+    the deterministic, oracle-reproduced price of the 128-byte state.
+
+    Scale: the key set is folded to <= m set-bit rows with a map-side
+    distinct; probing is a broadcast join against that table. The
+    set-bit table is OR-mergeable (distinct union) across partitions,
+    batches, and archived filters. m is a fixture constant here — a
+    production build sizes m ~ 10n for ~1% FP and shards the bit space
+    by key range."""
+    from cstore_fdw_spark.functions.portable_hash import spark_w32
+
+    okey = "cast(o_custkey as string)"
+    ckey = "cast(c_custkey as string)"
+    keys = (table(spark, sf_dir, "orders")
+            .filter(F.col("o_orderstatus") == "P")
+            .select("o_custkey").distinct())
+    obit_arr = F.array(*[(F.expr(spark_w32(okey, i)) % BLOOM_M)
+                         for i in range(BLOOM_K)])
+    bits = (keys.select(F.explode(obit_arr).alias("bit")).distinct()
+            .withColumn("present", F.lit(1)))
+    cbit_arr = F.array(*[(F.expr(spark_w32(ckey, i)) % BLOOM_M)
+                         for i in range(BLOOM_K)])
+    probe = (table(spark, sf_dir, "customer")
+             .select("c_custkey", F.explode(cbit_arr).alias("bit")))
+    hits = (probe.join(F.broadcast(bits), "bit", "left")
+            .groupBy("c_custkey")
+            .agg(F.sum(F.coalesce("present", F.lit(0))).alias("nhit")))
+    return (hits.join(keys,
+                      hits.c_custkey == keys.o_custkey, "left")
+            .select("c_custkey",
+                    (F.col("nhit") == BLOOM_K).alias("bloom_member"),
+                    F.col("o_custkey").isNotNull().alias("has_orders")))

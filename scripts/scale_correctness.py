@@ -1,0 +1,172 @@
+#!/usr/bin/env python
+"""Correctness sweep at SCALE-SWEEP data sizes (testdata_scale/g*).
+
+The sf0.01 oracle gate proves semantics; this sweep re-proves them at
+10x-30x that scale, where three real r13 bugs (decimal double-rounding
+past 2^53, DECIMAL(18,6) sum-of-squares overflow, a GC-bound join loop)
+first became visible. Two comparison modes:
+
+* collect mode (default): the local gate's exact driver-shaped compare —
+  both engines' full results collected, columns sorted by name, rows an
+  order-insensitive multiset of canonicalized values, md5-hashed.
+* checksum mode (``--checksum name``): for queries whose OUTPUT is too
+  large to collect (dedup_simhash emits ~126 M integer rows at g3.0),
+  both engines instead compute COUNT(*) plus two order-insensitive
+  modular polynomial checksums over the integer columns IN-ENGINE — the
+  identical SQL expression text is evaluated by Spark and DuckDB, so a
+  match still certifies the full multiset (up to the 2^31 modulus) with
+  zero driver memory. Only valid for all-integer outputs.
+
+Usage::
+
+    python scripts/scale_correctness.py --g-dir testdata_scale/g3.0 \
+        --out CORRECTNESS_scale_r14.json --queries q1_pricing_summary ... \
+        [--checksum dedup_simhash]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, "scripts"))
+
+from local_gate import result_hash  # noqa: E402
+
+#: order-insensitive multiset checksum over integer columns: per row
+#: fold cols (sorted by name) through acc = (acc*1000003 + col) mod P,
+#: then SUM(v) and SUM(v*v mod P) over rows. P = 2^31-1 keeps every
+#: intermediate inside exact int64 in BOTH engines (no overflow, no
+#: HUGEINT promotion difference): acc < P, acc*1000003 < 2^51,
+#: SUM over 2^33 rows < 2^64.
+P = 2_147_483_647
+
+
+def _poly_expr(cols: list[str]) -> str:
+    acc = "0"
+    for c in sorted(cols, key=str.lower):
+        acc = f"(({acc}) * 1000003 + ((({c}) % {P}) + {P}) % {P}) % {P}"
+    return acc
+
+
+def checksum_compare(spark, duck, spec) -> dict:
+    sdf = spec.builder(spark, args.g_dir)
+    scols = sdf.columns
+    v = _poly_expr(scols)
+    aggs = [f"COUNT(*) AS n", f"SUM({v}) AS s1",
+            f"SUM((({v}) * ({v})) % {P}) AS s2"]
+    srow = sdf.selectExpr(*aggs).collect()[0]
+    dres = duck.sql(f"SELECT {', '.join(aggs)} FROM ({spec.oracle}) t")
+    dcols = dres.columns  # noqa: F841 — names fixed by aggs
+    drow = dres.fetchall()[0]
+    spark_t = (int(srow["n"]), int(srow["s1"] or 0), int(srow["s2"] or 0))
+    duck_t = (int(drow[0]), int(drow[1] or 0), int(drow[2] or 0))
+    return {
+        "rows_match": spark_t[0] == duck_t[0],
+        "schema_match": True,  # checksum folds the sorted column list
+        "hash_match": spark_t == duck_t,
+        "spark_rows": spark_t[0], "oracle_rows": duck_t[0],
+        "err": None,
+        "mode": "engine_side_checksum",
+        "spark_checksums": [spark_t[1], spark_t[2]],
+        "oracle_checksums": [duck_t[1], duck_t[2]],
+    }
+
+
+def collect_compare(spark, duck, spec) -> dict:
+    rec = {"rows_match": False, "schema_match": False, "hash_match": False,
+           "spark_rows": None, "oracle_rows": None, "err": None}
+    sdf = spec.builder(spark, args.g_dir)
+    scols = sdf.columns
+    srows = [tuple(r) for r in sdf.collect()]
+    rec["spark_rows"] = len(srows)
+    if spec.oracle is None:
+        rec["err"] = "no_oracle (rows-only: ran, stable schema)"
+        rec["rows_match"] = rec["schema_match"] = bool(scols)
+        return rec
+    dres = duck.sql(spec.oracle)
+    dcols = dres.columns
+    drows = dres.fetchall()
+    rec["oracle_rows"] = len(drows)
+    rec["rows_match"] = len(srows) == len(drows)
+    rec["schema_match"] = (sorted(c.lower() for c in scols)
+                           == sorted(c.lower() for c in dcols))
+    rec["hash_match"] = (result_hash(scols, srows)
+                         == result_hash(dcols, drows))
+    return rec
+
+
+def main() -> int:
+    import duckdb
+
+    from cstore_fdw_spark.datasets import TABLES
+    from cstore_fdw_spark.operators import clear_caches, load_all
+    from cstore_fdw_spark.session import get_spark
+
+    registry = load_all()
+    spark = get_spark(app_name="scale-correctness")
+    spark.sparkContext.setLogLevel("ERROR")
+    duck = duckdb.connect()
+    for t in TABLES:
+        duck.sql(f"CREATE VIEW {t} AS SELECT * FROM "
+                 f"'{args.g_dir}/{t}.parquet'")
+
+    out: dict[str, dict] = {}
+    fails = []
+    for i, name in enumerate(args.queries, 1):
+        clear_caches(spark)
+        spec = registry[name]
+        t0 = time.time()
+        try:
+            if name in (args.checksum or []):
+                rec = checksum_compare(spark, duck, spec)
+            else:
+                rec = collect_compare(spark, duck, spec)
+        except Exception as exc:  # noqa: BLE001 — recorded, not raised
+            rec = {"rows_match": False, "schema_match": False,
+                   "hash_match": False, "spark_rows": None,
+                   "oracle_rows": None,
+                   "err": f"{type(exc).__name__}: {exc}"[:500]}
+        rec["sec"] = round(time.time() - t0, 1)
+        out[name] = rec
+        ok = rec["rows_match"] and rec["schema_match"] and (
+            rec["hash_match"] or spec.oracle is None)
+        if not ok:
+            fails.append(name)
+        print(f"[{i:3}/{len(args.queries)}] {'ok  ' if ok else 'FAIL'} "
+              f"{name} ({rec['sec']}s)", flush=True)
+
+    label = os.path.basename(args.g_dir.rstrip("/"))
+    payload = {label: out}
+    if args.meta:
+        payload["_meta"] = json.loads(args.meta)
+    if args.out and os.path.exists(args.out) and args.merge:
+        with open(args.out) as f:
+            prior = json.load(f)
+        prior.update(payload)
+        payload = prior
+    with open(args.out, "w") as f:
+        json.dump(payload, f, indent=1)
+    n_ok = len(args.queries) - len(fails)
+    print(f"\n{n_ok}/{len(args.queries)} green -> {args.out}")
+    if fails:
+        print("FAILURES:", ", ".join(fails))
+    return 1 if fails else 0
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--g-dir", required=True)
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--queries", nargs="+", required=True)
+    ap.add_argument("--checksum", nargs="*", default=[],
+                    help="queries compared via in-engine checksums")
+    ap.add_argument("--meta", default=None, help="JSON _meta blob")
+    ap.add_argument("--merge", action="store_true",
+                    help="merge into an existing --out file")
+    args = ap.parse_args()
+    raise SystemExit(main())

@@ -266,3 +266,46 @@ def test_hll_set_algebra_tracks_truth(spark, registry, sf001_dir):
     assert abs(row["est_intersect"] - inter) < 0.15 * union
     # merge consistency: union estimate can never exceed est_a + est_r
     assert row["est_union"] <= row["est_a"] + row["est_r"]
+
+
+def test_countmin_one_sided_guarantee(spark, sf_dir, registry):
+    """CM estimates can only over-count (hash collisions add), never
+    under-count, and the expected overshoot is ~2N/w per colliding row
+    pair — assert est >= exact everywhere and the error stays within a
+    loose multiple of the N/w bound at test scale."""
+    from cstore_fdw_spark.operators.analytics import CM_W
+    rows = registry["sketch_countmin_user_counts"] \
+        .builder(spark, sf_dir).collect()
+    assert rows, "probe set empty at this sf"
+    n_events = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    bound = max(8, 10 * n_events // CM_W)
+    for r in rows:
+        assert r["est_cnt"] >= r["exact_cnt"], r
+        assert r["est_cnt"] - r["exact_cnt"] <= bound, (r, bound)
+
+
+def test_bloom_no_false_negatives(spark, sf_dir, registry):
+    """The Bloom guarantee: membership is NEVER denied to a present key
+    (every has_orders customer reads bloom_member=true); false
+    positives are allowed but must stay near the m/n/k model rate."""
+    rows = registry["sketch_bloom_order_membership"] \
+        .builder(spark, sf_dir).collect()
+    assert rows
+    fp = fn = members = 0
+    for r in rows:
+        if r["has_orders"]:
+            members += 1
+            if not r["bloom_member"]:
+                fn += 1
+        elif r["bloom_member"]:
+            fp += 1
+    assert fn == 0, f"{fn} false negatives"
+    assert members > 0
+    # FP rate sanity: with m=1024, k=4 the model rate is
+    # (1-exp(-k*n/m))^k; allow 3x headroom for small-sample variance
+    import math
+    from cstore_fdw_spark.operators.analytics import BLOOM_K, BLOOM_M
+    non_members = len(rows) - members
+    if non_members >= 50:
+        model = (1 - math.exp(-BLOOM_K * members / BLOOM_M)) ** BLOOM_K
+        assert fp <= max(5, 3 * model * non_members), (fp, model)
