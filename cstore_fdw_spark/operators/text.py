@@ -1875,3 +1875,65 @@ def text_dsir_importance(spark, sf_dir):
             .limit(_DSIR_TOPN)
             .select("doc_id", "lang", "source", "n_bigrams",
                     "dsir_score"))
+
+
+def _bpe_pack_oracle() -> str:
+    """Pack by the TRAINED tokenizer's counts: nest the full encode
+    oracle (which itself nests the trainer's CTE chain) as a subquery,
+    then apply the identical packing algebra as text_pack_sequences."""
+    return f"""
+    WITH enc AS ({_bpe_encode_oracle()}),
+    t AS (
+      SELECT d.doc_id, d.source, e.n_bpe_tokens AS n_tokens
+      FROM documents d JOIN enc e ON e.doc_id = d.doc_id),
+    c AS (
+      SELECT doc_id, source, n_tokens,
+             CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cum
+      FROM t)
+    SELECT source,
+           CAST((cum - n_tokens) // {PACK_BUDGET} AS BIGINT) AS pack_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS tokens_total,
+           MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+    FROM c GROUP BY 1, 2
+    """
+
+
+@register(
+    "text_bpe_pack_sequences",
+    category="text",
+    oracle=_bpe_pack_oracle())
+def text_bpe_pack_sequences(spark, sf_dir):
+    """Sequence packing by the TRAINED BPE vocabulary — the budget every
+    real training pipeline actually packs against (text_pack_sequences
+    uses whitespace counts; a 2048-token context is a 2048-BPE-token
+    context). Composes two REGISTERED operators literally:
+    :func:`text_bpe_encode` supplies per-doc n_bpe_tokens (itself
+    applying :func:`text_bpe_train`'s merges), and the packing algebra
+    is the same per-source cumulative-sum window / PACK_BUDGET chunking
+    as text_pack_sequences — the oracle nests the encode oracle's text
+    so train/encode/pack can never drift apart.
+
+    Scale: encoding is the corpus-once projection text_bpe_encode
+    already is; packing adds one per-source window over the doc-sized
+    (doc_id, n_tokens) frame and one rollup. Train/serve/pack symmetry
+    for the tokenizer family, matching the IVFADC artifact standard."""
+    from pyspark.sql.window import Window
+
+    d = table(spark, sf_dir, "documents")
+    enc = text_bpe_encode(spark, sf_dir).select(
+        "doc_id", F.col("n_bpe_tokens").alias("n_tokens"))
+    t = d.select("doc_id", "source").join(enc, "doc_id")
+    w = (Window.partitionBy("source").orderBy("doc_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    c = t.withColumn("cum", F.sum("n_tokens").over(w))
+    return (c.select("source", "doc_id", "n_tokens",
+                     F.expr(f"(cum - n_tokens) div {PACK_BUDGET}")
+                     .cast("long").alias("pack_id"))
+            .groupBy("source", "pack_id")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_tokens").alias("tokens_total"),
+                 F.min("doc_id").alias("first_doc"),
+                 F.max("doc_id").alias("last_doc")))
