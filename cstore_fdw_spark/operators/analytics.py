@@ -1248,22 +1248,30 @@ _TRIANGLE_SUPPORT = 2
     #                   n_edges x n_wedges x triangles) cross-join —
     #                   each side is a single aggregate row
     oracle=f"""
-    WITH pairs AS (
+    WITH pairs AS MATERIALIZED (
       SELECT a.l_partkey AS u, b.l_partkey AS v
       FROM lineitem a JOIN lineitem b
         ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
       GROUP BY 1, 2 HAVING COUNT(*) >= {_TRIANGLE_SUPPORT}),
-    und AS (SELECT u, v FROM pairs UNION SELECT v AS u, u AS v FROM pairs),
-    deg AS (SELECT u AS node, COUNT(*) AS d FROM und GROUP BY 1),
-    ori AS (
+    -- AS MATERIALIZED throughout: DuckDB inlines CTEs by default, and
+    -- with pairs/ori referenced from multiple arms the inlined plan
+    -- re-derives the corpus self-join inside a join order that spilled
+    -- >78 GB at g3.0 (18M lineitem) despite every individual stage
+    -- being tiny (3,727 edges). Materialized, the whole oracle runs in
+    -- ~8 s at that scale; result identical (execution hint only).
+    und AS MATERIALIZED (
+      SELECT u, v FROM pairs UNION SELECT v AS u, u AS v FROM pairs),
+    deg AS MATERIALIZED (
+      SELECT u AS node, COUNT(*) AS d FROM und GROUP BY 1),
+    ori AS MATERIALIZED (
       SELECT CASE WHEN (da.d, p.u) < (db.d, p.v) THEN p.u ELSE p.v END AS s,
              CASE WHEN (da.d, p.u) < (db.d, p.v) THEN p.v ELSE p.u END AS t
       FROM pairs p JOIN deg da ON da.node = p.u
                    JOIN deg db ON db.node = p.v),
-    wedge AS (
+    wedge AS MATERIALIZED (
       SELECT e1.t AS b, e2.t AS c
       FROM ori e1 JOIN ori e2 ON e1.s = e2.s AND e1.t < e2.t),
-    tri AS (
+    tri AS MATERIALIZED (
       SELECT COUNT(*) AS n_triangles FROM wedge
       JOIN ori e3 ON e3.s = wedge.b AND e3.t = wedge.c),
     wn AS (SELECT COUNT(*) AS n_wedges FROM wedge)

@@ -49,7 +49,12 @@ P = 2_147_483_647
 def _poly_expr(cols: list[str]) -> str:
     acc = "0"
     for c in sorted(cols, key=str.lower):
-        acc = f"(({acc}) * 1000003 + ((({c}) % {P}) + {P}) % {P}) % {P}"
+        # CAST each column to BIGINT BEFORE the modular fold: narrow
+        # (INT32) columns would otherwise evaluate `(c % P) + P` in
+        # 32-bit — a hard overflow error in DuckDB and a silent wrap in
+        # Spark (ANSI off)
+        acc = (f"(({acc}) * 1000003 + "
+               f"((CAST({c} AS BIGINT) % {P}) + {P}) % {P}) % {P}")
     return acc
 
 
@@ -147,7 +152,11 @@ def main() -> int:
     if args.out and os.path.exists(args.out) and args.merge:
         with open(args.out) as f:
             prior = json.load(f)
-        prior.update(payload)
+        for k, v in payload.items():
+            if isinstance(v, dict) and isinstance(prior.get(k), dict):
+                prior[k].update(v)  # per-label deep merge: rerun a
+            else:                   # subset without dropping the rest
+                prior[k] = v
         payload = prior
     with open(args.out, "w") as f:
         json.dump(payload, f, indent=1)
