@@ -185,6 +185,69 @@ def hll_view_estimate(catalog: CStoreCatalog, view: str) -> DataFrame:
         "zero_registers", "denom", "raw_estimate", "distinct_estimate")
 
 
+def create_bloom_agg_view(catalog: CStoreCatalog, view: str, source: str,
+                          keys: list[str], column: str,
+                          m: int = 1024, k: int = 4) -> None:
+    """Declare an incrementally-maintained Bloom filter: the state table
+    is the DISTINCT (keys..., bit) set-bit table of
+    ``operators.analytics.bloom_bits`` over ``column`` (<= |groups| x m
+    rows no matter how many keys stream in), and the merge kind is
+    distinct union — the OR that combines filters across partitions and
+    batches also combines EPOCH DELTAS, completing the three sketch
+    merge algebras the aggview family maintains (SUM for counters, MAX
+    for HLL registers, OR for bit sets). ``keys`` may be empty (one
+    global filter). Probe with :func:`bloom_view_membership`. Shares
+    the single-table refresh skeleton: epoch-delta scans,
+    rewrite/identity full-recompute fallback (a rewrite can CLEAR bits,
+    which only a rebuild expresses — Bloom filters famously don't
+    support deletion), and the crash-atomic pending commit."""
+    from cstore_fdw_spark.operators.analytics import bloom_bits
+
+    smeta = catalog._load_meta(source)
+    fields = set(smeta.schema().fieldNames())
+    for c in keys + [column]:
+        if c not in fields:
+            raise CStoreError(
+                f'column "{c}" not in source table "{source}"')
+    if column in keys:
+        raise CStoreError("the filtered column cannot also be a key")
+    if m < 2 or k < 1:
+        raise CStoreError("bloom geometry needs m >= 2 and k >= 1")
+    probe = bloom_bits(catalog.read(source), keys, column, m, k)
+    catalog.create_table(view, probe.schema)
+    _save_spec(catalog, view, {
+        "kind": "bloom", "source": source, "keys": keys,
+        "column": column, "m": m, "k": k,
+        "last_epoch": 0, "source_created_at": smeta.created_at,
+        "pending": None, "version": 2})
+
+
+def bloom_view_membership(catalog: CStoreCatalog, view: str,
+                          probes: DataFrame) -> DataFrame:
+    """Probe the maintained filter: ``probes`` carries the view's key
+    columns (if any) plus a column named like the filtered source
+    column; returns the probe columns plus ``bloom_member`` (true iff
+    all k positions are set — never false for a present key, the
+    one-sided guarantee). The set-bit table broadcasts (<= |groups| x m
+    rows), so probing any corpus is one map-side join."""
+    from cstore_fdw_spark.functions.portable_hash import spark_w32
+
+    spec = _load_spec(catalog, view)
+    if spec.get("kind") != "bloom":
+        raise CStoreError(f'"{view}" is not a Bloom filter view')
+    keys, column = spec["keys"], spec["column"]
+    m, k = spec["m"], spec["k"]
+    key = f"cast({column} as string)"
+    arr = F.array(*[(F.expr(spark_w32(key, i)) % m) for i in range(k)])
+    bits = catalog.read(view).withColumn("present", F.lit(1))
+    cols = keys + [column]
+    pb = probes.select(*cols, F.explode(arr).alias("bit"))
+    return (pb.join(F.broadcast(bits), keys + ["bit"], "left")
+            .groupBy(*cols)
+            .agg((F.sum(F.coalesce("present", F.lit(0))) == k)
+                 .alias("bloom_member")))
+
+
 def create_agg_view(catalog: CStoreCatalog, view: str, source: str,
                     keys: list[str], measures: list[str]) -> None:
     """Declare an aggregate view: per-``keys`` group, ``n_rows`` plus
@@ -290,16 +353,29 @@ def _refresh_locked(catalog: CStoreCatalog, view: str) -> dict[str, Any]:
         def _agg(df: DataFrame) -> DataFrame:
             return hll_registers(df, keys, column)
 
-        merge_keys = keys + ["reg"]
-        merge_exprs = [F.max("m_rho").alias("m_rho")]
+        def _merge(old: DataFrame, partial: DataFrame) -> DataFrame:
+            return (old.unionByName(partial).groupBy(*keys, "reg")
+                    .agg(F.max("m_rho").alias("m_rho")))
+    elif spec.get("kind") == "bloom":
+        # OR-merge state kind: the state is the distinct set-bit table,
+        # and the delta merge is distinct union — idempotent like MAX
+        from cstore_fdw_spark.operators.analytics import bloom_bits
+        column, m, k = spec["column"], spec["m"], spec["k"]
+
+        def _agg(df: DataFrame) -> DataFrame:
+            return bloom_bits(df, keys, column, m, k)
+
+        def _merge(old: DataFrame, partial: DataFrame) -> DataFrame:
+            return old.unionByName(partial).distinct()
     else:
         measures = spec["measures"]
 
         def _agg(df: DataFrame) -> DataFrame:
             return _aggregate(df, keys, measures)
 
-        merge_keys = keys
-        merge_exprs = _merge_exprs(measures)
+        def _merge(old: DataFrame, partial: DataFrame) -> DataFrame:
+            return (old.unionByName(partial).groupBy(*keys)
+                    .agg(*_merge_exprs(measures)))
     last = int(spec["last_epoch"])
     cur = smeta.write_epoch
     # drop+recreate under the same name restarts the epoch counter: the
@@ -320,9 +396,7 @@ def _refresh_locked(catalog: CStoreCatalog, view: str) -> dict[str, Any]:
         delta_files = [p for p in catalog._visible_files(smeta)
                        if _file_epoch(p) > last]
         delta = catalog._read_files(smeta, delta_files)
-        partial = _agg(delta)
-        state = (catalog.read(view).unionByName(partial)
-                 .groupBy(*merge_keys).agg(*merge_exprs))
+        state = _merge(catalog.read(view), _agg(delta))
         mode = "incremental"
     # write-ahead pending record: the state commit below will stamp the
     # view's next epoch; recovery uses that stamp as the commit marker

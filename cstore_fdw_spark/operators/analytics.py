@@ -2046,22 +2046,43 @@ def sketch_countmin_user_counts(spark, sf_dir):
     incrementally (keys=[i, b], n_rows), so a lakehouse deployment gets
     an always-current CM sketch from the existing crash-atomic refresh
     with zero new machinery."""
+    ev = table(spark, sf_dir, "events")
+    return countmin_estimates(countmin_rollup(ev),
+                              countmin_probe_counts(ev))
+
+
+def _cm_bucket_arr():
+    """The d (row, bucket) pairs of a user_id — one md5, four windows."""
     from cstore_fdw_spark.functions.portable_hash import spark_w32
 
-    ev = table(spark, sf_dir, "events")
     key = "cast(user_id as string)"
-    bucket_arr = F.array(*[
+    return F.array(*[
         F.struct(F.lit(i).alias("i"),
                  (F.expr(spark_w32(key, i)) % CM_W).alias("b"))
         for i in range(CM_D)])
-    cm = (ev.select(F.explode(bucket_arr).alias("x"))
-          .groupBy(F.col("x.i").alias("i"), F.col("x.b").alias("b"))
-          .agg(F.count(F.lit(1)).cast("long").alias("cnt")))
-    probes = (ev.filter(F.col("user_id") % 37 == 0)
-              .groupBy("user_id")
-              .agg(F.count(F.lit(1)).cast("long").alias("exact_cnt")))
+
+
+def countmin_rollup(ev: DataFrame) -> DataFrame:
+    """(i, b, cnt) sketch frame — the operator's ONLY state, a
+    sum-mergeable per-(row, bucket) COUNT bounded by d x w regardless
+    of rows seen (shared verbatim with the streaming twin)."""
+    return (ev.select(F.explode(_cm_bucket_arr()).alias("x"))
+            .groupBy(F.col("x.i").alias("i"), F.col("x.b").alias("b"))
+            .agg(F.count(F.lit(1)).cast("long").alias("cnt")))
+
+
+def countmin_probe_counts(ev: DataFrame) -> DataFrame:
+    """Exact counts for the deterministic probe set (the audit column)."""
+    return (ev.filter(F.col("user_id") % 37 == 0)
+            .groupBy("user_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("exact_cnt")))
+
+
+def countmin_estimates(cm: DataFrame, probes: DataFrame) -> DataFrame:
+    """Serving finisher: MIN over the d probed cells per key (shared
+    verbatim between the batch operator and the streaming twin)."""
     pb = probes.select("user_id", "exact_cnt",
-                       F.explode(bucket_arr).alias("x"))
+                       F.explode(_cm_bucket_arr()).alias("x"))
     return (pb.join(F.broadcast(cm),
                     (F.col("x.i") == F.col("i"))
                     & (F.col("x.b") == F.col("b")))
@@ -2074,6 +2095,22 @@ def sketch_countmin_user_counts(spark, sf_dir):
 #: to the expected key count (m/n ~ 10 bits/key for ~1% FP at k=4).
 BLOOM_M = 1024
 BLOOM_K = 4
+
+
+def bloom_bits(df: DataFrame, keys: list[str], column: str,
+               m: int = BLOOM_M, k: int = BLOOM_K) -> DataFrame:
+    """(keys..., bit) DISTINCT set-bit table of an m-bit/k-hash Bloom
+    filter over ``column`` — the filter's ONLY state (<= |groups| x m
+    rows regardless of keys streamed in), OR-mergeable by distinct
+    union: across partitions, micro-batches, and epoch deltas (the
+    aggview ``bloom`` state kind). Shared by the registered operator
+    and ``aggview.create_bloom_agg_view`` — one definition, so filters
+    built anywhere merge exactly."""
+    from cstore_fdw_spark.functions.portable_hash import spark_w32
+
+    key = f"cast({column} as string)"
+    arr = F.array(*[(F.expr(spark_w32(key, i)) % m) for i in range(k)])
+    return (df.select(*keys, F.explode(arr).alias("bit")).distinct())
 
 
 def _bloom_oracle() -> str:
@@ -2127,14 +2164,11 @@ def sketch_bloom_order_membership(spark, sf_dir):
     by key range."""
     from cstore_fdw_spark.functions.portable_hash import spark_w32
 
-    okey = "cast(o_custkey as string)"
     ckey = "cast(c_custkey as string)"
     keys = (table(spark, sf_dir, "orders")
             .filter(F.col("o_orderstatus") == "P")
             .select("o_custkey").distinct())
-    obit_arr = F.array(*[(F.expr(spark_w32(okey, i)) % BLOOM_M)
-                         for i in range(BLOOM_K)])
-    bits = (keys.select(F.explode(obit_arr).alias("bit")).distinct()
+    bits = (bloom_bits(keys, [], "o_custkey")
             .withColumn("present", F.lit(1)))
     cbit_arr = F.array(*[(F.expr(spark_w32(ckey, i)) % BLOOM_M)
                          for i in range(BLOOM_K)])

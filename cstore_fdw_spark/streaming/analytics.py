@@ -233,3 +233,42 @@ def run_benford_available_now(spark: SparkSession, sf_dir: str,
     t = spark.table(query_name)
     counts_local = spark.createDataFrame(t.collect(), t.schema)
     return benford_from_digit_counts(counts_local)
+
+
+# ------------------------------------------------- Count-Min twin
+
+def run_countmin_available_now(spark: SparkSession, sf_dir: str,
+                               query_name: str = "cm_sketch"
+                               ) -> DataFrame:
+    """Streaming twin of ``sketch_countmin_user_counts``: the CM sketch
+    is a per-(row, bucket) SUM — mergeable across micro-batches by the
+    property that merges it across partitions — so complete-mode
+    aggregations maintain the IDENTICAL 4x512 counter table the batch
+    query computes (state bounded by d x w, never rows seen), plus the
+    probe set's exact counts (bounded by the probe key domain). Drain
+    both with Trigger.AvailableNow, then run the literally shared
+    ``countmin_estimates`` serving finisher."""
+    from cstore_fdw_spark.operators.analytics import (
+        countmin_estimates, countmin_probe_counts, countmin_rollup)
+
+    ev = read_events_stream(spark, sf_dir)
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (countmin_rollup(ev).writeStream.format("memory")
+             .queryName(query_name + "_cm").outputMode("complete")
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (countmin_probe_counts(ev).writeStream.format("memory")
+             .queryName(query_name + "_probes").outputMode("complete")
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+    cm_t = spark.table(query_name + "_cm")
+    pr_t = spark.table(query_name + "_probes")
+    # sketch-sized rebinds (d x w and |probes| rows): the finisher joins
+    # the two drained frames — same memory-sink self-join rationale as
+    # the HLL/seasonal twins
+    cm = spark.createDataFrame(cm_t.collect(), cm_t.schema)
+    probes = spark.createDataFrame(pr_t.collect(), pr_t.schema)
+    return countmin_estimates(cm, probes)

@@ -569,3 +569,95 @@ def test_hll_view_validation_and_kind_guards(spark, catalog):
     create_agg_view(catalog, "plain_v", "src", ["g"], ["k"])
     with pytest.raises(CStoreError, match="not an HLL sketch view"):
         hll_view_estimate(catalog, "plain_v")
+
+
+# ---------------------------------------------------- Bloom filter views
+
+def _bloom_full_bits(catalog, source, keys, column, m, k):
+    from cstore_fdw_spark.operators.analytics import bloom_bits
+    return sorted(tuple(r) for r in
+                  bloom_bits(catalog.read(source), keys, column, m, k)
+                  .collect())
+
+
+def test_bloom_view_delta_refresh_bit_equality(spark, catalog):
+    """The maintained set-bit table must equal the full-source filter
+    after every incremental refresh (distinct-union OR merge), and the
+    membership probe must honor the no-false-negative guarantee."""
+    from cstore_fdw_spark.aggview import (
+        bloom_view_membership, create_bloom_agg_view)
+
+    catalog.create_table("src", "g string, k long")
+    create_bloom_agg_view(catalog, "v", "src", keys=["g"], column="k",
+                          m=256, k=3)
+
+    def batch(rows):
+        catalog.insert("src", spark.createDataFrame(
+            rows, "g string, k long"))
+
+    batch([("a", i) for i in range(50)])
+    r = refresh_agg_view(catalog, "v")
+    assert r["mode"] == "incremental"
+    assert _view(catalog) == _bloom_full_bits(
+        catalog, "src", ["g"], "k", 256, 3)
+
+    # overlapping + new keys, new group: OR idempotence
+    batch([("a", i) for i in range(25, 80)] + [("b", 5)])
+    r = refresh_agg_view(catalog, "v")
+    assert r["mode"] == "incremental"
+    assert _view(catalog) == _bloom_full_bits(
+        catalog, "src", ["g"], "k", 256, 3)
+
+    # membership: every inserted key is a member (no false negatives)
+    probes = spark.createDataFrame(
+        [("a", i) for i in range(80)] + [("b", 5), ("b", 999)],
+        "g string, k long")
+    got = {(r["g"], r["k"]): r["bloom_member"] for r in
+           bloom_view_membership(catalog, "v", probes).collect()}
+    for i in range(80):
+        assert got[("a", i)] is True, i
+    assert got[("b", 5)] is True
+
+
+def test_bloom_view_rewrite_clears_bits_via_full_recompute(
+        spark, catalog):
+    """Bloom filters can't delete; a source rewrite must fall back to a
+    full rebuild so bits set by deleted keys disappear."""
+    from cstore_fdw_spark.aggview import (
+        bloom_view_membership, create_bloom_agg_view)
+
+    catalog.create_table("src", "g string, k long")
+    create_bloom_agg_view(catalog, "v", "src", keys=[], column="k",
+                          m=4096, k=4)  # sparse: FP-free at this size
+    catalog.insert("src", spark.createDataFrame(
+        [("a", i) for i in range(20)], "g string, k long"))
+    refresh_agg_view(catalog, "v")
+
+    catalog.delete_where("src", "k >= 10")
+    r = refresh_agg_view(catalog, "v")
+    assert r["mode"] == "full"
+    assert _view(catalog) == _bloom_full_bits(
+        catalog, "src", [], "k", 4096, 4)
+    probes = spark.createDataFrame([(i,) for i in range(20)], "k long")
+    got = {r["k"]: r["bloom_member"] for r in
+           bloom_view_membership(catalog, "v", probes).collect()}
+    assert all(got[i] for i in range(10))
+    # with 10 keys in 4096 bits the deleted keys must read absent
+    assert not any(got[i] for i in range(10, 20))
+
+
+def test_bloom_view_validation(spark, catalog):
+    from cstore_fdw_spark.aggview import (
+        bloom_view_membership, create_bloom_agg_view)
+
+    catalog.create_table("src", "g string, k long")
+    with pytest.raises(CStoreError, match="not in source"):
+        create_bloom_agg_view(catalog, "v", "src", ["g"], "nope")
+    with pytest.raises(CStoreError, match="cannot also be a key"):
+        create_bloom_agg_view(catalog, "v", "src", ["k"], "k")
+    with pytest.raises(CStoreError, match="geometry"):
+        create_bloom_agg_view(catalog, "v", "src", [], "k", m=1)
+    create_agg_view(catalog, "plain_v2", "src", ["g"], ["k"])
+    with pytest.raises(CStoreError, match="not a Bloom filter view"):
+        bloom_view_membership(catalog, "plain_v2",
+                              spark.createDataFrame([(1,)], "k long"))

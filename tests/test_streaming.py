@@ -729,3 +729,18 @@ def test_benford_streaming_twin_matches_batch(spark, sf_dir):
         .collect()
     streamed = run_benford_available_now(spark, sf_dir).collect()
     assert streamed == batch
+
+
+def test_countmin_streaming_twin_matches_batch(spark, sf_dir):
+    """The CM counter table is a mergeable SUM: the streamed sketch's
+    estimates must equal the batch operator's row-for-row."""
+    from cstore_fdw_spark.operators import load_all
+    from cstore_fdw_spark.streaming.analytics import (
+        run_countmin_available_now)
+
+    batch = sorted(tuple(r) for r in
+                   load_all()["sketch_countmin_user_counts"]
+                   .builder(spark, sf_dir).collect())
+    streamed = sorted(tuple(r) for r in
+                      run_countmin_available_now(spark, sf_dir).collect())
+    assert streamed == batch
