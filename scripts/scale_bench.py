@@ -84,7 +84,7 @@ def main() -> None:
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     ap.add_argument("--dirs", default=",".join(
         os.path.join(repo, "testdata_scale", g)
-        for g in ("g0.1", "g0.3", "g1.0")))
+        for g in ("g0.1", "g0.3", "g1.0", "g3.0")))
     ap.add_argument("--queries", default=",".join(HEAVY))
     ap.add_argument("--budget-sec", type=float, default=120.0)
     ap.add_argument("--runs", type=int, default=4)
