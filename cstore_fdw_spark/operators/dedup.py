@@ -1007,7 +1007,17 @@ def dedup_simhash(spark, sf_dir):
     always share an identical chunk, so blocking is lossless at this
     radius), Hamming verification via bit_count(xor) per chunk.
     Portable md5-derived bit planes → the DuckDB oracle recomputes the
-    identical signatures and pairs. Output: (doc_a, doc_b, hamming)."""
+    identical signatures and pairs. Output: (doc_a, doc_b, hamming).
+
+    Scale note (measured, SCALE_MEASURED.md r14): on a LOW-DIVERSITY
+    corpus the number of genuinely near-duplicate pairs grows ~N²
+    (13.99 M pairs at 50 k docs → 126.7 M at 150 k on the bounded-vocab
+    fixture), so any exact pair-materializing operator is output-bound
+    there; throughput per PAIR stays sub-linear (α 0.81 vs own output).
+    A pipeline that wants node-bounded output on such corpora should
+    consume the pair stream into components
+    (``dedup_connected_components``, measured FLAT at α −0.07) rather
+    than materialize all pairs."""
     # per-doc token distinctness as an array_distinct PROJECTION, not a
     # distinct() over exploded rows: the latter shuffles every token row
     # before the signature aggregate ever sees them; this form goes

@@ -272,3 +272,41 @@ def run_countmin_available_now(spark: SparkSession, sf_dir: str,
     cm = spark.createDataFrame(cm_t.collect(), cm_t.schema)
     probes = spark.createDataFrame(pr_t.collect(), pr_t.schema)
     return countmin_estimates(cm, probes)
+
+
+# ---------------------------------------------------- Bloom filter twin
+
+def run_bloom_available_now(spark: SparkSession, sf_dir: str,
+                            query_name: str = "bloom_bits"
+                            ) -> DataFrame:
+    """Streaming twin of ``sketch_bloom_order_membership``'s filter
+    build: the set-bit table is OR-mergeable (a bit set by any
+    micro-batch stays set), which complete mode expresses as a
+    groupBy(bit) whose state is bounded by m regardless of keys
+    streamed — the same property that merges filters across partitions
+    and epoch deltas (aggview's ``bloom`` kind). Returns the drained
+    DISTINCT set-bit frame, row-equal to the batch
+    ``analytics.bloom_bits`` over the same keys."""
+    from cstore_fdw_spark.operators.analytics import BLOOM_K, BLOOM_M
+    from cstore_fdw_spark.functions.portable_hash import spark_w32
+
+    ordr = (spark.readStream.schema(
+        spark.read.parquet(f"{sf_dir}/orders.parquet").schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "orders.parquet")
+        .parquet(sf_dir))
+    # stream-rewrite-guard: exempt — READ-ONLY fixture parquet (same
+    # rationale as read_lineitem_stream)
+    key = "cast(o_custkey as string)"
+    arr = F.array(*[(F.expr(spark_w32(key, i)) % BLOOM_M)
+                    for i in range(BLOOM_K)])
+    bits = (ordr.filter(F.col("o_orderstatus") == "P")
+            .select(F.explode(arr).alias("bit"))
+            .groupBy("bit").agg(F.count(F.lit(1)).alias("n")))
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (bits.writeStream.format("memory").queryName(query_name)
+             .outputMode("complete")
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+    return spark.table(query_name).select("bit").distinct()

@@ -661,3 +661,38 @@ def test_bloom_view_validation(spark, catalog):
     with pytest.raises(CStoreError, match="not a Bloom filter view"):
         bloom_view_membership(catalog, "plain_v2",
                               spark.createDataFrame([(1,)], "k long"))
+
+
+def test_countmin_state_maintained_by_standard_agg_view(spark, catalog):
+    """The Count-Min docstring's claim, live: the sketch's per-(i, b)
+    COUNT is exactly the state shape the STANDARD agg view maintains —
+    feed the exploded bucket rows through create_agg_view and the
+    maintained n_rows must equal the batch countmin_rollup counts after
+    incremental refreshes."""
+    from cstore_fdw_spark.operators.analytics import (
+        _cm_bucket_arr, countmin_rollup)
+
+    catalog.create_table("hits", "i int, b long")
+
+    def explode_batch(user_ids):
+        ev = spark.createDataFrame([(u,) for u in user_ids],
+                                   "user_id long")
+        rows = ev.select(F.explode(_cm_bucket_arr()).alias("x")) \
+                 .select(F.col("x.i").alias("i"), F.col("x.b").alias("b"))
+        catalog.insert("hits", rows)
+        return ev
+
+    create_agg_view(catalog, "cmv", "hits", keys=["i", "b"],
+                    measures=["b"])
+    all_users = []
+    for batch_users in ([1, 2, 3, 4, 5] * 3, [5, 6, 7] * 4):
+        all_users += batch_users
+        explode_batch(batch_users)
+        assert refresh_agg_view(catalog, "cmv")["mode"] == "incremental"
+        ev_all = spark.createDataFrame([(u,) for u in all_users],
+                                       "user_id long")
+        want = sorted((r["i"], r["b"], r["cnt"]) for r in
+                      countmin_rollup(ev_all).collect())
+        got = sorted((r["i"], r["b"], r["n_rows"]) for r in
+                     catalog.read("cmv").collect())
+        assert got == want

@@ -744,3 +744,21 @@ def test_countmin_streaming_twin_matches_batch(spark, sf_dir):
     streamed = sorted(tuple(r) for r in
                       run_countmin_available_now(spark, sf_dir).collect())
     assert streamed == batch
+
+
+def test_bloom_streaming_twin_matches_batch_bits(spark, sf_dir):
+    """The streamed filter's set-bit table must equal the batch
+    bloom_bits over the same pending-order keys, bit for bit."""
+    from cstore_fdw_spark.operators.analytics import bloom_bits
+    from cstore_fdw_spark.streaming.analytics import (
+        run_bloom_available_now)
+    from pyspark.sql import functions as F
+
+    keys = (spark.read.parquet(f"{sf_dir}/orders.parquet")
+            .filter(F.col("o_orderstatus") == "P")
+            .select("o_custkey").distinct())
+    batch = sorted(r["bit"] for r in
+                   bloom_bits(keys, [], "o_custkey").collect())
+    streamed = sorted(r["bit"] for r in
+                      run_bloom_available_now(spark, sf_dir).collect())
+    assert streamed == batch and len(batch) > 0
