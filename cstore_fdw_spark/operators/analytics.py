@@ -2264,3 +2264,41 @@ def sketch_hll_rolling_distinct(spark, sf_dir):
     return est.select(F.col("l_returnflag").alias("day"),
                       "zero_registers", "raw_estimate",
                       "distinct_estimate")
+
+
+@register(
+    "timeseries_rolling_distinct_exact",
+    category="analytics",
+    oracle="""
+    WITH du AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+    expanded AS (
+      SELECT day + 0 AS wday, user_id FROM du
+      UNION ALL SELECT day + 1, user_id FROM du
+      UNION ALL SELECT day + 2, user_id FROM du)
+    SELECT wday AS day,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_distinct
+    FROM expanded
+    WHERE wday IN (SELECT day FROM du)
+    GROUP BY wday
+    """)
+def timeseries_rolling_distinct_exact(spark, sf_dir):
+    """EXACT trailing 3-day rolling distinct users per day — the
+    correctness anchor for ``sketch_hll_rolling_distinct`` (the repo
+    convention: every approximate operator ships its exact twin). Same
+    window-by-explode shape (each (day, user) pair lands in its 3
+    trailing windows, equi-joins only), but the final COUNT(DISTINCT)
+    must shuffle every (window, user) pair — the cost the sketch twin's
+    4 KB-per-window registers exist to avoid; at 100 TB the exact form
+    re-shuffles the user universe once per window grain while the
+    sketch form ships registers."""
+    ev = table(spark, sf_dir, "events")
+    du = (ev.select(F.to_date("ts").alias("day"), "user_id").distinct())
+    days = du.select("day").distinct()
+    return (du.select(F.explode(F.expr(
+                "sequence(day, date_add(day, 2))")).alias("day"),
+                "user_id")
+            .join(days, "day", "left_semi")
+            .groupBy("day")
+            .agg(F.countDistinct("user_id").cast("long")
+                 .alias("n_distinct")))

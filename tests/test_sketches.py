@@ -338,3 +338,16 @@ def test_hll_rolling_distinct_tracks_exact_and_dominates_daily(
         est = rows[d]["distinct_estimate"]
         t = exact3[d]
         assert abs(est - t) <= max(4, 0.12 * t), (d, est, t)
+
+
+def test_rolling_sketch_vs_exact_twin(spark, sf_dir, registry):
+    """The sketch twin must track its exact anchor on every window."""
+    est = {r["day"]: r["distinct_estimate"] for r in
+           registry["sketch_hll_rolling_distinct"]
+           .builder(spark, sf_dir).collect()}
+    exact = {r["day"]: r["n_distinct"] for r in
+             registry["timeseries_rolling_distinct_exact"]
+             .builder(spark, sf_dir).collect()}
+    assert set(est) == set(exact) and est
+    for d, t in exact.items():
+        assert abs(est[d] - t) <= max(4, 0.12 * t), (d, est[d], t)
