@@ -125,7 +125,17 @@ def scratch_catalog(spark, sf_dir: str, tag: str, build):
     if not os.path.exists(marker):
         shutil.rmtree(wh, ignore_errors=True)
         cat = CStoreCatalog(spark, warehouse=wh)
-        build(cat)
+        # offline-build broadcast budget: the one-time table build can
+        # broadcast sides whose subtrees are expensive at build scale
+        # (the 60 M-row v1.7 file-set write starved the 300 s
+        # interactive default at g10.0) — same offline-path rationale
+        # as similarity._cached_codebook; restored after the build
+        prev = spark.conf.get("spark.sql.broadcastTimeout", "300")
+        try:
+            spark.conf.set("spark.sql.broadcastTimeout", "3600")
+            build(cat)
+        finally:
+            spark.conf.set("spark.sql.broadcastTimeout", prev)
         with open(marker, "w") as fh:
             fh.write(os.path.abspath(sf_dir))
         return cat

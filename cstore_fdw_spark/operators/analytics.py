@@ -953,7 +953,19 @@ def pagerank_bipartite_3iter(spark, sf_dir):
     ranks = deg.select(F.col("src").alias("node"),
                        F.lit(r0).cast("long").alias("r"))
     for _ in range(PR_ITERS):
-        ranks = (g.join(ranks, g.src == ranks.node)
+        # SHUFFLE_HASH on the node-sized rank side: once ranks outgrow
+        # AQE's runtime broadcast threshold (~1.6 M nodes at g10.0) the
+        # default join is sort-merge, which would sort the 40×-larger
+        # cached EDGE frame every iteration; the hint pins the plan that
+        # still holds when nodes outgrow any broadcast — edges stream
+        # from their cached src-partitioning unsorted, only ranks
+        # hashes (per-partition node-sized build). g10-profiled: the
+        # iterations are ~12 s of the 67 s query either way (the cache
+        # materialization of the 120 M-row edge frame dominates, and is
+        # itself linear in edges — see SCALE_MEASURED r14 third decade);
+        # the hint is plan insurance for the regime past broadcast, not
+        # a measured win at this size.
+        ranks = (g.join(ranks.hint("SHUFFLE_HASH"), g.src == ranks.node)
                  .groupBy(F.col("dst").alias("node"))
                  .agg(F.sum(F.expr("r div d")).alias("s"))
                  .select("node",

@@ -784,7 +784,18 @@ def _cached_codebook(spark, sf_dir, tag, params, build):
         if tag not in CORPUS_SIZED_TAGS:
             # codebooks are model-sized: one file reads in one task
             df = df.coalesce(1)
-        df.write.mode("overwrite").parquet(path)
+        # offline-build broadcast budget: the artifact write's plan can
+        # broadcast a side whose subtree is itself expensive at build
+        # scale (the ivfcodes encode at 200k vectors starved the
+        # broadcast future past the 300 s interactive default and
+        # killed the g10 build). Index training is the train-once
+        # OFFLINE path — give it an offline timeout, restore after.
+        prev = spark.conf.get("spark.sql.broadcastTimeout", "300")
+        try:
+            spark.conf.set("spark.sql.broadcastTimeout", "3600")
+            df.write.mode("overwrite").parquet(path)
+        finally:
+            spark.conf.set("spark.sql.broadcastTimeout", prev)
         TRAINED_TAGS.append(tag)
     return spark.read.parquet(path)
 
