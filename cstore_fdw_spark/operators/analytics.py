@@ -1645,9 +1645,12 @@ def hll_registers(df: DataFrame, keys: list[str],
     from cstore_fdw_spark.functions.portable_hash import spark_h60
 
     h = spark_h60(f"cast({column} as string)")
-    rho = _hll_rho_sql(f"(h div {HLL_M}) % {1 << HLL_RANK_BITS}")
-    return (df.select(*keys, F.expr(h).alias("h"))
-            .select(*keys, (F.col("h") % HLL_M).alias("reg"),
+    # internal hash column gets a reserved name: a plain "h" collided
+    # with sources that themselves have an `h` column (AMBIGUOUS_REFERENCE
+    # under the aggview's arbitrary keys — caught by the multi-key test)
+    rho = _hll_rho_sql(f"(__hll_h div {HLL_M}) % {1 << HLL_RANK_BITS}")
+    return (df.select(*keys, F.expr(h).alias("__hll_h"))
+            .select(*keys, (F.col("__hll_h") % HLL_M).alias("reg"),
                     F.expr(rho).alias("rho"))
             .groupBy(*keys, "reg").agg(F.max("rho").alias("m_rho")))
 

@@ -696,3 +696,32 @@ def test_countmin_state_maintained_by_standard_agg_view(spark, catalog):
         got = sorted((r["i"], r["b"], r["n_rows"]) for r in
                      catalog.read("cmv").collect())
         assert got == want
+
+
+def test_hll_view_multi_key(spark, catalog):
+    """The HLL kind's keys are a LIST — prove register equality and the
+    estimate finisher on a two-key view (the struct-packed grp path)."""
+    from cstore_fdw_spark.aggview import (
+        create_hll_agg_view, hll_view_estimate)
+
+    catalog.create_table("src", "g string, h string, k long")
+    create_hll_agg_view(catalog, "v", "src", keys=["g", "h"], column="k")
+    catalog.insert("src", spark.createDataFrame(
+        [("a", "x", i) for i in range(120)]
+        + [("a", "y", i) for i in range(40)]
+        + [("b", "x", i) for i in range(60)], "g string, h string, k long"))
+    refresh_agg_view(catalog, "v")
+    catalog.insert("src", spark.createDataFrame(
+        [("a", "x", i) for i in range(100, 300)],
+        "g string, h string, k long"))
+    assert refresh_agg_view(catalog, "v")["mode"] == "incremental"
+    assert _view(catalog) == _hll_full_regs(
+        catalog, "src", ["g", "h"], "k")
+    est = {(r["g"], r["h"]): r["distinct_estimate"]
+           for r in hll_view_estimate(catalog, "v").collect()}
+    exact = {(r["g"], r["h"]): r["d"] for r in
+             catalog.read("src").groupBy("g", "h")
+             .agg(F.countDistinct("k").alias("d")).collect()}
+    assert set(est) == set(exact)
+    for key, d in exact.items():
+        assert abs(est[key] - d) <= max(3, 0.1 * d), (key, est[key], d)
