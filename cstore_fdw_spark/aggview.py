@@ -157,6 +157,14 @@ def create_hll_agg_view(catalog: CStoreCatalog, view: str, source: str,
         raise CStoreError("hll agg view needs at least one key")
     if column in keys:
         raise CStoreError("the counted column cannot also be a key")
+    # the state table appends its own columns next to the keys: a key
+    # named like one of them would make hll_registers emit a duplicate
+    # column and fail much later with an opaque AnalysisException —
+    # reject at create time, mirroring the counted-column guard
+    for c in keys:
+        if c in ("reg", "m_rho", "rho", "__hll_h"):
+            raise CStoreError(
+                f'key "{c}" collides with a reserved HLL state column')
     probe = hll_registers(catalog.read(source), keys, column)
     catalog.create_table(view, probe.schema)
     _save_spec(catalog, view, {
@@ -181,7 +189,7 @@ def hll_view_estimate(catalog: CStoreCatalog, view: str) -> DataFrame:
             .select(F.struct(*keys).alias("grp"), "reg", "m_rho"))
     est = hll_estimate_from_registers(regs)
     return est.select(
-        *[F.col(f"l_returnflag.{k}").alias(k) for k in keys],
+        *[F.col(f"grp.{k}").alias(k) for k in keys],
         "zero_registers", "denom", "raw_estimate", "distinct_estimate")
 
 
@@ -211,6 +219,14 @@ def create_bloom_agg_view(catalog: CStoreCatalog, view: str, source: str,
                 f'column "{c}" not in source table "{source}"')
     if column in keys:
         raise CStoreError("the filtered column cannot also be a key")
+    # same reserved-name guard as the HLL view: the state table and the
+    # membership probe both add a "bit" column next to the keys (and
+    # the probe also carries ``column`` itself)
+    for c in keys + [column]:
+        if c == "bit":
+            raise CStoreError(
+                f'column "{c}" collides with the reserved Bloom '
+                'state column "bit"')
     if m < 2 or k < 1:
         raise CStoreError("bloom geometry needs m >= 2 and k >= 1")
     probe = bloom_bits(catalog.read(source), keys, column, m, k)
@@ -242,10 +258,93 @@ def bloom_view_membership(catalog: CStoreCatalog, view: str,
     bits = catalog.read(view).withColumn("present", F.lit(1))
     cols = keys + [column]
     pb = probes.select(*cols, F.explode(arr).alias("bit"))
+    # all-positions-set via MIN, not SUM == k: a duplicate probe row
+    # contributes 2k exploded rows and would break the SUM count while
+    # MIN stays a pure all() — the no-false-negative guarantee must
+    # survive duplicate probes
     return (pb.join(F.broadcast(bits), keys + ["bit"], "left")
             .groupBy(*cols)
-            .agg((F.sum(F.coalesce("present", F.lit(0))) == k)
+            .agg((F.min(F.coalesce("present", F.lit(0))) == 1)
                  .alias("bloom_member")))
+
+
+def create_quantile_agg_view(catalog: CStoreCatalog, view: str,
+                             source: str, keys: list[str], column: str,
+                             lo: float, hi: float,
+                             nbuckets: int = 1024) -> None:
+    """Declare an incrementally-maintained quantile-histogram sketch:
+    the state table is the (keys..., bucket, cnt) equi-width histogram
+    of ``operators.analytics.quantile_buckets`` over ``column`` (<=
+    |groups| x nbuckets rows for in-range data no matter how many rows
+    stream in), and the merge kind is per-(keys, bucket) SUM — the
+    counter algebra that combines partitions and micro-batches also
+    combines EPOCH DELTAS, completing the fourth mergeable sketch the
+    aggview family maintains (SUM counters, MAX HLL registers, OR Bloom
+    bits, and now SUM histogram buckets). Read percentile bounds with
+    :func:`quantile_view_estimate`. The geometry (lo, hi, nbuckets) is
+    fixed at create time — identical bucket boundaries are what make
+    the state mergeable and the [q_lo, q_hi) certificate deterministic.
+    Shares the single-table refresh skeleton: epoch-delta scans,
+    rewrite/identity full-recompute fallback (a rewrite can shrink
+    counts, which only a rebuild expresses), and the crash-atomic
+    pending commit."""
+    from cstore_fdw_spark.operators.analytics import quantile_buckets
+
+    smeta = catalog._load_meta(source)
+    fields = set(smeta.schema().fieldNames())
+    for c in keys + [column]:
+        if c not in fields:
+            raise CStoreError(
+                f'column "{c}" not in source table "{source}"')
+    if not keys:
+        raise CStoreError("quantile agg view needs at least one key")
+    if column in keys:
+        raise CStoreError("the bucketed column cannot also be a key")
+    for c in keys:
+        if c in ("bucket", "cnt"):
+            raise CStoreError(
+                f'key "{c}" collides with a reserved quantile state '
+                'column')
+    dt = smeta.schema()[column].dataType.simpleString()
+    if dt not in ("tinyint", "smallint", "int", "bigint",
+                  "float", "double"):
+        raise CStoreError(
+            f'bucketed column "{column}" has non-numeric type {dt}')
+    if not (lo < hi) or nbuckets < 2:
+        raise CStoreError(
+            "quantile geometry needs lo < hi and nbuckets >= 2")
+    probe = quantile_buckets(catalog.read(source), keys, column,
+                             lo, hi, nbuckets)
+    catalog.create_table(view, probe.schema)
+    _save_spec(catalog, view, {
+        "kind": "quantile", "source": source, "keys": keys,
+        "column": column, "lo": float(lo), "hi": float(hi),
+        "nbuckets": int(nbuckets),
+        "last_epoch": 0, "source_created_at": smeta.created_at,
+        "pending": None, "version": 2})
+
+
+def quantile_view_estimate(catalog: CStoreCatalog, view: str,
+                           qs: tuple = (50, 90, 99)) -> DataFrame:
+    """Finish the maintained histogram into per-group percentile bound
+    certificates — the batch operator's own finisher
+    (``quantile_estimate_from_buckets``) over the stored state, so a
+    dashboard read costs |groups| x nbuckets rows, never a source
+    scan."""
+    from cstore_fdw_spark.operators.analytics import (
+        quantile_estimate_from_buckets)
+
+    spec = _load_spec(catalog, view)
+    if spec.get("kind") != "quantile":
+        raise CStoreError(f'"{view}" is not a quantile sketch view')
+    keys = spec["keys"]
+    counts = (catalog.read(view)
+              .select(F.struct(*keys).alias("grp"), "bucket", "cnt"))
+    est = quantile_estimate_from_buckets(
+        counts, spec["lo"], spec["hi"], spec["nbuckets"], qs)
+    return est.select(
+        *[F.col(f"grp.{k}").alias(k) for k in keys],
+        "q", "n", "rnk", "bucket", "q_lo", "q_hi")
 
 
 def create_agg_view(catalog: CStoreCatalog, view: str, source: str,
@@ -367,6 +466,23 @@ def _refresh_locked(catalog: CStoreCatalog, view: str) -> dict[str, Any]:
 
         def _merge(old: DataFrame, partial: DataFrame) -> DataFrame:
             return old.unionByName(partial).distinct()
+    elif spec.get("kind") == "quantile":
+        # SUM-merge state kind over histogram buckets: the delta's
+        # per-(keys, bucket) counts add onto the stored ones — the same
+        # counter algebra as the standard measures kind, so the
+        # crash-atomic commit tail (pending record -> state insert ->
+        # finalize) provides the exactly-once the non-idempotent SUM
+        # needs, exactly as it does for n_rows/_sum measures
+        from cstore_fdw_spark.operators.analytics import quantile_buckets
+        column = spec["column"]
+        lo, hi, nb = spec["lo"], spec["hi"], spec["nbuckets"]
+
+        def _agg(df: DataFrame) -> DataFrame:
+            return quantile_buckets(df, keys, column, lo, hi, nb)
+
+        def _merge(old: DataFrame, partial: DataFrame) -> DataFrame:
+            return (old.unionByName(partial).groupBy(*keys, "bucket")
+                    .agg(F.sum("cnt").cast("long").alias("cnt")))
     else:
         measures = spec["measures"]
 

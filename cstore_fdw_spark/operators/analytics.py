@@ -927,6 +927,18 @@ def pagerank_bipartite_3iter(spark, sf_dir):
     is never rescanned. Fixed iteration count keeps the lineage flat (no
     per-round checkpoint needed at K=3); a convergence-driven variant
     would cut lineage like dedup_connected_components does."""
+    return pagerank_fixed_point(spark, sf_dir, PR_ITERS)
+
+
+def pagerank_fixed_point(spark, sf_dir, iters: int) -> DataFrame:
+    """The PageRank loop with the iteration count as a parameter — the
+    registered query runs PR_ITERS; the scale sweep additionally times
+    a longer run (10 iterations) against the 3-iteration one to
+    separate the ONE-TIME terms (edge derivation + cache
+    materialization, the bulk of the g10.0 wall clock) from the
+    per-iteration cost that actually compounds in a real
+    convergence-driven deployment — the amortized slope the 100 TB
+    argument rests on (SCALE_MEASURED.md)."""
     from cstore_fdw_spark.operators import track_cache
 
     li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
@@ -952,7 +964,7 @@ def pagerank_bipartite_3iter(spark, sf_dir):
     tele = (r0 * 15) // 100
     ranks = deg.select(F.col("src").alias("node"),
                        F.lit(r0).cast("long").alias("r"))
-    for _ in range(PR_ITERS):
+    for _ in range(iters):
         # SHUFFLE_HASH on the node-sized rank side: once ranks outgrow
         # AQE's runtime broadcast threshold (~1.6 M nodes at g10.0) the
         # default join is sort-merge, which would sort the 40×-larger
@@ -1630,8 +1642,13 @@ def sketch_hyperloglog_distinct(spark, sf_dir):
     micro-batches, so ``streaming.analytics.run_hll_available_now``
     maintains the identical sketch on an unbounded stream and runs
     THIS function's finisher (``hll_estimate_from_registers``)."""
-    return hll_estimate_from_registers(
+    est = hll_estimate_from_registers(
         hll_register_rollup(table(spark, sf_dir, "lineitem")))
+    # the finisher is table-agnostic (returns ``grp``); THIS query owns
+    # the lineitem-specific output name
+    return est.select(F.col("grp").alias("l_returnflag"),
+                      "zero_registers", "denom", "raw_estimate",
+                      "distinct_estimate")
 
 
 def hll_registers(df: DataFrame, keys: list[str],
@@ -1683,13 +1700,13 @@ def hll_estimate_from_registers(regs: DataFrame) -> DataFrame:
                  F.sum(term).cast("long").alias("denom"))
             .withColumn("raw_estimate",
                         F.expr(f"CAST({HLL_EST_NUM} div denom AS BIGINT)"))
-            .select(F.col("grp").alias("l_returnflag"),
+            .select("grp",
                     "zero_registers", "denom", "raw_estimate",
                     F.expr("CAST(" + _hll_corrected_sql(
                         "raw_estimate", "zero_registers", lc_lookup,
                         "div") + " AS BIGINT)")
                     .alias("distinct_estimate"))
-            .orderBy("l_returnflag"))
+            .orderBy("grp"))
 
 
 def _temperature_mix_oracle() -> str:
@@ -2199,6 +2216,233 @@ def sketch_bloom_order_membership(spark, sf_dir):
                     F.col("o_custkey").isNotNull().alias("has_orders")))
 
 
+# ------------------------------------------ quantile histogram sketch
+
+#: Quantile-histogram geometry: a DECLARED value range [QH_LO, QH_HI)
+#: split into QH_NB equi-width buckets. Fixed geometry is what makes the
+#: state mergeable (identical bucket boundaries everywhere — across
+#: partitions, micro-batches, and epoch deltas) and the error bound
+#: DETERMINISTIC: the rank-r order statistic provably lands in the first
+#: bucket whose cumulative count reaches r, so the reported
+#: [q_lo, q_hi) value interval is a certificate, not an estimate. The
+#: declared range covers the TPC-H l_extendedprice domain
+#: (qty <= 50 x retailprice < $2100); out-of-range values would land in
+#: edge-overflow buckets (floor keeps the mapping monotone), keeping the
+#: certificate valid at the cost of wider state — production declares
+#: the range from ANALYZE min/max stats.
+QH_LO = 900.0
+QH_HI = 105000.0
+QH_NB = 1024
+QH_QS = (50, 90, 99)
+
+
+def _qbucket_sql(col: str, lo: float = QH_LO, hi: float = QH_HI,
+                 nbuckets: int = QH_NB) -> str:
+    """Engine-shared bucket index: floor((x - lo) * nb / (hi - lo)).
+    Plain IEEE -,*,/ and floor in the identical order, so Spark and
+    DuckDB compute bit-identical indices (each op is exactly rounded;
+    same text, same doubles in, same int out). Monotone in x, which is
+    all the rank-certificate needs."""
+    return (f"CAST(FLOOR((({col}) - {lo!r}) * {float(nbuckets)!r} "
+            f"/ {hi - lo!r}) AS BIGINT)")
+
+
+def quantile_buckets(df: DataFrame, keys: list[str], column: str,
+                     lo: float = QH_LO, hi: float = QH_HI,
+                     nbuckets: int = QH_NB) -> DataFrame:
+    """(keys..., bucket, cnt) histogram rollup over ANY frame: the
+    sum-mergeable per-(group, bucket) COUNT, bounded by |groups| x
+    nbuckets for in-range data regardless of rows seen. Shared by the
+    registered batch operator, the streaming twin, and the incremental
+    aggview state kind (``aggview.create_quantile_agg_view``) — one
+    definition, so a histogram built by any of the three merges exactly
+    with the others (same algebra ladder as HLL/CM/Bloom: this is the
+    fourth classic mergeable sketch, per-bucket SUM)."""
+    b = _qbucket_sql(column, lo, hi, nbuckets)
+    return (df.select(*keys, F.expr(b).alias("bucket"))
+            .groupBy(*keys, "bucket")
+            .agg(F.count(F.lit(1)).cast("long").alias("cnt")))
+
+
+def quantile_estimate_from_buckets(counts: DataFrame,
+                                   lo: float = QH_LO, hi: float = QH_HI,
+                                   nbuckets: int = QH_NB,
+                                   qs: tuple = QH_QS) -> DataFrame:
+    """Finisher (shared verbatim by the batch operator, the streaming
+    twin, and the aggview reader): (grp, bucket, cnt) histogram ->
+    (grp, q, n, rnk, bucket, q_lo, q_hi) per requested percentile.
+    rnk = ceil(n*q/100) in pure integer arithmetic; the picked bucket is
+    the first whose cumulative count reaches rnk — by construction the
+    bucket that CONTAINS the exact rank-rnk order statistic, making
+    [q_lo, q_hi) a deterministic bound. All joins are sketch-sized
+    (|groups| x nbuckets rows at most) — a dashboard read, never a
+    corpus pass."""
+    w = (Window.partitionBy("grp").orderBy("bucket")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum = counts.select("grp", "bucket", F.sum("cnt").over(w).alias("cum"))
+    tot = counts.groupBy("grp").agg(F.sum("cnt").cast("long").alias("n"))
+    qarr = F.array(*[F.lit(int(q)).cast("long") for q in qs])
+    tq = (tot.select("grp", "n", F.explode(qarr).alias("q"))
+          .withColumn("rnk", F.expr("CAST((n * q + 99) div 100 AS BIGINT)")))
+    picked = (tq.join(cum, "grp")
+              .filter(F.col("cum") >= F.col("rnk"))
+              .groupBy("grp", "q", "n", "rnk")
+              .agg(F.min("bucket").alias("bucket")))
+    span, nb = hi - lo, float(nbuckets)
+    blo = f"{lo!r} + CAST(bucket AS DOUBLE) * {span!r} / {nb!r}"
+    bhi = f"{lo!r} + CAST(bucket + 1 AS DOUBLE) * {span!r} / {nb!r}"
+    return (picked.select("grp", "q", "n", "rnk", "bucket",
+                          F.expr(blo).alias("q_lo"),
+                          F.expr(bhi).alias("q_hi"))
+            .orderBy("grp", "q"))
+
+
+def _qhist_pipeline_sql(qs: tuple = QH_QS) -> str:
+    """DuckDB replica of quantile_buckets + the finisher over lineitem —
+    shared between the two quantile oracles so the sketch text can't
+    drift from the guarantee-check text."""
+    b = _qbucket_sql("l_extendedprice")
+    span, nb = QH_HI - QH_LO, float(QH_NB)
+    qlist = ", ".join(str(int(q)) for q in qs)
+    return f"""
+    b AS (SELECT l_returnflag AS grp, {b} AS bucket FROM lineitem),
+    c AS (SELECT grp, bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+          FROM b GROUP BY grp, bucket),
+    cum AS (SELECT grp, bucket,
+                   SUM(cnt) OVER (PARTITION BY grp ORDER BY bucket) AS cum
+            FROM c),
+    tot AS (SELECT grp, CAST(SUM(cnt) AS BIGINT) AS n FROM c GROUP BY grp),
+    tq AS (SELECT grp, n, q, CAST((n * q + 99) // 100 AS BIGINT) AS rnk
+           FROM tot CROSS JOIN
+                (SELECT CAST(UNNEST([{qlist}]) AS BIGINT) AS q) qq),
+    picked AS (SELECT tq.grp, tq.q, tq.n, tq.rnk,
+                      MIN(cum.bucket) AS bucket
+               FROM tq JOIN cum ON cum.grp = tq.grp
+                               AND cum.cum >= tq.rnk
+               GROUP BY tq.grp, tq.q, tq.n, tq.rnk),
+    est AS (SELECT grp, q, n, rnk, bucket,
+                   {QH_LO!r} + CAST(bucket AS DOUBLE) * {span!r} / {nb!r}
+                     AS q_lo,
+                   {QH_LO!r} + CAST(bucket + 1 AS DOUBLE) * {span!r} / {nb!r}
+                     AS q_hi
+            FROM picked)"""
+
+
+@register(
+    "sketch_quantile_histogram",
+    category="analytics",
+    bench=True,
+    oracle=f"""
+    WITH {_qhist_pipeline_sql()}
+    SELECT grp AS l_returnflag, q, n, rnk, bucket, q_lo, q_hi
+    FROM est ORDER BY l_returnflag, q
+    """)
+def sketch_quantile_histogram(spark, sf_dir):
+    """Bounded-state quantile sketch — the fourth classic mergeable
+    algebra next to HLL (distinct, MAX), Count-Min (frequency, SUM) and
+    Bloom (membership, OR): p50/p90/p99 of l_extendedprice per return
+    flag from a fixed-geometry equi-width histogram instead of an exact
+    per-group sort. The state is the per-(group, bucket) COUNT —
+    sum-mergeable across partitions, micro-batches
+    (``streaming.analytics.run_quantile_available_now`` maintains the
+    identical table and runs THIS finisher) and epoch deltas
+    (``aggview.create_quantile_agg_view``). The error bound is
+    DETERMINISTIC, not probabilistic: the emitted [q_lo, q_hi) interval
+    provably contains the exact rank-ceil(n*q/100) order statistic
+    (asserted against ``percentile_exact``'s machinery in
+    ``sketch_quantile_vs_exact`` and in tests), with width
+    (hi-lo)/nbuckets ~ $101.66 here. The reference host's analog is
+    PostgreSQL's ANALYZE equi-depth histograms + percentile_cont
+    (cstore_fdw delegates both to the executor); this is the
+    histogram-as-maintained-state form those stats files approximate.
+
+    Scale: THE 100 TB percentile story — one corpus pass, map-side
+    combined to <= |groups| x 1024 shuffle rows, finisher is a
+    |groups|x1024-row window + broadcast-sized joins. An exact
+    percentile must globally sort (or multi-pass select) every group;
+    this ships 8 KB per group no matter how many trillions of rows
+    stream in."""
+    li = table(spark, sf_dir, "lineitem")
+    counts = quantile_buckets(
+        li.select(F.col("l_returnflag").alias("grp"), "l_extendedprice"),
+        ["grp"], "l_extendedprice")
+    est = quantile_estimate_from_buckets(counts)
+    return est.select(F.col("grp").alias("l_returnflag"),
+                      "q", "n", "rnk", "bucket", "q_lo", "q_hi")
+
+
+@register(
+    "sketch_quantile_vs_exact",
+    category="analytics",
+    oracle=f"""
+    WITH {_qhist_pipeline_sql()},
+    v AS (SELECT l_returnflag AS grp, l_extendedprice AS x FROM lineitem),
+    vc AS MATERIALIZED (
+        SELECT grp, x, CAST(COUNT(*) AS BIGINT) AS c
+        FROM v GROUP BY grp, x),
+    vcum AS (SELECT grp, x,
+                    SUM(c) OVER (PARTITION BY grp ORDER BY x) AS cum
+             FROM vc),
+    vtot AS (SELECT grp, CAST(SUM(c) AS BIGINT) AS n FROM vc GROUP BY grp),
+    vtq AS (SELECT grp, n, q, CAST((n * q + 99) // 100 AS BIGINT) AS rnk
+            FROM vtot CROSS JOIN
+                 (SELECT CAST(UNNEST([50, 90, 99]) AS BIGINT) AS q) qq),
+    exact AS (SELECT vtq.grp, vtq.q, MIN(vcum.x) AS exact_val
+              FROM vtq JOIN vcum ON vcum.grp = vtq.grp
+                                AND vcum.cum >= vtq.rnk
+              GROUP BY vtq.grp, vtq.q)
+    SELECT e.grp AS l_returnflag, e.q, e.exact_val,
+           est.bucket, est.q_lo, est.q_hi,
+           {_qbucket_sql("e.exact_val")} AS exact_bucket,
+           ({_qbucket_sql("e.exact_val")} = est.bucket) AS bounds_hold
+    FROM exact e JOIN est ON est.grp = e.grp AND est.q = e.q
+    ORDER BY e.grp, e.q
+    """)
+def sketch_quantile_vs_exact(spark, sf_dir):
+    """The quantile sketch's guarantee, made visible in the output (the
+    family contract: every approximate operator ships its exact twin):
+    the exact rank-ceil(n*q/100) order statistic — computed by the
+    scalable value-histogram form: per-(group, value) counts, cumulative
+    sum, first value reaching the rank (never a collect or a per-group
+    full sort) — must land in EXACTLY the bucket the sketch picked
+    (``bounds_hold``), i.e. q_lo <= exact_val < q_hi. Bucket equality is
+    the theorem-level check: both sides bucket through the identical
+    monotone floor expression, so the first-bucket-reaching-rank IS the
+    exact value's bucket — no floating-point edge can break it. At
+    100 TB the exact side re-shuffles every distinct (group, value)
+    pair; the sketch side ships 8 KB per group — the cost gap the
+    bounded state exists to avoid."""
+    li = table(spark, sf_dir, "lineitem")
+    src = li.select(F.col("l_returnflag").alias("grp"),
+                    F.col("l_extendedprice").alias("x"))
+    # sketch side (the registered operator's own pipeline)
+    est = quantile_estimate_from_buckets(
+        quantile_buckets(src, ["grp"], "x"))
+    # exact side: value-histogram rank selection
+    vc = (src.groupBy("grp", "x")
+          .agg(F.count(F.lit(1)).cast("long").alias("c")))
+    w = (Window.partitionBy("grp").orderBy("x")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    vcum = vc.select("grp", "x", F.sum("c").over(w).alias("cum"))
+    vtot = vc.groupBy("grp").agg(F.sum("c").cast("long").alias("n"))
+    qarr = F.array(*[F.lit(int(q)).cast("long") for q in QH_QS])
+    vtq = (vtot.select("grp", "n", F.explode(qarr).alias("q"))
+           .withColumn("rnk",
+                       F.expr("CAST((n * q + 99) div 100 AS BIGINT)")))
+    exact = (vtq.join(vcum, "grp")
+             .filter(F.col("cum") >= F.col("rnk"))
+             .groupBy("grp", "q")
+             .agg(F.min("x").alias("exact_val")))
+    eb = _qbucket_sql("exact_val")
+    return (exact.join(est.select("grp", "q", "bucket", "q_lo", "q_hi"),
+                       ["grp", "q"])
+            .select(F.col("grp").alias("l_returnflag"), "q", "exact_val",
+                    "bucket", "q_lo", "q_hi",
+                    F.expr(eb).alias("exact_bucket"),
+                    (F.expr(eb) == F.col("bucket")).alias("bounds_hold"))
+            .orderBy("l_returnflag", "q"))
+
+
 def _hll_rolling_oracle() -> str:
     from cstore_fdw_spark.functions.portable_hash import duck_h60
     h = duck_h60("CAST(user_id AS VARCHAR)")
@@ -2276,7 +2520,7 @@ def sketch_hll_rolling_distinct(spark, sf_dir):
            .groupBy("day", "reg").agg(F.max("m_rho").alias("m_rho")))
     est = hll_estimate_from_registers(
         win.withColumnRenamed("day", "grp"))
-    return est.select(F.col("l_returnflag").alias("day"),
+    return est.select(F.col("grp").alias("day"),
                       "zero_registers", "raw_estimate",
                       "distinct_estimate")
 

@@ -169,7 +169,12 @@ def run_hll_available_now(spark: SparkSession, sf_dir: str,
     # same rationale as the seasonal twin; the frame is sketch-sized by
     # construction, <= |groups| x 1024 rows)
     regs_local = spark.createDataFrame(t.collect(), t.schema)
-    return hll_estimate_from_registers(regs_local)
+    # same lineitem-owned output alias as the batch operator (the
+    # finisher itself is table-agnostic and returns ``grp``)
+    return (hll_estimate_from_registers(regs_local)
+            .select(F.col("grp").alias("l_returnflag"),
+                    "zero_registers", "denom", "raw_estimate",
+                    "distinct_estimate"))
 
 
 # --------------------------------------------- MAD anomaly-screen twin
@@ -233,6 +238,43 @@ def run_benford_available_now(spark: SparkSession, sf_dir: str,
     t = spark.table(query_name)
     counts_local = spark.createDataFrame(t.collect(), t.schema)
     return benford_from_digit_counts(counts_local)
+
+
+# --------------------------------------------- quantile-sketch twin
+
+def run_quantile_available_now(spark: SparkSession, sf_dir: str,
+                               query_name: str = "qh_buckets"
+                               ) -> DataFrame:
+    """Streaming twin of ``sketch_quantile_histogram``: the histogram
+    state is a per-(group, bucket) COUNT — sum-mergeable across
+    micro-batches by the property that merges it across partitions —
+    so a complete-mode aggregation maintains the IDENTICAL bucket table
+    the batch query computes (state bounded by |groups| x nbuckets,
+    never rows seen). Drain with Trigger.AvailableNow, then run the
+    literally shared ``quantile_estimate_from_buckets`` finisher."""
+    from cstore_fdw_spark.operators.analytics import (
+        quantile_buckets, quantile_estimate_from_buckets)
+
+    li = read_lineitem_stream(spark, sf_dir)
+    counts = quantile_buckets(
+        li.select(F.col("l_returnflag").alias("grp"), "l_extendedprice"),
+        ["grp"], "l_extendedprice")
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (counts.writeStream.format("memory").queryName(query_name)
+             .outputMode("complete")
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+    t = spark.table(query_name)
+    # sketch-sized rebind (|groups| x nbuckets): the finisher windows
+    # and joins the bucket table against frames derived from itself —
+    # same memory-sink self-join rationale as the HLL/CM twins
+    counts_local = spark.createDataFrame(t.collect(), t.schema)
+    est = quantile_estimate_from_buckets(counts_local)
+    # same lineitem-owned output alias as the batch operator (the
+    # finisher itself is table-agnostic and returns ``grp``)
+    return est.select(F.col("grp").alias("l_returnflag"),
+                      "q", "n", "rnk", "bucket", "q_lo", "q_hi")
 
 
 # ------------------------------------------------- Count-Min twin

@@ -493,7 +493,7 @@ def test_hll_view_delta_refresh_register_equality(spark, catalog):
     batch_regs = hll_registers(
         catalog.read("src").select(F.col("g").alias("grp"), "k"),
         ["grp"], "k")
-    est_batch = {r["l_returnflag"]: r["distinct_estimate"]
+    est_batch = {r["grp"]: r["distinct_estimate"]
                  for r in hll_estimate_from_registers(batch_regs).collect()}
     assert est_view == est_batch
     # sanity: estimates track the exact distinct counts (small range ->
@@ -566,6 +566,14 @@ def test_hll_view_validation_and_kind_guards(spark, catalog):
         create_hll_agg_view(catalog, "v", "src", [], "k")
     with pytest.raises(CStoreError, match="cannot also be a key"):
         create_hll_agg_view(catalog, "v", "src", ["k"], "k")
+    # a key named like a reserved state column would collide with the
+    # register table's own output columns — rejected at create time
+    catalog.create_table("src_res", "reg string, m_rho string, k long")
+    with pytest.raises(CStoreError, match="reserved HLL state column"):
+        create_hll_agg_view(catalog, "v", "src_res", ["reg"], "k")
+    with pytest.raises(CStoreError, match="reserved HLL state column"):
+        create_hll_agg_view(catalog, "v", "src_res",
+                            ["reg", "m_rho"], "k")
     create_agg_view(catalog, "plain_v", "src", ["g"], ["k"])
     with pytest.raises(CStoreError, match="not an HLL sketch view"):
         hll_view_estimate(catalog, "plain_v")
@@ -609,8 +617,12 @@ def test_bloom_view_delta_refresh_bit_equality(spark, catalog):
         catalog, "src", ["g"], "k", 256, 3)
 
     # membership: every inserted key is a member (no false negatives)
+    # — including a DUPLICATED probe row, which explodes to 2k bit rows
+    # and used to break the all-positions-set test when it counted
+    # SUM == k instead of MIN == 1
     probes = spark.createDataFrame(
-        [("a", i) for i in range(80)] + [("b", 5), ("b", 999)],
+        [("a", i) for i in range(80)] + [("b", 5), ("b", 999),
+                                         ("a", 5), ("b", 5)],
         "g string, k long")
     got = {(r["g"], r["k"]): r["bloom_member"] for r in
            bloom_view_membership(catalog, "v", probes).collect()}
@@ -657,10 +669,141 @@ def test_bloom_view_validation(spark, catalog):
         create_bloom_agg_view(catalog, "v", "src", ["k"], "k")
     with pytest.raises(CStoreError, match="geometry"):
         create_bloom_agg_view(catalog, "v", "src", [], "k", m=1)
+    # reserved state-column collision: both a key and the filtered
+    # column named "bit" would break the state table / probe plan
+    catalog.create_table("src_bit", "bit string, k long")
+    with pytest.raises(CStoreError, match="reserved Bloom"):
+        create_bloom_agg_view(catalog, "v", "src_bit", ["bit"], "k")
+    catalog.create_table("src_bit2", "g string, bit long")
+    with pytest.raises(CStoreError, match="reserved Bloom"):
+        create_bloom_agg_view(catalog, "v", "src_bit2", ["g"], "bit")
     create_agg_view(catalog, "plain_v2", "src", ["g"], ["k"])
     with pytest.raises(CStoreError, match="not a Bloom filter view"):
         bloom_view_membership(catalog, "plain_v2",
                               spark.createDataFrame([(1,)], "k long"))
+
+
+# ---------------------------------------------- quantile sketch views
+
+def _q_full_buckets(catalog, source, keys, column, lo, hi, nb):
+    from cstore_fdw_spark.operators.analytics import quantile_buckets
+    return sorted(tuple(r) for r in
+                  quantile_buckets(catalog.read(source), keys, column,
+                                   lo, hi, nb).collect())
+
+
+def test_quantile_view_delta_refresh_count_equality(spark, catalog):
+    """The maintained bucket table must be COUNT-EQUAL to the batch
+    histogram over the full source after every incremental refresh —
+    the SUM-merge across epoch deltas is the same algebra that merges
+    partitions, so no tolerance, exact row equality (the fourth sketch
+    merge kind, after MAX/HLL and OR/Bloom)."""
+    from cstore_fdw_spark.aggview import (
+        create_quantile_agg_view, quantile_view_estimate)
+    from cstore_fdw_spark.operators.analytics import (
+        quantile_buckets, quantile_estimate_from_buckets)
+
+    catalog.create_table("src", "g string, x double")
+    create_quantile_agg_view(catalog, "v", "src", keys=["g"],
+                             column="x", lo=0.0, hi=100.0, nbuckets=16)
+
+    def batch(rows):
+        catalog.insert("src", spark.createDataFrame(
+            rows, "g string, x double"))
+
+    batch([("a", float(i % 100)) for i in range(200)]
+          + [("b", float(i)) for i in range(50)])
+    r = refresh_agg_view(catalog, "v")
+    assert r["mode"] == "incremental" and r["to_epoch"] == 1
+    assert _view(catalog) == _q_full_buckets(
+        catalog, "src", ["g"], "x", 0.0, 100.0, 16)
+
+    # second append: overlapping values + a new group — the SUM merge
+    # must add counts, not replace them
+    batch([("a", float(i % 50)) for i in range(300)] + [("c", 7.0)])
+    r = refresh_agg_view(catalog, "v")
+    assert r == {"mode": "incremental", "from_epoch": 1, "to_epoch": 2}
+    assert _view(catalog) == _q_full_buckets(
+        catalog, "src", ["g"], "x", 0.0, 100.0, 16)
+
+    # noop leaves state untouched
+    assert refresh_agg_view(catalog, "v")["mode"] == "noop"
+
+    # the view's estimate == the batch finisher over a full-source
+    # histogram (same counts in, same arithmetic through)
+    est_view = {(r["g"], r["q"]): (r["n"], r["rnk"], r["bucket"],
+                                   r["q_lo"], r["q_hi"])
+                for r in quantile_view_estimate(catalog, "v").collect()}
+    batch_counts = quantile_buckets(
+        catalog.read("src").select(F.col("g").alias("grp"), "x"),
+        ["grp"], "x", 0.0, 100.0, 16)
+    est_batch = {(r["grp"], r["q"]): (r["n"], r["rnk"], r["bucket"],
+                                      r["q_lo"], r["q_hi"])
+                 for r in quantile_estimate_from_buckets(
+                     batch_counts, 0.0, 100.0, 16).collect()}
+    assert est_view == est_batch
+
+    # the certificate: each picked bucket contains the exact rank-rnk
+    # order statistic
+    rows = sorted((r["g"], float(r["x"])) for r in
+                  catalog.read("src").collect())
+    by_g = {}
+    for g, x in rows:
+        by_g.setdefault(g, []).append(x)
+    for (g, q), (n, rnk, bucket, q_lo, q_hi) in est_view.items():
+        vals = sorted(by_g[g])
+        assert n == len(vals)
+        exact = vals[rnk - 1]
+        assert q_lo <= exact < q_hi, (g, q, exact, q_lo, q_hi)
+
+
+def test_quantile_view_rewrite_falls_back_to_full(spark, catalog):
+    from cstore_fdw_spark.aggview import create_quantile_agg_view
+
+    catalog.create_table("src", "g string, x double")
+    create_quantile_agg_view(catalog, "v", "src", keys=["g"],
+                             column="x", lo=0.0, hi=100.0, nbuckets=16)
+    catalog.insert("src", spark.createDataFrame(
+        [("a", float(i)) for i in range(100)], "g string, x double"))
+    refresh_agg_view(catalog, "v")
+
+    # a rewrite shrinks counts, which only a full recompute expresses
+    catalog.delete_where("src", "x >= 50")
+    r = refresh_agg_view(catalog, "v")
+    assert r["mode"] == "full"
+    assert _view(catalog) == _q_full_buckets(
+        catalog, "src", ["g"], "x", 0.0, 100.0, 16)
+
+
+def test_quantile_view_validation(spark, catalog):
+    from cstore_fdw_spark.aggview import (
+        create_quantile_agg_view, quantile_view_estimate)
+
+    catalog.create_table("src", "g string, x double, s string")
+    with pytest.raises(CStoreError, match="not in source"):
+        create_quantile_agg_view(catalog, "v", "src", ["g"], "nope",
+                                 0.0, 1.0)
+    with pytest.raises(CStoreError, match="at least one key"):
+        create_quantile_agg_view(catalog, "v", "src", [], "x", 0.0, 1.0)
+    with pytest.raises(CStoreError, match="cannot also be a key"):
+        create_quantile_agg_view(catalog, "v", "src", ["x"], "x",
+                                 0.0, 1.0)
+    with pytest.raises(CStoreError, match="non-numeric"):
+        create_quantile_agg_view(catalog, "v", "src", ["g"], "s",
+                                 0.0, 1.0)
+    with pytest.raises(CStoreError, match="geometry"):
+        create_quantile_agg_view(catalog, "v", "src", ["g"], "x",
+                                 1.0, 1.0)
+    with pytest.raises(CStoreError, match="geometry"):
+        create_quantile_agg_view(catalog, "v", "src", ["g"], "x",
+                                 0.0, 1.0, nbuckets=1)
+    catalog.create_table("src_res2", "bucket string, cnt string, x long")
+    with pytest.raises(CStoreError, match="reserved quantile"):
+        create_quantile_agg_view(catalog, "v", "src_res2", ["bucket"],
+                                 "x", 0.0, 1.0)
+    create_agg_view(catalog, "plain_v3", "src", ["g"], ["x"])
+    with pytest.raises(CStoreError, match="not a quantile sketch view"):
+        quantile_view_estimate(catalog, "plain_v3")
 
 
 def test_countmin_state_maintained_by_standard_agg_view(spark, catalog):

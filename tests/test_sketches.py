@@ -351,3 +351,50 @@ def test_rolling_sketch_vs_exact_twin(spark, sf_dir, registry):
     assert set(est) == set(exact) and est
     for d, t in exact.items():
         assert abs(est[d] - t) <= max(4, 0.12 * t), (d, est[d], t)
+
+
+def test_quantile_sketch_certificate_holds(spark, sf_dir, registry):
+    """The quantile histogram's deterministic guarantee: every emitted
+    [q_lo, q_hi) interval contains the exact rank-ceil(n*q/100) order
+    statistic, the interval width is exactly (hi-lo)/nbuckets, and the
+    vs_exact query's bounds_hold column reads true on every row."""
+    from cstore_fdw_spark.operators.analytics import QH_HI, QH_LO, QH_NB
+
+    rows = registry["sketch_quantile_histogram"] \
+        .builder(spark, sf_dir).collect()
+    assert rows
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    vals = {}
+    for r in li.select("l_returnflag", "l_extendedprice").collect():
+        vals.setdefault(r[0], []).append(r[1])
+    width = (QH_HI - QH_LO) / QH_NB
+    for r in rows:
+        xs = sorted(vals[r["l_returnflag"]])
+        assert r["n"] == len(xs)
+        exact = xs[r["rnk"] - 1]
+        assert r["q_lo"] <= exact < r["q_hi"], (r, exact)
+        assert abs((r["q_hi"] - r["q_lo"]) - width) < 1e-9
+
+    ve = registry["sketch_quantile_vs_exact"] \
+        .builder(spark, sf_dir).collect()
+    assert len(ve) == len(rows)
+    for r in ve:
+        assert r["bounds_hold"] is True, r
+        assert r["exact_bucket"] == r["bucket"], r
+        assert r["q_lo"] <= r["exact_val"] < r["q_hi"], r
+
+
+def test_quantile_sketch_state_bounded(spark, sf_dir):
+    """The histogram state never exceeds |groups| x nbuckets rows for
+    in-range data, and every bucket index is in [0, nbuckets)."""
+    from cstore_fdw_spark.operators.analytics import (
+        QH_NB, quantile_buckets)
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    counts = quantile_buckets(
+        li.select(F.col("l_returnflag").alias("grp"), "l_extendedprice"),
+        ["grp"], "l_extendedprice").collect()
+    groups = {r["grp"] for r in counts}
+    assert len(counts) <= len(groups) * QH_NB
+    assert all(0 <= r["bucket"] < QH_NB for r in counts)
+    assert sum(r["cnt"] for r in counts) == li.count()

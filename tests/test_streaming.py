@@ -703,6 +703,23 @@ def test_hll_streaming_twin_matches_batch(spark, sf_dir):
     assert streamed == batch
 
 
+def test_quantile_streaming_twin_matches_batch(spark, sf_dir):
+    """The streamed quantile histogram must produce IDENTICAL per-group
+    (q, n, rnk, bucket, q_lo, q_hi) rows as the batch query: its only
+    state is the sum-mergeable per-(group, bucket) COUNT and the
+    finisher is literally shared code — the sketch-twin contract on the
+    fourth mergeable algebra."""
+    from cstore_fdw_spark.operators import load_all
+    from cstore_fdw_spark.streaming.analytics import (
+        run_quantile_available_now)
+
+    reg = load_all()
+    batch = reg["sketch_quantile_histogram"].builder(spark, sf_dir) \
+        .collect()
+    streamed = run_quantile_available_now(spark, sf_dir).collect()
+    assert streamed == batch
+
+
 def test_mad_streaming_twin_matches_batch(spark, sf_dir):
     """The streamed MAD anomaly screen must flag the IDENTICAL hours as
     the batch query: its only state is the mergeable hourly COUNT and
