@@ -237,20 +237,7 @@ def ppjoin_jaccard_pairs(item_sets: DataFrame, tau: float,
     # exact (verified over the full item sets, then filtered ≥ τ).
     if _saturation_guard(freq, n_docs, on_saturation) \
             and on_saturation == "route":
-        shingled = (item_sets
-                    .select("doc_id", "lang",
-                            F.col("items").alias("shingles"))
-                    .filter(F.size("shingles") > 0))
-        lang = shingled.select("doc_id", "lang")
-        la, lb = lang.alias("la"), lang.alias("lb")
-        return (minhash_pairs_from_shingled(
-                    shingled.select("doc_id", "shingles"), full=True)
-                .join(la, F.col("la.doc_id") == F.col("doc_a"))
-                .join(lb, (F.col("lb.doc_id") == F.col("doc_b"))
-                      & (F.col("lb.lang") == F.col("la.lang")))
-                .filter(F.col("jaccard") >= tau)
-                .select("doc_a", "doc_b", "n_common", "size_a", "size_b",
-                        "jaccard", F.lit(True).alias("approx")))
+        return routed_jaccard_pairs(item_sets, tau)
     wdoc = Window.partitionBy("doc_id").orderBy("gf", "ih")
     # persist: the self-join below would otherwise rebuild the whole
     # freq-aggregate + rarity window on BOTH sides (verified in the
@@ -910,6 +897,119 @@ def dedup_minhash_lsh(spark, sf_dir):
     tests/test_properties.py additionally proves exact duplicates are
     always recalled."""
     return minhash_lsh_pairs(table(spark, sf_dir, "documents"))
+
+
+def routed_jaccard_pairs(item_sets: DataFrame, tau: float) -> DataFrame:
+    """The saturation ``route`` tier as a first-class operator: the
+    τ-calibrated MinHash-LSH core over the caller's (doc_id, lang,
+    items) set table, with every candidate pair's jaccard verified
+    EXACTLY over the full item sets and filtered ≥ τ — banding bounds
+    recall (the 8×4 geometry detects jaccard ≳ 0.6, comfortably below
+    τ = 0.8), but no returned pair is ever wrong, so rows carry
+    ``approx = true`` purely as a recall marker. One definition for
+    both callers: the ``on_saturation='route'`` fallthrough of
+    :func:`ppjoin_jaccard_pairs` and the registered
+    ``route_ngram_minhash_tier`` query — the path an unattended 100 TB
+    pipeline takes when a bounded-vocabulary corpus saturates the
+    exact tier's inverted index (the measured ~N² regime,
+    SCALE_MEASURED.md)."""
+    shingled = (item_sets
+                .select("doc_id", "lang",
+                        F.col("items").alias("shingles"))
+                .filter(F.size("shingles") > 0))
+    lang = shingled.select("doc_id", "lang")
+    la, lb = lang.alias("la"), lang.alias("lb")
+    return (minhash_pairs_from_shingled(
+                shingled.select("doc_id", "shingles"), full=True)
+            .join(la, F.col("la.doc_id") == F.col("doc_a"))
+            .join(lb, (F.col("lb.doc_id") == F.col("doc_b"))
+                  & (F.col("lb.lang") == F.col("la.lang")))
+            .filter(F.col("jaccard") >= tau)
+            .select("doc_a", "doc_b", "n_common", "size_a", "size_b",
+                    "jaccard", F.lit(True).alias("approx")))
+
+
+def _routed_ngram_oracle() -> str:
+    """DuckDB replica of the routed char-3-gram tier: the full MinHash
+    pipeline of ``_minhash_oracle`` (same coefficients, bands, exact
+    verification) over char-gram shingles, with the route tier's
+    language gate and ≥-τ filter — so the fallthrough path is
+    hash-compared end-to-end, not just behaviorally tested."""
+    mins = ",\n        ".join(
+        f"MIN(({a} * x + {b}) % {P31}) AS s{i}"
+        for i, (a, b) in enumerate(_MH_COEFFS))
+    band_rows = " UNION ALL ".join(
+        "SELECT doc_id, {t} AS t, {bk} AS bh FROM sigs".format(
+            t=t, bk=band_key_sql(
+                [f"s{t * ROWS_PER_BAND + r}"
+                 for r in range(ROWS_PER_BAND)]))
+        for t in range(N_BANDS))
+    return f"""
+    WITH g AS (
+      SELECT doc_id, lang, list_distinct(list_transform(
+               generate_series(1, GREATEST(LENGTH(text) - 2, 1)),
+               i -> substr(text, i, 3))) AS shingles
+      FROM documents WHERE text <> ''),
+    szs AS (SELECT doc_id, lang, CAST(len(shingles) AS BIGINT) AS n_sh,
+                   shingles
+            FROM g WHERE len(shingles) > 0),
+    ex AS (SELECT doc_id, md5(UNNEST(shingles)) AS m FROM szs),
+    hx AS (SELECT doc_id,
+                  CAST('0x' || substr(m, 1, 8) AS BIGINT) % {P31} AS x
+           FROM ex),
+    exk AS (SELECT doc_id,
+                   CAST('0x' || substr(m, 1, 15) AS BIGINT) AS sh_key
+            FROM ex),
+    sigs AS (
+      SELECT doc_id,
+        {mins}
+      FROM hx GROUP BY doc_id),
+    bands AS (
+      SELECT doc_id, t, bh FROM ({band_rows}) u),
+    cand AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.t = b.t AND a.bh = b.bh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    common AS (
+      SELECT c.doc_a, c.doc_b, CAST(COUNT(*) AS BIGINT) AS n_common
+      FROM cand c
+      JOIN exk ea ON ea.doc_id = c.doc_a
+      JOIN exk eb ON eb.doc_id = c.doc_b AND eb.sh_key = ea.sh_key
+      GROUP BY 1, 2)
+    SELECT c.doc_a, c.doc_b, m.n_common,
+           za.n_sh AS size_a, zb.n_sh AS size_b,
+           CAST(m.n_common AS DOUBLE)
+             / (za.n_sh + zb.n_sh - m.n_common) AS jaccard,
+           TRUE AS approx
+    FROM cand c
+    JOIN common m ON m.doc_a = c.doc_a AND m.doc_b = c.doc_b
+    JOIN szs za ON za.doc_id = c.doc_a
+    JOIN szs zb ON zb.doc_id = c.doc_b AND zb.lang = za.lang
+    WHERE CAST(m.n_common AS DOUBLE)
+             / (za.n_sh + zb.n_sh - m.n_common) >= {NGRAM_JACCARD_TAU}
+    """
+
+
+@register("route_ngram_minhash_tier", category="dedup",
+          oracle=_routed_ngram_oracle())
+def route_ngram_minhash_tier(spark, sf_dir):
+    """The ``on_saturation='route'`` fallthrough of the char-n-gram
+    Jaccard family, pinned as its own oracle-checked query: the
+    τ-calibrated MinHash tier over the SAME char-3-gram item sets
+    ``dedup_ngram_jaccard`` feeds the exact tier (one definition,
+    :func:`routed_jaccard_pairs` — the guard's fallthrough calls this
+    very function). Every emitted pair's jaccard is exact and ≥ τ;
+    ``approx`` marks the bounded-recall tier. Registered unconditionally
+    (not behind the guard) so the fallthrough path is engine-vs-oracle
+    verified at every gate scale, not only when a fixture happens to
+    saturate — and so the scale sweep can measure the route tier's wall
+    clock against the exact tier's measured ~N² blow-up on the same
+    corpus."""
+    d = table(spark, sf_dir, "documents").filter(F.col("text") != "")
+    g = spread(d).select("doc_id", "lang",
+                         F.expr(_CHAR_GRAM_ARR).alias("items"))
+    return routed_jaccard_pairs(g, NGRAM_JACCARD_TAU)
 
 
 # ---------------------------------------------------------------- SimHash

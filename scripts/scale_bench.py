@@ -61,6 +61,9 @@ HEAVY = {
     # r13 additions to the bench set
     "vector_hamming_topk": "embeddings",
     "sketch_hyperloglog_distinct": "lineitem",
+    # r15 additions: the saturation route tier and the quantile sketch
+    "route_ngram_minhash_tier": "documents",
+    "sketch_quantile_histogram": "lineitem",
 }
 
 #: the r12-measured set (kept re-runnable standalone via --queries)
@@ -88,6 +91,9 @@ def main() -> None:
     ap.add_argument("--queries", default=",".join(HEAVY))
     ap.add_argument("--budget-sec", type=float, default=120.0)
     ap.add_argument("--runs", type=int, default=4)
+    ap.add_argument("--skip-index-build", action="store_true",
+                    help="skip ensure_index_artifacts (valid when no "
+                         "timed query serves an ANN index)")
     args = ap.parse_args()
     dirs = args.dirs.split(",")
     names = args.queries.split(",")
@@ -107,7 +113,8 @@ def main() -> None:
                        sorted({HEAVY.get(n, "lineitem") for n in names})}
         spark.read.parquet(f"{d}/lineitem.parquet").limit(1).count()
         t0 = time.perf_counter()
-        ensure_index_artifacts(spark, d)  # offline build, reported apart
+        if not args.skip_index_build:
+            ensure_index_artifacts(spark, d)  # offline build, reported apart
         if "scan_cstore_format_roundtrip" in names:
             # marker-guarded v1.7 file-set write happens at builder
             # construction — prebuild so the timed runs measure SERVING

@@ -40,9 +40,10 @@ from local_gate import result_hash  # noqa: E402
 #: order-insensitive multiset checksum over integer columns: per row
 #: fold cols (sorted by name) through acc = (acc*1000003 + col) mod P,
 #: then SUM(v) and SUM(v*v mod P) over rows. P = 2^31-1 keeps every
-#: intermediate inside exact int64 in BOTH engines (no overflow, no
-#: HUGEINT promotion difference): acc < P, acc*1000003 < 2^51,
-#: SUM over 2^33 rows < 2^64.
+#: intermediate inside exact SIGNED int64 in BOTH engines (no overflow,
+#: no HUGEINT promotion difference): acc < P, acc*1000003 < 2^51, and
+#: SUM of per-row values < P ~ 2^31 stays under the signed 2^63 bound
+#: up to ~2^32 rows (~4 B-row headroom; current sweeps are ~2^27).
 P = 2_147_483_647
 
 
@@ -60,12 +61,36 @@ def _poly_expr(cols: list[str]) -> str:
 
 def checksum_compare(spark, duck, spec) -> dict:
     sdf = spec.builder(spark, args.g_dir)
+    int_types = ("tinyint", "smallint", "int", "bigint")
+    int_project = spec.name in (args.int_project or [])
+    if int_project:
+        # --int-project: checksum only the integer columns (same-named
+        # projection wraps the oracle too). Honest for outputs whose
+        # non-integer columns are pure functions of the integer ones
+        # (e.g. a jaccard derived from n_common/size_a/size_b): the
+        # integer multiset pins the pair set; recorded in the artifact.
+        keep = [f.name for f in sdf.schema.fields
+                if f.dataType.simpleString() in int_types]
+        if not keep:
+            raise SystemExit(f"--int-project kept no columns for {spec!r}")
+        sdf = sdf.select(*keep)
+    # the modular fold is only exact over integer payloads — a silent
+    # BIGINT cast of a float/string column would checksum garbage that
+    # might even "match" by truncation luck; fail loudly instead
+    for f in sdf.schema.fields:
+        if f.dataType.simpleString() not in int_types:
+            raise SystemExit(
+                f"checksum mode needs all-integer outputs; column "
+                f"{f.name!r} of {spec!r} is {f.dataType.simpleString()}")
     scols = sdf.columns
     v = _poly_expr(scols)
     aggs = [f"COUNT(*) AS n", f"SUM({v}) AS s1",
             f"SUM((({v}) * ({v})) % {P}) AS s2"]
     srow = sdf.selectExpr(*aggs).collect()[0]
-    dres = duck.sql(f"SELECT {', '.join(aggs)} FROM ({spec.oracle}) t")
+    oracle = spec.oracle
+    if int_project:
+        oracle = (f"SELECT {', '.join(scols)} FROM ({oracle}) ipt")
+    dres = duck.sql(f"SELECT {', '.join(aggs)} FROM ({oracle}) t")
     dcols = dres.columns  # noqa: F841 — names fixed by aggs
     drow = dres.fetchall()[0]
     spark_t = (int(srow["n"]), int(srow["s1"] or 0), int(srow["s2"] or 0))
@@ -76,7 +101,9 @@ def checksum_compare(spark, duck, spec) -> dict:
         "hash_match": spark_t == duck_t,
         "spark_rows": spark_t[0], "oracle_rows": duck_t[0],
         "err": None,
-        "mode": "engine_side_checksum",
+        "mode": ("engine_side_checksum_int_projected" if int_project
+                 else "engine_side_checksum"),
+        "checksum_columns": scols,
         "spark_checksums": [spark_t[1], spark_t[2]],
         "oracle_checksums": [duck_t[1], duck_t[2]],
     }
@@ -127,7 +154,8 @@ def main() -> int:
         spec = registry[name]
         t0 = time.time()
         try:
-            if name in (args.checksum or []):
+            if name in (args.checksum or []) \
+                    or name in (args.int_project or []):
                 rec = checksum_compare(spark, duck, spec)
             else:
                 rec = collect_compare(spark, duck, spec)
@@ -174,6 +202,9 @@ if __name__ == "__main__":
     ap.add_argument("--queries", nargs="+", required=True)
     ap.add_argument("--checksum", nargs="*", default=[],
                     help="queries compared via in-engine checksums")
+    ap.add_argument("--int-project", nargs="*", default=[],
+                    help="checksum queries restricted to their integer "
+                         "columns (same projection on both engines)")
     ap.add_argument("--meta", default=None, help="JSON _meta blob")
     ap.add_argument("--merge", action="store_true",
                     help="merge into an existing --out file")
