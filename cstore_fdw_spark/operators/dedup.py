@@ -739,11 +739,12 @@ def minhash_lsh_pairs(docs: DataFrame) -> DataFrame:
 def minhash_pairs_from_shingled(shingled: DataFrame,
                                 full: bool = False) -> DataFrame:
     """The MinHash+LSH+verify core over any (doc_id, shingles:
-    array<string>) set table — shared by :func:`minhash_lsh_pairs`
-    (word shingles from text) and the saturation ``route`` tier of
-    :func:`ppjoin_jaccard_pairs` (which feeds its caller's item arrays
-    directly, so the approximate tier answers the SAME set-similarity
-    question the exact tier would have). ``full=True`` additionally
+    array<string>) set table — used by :func:`minhash_lsh_pairs`
+    (word shingles from text); the saturation ``route`` tier of
+    :func:`ppjoin_jaccard_pairs` shares the same signature/banding
+    primitives via :func:`minhash_band_candidates` but restricts the
+    candidate signature to each doc's rarity prefix (see
+    :func:`routed_jaccard_pairs` for why). ``full=True`` additionally
     returns the exact verified overlap and set sizes
     (n_common, size_a, size_b) in the PPJoin output convention."""
     # persist() materializes the per-shingle hashes once (the expensive
@@ -899,42 +900,118 @@ def dedup_minhash_lsh(spark, sf_dir):
     return minhash_lsh_pairs(table(spark, sf_dir, "documents"))
 
 
+#: Route-tier candidate signature size: each doc is represented by its
+#: ROUTE_PREFIX_K RAREST items under the global (per-language) (df,
+#: item) order — the PPJoin prefix principle applied to LSH candidate
+#: generation. Why this matters: on the measured bounded-vocabulary
+#: corpus (31-word generator) the BACKGROUND char-gram jaccard between
+#: unrelated docs is ~0.46 median with 6.7 % of all N² pairs ≥ 0.6, so
+#: banding the full sets collides ~30 % of ALL pairs (a >76 GB shuffle
+#: spill at a mere 50 k docs — measured, r15). The rarity prefix keeps
+#: exactly the discriminative tail (word-boundary grams, df ≈ 5 %)
+#: and drops the corpus-stopword grams every doc shares: measured
+#: background prefix-jaccard falls to ~0.0125 (collision odds ~2e-7)
+#: while near-duplicate pairs keep overlapping prefixes under the
+#: shared global order. Docs with ≤ K items keep their full set, so
+#: small-set corpora (and the saturation-guard fixtures) are
+#: candidate-identical to un-restricted banding.
+ROUTE_PREFIX_K = 24
+
+
+def minhash_band_candidates(shingled: DataFrame) -> DataFrame:
+    """(doc_a, doc_b) DISTINCT banded-LSH collision pairs over a
+    (doc_id, shingles) table — the same signature coefficients and 8×4
+    band keys as :func:`minhash_pairs_from_shingled`, without the fused
+    verification (the route tier verifies against the FULL item sets,
+    not the candidate signature)."""
+    from cstore_fdw_spark.operators import track_cache
+
+    ex = track_cache(shingle_hashes(shingled).persist())
+    mins = [F.min((F.lit(a) * F.col("x") + F.lit(b)) % P31).alias(f"s{i}")
+            for i, (a, b) in enumerate(_MH_COEFFS)]
+    band_cols = F.array(*[
+        F.expr(band_key_sql([f"s{t * ROWS_PER_BAND + r}"
+                             for r in range(ROWS_PER_BAND)]))
+        for t in range(N_BANDS)])
+    sigs = track_cache(ex.groupBy("doc_id").agg(*mins)
+                       .select("doc_id", band_cols.alias("bands"))
+                       .persist())
+    sigs.count()  # eager: both self-join sides consume it
+    bands = (sigs.select("doc_id", F.posexplode("bands"))
+             .select("doc_id", F.col("pos").alias("band"),
+                     F.col("col").alias("bh")))
+    a, b = bands.alias("a"), bands.alias("b")
+    return (a.join(b, (F.col("a.band") == F.col("b.band"))
+                   & (F.col("a.bh") == F.col("b.bh"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .select(F.col("a.doc_id").alias("doc_a"),
+                    F.col("b.doc_id").alias("doc_b"))
+            .distinct())
+
+
 def routed_jaccard_pairs(item_sets: DataFrame, tau: float) -> DataFrame:
-    """The saturation ``route`` tier as a first-class operator: the
-    τ-calibrated MinHash-LSH core over the caller's (doc_id, lang,
-    items) set table, with every candidate pair's jaccard verified
-    EXACTLY over the full item sets and filtered ≥ τ — banding bounds
-    recall (the 8×4 geometry detects jaccard ≳ 0.6, comfortably below
-    τ = 0.8), but no returned pair is ever wrong, so rows carry
-    ``approx = true`` purely as a recall marker. One definition for
-    both callers: the ``on_saturation='route'`` fallthrough of
+    """The saturation ``route`` tier as a first-class operator — the
+    path an unattended 100 TB pipeline takes when a bounded-vocabulary
+    corpus saturates the exact tier's inverted index (the measured ~N²
+    regime, SCALE_MEASURED.md). One definition for both callers: the
+    ``on_saturation='route'`` fallthrough of
     :func:`ppjoin_jaccard_pairs` and the registered
-    ``route_ngram_minhash_tier`` query — the path an unattended 100 TB
-    pipeline takes when a bounded-vocabulary corpus saturates the
-    exact tier's inverted index (the measured ~N² regime,
-    SCALE_MEASURED.md)."""
-    shingled = (item_sets
-                .select("doc_id", "lang",
-                        F.col("items").alias("shingles"))
-                .filter(F.size("shingles") > 0))
-    lang = shingled.select("doc_id", "lang")
-    la, lb = lang.alias("la"), lang.alias("lb")
-    return (minhash_pairs_from_shingled(
-                shingled.select("doc_id", "shingles"), full=True)
-            .join(la, F.col("la.doc_id") == F.col("doc_a"))
-            .join(lb, (F.col("lb.doc_id") == F.col("doc_b"))
-                  & (F.col("lb.lang") == F.col("la.lang")))
+    ``route_ngram_minhash_tier`` query.
+
+    Candidates: MinHash banding over each doc's RARITY PREFIX (its
+    ROUTE_PREFIX_K rarest items under the global (lang, df, item)
+    order — see the constant's comment for the measured density wall
+    this avoids; it is the exact tier's PPJoin prefix principle reused
+    for LSH). Verification: every candidate pair's jaccard is computed
+    EXACTLY over the FULL original item sets — one row per candidate,
+    a JVM ``array_intersect`` of the two distinct arrays, never a
+    per-item row explosion — then filtered ≥ τ, so no returned pair is
+    ever wrong. Banding + prefix restriction bound RECALL (near-exact
+    duplicates always collide: identical sets have identical
+    prefixes), which is why rows carry ``approx = true``."""
+    from cstore_fdw_spark.operators import track_cache
+
+    sets = track_cache(
+        item_sets.filter(F.size("items") > 0).persist())
+    sets.count()  # eager: prefix build and both verify sides consume it
+    ex = sets.select("doc_id", "lang", F.explode("items").alias("it"))
+    dfreq = ex.groupBy("lang", "it").agg(F.count(F.lit(1)).alias("df"))
+    wdoc = Window.partitionBy("doc_id").orderBy("df", "it")
+    prefix = (ex.join(dfreq, ["lang", "it"])
+              .withColumn("rn", F.row_number().over(wdoc))
+              .filter(F.col("rn") <= ROUTE_PREFIX_K))
+    shingled = (prefix.groupBy("doc_id")
+                .agg(F.collect_list("it").alias("shingles")))
+    cands = minhash_band_candidates(shingled)
+    a = sets.select(F.col("doc_id").alias("doc_a"),
+                    F.col("lang").alias("lang_a"),
+                    F.col("items").alias("items_a"))
+    b = sets.select(F.col("doc_id").alias("doc_b"),
+                    F.col("lang").alias("lang_b"),
+                    F.col("items").alias("items_b"))
+    n_common = F.size(F.array_intersect("items_a", "items_b")) \
+        .cast("long")
+    return (cands.join(a, "doc_a").join(b, "doc_b")
+            .filter(F.col("lang_a") == F.col("lang_b"))
+            .withColumn("n_common", n_common)
+            .withColumn("size_a", F.size("items_a").cast("long"))
+            .withColumn("size_b", F.size("items_b").cast("long"))
+            .withColumn("jaccard",
+                        F.col("n_common").cast("double")
+                        / (F.col("size_a") + F.col("size_b")
+                           - F.col("n_common")))
             .filter(F.col("jaccard") >= tau)
             .select("doc_a", "doc_b", "n_common", "size_a", "size_b",
                     "jaccard", F.lit(True).alias("approx")))
 
 
 def _routed_ngram_oracle() -> str:
-    """DuckDB replica of the routed char-3-gram tier: the full MinHash
-    pipeline of ``_minhash_oracle`` (same coefficients, bands, exact
-    verification) over char-gram shingles, with the route tier's
-    language gate and ≥-τ filter — so the fallthrough path is
-    hash-compared end-to-end, not just behaviorally tested."""
+    """DuckDB replica of the routed char-3-gram tier: the identical
+    per-language rarity-prefix restriction (ROW_NUMBER over (df, item)),
+    the same MinHash coefficients and band keys as ``_minhash_oracle``,
+    and the same exact full-set ``list_intersect`` verification — so
+    the fallthrough path is hash-compared end-to-end, not just
+    behaviorally tested."""
     mins = ",\n        ".join(
         f"MIN(({a} * x + {b}) % {P31}) AS s{i}"
         for i, (a, b) in enumerate(_MH_COEFFS))
@@ -948,18 +1025,25 @@ def _routed_ngram_oracle() -> str:
     WITH g AS (
       SELECT doc_id, lang, list_distinct(list_transform(
                generate_series(1, GREATEST(LENGTH(text) - 2, 1)),
-               i -> substr(text, i, 3))) AS shingles
+               i -> substr(text, i, 3))) AS items
       FROM documents WHERE text <> ''),
-    szs AS (SELECT doc_id, lang, CAST(len(shingles) AS BIGINT) AS n_sh,
-                   shingles
-            FROM g WHERE len(shingles) > 0),
-    ex AS (SELECT doc_id, md5(UNNEST(shingles)) AS m FROM szs),
+    s2 AS MATERIALIZED (
+      SELECT doc_id, lang, items, CAST(len(items) AS BIGINT) AS n_s
+      FROM g WHERE len(items) > 0),
+    ex AS MATERIALIZED (
+      SELECT doc_id, lang, UNNEST(items) AS it FROM s2),
+    dfreq AS (SELECT lang, it, COUNT(*) AS df FROM ex GROUP BY lang, it),
+    pfx AS (
+      SELECT doc_id, it FROM (
+        SELECT e.doc_id, e.it,
+               ROW_NUMBER() OVER (PARTITION BY e.doc_id
+                                  ORDER BY d.df, e.it) AS rn
+        FROM ex e JOIN dfreq d ON d.lang = e.lang AND d.it = e.it) t
+      WHERE rn <= {ROUTE_PREFIX_K}),
     hx AS (SELECT doc_id,
-                  CAST('0x' || substr(m, 1, 8) AS BIGINT) % {P31} AS x
-           FROM ex),
-    exk AS (SELECT doc_id,
-                   CAST('0x' || substr(m, 1, 15) AS BIGINT) AS sh_key
-            FROM ex),
+                  CAST('0x' || substr(md5(it), 1, 8) AS BIGINT)
+                    % {P31} AS x
+           FROM pfx),
     sigs AS (
       SELECT doc_id,
         {mins}
@@ -971,23 +1055,21 @@ def _routed_ngram_oracle() -> str:
       FROM bands a JOIN bands b
         ON a.t = b.t AND a.bh = b.bh AND a.doc_id < b.doc_id
       GROUP BY 1, 2),
-    common AS (
-      SELECT c.doc_a, c.doc_b, CAST(COUNT(*) AS BIGINT) AS n_common
+    v AS (
+      SELECT c.doc_a, c.doc_b,
+             CAST(len(list_intersect(sa.items, sb.items)) AS BIGINT)
+               AS n_common,
+             sa.n_s AS size_a, sb.n_s AS size_b
       FROM cand c
-      JOIN exk ea ON ea.doc_id = c.doc_a
-      JOIN exk eb ON eb.doc_id = c.doc_b AND eb.sh_key = ea.sh_key
-      GROUP BY 1, 2)
-    SELECT c.doc_a, c.doc_b, m.n_common,
-           za.n_sh AS size_a, zb.n_sh AS size_b,
-           CAST(m.n_common AS DOUBLE)
-             / (za.n_sh + zb.n_sh - m.n_common) AS jaccard,
+      JOIN s2 sa ON sa.doc_id = c.doc_a
+      JOIN s2 sb ON sb.doc_id = c.doc_b AND sb.lang = sa.lang)
+    SELECT doc_a, doc_b, n_common, size_a, size_b,
+           CAST(n_common AS DOUBLE)
+             / (size_a + size_b - n_common) AS jaccard,
            TRUE AS approx
-    FROM cand c
-    JOIN common m ON m.doc_a = c.doc_a AND m.doc_b = c.doc_b
-    JOIN szs za ON za.doc_id = c.doc_a
-    JOIN szs zb ON zb.doc_id = c.doc_b AND zb.lang = za.lang
-    WHERE CAST(m.n_common AS DOUBLE)
-             / (za.n_sh + zb.n_sh - m.n_common) >= {NGRAM_JACCARD_TAU}
+    FROM v
+    WHERE CAST(n_common AS DOUBLE)
+             / (size_a + size_b - n_common) >= {NGRAM_JACCARD_TAU}
     """
 
 
