@@ -1174,10 +1174,13 @@ def _simhash_oracle() -> str:
     ck AS (
       SELECT doc_id, c0, c1, c2, c3, v.chunk, {ck_case} AS ckv
       FROM sig, (VALUES (0), (1), (2), (3)) v(chunk))
-    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
            CAST({ham} AS INTEGER) AS hamming
     FROM ck a JOIN ck b
       ON a.chunk = b.chunk AND a.ckv = b.ckv AND a.doc_id < b.doc_id
+     AND (a.chunk <= 0 OR a.c0 <> b.c0)
+     AND (a.chunk <= 1 OR a.c1 <> b.c1)
+     AND (a.chunk <= 2 OR a.c2 <> b.c2)
     WHERE CAST({ham} AS INTEGER) <= {SIMHASH_MAX_HAMMING}
     """
 
@@ -1233,13 +1236,28 @@ def dedup_simhash(spark, sf_dir):
     hamming = sum(
         F.bit_count(F.col(f"a.c{c}").bitwiseXOR(F.col(f"b.c{c}")))
         for c in range(SIMHASH_CHUNKS)).cast("int")
+    # FIRST-MATCH dedup, not distinct(): a pair inside the radius can
+    # share several chunks and would surface once per shared chunk; the
+    # old pair-level distinct() shuffled EVERY candidate row — ~1.4 B
+    # rows at g10.0 on the bounded-vocab corpus, a >50 GB spill for a
+    # pure dedup (measured, r15). Both signatures are already in the
+    # join output, so "this is the smallest shared chunk" is a pure
+    # predicate — for every k < chunk, require c_k to differ — and each
+    # pair streams out of the join exactly once with zero extra
+    # exchanges (the same first-occurrence trick Manku et al. WWW'07
+    # use across permuted tables).
+    first_match = F.lit(True)
+    for k in range(SIMHASH_CHUNKS - 1):
+        first_match = first_match & (
+            (F.col("a.chunk") <= k)
+            | (F.col(f"a.c{k}") != F.col(f"b.c{k}")))
     return (a.join(b, (F.col("a.chunk") == F.col("b.chunk"))
                    & (F.col("a.ck") == F.col("b.ck"))
-                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+                   & (F.col("a.doc_id") < F.col("b.doc_id"))
+                   & first_match)
             .select(F.col("a.doc_id").alias("doc_a"),
                     F.col("b.doc_id").alias("doc_b"),
                     hamming.alias("hamming"))
-            .distinct()
             .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING))
 
 
