@@ -284,6 +284,10 @@ def create_quantile_agg_view(catalog: CStoreCatalog, view: str,
     :func:`quantile_view_estimate`. The geometry (lo, hi, nbuckets) is
     fixed at create time — identical bucket boundaries are what make
     the state mergeable and the [q_lo, q_hi) certificate deterministic.
+    Nullable ``column``s are accepted: ``quantile_buckets`` filters
+    NULLs in the one shared definition, so the maintained state never
+    holds a bucket=NULL row and ``n`` counts non-null rows only (the
+    ``percentile_cont`` convention).
     Shares the single-table refresh skeleton: epoch-delta scans,
     rewrite/identity full-recompute fallback (a rewrite can shrink
     counts, which only a rebuild expresses), and the crash-atomic

@@ -2257,9 +2257,21 @@ def quantile_buckets(df: DataFrame, keys: list[str], column: str,
     aggview state kind (``aggview.create_quantile_agg_view``) — one
     definition, so a histogram built by any of the three merges exactly
     with the others (same algebra ladder as HLL/CM/Bloom: this is the
-    fourth classic mergeable sketch, per-bucket SUM)."""
+    fourth classic mergeable sketch, per-bucket SUM).
+
+    NULLs in ``column`` are filtered out HERE, in the one shared
+    definition: a NULL value has no bucket (the floor expression would
+    yield a bucket=NULL state row), and the two engines disagree on
+    where NULLs sort in the finisher's cumulative window (Spark NULLS
+    FIRST, DuckDB NULLS LAST) — so on nullable user data the rank
+    certificate would silently cover a different order statistic.
+    Consequence, documented contract: ``n`` (and every rank the
+    finisher derives from it) counts NON-NULL rows only — the same
+    convention as SQL ``percentile_cont``/``NTILE`` over nullable
+    input."""
     b = _qbucket_sql(column, lo, hi, nbuckets)
-    return (df.select(*keys, F.expr(b).alias("bucket"))
+    return (df.filter(F.col(column).isNotNull())
+            .select(*keys, F.expr(b).alias("bucket"))
             .groupBy(*keys, "bucket")
             .agg(F.count(F.lit(1)).cast("long").alias("cnt")))
 
@@ -2305,7 +2317,8 @@ def _qhist_pipeline_sql(qs: tuple = QH_QS) -> str:
     span, nb = QH_HI - QH_LO, float(QH_NB)
     qlist = ", ".join(str(int(q)) for q in qs)
     return f"""
-    b AS (SELECT l_returnflag AS grp, {b} AS bucket FROM lineitem),
+    b AS (SELECT l_returnflag AS grp, {b} AS bucket FROM lineitem
+          WHERE l_extendedprice IS NOT NULL),
     c AS (SELECT grp, bucket, CAST(COUNT(*) AS BIGINT) AS cnt
           FROM b GROUP BY grp, bucket),
     cum AS (SELECT grp, bucket,

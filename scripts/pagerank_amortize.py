@@ -88,13 +88,24 @@ def main() -> None:
     slopes = {}
     for a, b in zip(labels, labels[1:]):
         ratio = rows[b] / rows[a]
+        # per_iter is a DIFFERENCE of two noisy minima: under host
+        # noise it can come out <= 0, and a log-slope computed off a
+        # tiny clamp would be silent nonsense (one_time_sec_est would
+        # exceed the measured total). Emit null + a warning instead.
+        if per_iter[a] <= 0 or per_iter[b] <= 0:
+            print(f"# WARNING: non-positive per-iteration estimate "
+                  f"({a}: {per_iter[a]}s, {b}: {per_iter[b]}s) — "
+                  f"noise exceeded the iteration term; per_iteration "
+                  f"slope recorded as null", file=sys.stderr)
+            per_iter_slope = None
+        else:
+            per_iter_slope = round(math.log(
+                per_iter[b] / per_iter[a]) / math.log(ratio), 3)
         slopes[f"{a}->{b}"] = {
             "total_iters3": round(math.log(
                 times[b][f"iters{k_lo}"] / times[a][f"iters{k_lo}"])
                 / math.log(ratio), 3),
-            "per_iteration": round(math.log(
-                max(per_iter[b], 1e-9) / max(per_iter[a], 1e-9))
-                / math.log(ratio), 3),
+            "per_iteration": per_iter_slope,
         }
     payload = {"rows_lineitem": rows, "times": times,
                "per_iteration_sec": per_iter,

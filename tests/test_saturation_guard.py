@@ -121,3 +121,42 @@ def test_threshold_is_sane():
     digits) clear the threshold by orders of magnitude; the measured
     blow-up regime (~4,500 docs/gram at g1.0) is far above it."""
     assert 32 <= SATURATION_POSTINGS_PER_ITEM <= 1024
+
+
+def test_route_recall_floor_on_near_duplicates(spark):
+    """Recall floor for the rarity-prefix route tier (ADVICE r15):
+    known near-duplicate pairs — docs of >ROUTE_PREFIX_K items with 1-2
+    token edits — MUST still collide through the prefix tier, so a
+    future ROUTE_PREFIX_K tuning can't silently gut recall. Each pair
+    shares 26 rare tokens (df=2, sorting before the common fillers in
+    the global (lang, df, item) order) and differs in 1-2 COMMON
+    fillers: the rarity prefix is then the same set on both sides for
+    any K ≤ 26, and still overwhelmingly overlapping for larger K —
+    exactly the regime the docstring's 'bounded recall' promise has to
+    keep honoring."""
+    from cstore_fdw_spark.operators.dedup import (
+        ROUTE_PREFIX_K, routed_jaccard_pairs)
+
+    n_pairs = 30
+    rows = []
+    for i in range(n_pairs):
+        shared = [f"p{i}_{j}" for j in range(26)]
+        fill_a = [f"c{k}" for k in range(7)]          # c0..c6
+        fill_b = [f"c{k}" for k in range(6)] + ["c7"]  # 1-edit away
+        rows.append((2 * i, "en", shared + fill_a))
+        rows.append((2 * i + 1, "en", shared + fill_b))
+    sets = spark.createDataFrame(
+        rows, "doc_id long, lang string, items array<string>")
+    assert all(len(r[2]) > ROUTE_PREFIX_K for r in rows)
+
+    got = {(r.doc_a, r.doc_b): r
+           for r in routed_jaccard_pairs(sets, 0.8).collect()}
+    for i in range(n_pairs):
+        pair = (2 * i, 2 * i + 1)
+        assert pair in got, f"near-dup pair {pair} lost by the prefix tier"
+        r = got[pair]
+        # |A|=|B|=33, |A∩B|=32 → jaccard = 32/34, computed EXACTLY
+        # over the full sets (the tier's verify stage, not the sketch)
+        assert r.n_common == 32 and r.size_a == 33 and r.size_b == 33
+        assert abs(r.jaccard - 32 / 34) < 1e-12
+        assert r.approx is True

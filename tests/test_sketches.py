@@ -398,3 +398,31 @@ def test_quantile_sketch_state_bounded(spark, sf_dir):
     assert len(counts) <= len(groups) * QH_NB
     assert all(0 <= r["bucket"] < QH_NB for r in counts)
     assert sum(r["cnt"] for r in counts) == li.count()
+
+
+def test_quantile_buckets_filter_nulls(spark):
+    """NULLs in the bucketed column never reach the state (no
+    bucket=NULL row) and n counts non-null rows only — otherwise the
+    two engines' opposite NULL sort order (Spark NULLS FIRST, DuckDB
+    NULLS LAST) silently shifts the rank certificate on nullable user
+    data (ADVICE r15)."""
+    from cstore_fdw_spark.operators.analytics import (
+        quantile_buckets, quantile_estimate_from_buckets)
+
+    rows = ([("a", float(v)) for v in range(1, 101)]
+            + [("a", None)] * 7 + [("b", None)] * 3
+            + [("b", 42.0)])
+    df = spark.createDataFrame(rows, "grp string, x double")
+    counts = quantile_buckets(df, ["grp"], "x", lo=0.0, hi=128.0,
+                              nbuckets=128)
+    state = counts.collect()
+    assert all(r["bucket"] is not None for r in state)
+    est = quantile_estimate_from_buckets(
+        counts, lo=0.0, hi=128.0, nbuckets=128, qs=(50,)).collect()
+    by_grp = {r["grp"]: r for r in est}
+    # n excludes the NULL rows; the certificate covers the exact
+    # rank-over-non-null order statistic (p50 of 1..100 = 50)
+    assert by_grp["a"]["n"] == 100
+    assert by_grp["a"]["q_lo"] <= 50.0 < by_grp["a"]["q_hi"]
+    assert by_grp["b"]["n"] == 1
+    assert by_grp["b"]["q_lo"] <= 42.0 < by_grp["b"]["q_hi"]
