@@ -976,12 +976,29 @@ def routed_jaccard_pairs(item_sets: DataFrame, tau: float) -> DataFrame:
     sets.count()  # eager: prefix build and both verify sides consume it
     ex = sets.select("doc_id", "lang", F.explode("items").alias("it"))
     dfreq = ex.groupBy("lang", "it").agg(F.count(F.lit(1)).alias("df"))
-    wdoc = Window.partitionBy("doc_id").orderBy("df", "it")
-    prefix = (ex.join(dfreq, ["lang", "it"])
-              .withColumn("rn", F.row_number().over(wdoc))
-              .filter(F.col("rn") <= ROUTE_PREFIX_K))
-    shingled = (prefix.groupBy("doc_id")
-                .agg(F.collect_list("it").alias("shingles")))
+    # Rarity prefix as a per-doc min-K AGGREGATE, not a ROW_NUMBER
+    # window: the window form exchanges every exploded gram row by
+    # doc_id and then SORTS all of them ((doc_id, df, it) over ~150 M
+    # rows at g10.0 — the measured dominant stage of the r15 α 1.59,
+    # SCALE_r16.json stage breakdown) just to keep 24 per doc. The
+    # aggregate form hash-aggregates instead: exploded doc rows are
+    # contiguous within their input partition, so the partial
+    # (map-side) collect already packs each doc into ONE array row and
+    # the doc_id exchange moves |docs| array rows, no global sort —
+    # each doc then sorts its OWN ≤|items| structs in memory.
+    # Selection is IDENTICAL to the window for every doc (not only
+    # docs ≤ K items): items are distinct within a doc, so (df, it) is
+    # a total order and slice(array_sort(...), 1, K) picks exactly the
+    # ROW_NUMBER ≤ K set; the DuckDB oracle deliberately keeps the
+    # ROW_NUMBER formulation so the equivalence is cross-checked at
+    # every gate scale. dfreq stays a join (AQE broadcasts it when the
+    # gram vocabulary is small) — never a driver-side map.
+    shingled = (ex.join(dfreq, ["lang", "it"])
+                .groupBy("doc_id")
+                .agg(F.expr(
+                    f"transform(slice(array_sort(collect_list("
+                    f"struct(df, it))), 1, {ROUTE_PREFIX_K}),"
+                    f" x -> x.it)").alias("shingles")))
     cands = minhash_band_candidates(shingled)
     a = sets.select(F.col("doc_id").alias("doc_a"),
                     F.col("lang").alias("lang_a"),

@@ -72,14 +72,22 @@ def checksum_compare(spark, duck, spec) -> dict:
         keep = [f.name for f in sdf.schema.fields
                 if f.dataType.simpleString() in int_types]
         if not keep:
-            raise SystemExit(f"--int-project kept no columns for {spec!r}")
+            # ValueError, not SystemExit: the per-query try/except in
+            # main() catches Exception and records the error in the
+            # artifact — a SystemExit would abort the whole sweep
+            raise ValueError(
+                f"--int-project kept no columns for {spec!r}")
         sdf = sdf.select(*keep)
     # the modular fold is only exact over integer payloads — a silent
     # BIGINT cast of a float/string column would checksum garbage that
     # might even "match" by truncation luck; fail loudly instead
     for f in sdf.schema.fields:
         if f.dataType.simpleString() not in int_types:
-            raise SystemExit(
+            # ValueError (recorded per-query), not SystemExit (aborts
+            # the sweep): a boolean- or double-emitting query in a
+            # --checksum list should fail ITS row like any other
+            # compare failure, not kill the remaining queries
+            raise ValueError(
                 f"checksum mode needs all-integer outputs; column "
                 f"{f.name!r} of {spec!r} is {f.dataType.simpleString()}")
     scols = sdf.columns
@@ -90,11 +98,13 @@ def checksum_compare(spark, duck, spec) -> dict:
     oracle = spec.oracle
     if int_project:
         oracle = (f"SELECT {', '.join(scols)} FROM ({oracle}) ipt")
-    dres = duck.sql(f"SELECT {', '.join(aggs)} FROM ({oracle}) t")
-    dcols = dres.columns  # noqa: F841 — names fixed by aggs
-    drow = dres.fetchall()[0]
+    if spec.name in (args.shard_oracle_by_lang or []):
+        duck_t = _sharded_oracle_checksums(oracle, aggs)
+    else:
+        dres = duck.sql(f"SELECT {', '.join(aggs)} FROM ({oracle}) t")
+        drow = dres.fetchall()[0]
+        duck_t = (int(drow[0]), int(drow[1] or 0), int(drow[2] or 0))
     spark_t = (int(srow["n"]), int(srow["s1"] or 0), int(srow["s2"] or 0))
-    duck_t = (int(drow[0]), int(drow[1] or 0), int(drow[2] or 0))
     return {
         "rows_match": spark_t[0] == duck_t[0],
         "schema_match": True,  # checksum folds the sorted column list
@@ -103,10 +113,59 @@ def checksum_compare(spark, duck, spec) -> dict:
         "err": None,
         "mode": ("engine_side_checksum_int_projected" if int_project
                  else "engine_side_checksum"),
+        "oracle_sharded_by_lang":
+            spec.name in (args.shard_oracle_by_lang or []),
         "checksum_columns": scols,
         "spark_checksums": [spark_t[1], spark_t[2]],
         "oracle_checksums": [duck_t[1], duck_t[2]],
     }
+
+
+def _sharded_oracle_checksums(oracle: str, aggs: list[str]) -> tuple:
+    """Run the oracle once per ``documents.lang`` shard and SUM the
+    per-shard (COUNT, s1, s2) in the driver as exact Python ints — the
+    feasible-oracle path for queries whose DuckDB replica OOMs on the
+    full corpus (r15: route_ngram_minhash_tier's rarity window is
+    ~150 M exploded gram rows at g10.0).
+
+    Why per-lang sharding is SEMANTICS-PRESERVING for the route tier
+    (and any oracle whose output is a same-lang pair set): document
+    frequencies are computed per (lang, gram), the rarity prefix per
+    doc from its own lang's df order, and the verify join keeps only
+    ``sb.lang = sa.lang`` pairs — so a shard restricted to one lang
+    computes exactly the full oracle's rows for that lang, cross-lang
+    band collisions being pairs the full oracle drops anyway. The
+    union over langs is therefore the full output, and the multiset
+    checksum is a SUM over disjoint shards (exact: driver-side Python
+    ints, no modulus on the outer sum — mirroring how the engines'
+    own SUM over per-row values behaves).
+
+    Each shard gets a FRESH DuckDB connection (memory released between
+    shards) whose ``documents`` view carries the lang filter; the
+    other table views are created unfiltered."""
+    import duckdb
+
+    from cstore_fdw_spark.datasets import TABLES
+
+    langs = [r[0] for r in duckdb.sql(
+        f"SELECT DISTINCT lang FROM '{args.g_dir}/documents.parquet' "
+        f"ORDER BY lang").fetchall()]
+    tot = [0, 0, 0]
+    for lg in langs:
+        sd = duckdb.connect()
+        for t in TABLES:
+            flt = f" WHERE lang = '{lg}'" if t == "documents" else ""
+            sd.sql(f"CREATE VIEW {t} AS SELECT * FROM "
+                   f"'{args.g_dir}/{t}.parquet'{flt}")
+        t0 = time.time()
+        row = sd.sql(
+            f"SELECT {', '.join(aggs)} FROM ({oracle}) t").fetchall()[0]
+        sd.close()
+        print(f"#   oracle shard lang={lg}: n={int(row[0])} "
+              f"({time.time() - t0:.0f}s)", flush=True)
+        for i in range(3):
+            tot[i] += int(row[i] or 0)
+    return tuple(tot)
 
 
 def collect_compare(spark, duck, spec) -> dict:
@@ -155,7 +214,8 @@ def main() -> int:
         t0 = time.time()
         try:
             if name in (args.checksum or []) \
-                    or name in (args.int_project or []):
+                    or name in (args.int_project or []) \
+                    or name in (args.shard_oracle_by_lang or []):
                 rec = checksum_compare(spark, duck, spec)
             else:
                 rec = collect_compare(spark, duck, spec)
@@ -205,6 +265,12 @@ if __name__ == "__main__":
     ap.add_argument("--int-project", nargs="*", default=[],
                     help="checksum queries restricted to their integer "
                          "columns (same projection on both engines)")
+    ap.add_argument("--shard-oracle-by-lang", nargs="*", default=[],
+                    help="checksum queries whose DuckDB oracle runs "
+                         "once per documents.lang shard (per-shard "
+                         "sums added exactly in the driver) — only "
+                         "valid when the oracle's output partitions "
+                         "by lang (same-lang pair sets)")
     ap.add_argument("--meta", default=None, help="JSON _meta blob")
     ap.add_argument("--merge", action="store_true",
                     help="merge into an existing --out file")
