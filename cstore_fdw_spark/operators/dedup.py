@@ -979,13 +979,20 @@ def routed_jaccard_pairs(item_sets: DataFrame, tau: float) -> DataFrame:
     # Rarity prefix as a per-doc min-K AGGREGATE, not a ROW_NUMBER
     # window: the window form exchanges every exploded gram row by
     # doc_id and then SORTS all of them ((doc_id, df, it) over ~150 M
-    # rows at g10.0 — the measured dominant stage of the r15 α 1.59,
-    # SCALE_r16.json stage breakdown) just to keep 24 per doc. The
-    # aggregate form hash-aggregates instead: exploded doc rows are
-    # contiguous within their input partition, so the partial
-    # (map-side) collect already packs each doc into ONE array row and
-    # the doc_id exchange moves |docs| array rows, no global sort —
-    # each doc then sorts its OWN ≤|items| structs in memory.
+    # rows at g10.0) just to keep 24 per doc. The aggregate form
+    # hash-aggregates instead: exploded doc rows are contiguous within
+    # their input partition, so the partial (map-side) collect already
+    # packs each doc into ONE array row and the doc_id exchange moves
+    # |docs| array rows, no global sort — each doc then sorts its OWN
+    # ≤|items| structs in memory. (The r16 stage breakdown,
+    # ROUTE_PROFILE_r16.json, measured both forms at ~equal wall time
+    # on local[32] — the ex⋈dfreq join dominates this stage, not the
+    # sort — so the aggregate form is kept for its EXCHANGE shape, not
+    # a measured local win: a global range-sort is the primitive that
+    # degrades worst on a real multi-executor shuffle tier, and the
+    # r15 α 1.59 is attributed by the same breakdown to the VERIFY
+    # join below, whose work tracks candidate-pair density — see
+    # SCALE_MEASURED.md.)
     # Selection is IDENTICAL to the window for every doc (not only
     # docs ≤ K items): items are distinct within a doc, so (df, it) is
     # a total order and slice(array_sort(...), 1, K) picks exactly the
@@ -1332,13 +1339,34 @@ def dedup_connected_components(spark, sf_dir):
     step 1 did."""
     e = table(spark, sf_dir, "embeddings")
     # dedup=False: the candidate distinct's shuffle is FOLDED into the
-    # edge-partitioning exchange below — repartition("src") clusters the
-    # (multi-table-duplicated) edges, dropDuplicates then needs NO
-    # exchange of its own (hash(src) already co-locates every (src, dst)
-    # group), and the checkpoint keeps that partitioning, so the
-    # edges side of EVERY propagation round's join is exchange-free too
+    # edge-partitioning exchange inside the shared propagation loop —
+    # repartition("src") clusters the (multi-table-duplicated) edges,
+    # so dropDuplicates there needs no exchange of its own
     pairs = lsh_verified_pairs(e, EMB_DEDUP_TAU, dedup=False).select(
         F.col("vec_a").alias("src"), F.col("vec_b").alias("dst"))
+    return connected_components_from_pairs(e.select("vec_id"), pairs)
+
+
+def connected_components_from_pairs(vertices: DataFrame,
+                                    pairs: DataFrame) -> DataFrame:
+    """Min-label propagation over an arbitrary verified near-dup pair
+    stream — the ONE component-consumer shared by the embedding-cosine
+    graph (:func:`dedup_connected_components`) and the SimHash graph
+    (:func:`simhash_components`). ``vertices`` is a (vec_id) frame of
+    every node (isolated nodes come out as their own component);
+    ``pairs`` is (src, dst) with each undirected edge in either (or
+    both, or duplicated — tolerated) orientation. Returns
+    (vec_id, component), component = min reachable vec_id.
+
+    The algorithmic shape is documented on
+    :func:`dedup_connected_components` (double-step rounds, lazy
+    localCheckpoint lineage cuts, edges repartitioned by src once and
+    reused exchange-free every round)."""
+    # repartition("src") clusters the (possibly duplicated) edges, so
+    # dropDuplicates then needs NO exchange of its own (hash(src)
+    # already co-locates every (src, dst) group), and the checkpoint
+    # keeps that partitioning, so the edges side of EVERY propagation
+    # round's join is exchange-free too
     edges = track_cache(
         pairs.unionByName(pairs.select(F.col("dst").alias("src"),
                                        F.col("src").alias("dst")))
@@ -1348,8 +1376,8 @@ def dedup_connected_components(spark, sf_dir):
     # jump-start hop: with identity labels, "min neighbor comp" is just
     # min(src) per dst — the first hop needs no labels join at all (it
     # folds into the first double-round's job as a plain aggregate over
-    # the cached edges instead of an SMJ against the embeddings scan)
-    labels = (e.select("vec_id")
+    # the cached edges instead of an SMJ against the vertices scan)
+    labels = (vertices
               .join(edges.groupBy(F.col("dst").alias("vec_id"))
                     .agg(F.min("src").alias("n0")), "vec_id", "left")
               .select("vec_id",
@@ -1386,6 +1414,50 @@ def dedup_connected_components(spark, sf_dir):
             break
     track_cache(prev)  # the converged labels the caller is about to read
     return labels.select("vec_id", F.col("comp").alias("component"))
+
+
+def _simhash_cc_oracle() -> str:
+    """DuckDB replica of simhash_components: the UNCHANGED simhash pair
+    oracle (nested as a derived table, so the two stay byte-coupled)
+    feeding the same recursive-CTE transitive closure shape as
+    :func:`_cc_oracle`."""
+    return f"""
+    WITH RECURSIVE pairs AS MATERIALIZED (
+      SELECT doc_a, doc_b FROM ({_simhash_oracle()}) sp),
+    edges AS MATERIALIZED (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION ALL SELECT doc_b AS src, doc_a AS dst FROM pairs),
+    reach(doc_id, comp) AS (
+      SELECT doc_id, doc_id AS comp FROM documents
+      UNION
+      SELECT e.dst AS doc_id, r.comp
+      FROM reach r JOIN edges e ON e.src = r.doc_id)
+    SELECT doc_id, MIN(comp) AS component FROM reach GROUP BY doc_id
+    """
+
+
+@register("simhash_components", category="dedup",
+          oracle=_simhash_cc_oracle())
+def simhash_components(spark, sf_dir):
+    """The node-bounded SimHash consumer dedup_simhash's own docstring
+    prescribes for low-diversity corpora (where genuine Hamming-≤3
+    pairs grow ~N² — 1.43 B pairs at the measured 500 k-doc decade):
+    instead of materializing the pair set, stream it into min-label
+    connected components, whose OUTPUT is one row per document no
+    matter how dense the near-dup graph gets. One definition end to
+    end: the edge stream IS :func:`dedup_simhash` (same signatures,
+    same chunk blocking, same first-match dedup), and the propagation
+    loop IS :func:`connected_components_from_pairs` — the machinery
+    dedup_connected_components already runs on the embedding graph.
+    Every document appears (tokenless docs are their own singleton
+    component); component = min doc_id reachable through any chain of
+    Hamming-≤3 near-duplicates."""
+    pairs = dedup_simhash(spark, sf_dir).select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    verts = (table(spark, sf_dir, "documents")
+             .select(F.col("doc_id").alias("vec_id")))
+    return (connected_components_from_pairs(verts, pairs)
+            .select(F.col("vec_id").alias("doc_id"), "component"))
 
 
 # ------------------------------------------------------------ URL dedup

@@ -379,3 +379,24 @@ def test_index_artifacts_train_once_serve_many(spark, sf_dir):
     assert trained2 == [], f"warm host retrained: {trained2}"
     assert spark.conf.get(ADAPTIVE_CONF) == "true"
     assert len(spark.sparkContext._jsc.getPersistentRDDs()) == 0
+
+
+def test_connected_components_from_pairs_shared_loop(spark):
+    """The extracted propagation loop (shared by the embedding and
+    SimHash consumers) computes min-reachable labels over an arbitrary
+    pair stream: chains collapse to their min id, isolated vertices
+    are their own singleton component, and duplicated / mirrored /
+    self-looped edges don't change the answer."""
+    from cstore_fdw_spark.operators.dedup import (
+        connected_components_from_pairs)
+
+    verts = spark.createDataFrame(
+        [(i,) for i in range(1, 8)], "vec_id long")
+    # {1,2,3} a chain, {5,6} a pair (given mirrored AND duplicated),
+    # 4 and 7 isolated; 6-6 self loop tolerated
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6), (6, 5), (5, 6), (6, 6)],
+        "src long, dst long")
+    got = {r["vec_id"]: r["component"]
+           for r in connected_components_from_pairs(verts, pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 4, 5: 5, 6: 5, 7: 7}
