@@ -930,7 +930,8 @@ def pagerank_bipartite_3iter(spark, sf_dir):
     return pagerank_fixed_point(spark, sf_dir, PR_ITERS)
 
 
-def pagerank_fixed_point(spark, sf_dir, iters: int) -> DataFrame:
+def pagerank_fixed_point(spark, sf_dir, iters: int,
+                         cache_level=None) -> DataFrame:
     """The PageRank loop with the iteration count as a parameter — the
     registered query runs PR_ITERS; the scale sweep additionally times
     a longer run (10 iterations) against the 3-iteration one to
@@ -938,7 +939,13 @@ def pagerank_fixed_point(spark, sf_dir, iters: int) -> DataFrame:
     materialization, the bulk of the g10.0 wall clock) from the
     per-iteration cost that actually compounds in a real
     convergence-driven deployment — the amortized slope the 100 TB
-    argument rests on (SCALE_MEASURED.md)."""
+    argument rests on (SCALE_MEASURED.md).
+
+    ``cache_level`` (a ``pyspark.StorageLevel``, default: Spark's
+    deserialized MEMORY_AND_DISK) sets the edge frame's storage level —
+    the diagnostic knob ``scripts/pagerank_spill.py`` uses to A/B a
+    serialized cache against the per-iteration spill counters when the
+    cached graph approaches the executor storage fraction."""
     from cstore_fdw_spark.operators import track_cache
 
     li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
@@ -958,7 +965,9 @@ def pagerank_fixed_point(spark, sf_dir, iters: int) -> DataFrame:
         .dropDuplicates(["src", "dst"]))
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
     # one persisted frame carries the whole static graph: (src, dst, deg)
-    g = track_cache(edges.join(deg, "src").persist())
+    gframe = edges.join(deg, "src")
+    g = track_cache(gframe.persist(cache_level) if cache_level is not None
+                    else gframe.persist())
     n_nodes = deg.count()
     r0 = PR_SCALE // n_nodes
     tele = (r0 * 15) // 100
