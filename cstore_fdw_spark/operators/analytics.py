@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.window import Window
 
-from cstore_fdw_spark.operators import register, table
+from cstore_fdw_spark.operators import register, spread, table
 
 
 @register(
@@ -968,11 +968,20 @@ def pagerank_fixed_point(spark, sf_dir, iters: int,
     gframe = edges.join(deg, "src")
     g = track_cache(gframe.persist(cache_level) if cache_level is not None
                     else gframe.persist())
-    n_nodes = deg.count()
+    # node set and rank init FROM the cached graph, not from `deg`:
+    # deg.count() was a SEPARATE action, and exchange reuse never crosses
+    # job boundaries, so it re-derived the whole corpus join a second
+    # time (and the ranks-init subtree a third) before the iterations
+    # ever touched the cache. One distinct-src pass over g both fills
+    # the cache and counts the nodes (guide §2.4: remove shuffles/passes
+    # outright). Same rows: deg's src set IS the distinct src of g.
+    # r16 A/B at sf0.1, min-of-5 interleaved: 2.98 s → 2.39 s.
+    nodes = g.select("src").dropDuplicates(["src"])
+    n_nodes = nodes.count()
     r0 = PR_SCALE // n_nodes
     tele = (r0 * 15) // 100
-    ranks = deg.select(F.col("src").alias("node"),
-                       F.lit(r0).cast("long").alias("r"))
+    ranks = nodes.select(F.col("src").alias("node"),
+                         F.lit(r0).cast("long").alias("r"))
     for _ in range(iters):
         # SHUFFLE_HASH on the node-sized rank side: once ranks outgrow
         # AQE's runtime broadcast threshold (~1.6 M nodes at g10.0) the
@@ -1337,7 +1346,18 @@ def stats_triangle_count(spark, sf_dir):
 
     Reference scope note: graph analytics is beyond cstore_fdw's own
     surface (extension family, like pagerank_bipartite_3iter)."""
-    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    # spread BEFORE the self-join: the two-column lineitem scan is a
+    # handful of row-group splits (3 at sf0.1), so the join+pair-count
+    # map stage — the query's critical path, measured 1.1 s of its 3 s
+    # wall — otherwise runs 3-wide on a 32-core host (guide §2: widen
+    # the stage feeding the shuffle). spread() is conditional on
+    # partitions < cores, so at 100 TB it's a no-op (r16 A/B: min-of-4
+    # interleaved 2.94 s → 2.50 s; persisting `pairs` instead measured
+    # SLOWER — the eager count() serializes branches AQE otherwise
+    # overlaps, and AQE stage reuse already dedupes the repeated
+    # pair-aggregate subtree at runtime).
+    li = spread(
+        table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey"))
     a, b = li.alias("a"), li.alias("b")
     pairs = (a.join(b, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
                     & (F.col("a.l_partkey") < F.col("b.l_partkey")))
