@@ -1147,21 +1147,25 @@ def simhash_signatures(tokens: DataFrame) -> DataFrame:
               "doc_id",
               "cast(conv(substring(m, 1, 8), 16, 10) as bigint) AS w0",
               "cast(conv(substring(m, 9, 8), 16, 10) as bigint) AS w1"))
-    bit_sums = [
-        F.sum(F.when(
-            F.shiftright(F.col("w0" if j < 32 else "w1"), j % 32)
-            .bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)).alias(f"s_{j}")
+    # expressions as SQL strings, ONE parse each — not per-node Column
+    # composition: the 64 bit-sums plus 64 chunk terms built via
+    # F.sum(F.when(...)) chains cost hundreds of py4j round-trips, and
+    # the bench re-builds the DataFrame every run, so plan CONSTRUCTION
+    # alone measured 1.6-1.8 s of dedup_simhash's 2.3 s wall at sf0.1
+    # (guide §1: measure where the time actually goes — here it was the
+    # driver's Python side, not Spark). Same expression tree, same
+    # results; r16 A/B min-of-5 interleaved: 1.92 s → 0.93 s.
+    bit_sums = [F.expr(
+        f"sum(CASE WHEN (shiftright({'w0' if j < 32 else 'w1'}, {j % 32})"
+        f" & 1) = 1 THEN 1 ELSE -1 END) AS s_{j}")
         for j in range(SIMHASH_BITS)]
     sums = hx.groupBy("doc_id").agg(*bit_sums)
-    chunk_cols = []
-    for c in range(SIMHASH_CHUNKS):
-        ck = None
-        for r in range(16):
-            term = F.when(F.col(f"s_{c * 16 + r}") > 0,
-                          F.lit(1 << r)).otherwise(F.lit(0))
-            ck = term if ck is None else ck + term
-        chunk_cols.append(ck.cast("int").alias(f"c{c}"))
-    return sums.select("doc_id", *chunk_cols)
+    chunk_exprs = [
+        "cast(" + " + ".join(
+            f"(CASE WHEN s_{c * 16 + r} > 0 THEN {1 << r} ELSE 0 END)"
+            for r in range(16)) + f" as int) AS c{c}"
+        for c in range(SIMHASH_CHUNKS)]
+    return sums.selectExpr("doc_id", *chunk_exprs)
 
 
 def _simhash_oracle() -> str:
@@ -1247,19 +1251,19 @@ def dedup_simhash(spark, sf_dir):
     # fine-coalescing rationale as ppjoin_jaccard_pairs
     set_fine_coalescing(spark)
     sig = simhash_signatures(tokens)
-    chunk_cols = [
-        F.struct(F.lit(c).alias("chunk"), F.col(f"c{c}").alias("ck"))
-        for c in range(SIMHASH_CHUNKS)]
-    chunks = (sig.select("doc_id", "c0", "c1", "c2", "c3",
-                         F.explode(F.array(*chunk_cols)).alias("k"))
-              .select("doc_id", "c0", "c1", "c2", "c3",
-                      F.col("k.chunk").alias("chunk"),
-                      F.col("k.ck").alias("ck")))
+    # inline() explodes the (chunk, ck) struct array straight to columns
+    # — one parsed expression instead of a ~60-call explode/restructure
+    # Column chain (same py4j-overhead rationale as simhash_signatures)
+    chunks = sig.selectExpr(
+        "doc_id", "c0", "c1", "c2", "c3",
+        "inline(array(" + ", ".join(
+            f"struct({c} as chunk, c{c} as ck)"
+            for c in range(SIMHASH_CHUNKS)) + "))")
     a = chunks.alias("a")
     b = chunks.alias("b")
-    hamming = sum(
-        F.bit_count(F.col(f"a.c{c}").bitwiseXOR(F.col(f"b.c{c}")))
-        for c in range(SIMHASH_CHUNKS)).cast("int")
+    hamming = F.expr(" + ".join(
+        f"bit_count(a.c{c} ^ b.c{c})"
+        for c in range(SIMHASH_CHUNKS))).cast("int")
     # FIRST-MATCH dedup, not distinct(): a pair inside the radius can
     # share several chunks and would surface once per shared chunk; the
     # old pair-level distinct() shuffled EVERY candidate row — ~1.4 B
@@ -1270,11 +1274,9 @@ def dedup_simhash(spark, sf_dir):
     # pair streams out of the join exactly once with zero extra
     # exchanges (the same first-occurrence trick Manku et al. WWW'07
     # use across permuted tables).
-    first_match = F.lit(True)
-    for k in range(SIMHASH_CHUNKS - 1):
-        first_match = first_match & (
-            (F.col("a.chunk") <= k)
-            | (F.col(f"a.c{k}") != F.col(f"b.c{k}")))
+    first_match = F.expr(" AND ".join(
+        f"(a.chunk <= {k} OR a.c{k} != b.c{k})"
+        for k in range(SIMHASH_CHUNKS - 1)))
     return (a.join(b, (F.col("a.chunk") == F.col("b.chunk"))
                    & (F.col("a.ck") == F.col("b.ck"))
                    & (F.col("a.doc_id") < F.col("b.doc_id"))
