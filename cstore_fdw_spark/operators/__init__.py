@@ -154,14 +154,17 @@ def register(name: str, oracle: str | None = None, category: str = "general",
             # opt-in (session.set_fine_coalescing) must not leak into
             # queries that are faster at the default floor
             from cstore_fdw_spark.session import (
-                ADAPTIVE_CONF, DEFAULT_MIN_PARTITION_SIZE,
-                MIN_PARTITION_SIZE_CONF)
+                ADAPTIVE_CONF, CBO_CONF, CBO_JOINREORDER_CONF,
+                DEFAULT_MIN_PARTITION_SIZE, MIN_PARTITION_SIZE_CONF)
             try:
                 spark.conf.set(MIN_PARTITION_SIZE_CONF,
                                DEFAULT_MIN_PARTITION_SIZE)
                 # likewise un-leak a prior builder's static-planning
                 # opt-out (session.set_static_planning)
                 spark.conf.set(ADAPTIVE_CONF, "true")
+                # ... and a prior builder's CBO opt-out (session.set_no_cbo)
+                spark.conf.set(CBO_CONF, "true")
+                spark.conf.set(CBO_JOINREORDER_CONF, "true")
             except Exception:  # noqa: BLE001 — read-only conf surface
                 pass
             return fn(spark, sf_dir)

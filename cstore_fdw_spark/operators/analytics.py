@@ -1671,6 +1671,15 @@ def sketch_hyperloglog_distinct(spark, sf_dir):
     micro-batches, so ``streaming.analytics.run_hll_available_now``
     maintains the identical sketch on an unbounded stream and runs
     THIS function's finisher (``hll_estimate_from_registers``)."""
+    from cstore_fdw_spark.session import set_no_cbo
+
+    # bare-path read + the widest expression tree in the bench set (the
+    # 1024-entry ln-ppm literal inside the finisher): CBO's stats
+    # visitor re-costs it at every AQE stage boundary for zero benefit
+    # (no catalog stats exist) — measured 2.93 s → 1.77 s at sf0.1
+    # (see session.set_no_cbo; the registry restores the conf default
+    # before the next build)
+    set_no_cbo(spark)
     est = hll_estimate_from_registers(
         hll_register_rollup(table(spark, sf_dir, "lineitem")))
     # the finisher is table-agnostic (returns ``grp``); THIS query owns

@@ -192,6 +192,28 @@ def set_fine_coalescing(spark: SparkSession) -> None:
 
 ADAPTIVE_CONF = "spark.sql.adaptive.enabled"
 
+CBO_CONF = "spark.sql.cbo.enabled"
+CBO_JOINREORDER_CONF = "spark.sql.cbo.joinReorder.enabled"
+
+
+def set_no_cbo(spark: SparkSession) -> None:
+    """Opt THIS query out of cost-based-optimizer stats derivation.
+
+    CBO exists for session-catalog tables with collected ANALYZE stats
+    (catalog.py); bare-path parquet reads have none, so for them the
+    CBO stats visitor is pure driver overhead — and AQE re-runs the
+    optimizer at every stage boundary, so a plan that is cheap to
+    EXECUTE can still pay seconds of driver time being re-costed. Only
+    measurably hot on plans with very wide expression trees over many
+    mini-stages (the HLL finisher's 1024-register grid + literal ln
+    table: interleaved min-of-3 A/B at sf0.1 measured 2.93 s with CBO
+    vs 1.77 s without; every other bench query was within noise, so
+    this stays per-query, not session-wide). The operator registry
+    restores both confs before every build, so the opt-out never
+    leaks — catalog-stats queries keep the CBO default."""
+    spark.conf.set(CBO_CONF, "false")
+    spark.conf.set(CBO_JOINREORDER_CONF, "false")
+
 
 def set_static_planning(spark: SparkSession) -> None:
     """Opt THIS query out of adaptive execution.

@@ -400,3 +400,20 @@ def test_connected_components_from_pairs_shared_loop(spark):
     got = {r["vec_id"]: r["component"]
            for r in connected_components_from_pairs(verts, pairs).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 4, 5: 5, 6: 5, 7: 7}
+
+
+def test_cbo_optout_never_leaks_across_builders(spark, sf_dir):
+    """set_no_cbo (the HLL finisher's per-query CBO opt-out) must be
+    restored by the NEXT registered builder, exactly like the
+    fine-coalescing and static-planning opt-ins — catalog-stats queries
+    rely on the session CBO default."""
+    from cstore_fdw_spark.operators import load_all
+    from cstore_fdw_spark.session import CBO_CONF, CBO_JOINREORDER_CONF
+
+    reg = load_all()
+    reg["sketch_hyperloglog_distinct"].builder(spark, sf_dir)
+    assert spark.conf.get(CBO_CONF) == "false"  # opt-out active
+    # any subsequent builder restores the session default before building
+    reg["dedup_exact"].builder(spark, sf_dir)
+    assert spark.conf.get(CBO_CONF) == "true"
+    assert spark.conf.get(CBO_JOINREORDER_CONF) == "true"
