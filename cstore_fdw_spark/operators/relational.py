@@ -583,12 +583,27 @@ def star_join_broadcast_by_estimate(spark, sf_dir):
                  to_dbl(dsum("o_totalprice")).alias("revenue")))
 
 
-def _cstore_artifact(spark, sf_dir, tag, build_df):
+def _cstore_artifact(spark, sf_dir, tag, build_df,
+                     stripe_row_count: int = 37_500):
     """Build (once per sf_dir, marker-guarded) a cstore v1.7 copy of a
     corpus projection used by the scan_cstore_* queries; returns the
     artifact path. ``build_df`` is called only on a cache miss. The
     write cost is a maintained artifact reported in bench bring-up as
-    index_build_sec, like the ANN codebooks."""
+    index_build_sec, like the ANN codebooks.
+
+    ``stripe_row_count`` is the reference's OWN per-table parallelism
+    option (cstore_fdw.h table options): the stripe is the reader's
+    split unit (one scan partition per (file, stripe), exactly like
+    the C reader's per-stripe loop), so the 150k default yields only 4
+    splits at sf0.1 — a 4-wide scan on a 32-core host with the Python
+    decode on its critical path. 37.5k keeps block_row_count at the
+    reference 10k default (skip-list granularity unchanged) while
+    serving 16-wide (r16 A/B min-of-4 interleaved: 1.01 s → 0.88 s;
+    at 100 TB stripes-per-file × files >> cores either way, so this is
+    purely the small-corpus split sizing lever — guide §6's input
+    split size, on our own format). The stripe count is part of the
+    artifact path, so a layout change can never silently reuse a
+    stale artifact."""
     import hashlib
     import os
     import tempfile
@@ -597,12 +612,13 @@ def _cstore_artifact(spark, sf_dir, tag, build_df):
 
     register_cstore(spark)
     key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
-    path = os.path.join(tempfile.gettempdir(), f"cstore_{tag}_{key}")
+    path = os.path.join(tempfile.gettempdir(),
+                        f"cstore_{tag}_s{stripe_row_count}_{key}")
     marker = os.path.join(path, "_built")
     if not os.path.exists(marker):
         (build_df()
          .write.format("cstore")
-         .option("stripe_row_count", "150000")
+         .option("stripe_row_count", str(stripe_row_count))
          .option("block_row_count", "10000")
          .mode("overwrite").save(path))
         with open(marker, "w") as fh:

