@@ -227,6 +227,15 @@ def ppjoin_jaccard_pairs(item_sets: DataFrame, tau: float,
     # 64-bit hash instead of the item string changes which items land
     # in prefixes but not losslessness)
     freq = ex.groupBy("lang", "ih").agg(F.count(F.lit(1)).alias("gf"))
+    # persist the (lang, item)→frequency table: it is consumed TWICE in
+    # separate jobs — the saturation guard's 1-row collect and the
+    # prefix join — and exchange reuse never crosses job boundaries, so
+    # without the persist the full explode+aggregate over the cached
+    # sets ran once per consumer (r16 A/B on dedup_ngram_jaccard at
+    # sf0.1, min-of-4 interleaved: 4.29 s → 2.97 s, outputs identical).
+    # The frame is item-vocabulary-sized (distinct (lang, item) rows),
+    # not corpus-sized, so the cache is small at any scale.
+    freq = track_cache(freq.persist())
     # saturation guard: a bounded item space makes the collision stage
     # ~N² (measured); detect it from `freq` before paying for the join.
     # Under 'route' a saturated corpus falls through to the τ-calibrated
