@@ -730,7 +730,10 @@ def minhash_signatures(docs_with_shingles: DataFrame) -> DataFrame:
     """(doc_id, n_sh, s0..s{N-1}) — 32 universal-hash MIN aggregates over
     the exploded shingle hashes (partial aggregation makes the exchange
     one row per doc)."""
-    mins = [F.min((F.lit(a) * F.col("x") + F.lit(b)) % P31).alias(f"s{i}")
+    # parsed-SQL form, one py4j call per aggregate (the Column-chain
+    # form cost ~6 round-trips x 32 hashes per build; same tree — see
+    # the simhash_signatures rationale)
+    mins = [F.expr(f"min(({a} * x + {b}) % {P31}) AS s{i}")
             for i, (a, b) in enumerate(_MH_COEFFS)]
     return (shingle_hashes(docs_with_shingles)
             .groupBy("doc_id")
@@ -776,7 +779,10 @@ def minhash_pairs_from_shingled(shingled: DataFrame,
     # sizes), but localCheckpoint pays driver-side physical planning +
     # codegen compilation of the 32-agg plan at BUILD time (~2 s measured)
     # while persist defers everything to the first action
-    mins = [F.min((F.lit(a) * F.col("x") + F.lit(b)) % P31).alias(f"s{i}")
+    # parsed-SQL form, one py4j call per aggregate (the Column-chain
+    # form cost ~6 round-trips x 32 hashes per build; same tree — see
+    # the simhash_signatures rationale)
+    mins = [F.expr(f"min(({a} * x + {b}) % {P31}) AS s{i}")
             for i, (a, b) in enumerate(_MH_COEFFS)]
     # band keys: pure integer arithmetic over each ROWS_PER_BAND-slice of
     # the signature (two Horner polynomials mod P31 packed to 62 bits —
@@ -947,7 +953,10 @@ def minhash_band_candidates(shingled: DataFrame) -> DataFrame:
     from cstore_fdw_spark.operators import track_cache
 
     ex = track_cache(shingle_hashes(shingled).persist())
-    mins = [F.min((F.lit(a) * F.col("x") + F.lit(b)) % P31).alias(f"s{i}")
+    # parsed-SQL form, one py4j call per aggregate (the Column-chain
+    # form cost ~6 round-trips x 32 hashes per build; same tree — see
+    # the simhash_signatures rationale)
+    mins = [F.expr(f"min(({a} * x + {b}) % {P31}) AS s{i}")
             for i, (a, b) in enumerate(_MH_COEFFS)]
     band_cols = F.array(*[
         F.expr(band_key_sql([f"s{t * ROWS_PER_BAND + r}"
