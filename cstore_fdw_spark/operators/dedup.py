@@ -1036,19 +1036,47 @@ def routed_jaccard_pairs(item_sets: DataFrame, tau: float) -> DataFrame:
                     f"struct(df, it))), 1, {ROUTE_PREFIX_K}),"
                     f" x -> x.it)").alias("shingles")))
     cands = minhash_band_candidates(shingled)
+    # Verify sides ship the HASHED set (xxhash64 per gram, computed in
+    # codegen off the cached string arrays) instead of the raw string
+    # arrays: n_common then comes from the UNION identity
+    # |A|+|B|−|A∪B| on long arrays — array_union's primitive-long fast
+    # path vs array_intersect's generic boxed-string path, the same
+    # 16×-micro-benchmarked rewrite as ppjoin_jaccard_pairs' verify and
+    # the SAME injective-on-the-data hash convention that tier already
+    # pins (its DuckDB oracle counts raw-string matches, so the
+    # convention is engine-vs-oracle checked at every gate scale; sizes
+    # stay derived from the distinct STRING array, so a collision could
+    # only surface as a gate-visible n_common mismatch, never a
+    # silently consistent skew).
     a = sets.select(F.col("doc_id").alias("doc_a"),
                     F.col("lang").alias("lang_a"),
-                    F.col("items").alias("items_a"))
+                    F.expr("transform(items, x -> xxhash64(x))")
+                    .alias("hset_a"),
+                    F.size("items").cast("long").alias("size_a"))
     b = sets.select(F.col("doc_id").alias("doc_b"),
                     F.col("lang").alias("lang_b"),
-                    F.col("items").alias("items_b"))
-    n_common = F.size(F.array_intersect("items_a", "items_b")) \
-        .cast("long")
+                    F.expr("transform(items, x -> xxhash64(x))")
+                    .alias("hset_b"),
+                    F.size("items").cast("long").alias("size_b"))
+    n_common = (F.col("size_a") + F.col("size_b")
+                - F.size(F.array_union("hset_a", "hset_b"))).cast("long")
+    # Length-band pre-filter, evaluated BEFORE the union expression
+    # (And short-circuits in codegen): jaccard ≥ τ forces
+    # n_common ≥ τ·(|A|+|B|−n_common) with n_common ≤ min(|A|,|B|), so
+    # min ≥ τ·max — any pair outside the band is guaranteed < τ and
+    # the array work for it is skipped. The 1e-9 slack makes the prune
+    # provably lossless under double rounding: a pair passing the
+    # final jaccard filter has min/max ≥ τ − O(1e-16), and jaccard
+    # values are rationals with denominator ≤ |A∪B| ≤ ~1e4·1e4, so the
+    # slack dwarfs both the rounding and never reaches the next
+    # representable jaccard below τ. (PPJoin's exact tier applies the
+    # same bound inside candidate generation — dedup.py:285 — the
+    # route tier's banding has no length awareness, hence here.)
     return (cands.join(a, "doc_a").join(b, "doc_b")
             .filter(F.col("lang_a") == F.col("lang_b"))
+            .filter(F.least("size_a", "size_b")
+                    >= (tau - 1e-9) * F.greatest("size_a", "size_b"))
             .withColumn("n_common", n_common)
-            .withColumn("size_a", F.size("items_a").cast("long"))
-            .withColumn("size_b", F.size("items_b").cast("long"))
             .withColumn("jaccard",
                         F.col("n_common").cast("double")
                         / (F.col("size_a") + F.col("size_b")
