@@ -47,6 +47,26 @@ from local_gate import result_hash  # noqa: E402
 P = 2_147_483_647
 
 
+def _cap_duck(conn):
+    """Apply optional resource caps to a DuckDB connection.
+
+    ``SCALE_DUCKDB_MEMORY_LIMIT`` (e.g. ``48GB``) and
+    ``SCALE_DUCKDB_THREADS`` (e.g. ``16``) bound the oracle so a long
+    sharded g10 run can share the host with concurrent Spark work
+    instead of DuckDB's default 80%-of-RAM limit starving it. No
+    effect when the env vars are unset (the committed sweeps' default).
+    """
+    mem = os.environ.get("SCALE_DUCKDB_MEMORY_LIMIT")
+    if mem:
+        conn.sql(f"SET memory_limit='{mem}'")
+        # spill beyond the cap instead of failing the shard
+        conn.sql("SET temp_directory='/tmp/duckdb_scale_spill'")
+    thr = os.environ.get("SCALE_DUCKDB_THREADS")
+    if thr:
+        conn.sql(f"SET threads={int(thr)}")
+    return conn
+
+
 def _poly_expr(cols: list[str]) -> str:
     acc = "0"
     for c in sorted(cols, key=str.lower):
@@ -152,7 +172,7 @@ def _sharded_oracle_checksums(oracle: str, aggs: list[str]) -> tuple:
         f"ORDER BY lang").fetchall()]
     tot = [0, 0, 0]
     for lg in langs:
-        sd = duckdb.connect()
+        sd = _cap_duck(duckdb.connect())
         for t in TABLES:
             flt = f" WHERE lang = '{lg}'" if t == "documents" else ""
             sd.sql(f"CREATE VIEW {t} AS SELECT * FROM "
@@ -201,7 +221,7 @@ def main() -> int:
     registry = load_all()
     spark = get_spark(app_name="scale-correctness")
     spark.sparkContext.setLogLevel("ERROR")
-    duck = duckdb.connect()
+    duck = _cap_duck(duckdb.connect())
     for t in TABLES:
         duck.sql(f"CREATE VIEW {t} AS SELECT * FROM "
                  f"'{args.g_dir}/{t}.parquet'")
