@@ -106,7 +106,7 @@ class JaccardSaturationWarning(UserWarning):
     (``dedup_minhash_lsh``, measured α ≈ 0.48) is the scale path."""
 
 
-def _saturation_guard(freq: DataFrame, n_docs: int,
+def _saturation_guard(freq: DataFrame, sets: DataFrame,
                       on_saturation: str) -> bool:
     """Detect item-space saturation from the (lang, item)→frequency
     table the prefix stage already builds, and warn/raise/route per
@@ -114,6 +114,16 @@ def _saturation_guard(freq: DataFrame, n_docs: int,
     corpus itself is never re-scanned, and the whole check is skipped
     under ``'ignore'``. Returns True when saturation was detected (the
     ``'route'`` caller switches tiers on it).
+
+    This collect is also the pipeline's EAGER MATERIALIZATION of the
+    persisted ``sets``/``freq`` frames: the aggregate flows through
+    both persists as one linear subtree (no parallel broadcast branch,
+    so no cache-fill race), so every later consumer is a guaranteed
+    cache hit and the pipeline needs no separate ``sets.count()``
+    barrier job (one fewer action per invocation; the corpus doc count
+    — used only in the warning text — reads the just-filled cache and
+    only when saturation actually fired, so diverse corpora never pay
+    it at all).
 
     The metric is the mean posting-list length ``Σ freq / #items`` =
     docs per distinct item. Diverse corpora keep it O(duplication
@@ -133,6 +143,7 @@ def _saturation_guard(freq: DataFrame, n_docs: int,
     docs_per_item = (row.postings or 0) / n_items
     if docs_per_item <= SATURATION_POSTINGS_PER_ITEM:
         return False
+    n_docs = sets.count()  # message only; a cached count (see above)
     action = (
         "Routing this call to that tier (rows carry approx=true)."
         if on_saturation == "route" else
@@ -208,15 +219,18 @@ def ppjoin_jaccard_pairs(item_sets: DataFrame, tau: float,
                 "transform(items, x -> xxhash64(x))")).alias("iset"))
         .withColumn("n_s", F.size("iset").cast("long"))
         .persist())
-    # materialize the cache BEFORE the plan fans out: the prefix build,
-    # the self-join's two sides, and the verify join all consume `sets`,
-    # and Spark evaluates broadcast/subquery branches on parallel threads
-    # — with a lazy persist those threads race to fill the cache and the
-    # loser recomputes the whole gram/token build (measured as sporadic
-    # 2-4x outlier runs). One count() over the freshly cached columnar
-    # batches costs ~the materialization alone and makes every consumer
-    # a guaranteed cache hit.
-    n_docs = sets.count()
+    # The cache must be materialized BEFORE the plan fans out: the
+    # prefix build, the self-join's two sides, and the verify join all
+    # consume `sets`, and Spark evaluates broadcast/subquery branches
+    # on parallel threads — with a lazy persist those threads race to
+    # fill the cache and the loser recomputes the whole gram/token
+    # build (measured as sporadic 2-4x outlier runs). The saturation
+    # guard's 1-row collect below IS that materialization (a single
+    # linear subtree through both persists — no racing branches); only
+    # the 'ignore' path, which skips the guard, needs its own count()
+    # barrier (one job saved per invocation on every other path).
+    if on_saturation == "ignore":
+        sets.count()
     # one exploded (doc_id, lang, n_s, ih) view over the cached sets —
     # re-derived per consumer as pure CPU over cached arrays
     ex = sets.select("doc_id", "lang", "n_s",
@@ -244,7 +258,7 @@ def ppjoin_jaccard_pairs(item_sets: DataFrame, tau: float,
     # measured 10⁴× collision blow-up; rows carry approx=true because
     # banding bounds recall, though each returned pair's jaccard is still
     # exact (verified over the full item sets, then filtered ≥ τ).
-    if _saturation_guard(freq, n_docs, on_saturation) \
+    if _saturation_guard(freq, sets, on_saturation) \
             and on_saturation == "route":
         return routed_jaccard_pairs(item_sets, tau)
     wdoc = Window.partitionBy("doc_id").orderBy("gf", "ih")
