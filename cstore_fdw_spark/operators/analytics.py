@@ -1286,9 +1286,9 @@ _TRIANGLE_SUPPORT = 2
     "stats_triangle_count",
     category="analytics",
     bench=True,  # graph-analytics family representative in the headline set
-    allow_bnlj=True,  # the final 1-row summary anchors (n_nodes x
-    #                   n_edges x n_wedges x triangles) cross-join —
-    #                   each side is a single aggregate row
+    allow_bnlj=True,  # the final 1-row summary cross-join (nodes+edges
+    #                   aggregate x wedges+triangles aggregate) — each
+    #                   side is a single aggregate row
     oracle=f"""
     WITH pairs AS MATERIALIZED (
       SELECT a.l_partkey AS u, b.l_partkey AS v
@@ -1380,15 +1380,30 @@ def stats_triangle_count(spark, sf_dir):
     wedge = (e1.join(e2, (F.col("e1.s") == F.col("e2.s"))
                      & (F.col("e1.t") < F.col("e2.t")))
              .select(F.col("e1.t").alias("b"), F.col("e2.t").alias("c")))
-    e3 = ori.select(F.col("s").alias("b"), F.col("t").alias("c"))
-    tri = wedge.join(e3, ["b", "c"]).agg(
-        F.count(F.lit(1)).alias("n_triangles"))
-    summary = (deg.agg(F.count(F.lit(1)).alias("n_nodes"))
-               .crossJoin(pairs.agg(F.count(F.lit(1)).alias("n_edges")))
-               .crossJoin(wedge.agg(F.count(F.lit(1)).alias("n_wedges")))
-               .crossJoin(tri))
+    # ONE aggregate for wedges AND triangles: `ori` is a set (pairs are
+    # distinct, orientation is a bijection), so the left join matches
+    # each wedge at most once — count(*) is the wedge count and
+    # count(hit) the closed ones. The former tri = wedge.join(e3).agg
+    # + separate wedge.agg derived the wedge subtree (the plan's
+    # largest: 2x the full pairs->deg->ori chain) TWICE; likewise
+    # n_edges = sum(d) div 2 falls out of deg's own aggregate (und has
+    # exactly 2|pairs| distinct rows by construction), dropping the
+    # separate pairs.agg branch. 4 cross-joined summary branches -> 2;
+    # static plan 115 -> 70 shuffle exchanges (runtime exchange reuse
+    # already deduped execution, but the driver re-planned/codegen'd
+    # every copy per run): r16 A/B min-of-5 interleaved 2.95 -> 2.53 s,
+    # rows and schema identical.
+    e3 = ori.select(F.col("s").alias("b"), F.col("t").alias("c"),
+                    F.lit(1).alias("hit"))
+    wt = (wedge.join(e3, ["b", "c"], "left")
+          .agg(F.count(F.lit(1)).alias("n_wedges"),
+               F.count("hit").alias("n_triangles")))
+    summary = (deg.agg(F.count(F.lit(1)).alias("n_nodes"),
+                       F.expr("sum(d) div 2").alias("n_edges"))
+               .crossJoin(wt))
     return summary.select(
-        "n_nodes", "n_edges", "n_wedges", "n_triangles",
+        "n_nodes", F.col("n_edges").cast("long").alias("n_edges"),
+        "n_wedges", "n_triangles",
         F.when(F.col("n_wedges") > 0,
                F.expr("n_triangles * 1000 DIV n_wedges"))
         .otherwise(F.lit(0)).cast("long").alias("closure_permille"))
