@@ -1585,6 +1585,11 @@ def test_triangle_count_on_crafted_graph(spark, tmp_path):
     (row,) = stats_triangle_count(spark, d).collect()
     assert row.n_nodes == 5 and row.n_edges == 7
     assert row.n_triangles == 4, row
+    # K4's degree-ordered orientation yields exactly 4 wedges (3 from
+    # the orientation's source node, 1 from the next), all closed — pins
+    # the merged wedges+triangles aggregate (count(*) vs count(hit) over
+    # the wedge LEFT JOIN ori) and the permille division
+    assert row.n_wedges == 4 and row.closure_permille == 1000, row
 
 
 def test_class_balance_exact_counts_and_determinism(spark, sf_dir):
