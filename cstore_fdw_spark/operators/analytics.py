@@ -1307,12 +1307,19 @@ _TRIANGLE_SUPPORT = 2
       SELECT u AS node, COUNT(*) AS d FROM und GROUP BY 1),
     ori AS MATERIALIZED (
       SELECT CASE WHEN (da.d, p.u) < (db.d, p.v) THEN p.u ELSE p.v END AS s,
-             CASE WHEN (da.d, p.u) < (db.d, p.v) THEN p.v ELSE p.u END AS t
+             CASE WHEN (da.d, p.u) < (db.d, p.v) THEN p.v ELSE p.u END AS t,
+             CASE WHEN (da.d, p.u) < (db.d, p.v) THEN db.d ELSE da.d END AS dt
       FROM pairs p JOIN deg da ON da.node = p.u
                    JOIN deg db ON db.node = p.v),
+    -- wedge endpoints MUST be ordered by the same (degree, node) total
+    -- order that oriented the edges: with id order (e1.t < e2.t) a
+    -- closing edge whose endpoints' degree order opposes their id order
+    -- is stored flipped in ori and the (b,c)=(s,t) join misses the
+    -- triangle (ADVICE r16; fuzz: 830/2000 random graphs undercounted)
     wedge AS MATERIALIZED (
       SELECT e1.t AS b, e2.t AS c
-      FROM ori e1 JOIN ori e2 ON e1.s = e2.s AND e1.t < e2.t),
+      FROM ori e1 JOIN ori e2
+        ON e1.s = e2.s AND (e1.dt, e1.t) < (e2.dt, e2.t)),
     tri AS MATERIALIZED (
       SELECT COUNT(*) AS n_triangles FROM wedge
       JOIN ori e3 ON e3.s = wedge.b AND e3.t = wedge.c),
@@ -1373,12 +1380,21 @@ def stats_triangle_count(spark, sf_dir):
     da = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
     db = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
     lo = F.struct("du", "u") < F.struct("dv", "v")
+    # ori carries the head's degree (dt): the wedge endpoints below must
+    # be compared in the SAME (degree, node) total order that oriented
+    # the edges — ordering them by node id alone flips the closing edge
+    # relative to ori whenever the two heads' degree order opposes their
+    # id order, and the (b,c)=(s,t) closure join silently misses that
+    # triangle (ADVICE r16; fixed here and in the oracle identically)
     ori = (pairs.join(da, "u").join(db, "v")
            .select(F.when(lo, F.col("u")).otherwise(F.col("v")).alias("s"),
-                   F.when(lo, F.col("v")).otherwise(F.col("u")).alias("t")))
+                   F.when(lo, F.col("v")).otherwise(F.col("u")).alias("t"),
+                   F.when(lo, F.col("dv")).otherwise(F.col("du"))
+                   .alias("dt")))
     e1, e2 = ori.alias("e1"), ori.alias("e2")
     wedge = (e1.join(e2, (F.col("e1.s") == F.col("e2.s"))
-                     & (F.col("e1.t") < F.col("e2.t")))
+                     & (F.struct("e1.dt", "e1.t")
+                        < F.struct("e2.dt", "e2.t")))
              .select(F.col("e1.t").alias("b"), F.col("e2.t").alias("c")))
     # ONE aggregate for wedges AND triangles: `ori` is a set (pairs are
     # distinct, orientation is a bijection), so the left join matches
@@ -1398,8 +1414,10 @@ def stats_triangle_count(spark, sf_dir):
     wt = (wedge.join(e3, ["b", "c"], "left")
           .agg(F.count(F.lit(1)).alias("n_wedges"),
                F.count("hit").alias("n_triangles")))
+    # coalesce: sum(d) is NULL (not 0) on an empty graph, diverging from
+    # the oracle's COUNT(*) and the pre-merge pairs-count semantics
     summary = (deg.agg(F.count(F.lit(1)).alias("n_nodes"),
-                       F.expr("sum(d) div 2").alias("n_edges"))
+                       F.expr("coalesce(sum(d) div 2, 0)").alias("n_edges"))
                .crossJoin(wt))
     return summary.select(
         "n_nodes", F.col("n_edges").cast("long").alias("n_edges"),

@@ -1592,6 +1592,40 @@ def test_triangle_count_on_crafted_graph(spark, tmp_path):
     assert row.n_wedges == 4 and row.closure_permille == 1000, row
 
 
+def test_triangle_count_degree_discordant_closure(spark, tmp_path):
+    """stats_triangle_count on the ADVICE r16 counterexample: edges
+    {1-2, 1-3, 2-3, 2-4, 2-5} hold exactly ONE triangle (1,2,3) whose
+    closing edge's endpoints order OPPOSITELY by id (2 < 3) and by
+    degree (d(3)=2 < d(2)=4). The id-ordered wedge join missed it (the
+    pre-fix code returned 0 triangles here); the wedge endpoints must be
+    compared in the same (degree, node) total order that oriented the
+    edges."""
+    import itertools
+
+    from cstore_fdw_spark.operators.analytics import stats_triangle_count
+
+    rows = []
+    ok = 0
+    for a, b in [(1, 2), (1, 3), (2, 3), (2, 4), (2, 5)]:
+        for _ in range(2):  # support gate: each pair co-occurs twice
+            rows += [(ok, a), (ok, b)]
+            ok += 1
+    df = spark.createDataFrame(
+        [(o, p, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", None)
+         for o, p in rows],
+        "l_orderkey long, l_partkey long, l_suppkey long, "
+        "l_linenumber int, l_quantity double, l_extendedprice double, "
+        "l_discount double, l_tax double, l_returnflag string, "
+        "l_linestatus string, l_shipdate timestamp")
+    d = str(tmp_path)
+    df.write.parquet(f"{d}/lineitem.parquet")
+    (row,) = stats_triangle_count(spark, d).collect()
+    assert row.n_nodes == 5 and row.n_edges == 5
+    # one oriented wedge at node 1 (out-neighbors {2, 3}), and it closes
+    assert row.n_wedges == 1 and row.n_triangles == 1, row
+    assert row.closure_permille == 1000, row
+
+
 def test_class_balance_exact_counts_and_determinism(spark, sf_dir):
     """sample_class_balance: every label comes back at exactly the min
     class size, and the selection is bit-stable across runs (hash
