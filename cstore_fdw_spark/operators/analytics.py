@@ -1392,9 +1392,15 @@ def stats_triangle_count(spark, sf_dir):
                    F.when(lo, F.col("dv")).otherwise(F.col("du"))
                    .alias("dt")))
     e1, e2 = ori.alias("e1"), ori.alias("e2")
-    wedge = (e1.join(e2, (F.col("e1.s") == F.col("e2.s"))
-                     & (F.struct("e1.dt", "e1.t")
-                        < F.struct("e2.dt", "e2.t")))
+    # (dt, t) lexicographic order as FLAT scalar comparisons, not
+    # struct(...) < struct(...): the join condition runs in the
+    # same-s-group inner loop, where a struct form allocates two
+    # InternalRows per evaluated pair (the r13 PPJoin lesson,
+    # dedup.py's shorter_first comment)
+    head_lt = ((F.col("e1.dt") < F.col("e2.dt"))
+               | ((F.col("e1.dt") == F.col("e2.dt"))
+                  & (F.col("e1.t") < F.col("e2.t"))))
+    wedge = (e1.join(e2, (F.col("e1.s") == F.col("e2.s")) & head_lt)
              .select(F.col("e1.t").alias("b"), F.col("e2.t").alias("c")))
     # ONE aggregate for wedges AND triangles: `ori` is a set (pairs are
     # distinct, orientation is a bijection), so the left join matches
