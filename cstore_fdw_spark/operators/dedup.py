@@ -1014,9 +1014,20 @@ def routed_jaccard_pairs(item_sets: DataFrame, tau: float) -> DataFrame:
     prefixes), which is why rows carry ``approx = true``."""
     from cstore_fdw_spark.operators import track_cache
 
-    sets = track_cache(
-        item_sets.filter(F.size("items") > 0).persist())
-    sets.count()  # eager: prefix build and both verify sides consume it
+    # Persist FIRST, filter on the cached arrays: a filter on the
+    # derived `items` column placed below the persist gets pushed
+    # through the spread() exchange into the scan as a DataFilter,
+    # where the WHOLE gram build evaluates inside the scan's handful
+    # of splits — measured single-threaded 22.0 s vs 1.1 s for the
+    # same projection at g1.0 (and ~180 s of the route tier's 412 s
+    # g10.0 wall, ROUTE_PROFILE_r16.json's dominant "sets" cut) —
+    # and then re-evaluates post-exchange for the projection itself.
+    # Against the cache the predicate is an O(1) array-header check
+    # per cached row. Cache contents only gain the (rare) empty-set
+    # docs; every consumer below filters them exactly as before.
+    allsets = track_cache(item_sets.persist())
+    allsets.count()  # eager: prefix build and both verify sides consume it
+    sets = allsets.filter(F.size("items") > 0)
     ex = sets.select("doc_id", "lang", F.explode("items").alias("it"))
     dfreq = ex.groupBy("lang", "it").agg(F.count(F.lit(1)).alias("df"))
     # Rarity prefix as a per-doc min-K AGGREGATE, not a ROW_NUMBER
