@@ -764,13 +764,16 @@ def minhash_lsh_pairs(docs: DataFrame) -> DataFrame:
     8 arithmetic band keys per doc → bucket join on (band, band_key) →
     candidate pairs → exact Jaccard via 60-bit-hash join restricted to
     candidates. Output: (doc_a, doc_b, n_common_bands, jaccard)."""
-    # Docs with zero shingles (empty text) are excluded — their
-    # all-sentinel signatures would otherwise collide in every band (and
-    # Jaccard over empty sets is undefined); the oracle's explode drops
-    # them naturally.
-    shingled = (shingle_arrays(spread(docs))
-                .filter(F.size("shingles") > 0))
-    return minhash_pairs_from_shingled(shingled)
+    # Docs with zero shingles (empty text) are excluded by the explode
+    # inside shingle_hashes — a zero-shingle doc emits no rows, so it
+    # gets no signature and can never band-collide; the oracle's explode
+    # drops them the same way. (An explicit size(shingles) > 0 filter
+    # here was REDUNDANT and harmful: pushed through the spread()
+    # exchange into the scan as a DataFilter, it evaluated the whole
+    # shingle build inside the scan's handful of splits and then again
+    # in the post-exchange projection — the same single-threaded-scan
+    # defect measured at 22 s vs 1.1 s on the route tier's gram build.)
+    return minhash_pairs_from_shingled(shingle_arrays(spread(docs)))
 
 
 def minhash_pairs_from_shingled(shingled: DataFrame,
@@ -1661,9 +1664,18 @@ def text_ngram_containment(spark, sf_dir):
     Output: (doc_a, doc_b, n_common, size_a, size_b, containment);
     containment is one exact int/int division, deterministic IEEE."""
     d = table(spark, sf_dir, "documents").filter(F.col("text") != "")
+    # the >= G words gate as a cheap string predicate: split() keeps
+    # empty tokens (limit -1), so size(split(text,' ')) is EXACTLY the
+    # space count + 1 — filtering on size(arr) here pushed the whole
+    # split below the spread() exchange into the scan's few splits and
+    # re-evaluated it post-exchange (the route tier's measured
+    # single-threaded-scan defect); the length form costs two lengths
+    # per row in the scan and prunes rows BEFORE the exchange
+    d = d.filter(F.expr(
+        f"length(text) - length(replace(text, ' ', ''))"
+        f" >= {CONTAINMENT_G - 1}"))
     item_sets = (spread(d)
                  .select("doc_id", "lang", F.split("text", " ").alias("arr"))
-                 .filter(F.size("arr") >= CONTAINMENT_G)
                  .select("doc_id", "lang",
                          F.expr(_WORD_GRAM_ARR).alias("items")))
     tau = CONTAINMENT_TAU
