@@ -1129,23 +1129,31 @@ def timeseries_downsample_lttb(spark, sf_dir):
                        .alias("cents"))
               .groupBy("event_type", "h")
               .agg(F.sum("cents").alias("x")))
-    wall = Window.partitionBy("event_type")
-    word = Window.partitionBy("event_type").orderBy("h")
-    ser = (hourly.withColumn("rn", F.row_number().over(word))
-           .withColumn("n", F.count(F.lit(1)).over(wall))
-           .filter(F.col("n") >= LTTB_POINTS))
 
     schema = ("event_type string, sel_idx long, rn long, h timestamp, "
               "x_cents long")
 
+    # rn (the hour's rank), n, and the n >= LTTB_POINTS gate are
+    # computed INSIDE the per-key fold: the fold already receives the
+    # key's whole series and sorts it, so the former row_number/count
+    # window pass (an extra Sort + two window functions between the
+    # rollup exchange and the applyInPandas exchange) derived nothing
+    # the fold can't read off its own sorted frame — rn = position in
+    # hour order, n = len, short keys return an empty frame (identical
+    # rows: hours are unique per key, so rank-by-h == position)
+
     def fold(pdf):
         import pandas as pd
 
-        pdf = pdf.sort_values("rn")
-        rns = [int(v) for v in pdf["rn"]]
+        n = len(pdf)
+        if n < LTTB_POINTS:
+            return pd.DataFrame(
+                [], columns=["event_type", "sel_idx", "rn", "h",
+                             "x_cents"])
+        pdf = pdf.sort_values("h")
+        rns = list(range(1, n + 1))
         xs = [int(v) for v in pdf["x"]]
         hs = list(pdf["h"])
-        n = len(rns)
         nb = _LTTB_B
         buckets: dict[int, list[int]] = {}
         for i in range(n):
@@ -1181,7 +1189,7 @@ def timeseries_downsample_lttb(spark, sf_dir):
              for k, i in enumerate(sel)],
             columns=["event_type", "sel_idx", "rn", "h", "x_cents"])
 
-    return (ser.groupBy("event_type").applyInPandas(fold, schema)
+    return (hourly.groupBy("event_type").applyInPandas(fold, schema)
             .orderBy("event_type", "sel_idx"))
 
 

@@ -310,13 +310,15 @@ def asof_join_last_click(spark, sf_dir):
     shuffle on user_id, no nested-loop. This is the scale path: O(n log n)
     per user partition instead of O(purchases × clicks)."""
     ev = table(spark, sf_dir, "events")
-    clicks = (ev.filter(F.col("event_type") == "click")
-              .select("user_id", "ts", F.lit(None).cast("long").alias("event_id"),
-                      F.lit(0).alias("is_purchase")))
-    purchases = (ev.filter(F.col("event_type") == "purchase")
-                 .select("user_id", "ts", "event_id",
-                         F.lit(1).alias("is_purchase")))
-    tagged = clicks.unionByName(purchases)
+    # ONE scan with an isin filter, not a union of two filtered scans:
+    # the union form read the events parquet twice (verified in the
+    # r17 before-plan: two FileScan nodes) to derive what one pass can
+    # tag — at 100 TB that is the whole input read twice for nothing
+    is_p = (F.col("event_type") == "purchase")
+    tagged = (ev.filter(F.col("event_type").isin("click", "purchase"))
+              .select("user_id", "ts",
+                      F.when(is_p, F.col("event_id")).alias("event_id"),
+                      is_p.cast("int").alias("is_purchase")))
     # order clicks before purchases at identical ts (<= semantics)
     w = (Window.partitionBy("user_id")
          .orderBy("ts", "is_purchase")

@@ -1557,6 +1557,32 @@ def test_lttb_selects_planted_spike_and_endpoints(spark):
         "the spike (rn 38) must be selected"
 
 
+def test_lttb_short_key_is_excluded(spark):
+    """timeseries_downsample_lttb: a key with fewer than LTTB_POINTS
+    hourly points is excluded entirely (the oracle's n >= LTTB_POINTS
+    gate) — pins the fold's in-Python short-key empty-frame path that
+    replaced the former count-window filter."""
+    from datetime import datetime, timedelta
+
+    from cstore_fdw_spark.operators.events import (LTTB_POINTS,
+                                                   timeseries_downsample_lttb)
+
+    base = datetime(2024, 1, 1)
+    rows = ([(i, base + timedelta(hours=i), 7, "long", 10.0, "{}")
+             for i in range(LTTB_POINTS)]
+            + [(100 + i, base + timedelta(hours=i), 7, "short", 10.0, "{}")
+               for i in range(LTTB_POINTS - 1)])
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    import tempfile
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(f"{d}/events.parquet")
+        out = timeseries_downsample_lttb(spark, d).collect()
+    assert {r.event_type for r in out} == {"long"}
+    assert len(out) == LTTB_POINTS
+
+
 def test_triangle_count_on_crafted_graph(spark, tmp_path):
     """stats_triangle_count: a hand-built order log whose recurring
     co-purchase graph is K4 plus a pendant edge has exactly C(4,3)=4
