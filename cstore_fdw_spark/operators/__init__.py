@@ -155,7 +155,8 @@ def register(name: str, oracle: str | None = None, category: str = "general",
             # queries that are faster at the default floor
             from cstore_fdw_spark.session import (
                 ADAPTIVE_CONF, CBO_CONF, CBO_JOINREORDER_CONF,
-                DEFAULT_MIN_PARTITION_SIZE, MIN_PARTITION_SIZE_CONF)
+                DEFAULT_MIN_PARTITION_SIZE, EXCLUDED_RULES_CONF,
+                MIN_PARTITION_SIZE_CONF)
             try:
                 spark.conf.set(MIN_PARTITION_SIZE_CONF,
                                DEFAULT_MIN_PARTITION_SIZE)
@@ -165,6 +166,9 @@ def register(name: str, oracle: str | None = None, category: str = "general",
                 # ... and a prior builder's CBO opt-out (session.set_no_cbo)
                 spark.conf.set(CBO_CONF, "true")
                 spark.conf.set(CBO_JOINREORDER_CONF, "true")
+                # ... and a prior builder's optimizer-rule opt-out
+                # (session.set_no_generate_filter_inference)
+                spark.conf.unset(EXCLUDED_RULES_CONF)
             except Exception:  # noqa: BLE001 — read-only conf surface
                 pass
             return fn(spark, sf_dir)

@@ -24,7 +24,8 @@ from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.window import Window
 
 from cstore_fdw_spark.operators import register, spread, table, track_cache
-from cstore_fdw_spark.session import set_fine_coalescing
+from cstore_fdw_spark.session import (set_fine_coalescing,
+                                      set_no_generate_filter_inference)
 
 #: the duplicated corpus used by exact-dedup demos: documents ∪ documents
 #: with shifted ids, so every text has exactly one duplicate. (The driver's
@@ -787,6 +788,19 @@ def minhash_pairs_from_shingled(shingled: DataFrame,
     :func:`routed_jaccard_pairs` for why). ``full=True`` additionally
     returns the exact verified overlap and set sizes
     (n_common, size_a, size_b) in the PPJoin output convention."""
+    # Opt out of InferFiltersFromGenerate for this query: the rule
+    # re-infers the size(shingles) > 0 filter from the explode inside
+    # shingle_hashes and filter pushdown drives it through the spread()
+    # exchange into the scan, where the WHOLE shingle build (split +
+    # transform + array_distinct) evaluates once per scanned row in the
+    # scan's few splits and then AGAIN post-exchange for the projection
+    # — the measured single-threaded-scan defect (22 s vs 1.1 s on the
+    # same-shaped route gram build at g1.0). Removing the explicit
+    # filter (r17 inherited commit) did NOT fix this: the committed
+    # before/after plans were identical because the inference puts the
+    # filter right back. The inferred filter is semantics-free (explode
+    # already drops empty arrays); see session.py for the full rationale.
+    set_no_generate_filter_inference(shingled.sparkSession)
     # persist() materializes the per-shingle hashes once (the expensive
     # shingle build + md5); signatures, band keys, sizes, and
     # verification keys all derive from it.
@@ -969,6 +983,12 @@ def minhash_band_candidates(shingled: DataFrame) -> DataFrame:
     not the candidate signature)."""
     from cstore_fdw_spark.operators import track_cache
 
+    # same InferFiltersFromGenerate opt-out as
+    # minhash_pairs_from_shingled (here the generator input is the
+    # rarity-prefix aggregate output, so the inferred filter costs a
+    # per-doc transform(slice(...)) re-evaluation rather than a
+    # scan-level gram build — smaller, but the same pure overhead)
+    set_no_generate_filter_inference(shingled.sparkSession)
     ex = track_cache(shingle_hashes(shingled).persist())
     # parsed-SQL form, one py4j call per aggregate (the Column-chain
     # form cost ~6 round-trips x 32 hashes per build; same tree — see

@@ -215,6 +215,40 @@ def set_no_cbo(spark: SparkSession) -> None:
     spark.conf.set(CBO_JOINREORDER_CONF, "false")
 
 
+EXCLUDED_RULES_CONF = "spark.sql.optimizer.excludedRules"
+
+_INFER_FROM_GENERATE_RULE = (
+    "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
+
+
+def set_no_generate_filter_inference(spark: SparkSession) -> None:
+    """Opt THIS query out of ``InferFiltersFromGenerate``.
+
+    The rule adds ``size(e) > 0 AND isnotnull(e)`` below every explode so
+    rows that would generate nothing are dropped before they shuffle —
+    the right trade when ``e`` is a stored column. When ``e`` is an
+    EXPENSIVE DERIVED expression (the MinHash pipelines explode the
+    word-shingle array built by split+transform+array_distinct), filter
+    pushdown then carries that whole expression through the spread()
+    exchange down to the parquet scan: the complete shingle build runs
+    once per scanned row inside the scan's few splits (single-threaded
+    on a small file, and ALWAYS at scan rather than cluster parallelism)
+    and then AGAIN post-exchange for the projection itself — the same
+    single-threaded-scan defect measured at 22 s vs 1.1 s on the route
+    tier's gram build (r16, g1.0), which the r17 inherited commit
+    removed for the route tier by filtering above the persist but could
+    not remove here because the inference re-creates the filter from the
+    explode itself. Excluding the rule is semantics-free (the filter it
+    infers is redundant — explode already emits nothing for empty
+    arrays); what is lost is only shuffling the rare zero-shingle doc's
+    (doc_id, text) row once, and what is gained is evaluating the
+    shingle build exactly once per row at full parallelism. Like the
+    other per-query opt-outs, the operator registry restores the conf
+    before every build, so queries that explode stored columns keep the
+    inference."""
+    spark.conf.set(EXCLUDED_RULES_CONF, _INFER_FROM_GENERATE_RULE)
+
+
 def set_static_planning(spark: SparkSession) -> None:
     """Opt THIS query out of adaptive execution.
 

@@ -402,6 +402,41 @@ def test_connected_components_from_pairs_shared_loop(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 4, 5: 5, 6: 5, 7: 7}
 
 
+def test_generate_inference_optout_never_leaks_across_builders(
+        spark, sf_dir):
+    """set_no_generate_filter_inference (the MinHash pipelines' per-query
+    InferFiltersFromGenerate opt-out) must be restored by the NEXT
+    registered builder — queries that explode STORED columns keep the
+    inference (it prunes empty-array rows before their exchange)."""
+    from cstore_fdw_spark.operators import load_all
+    from cstore_fdw_spark.session import EXCLUDED_RULES_CONF
+
+    reg = load_all()
+    reg["dedup_minhash_lsh"].builder(spark, sf_dir)
+    assert "InferFiltersFromGenerate" in (
+        spark.conf.get(EXCLUDED_RULES_CONF) or "")   # opt-out active
+    reg["dedup_exact"].builder(spark, sf_dir)
+    assert spark.conf.get(EXCLUDED_RULES_CONF, None) in (None, "")
+
+
+def test_minhash_shingle_filter_not_pushed_to_scan(spark, sf_dir):
+    """The dedup_minhash_lsh physical plan must not evaluate the shingle
+    build inside a scan-level Filter: InferFiltersFromGenerate used to
+    re-infer size(shingles) > 0 from the explode and pushdown drove the
+    whole split+transform+array_distinct expression through the spread()
+    exchange to the scan (evaluated per row in the scan's few splits,
+    then again post-exchange). Pins the r17 per-query rule opt-out."""
+    from cstore_fdw_spark.operators import load_all
+
+    df = load_all()["dedup_minhash_lsh"].builder(spark, sf_dir)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted")
+    for line in plan.splitlines():
+        if line.startswith("Condition") and "array_distinct" in line:
+            raise AssertionError(
+                "shingle build found in a Filter condition:\n" + line)
+
+
 def test_cbo_optout_never_leaks_across_builders(spark, sf_dir):
     """set_no_cbo (the HLL finisher's per-query CBO opt-out) must be
     restored by the NEXT registered builder, exactly like the
