@@ -288,17 +288,24 @@ def ann_lsh_bucketed(spark, sf_dir):
     c = sig.select(F.col("vec_id").alias("neighbor_id"),
                    F.col("embedding").alias("cvec"),
                    F.col("norm").alias("cnorm"), "tb")
-    # candidate = shares a bucket in ANY table (dedupe multi-table hits
-    # before the cosine so each pair is scored once)
-    cand = (c.join(F.broadcast(q), ["tb"])
-            .filter(F.col("neighbor_id") != F.col("query_id"))
-            .select("query_id", "neighbor_id", "qvec", "cvec",
-                    "qnorm", "cnorm")
-            .dropDuplicates(["query_id", "neighbor_id"]))
+    # candidate = shares a bucket in ANY table. The cosine is computed
+    # BEFORE the multi-table dedup: the dropDuplicates exchange then
+    # ships (query_id, neighbor_id, cos) — ~24 bytes/row — instead of
+    # both 64-dim double vectors (~1 KB/row, a 40x wider shuffle; guide
+    # §2.3 "shuffle keys and metadata instead of payloads"). A pair hit
+    # in k tables now scores k times in the map stage instead of once
+    # post-dedup, but k ≤ LSH_TABLES and the dot product is a fused
+    # codegen loop — per-pair CPU is far below the per-row exchange
+    # cost it replaces. Duplicate rows of a pair carry bit-identical cos
+    # (same vectors, same fold order), so dropDuplicates keeping an
+    # arbitrary row is value-identical to scoring after the dedup.
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(),
                                                "neighbor_id")
     cos = dot(F.col("qvec"), F.col("cvec")) / (F.col("qnorm") * F.col("cnorm"))
-    return (cand.select("query_id", "neighbor_id", cos.alias("cos"))
+    return (c.join(F.broadcast(q), ["tb"])
+            .filter(F.col("neighbor_id") != F.col("query_id"))
+            .select("query_id", "neighbor_id", cos.alias("cos"))
+            .dropDuplicates(["query_id", "neighbor_id"])
             .withColumn("rank", F.row_number().over(w).cast("long"))
             .filter(F.col("rank") <= TOP_K)
             .select("query_id", "neighbor_id", "rank", "cos"))
